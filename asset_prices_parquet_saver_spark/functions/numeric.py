@@ -1,0 +1,55 @@
+"""Cross-engine-deterministic numeric helpers.
+
+Why: double-precision SUM/AVG is order-dependent, and Spark's partial
+aggregation order differs run-to-run and from any oracle engine. The
+driver's correctness gate hashes values, so "close" is not "equal".
+
+Fix: cast inputs to exact decimals *before* arithmetic, aggregate in
+decimal (exact, order-independent), cast the final result back to double.
+The same construction is mirrored literally in the oracle SQL
+(``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``), so both engines
+round the same decimal to the same nearest double. The test data's
+monetary columns carry ≤2 decimals, discount/tax ≤2, so DECIMAL(18,2)/
+DECIMAL(8,4) casts are lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Cast a double column to an exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Order-independent SUM over doubles: decimal-exact, back to double."""
+    return F.sum(dec(col, precision, scale)).cast("double")
+
+
+def dsum_expr(sql_expr: str, precision: int = 18, scale: int = 2) -> str:
+    """Oracle-SQL mirror of :func:`dsum` for a raw SQL expression."""
+    return f"CAST(SUM(CAST({sql_expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+    """Order-independent AVG: exact decimal sum / count, in double.
+
+    Mirrored in SQL as ``CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) /
+    COUNT(x)`` — a single double division of identical operands is
+    bit-deterministic on both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, precision, scale)).cast("double") / F.count(c)
+
+
+def round6(col: Column | str) -> Column:
+    """Round a computed double to 6 decimals (for genuinely-float results
+    like cosine similarity where exactness across engines is impossible;
+    1e-15-scale engine noise cannot flip a 1e-6 rounding except on a
+    measure-zero boundary)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 6)

@@ -1,0 +1,69 @@
+"""Dataset comparison (J6; SURVEY §2.3, §3.3).
+
+The reference's ``compare_parquet.py`` diffs only *metadata* between the
+Alpaca and yfinance files for a symbol (columns :52, index names :59,
+index types :66, dtypes :76-99) and leaves "compare sample data" as a
+TODO (:101-102). We provide both:
+
+- :func:`schema_diff` — the metadata diff, driver-side (schemas are tiny).
+- :func:`data_diff` — the TODO made real: a full-outer join on key
+  columns with per-column mismatch detection, fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def schema_diff(df1: DataFrame, df2: DataFrame) -> dict[str, list]:
+    """Column/type differences between two frames (metadata only)."""
+    t1 = {f.name: f.dataType.simpleString() for f in df1.schema.fields}
+    t2 = {f.name: f.dataType.simpleString() for f in df2.schema.fields}
+    return {
+        "only_in_left": sorted(set(t1) - set(t2)),
+        "only_in_right": sorted(set(t2) - set(t1)),
+        "type_mismatch": sorted(
+            (c, t1[c], t2[c]) for c in set(t1) & set(t2) if t1[c] != t2[c]
+        ),
+    }
+
+
+def data_diff(
+    df1: DataFrame,
+    df2: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff: full-outer join on ``keys``; emit rows where any
+    compared column differs (NULL-safe) or the row exists on one side
+    only. Output: keys, then ``<col>_left``/``<col>_right`` pairs and a
+    ``diff_kind`` in {'left_only','right_only','mismatch'}.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in df1.columns if c in df2.columns and c not in keys]
+    # presence detection needs a column that is never NULL on its side:
+    l_marked = df1.withColumn("__l", F.lit(1)).alias("l")
+    r_marked = df2.withColumn("__r", F.lit(1)).alias("r")
+    joined = l_marked.join(r_marked, keys, "full_outer")
+
+    mismatch = None
+    for c in compare_cols:
+        ne = ~F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        mismatch = ne if mismatch is None else (mismatch | ne)
+
+    kind = (
+        F.when(F.col("__r").isNull(), F.lit("left_only"))
+        .when(F.col("__l").isNull(), F.lit("right_only"))
+        .otherwise(F.lit("mismatch"))
+    )
+    out = joined.select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"l.{c}").alias(f"{c}_left") for c in compare_cols],
+        *[F.col(f"r.{c}").alias(f"{c}_right") for c in compare_cols],
+        kind.alias("diff_kind"),
+    )
+    cond = F.col("diff_kind") != "mismatch"
+    if mismatch is not None:
+        cond = cond | mismatch
+    return out.filter(cond)

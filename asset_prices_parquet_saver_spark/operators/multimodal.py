@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (X5; SURVEY §2.11).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata structs (schema.MEDIA_SCHEMA). The Spark-side plumbing —
+schemas, partitioning, Arrow-batched Pandas UDF signatures, batch
+shapes — is real and tested; the actual codec calls are STUBBED because
+no image/audio libraries exist in this container:
+
+- :func:`decode_image` raises ``NotImplementedError`` (clearly marked),
+- :func:`fake_decode_meta` is the deterministic stand-in used by tests
+  and the feature-extraction pipeline.
+
+At 100 TB the payload column dominates IO — every function here prunes
+it as early as possible (metadata-only projections never touch bytes;
+Parquet column pruning keeps payloads on disk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def build_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from the documents table
+    (the container has no real image fixtures): payload = UTF-8 bytes of
+    the text, kind round-robined by doc_id."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - intentional stub
+    """STUB: real image decoding needs PIL/opencv, not present in this
+    container. The Spark plumbing calls :func:`fake_decode_meta`
+    instead; swap this in when a codec library is available."""
+    raise NotImplementedError(
+        "image decoding requires an image library (PIL/cv2) not installed "
+        "in this environment; use fake_decode_meta for the pipeline shape"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: derive (width, height,
+    duration_ms) from a stable digest of the bytes."""
+    d = hashlib.sha256(payload or b"").digest()
+    width = 16 + d[0] % 240
+    height = 16 + d[1] % 240
+    duration_ms = int.from_bytes(d[2:4], "big")
+    return width, height, duration_ms
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """Feature-extraction pass over payload bytes via ``mapInPandas``
+    (Arrow-batched; one pandas frame per partition batch — the shape a
+    real decoder would use). Decoding itself is the deterministic fake."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": [len(p or b"") for p in pdf["payload"]],
+                    "sha256": [hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "duration_ms": [m[2] for m in metas],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        extract, _META_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (duration from the fake decode; a real decoder would yield
+    actual frames). Demonstrates the explode-shaped fan-out a video
+    pipeline needs, with the payload column pruned before the fan-out."""
+    meta = extract_media_meta(media.filter(F.col("kind") == "video"))
+    return meta.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("duration_ms"),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators (X4; SURVEY §2.11): quality stats, language
+ID, token counting, document fingerprinting.
+
+All built-in/higher-order functions — no Python in the hot path; every
+expression is chosen to be bit-reproducible in an ANSI-SQL oracle
+(integer arithmetic, guarded division, same regexes in Java and RE2
+dialect subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators.dedup import words
+
+#: BPE-ish tokenizer: letter runs, digit runs, single other non-space.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+#: Tiny marker-word lists for the n-gram/stopword language heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+}
+
+STOPWORDS = ("a", "the", "of", "and", "is")
+
+
+def n_words(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-agnostic BPE-ish token count via regexp_extract_all."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = words(text)
+    nw = F.size(w)
+    nstop = F.size(F.filter(w, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return F.when(nw > 0, nstop.cast("double") / nw.cast("double"))
+
+
+def avg_word_len(text: Column) -> Column:
+    w = words(text)
+    nw = F.size(w)
+    total = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(nw > 0, total.cast("double") / nw.cast("double"))
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), 0))
+
+
+def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality metrics — length, words, tokens, stopword
+    ratio, average word length, punctuation count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_computed"),
+        n_words(t).alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        avg_word_len(t).alias("avg_word_len"),
+        punct_count(t).alias("n_punct"),
+    )
+
+
+def _marker_filter(markers: tuple[str, ...]):
+    # NB: binding via closure factory, not a default arg — PySpark counts
+    # default args in the lambda arity and would mis-treat this as the
+    # two-argument (element, index) form.
+    return lambda t: F.lower(t).isin(*markers)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language (the n-gram heuristic)."""
+    w = words(text)
+    return {
+        lang: F.size(F.filter(w, _marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pick the language with the highest marker count ('und' if all 0).
+
+    Deterministic tie-break: priority order en > es > de (strictly-
+    greater comparisons in a fixed CASE chain)."""
+    s = lang_scores(F.col(text_col))
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+def fingerprint64(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Rolling polynomial hash over characters: acc = (acc*31 + code) %
+    mod. Stays < 2^35 so no overflow under ANSI mode; reproducible in
+    any engine with a list fold."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % mod,
+    )
+
+
+def document_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fingerprint"))

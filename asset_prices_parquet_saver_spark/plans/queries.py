@@ -1,0 +1,984 @@
+"""The query registry: every implemented operator from SURVEY §2 (plus
+the §2.11 extensions) as a (PySpark query, DuckDB oracle SQL) pair.
+
+Driver contract (__spark_entry__.py): each entry in ``QUERIES`` is a
+callable ``(spark, sf_dir) -> DataFrame``; ``ORACLE[name]`` is ANSI SQL
+DuckDB runs over the same parquet tables. The driver compares row count,
+schema, and an order-insensitive value hash — so:
+
+- every computed column is aliased identically on both sides;
+- double aggregates go through exact decimals (functions.numeric) so the
+  value, not just the approximation, matches;
+- genuinely-float results (cosine) are rounded to 6 decimals on both
+  sides before ranking/filtering;
+- computed integer columns are cast to BIGINT on both sides (Spark
+  ``size``/``row_number`` are 32-bit, DuckDB's are 64-bit);
+- every LIMIT/top-k sits behind a totally-ordered sort (explicit
+  tie-break columns) so the *set* of returned rows is deterministic.
+
+Queries without an ORACLE entry (Spark-hash-dependent: MinHash-LSH,
+SimHash, hyperplane-LSH ANN, Pandas-UDF media decode) get the driver's
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.functions.numeric import davg, dec, dsum
+from asset_prices_parquet_saver_spark.operators import (
+    compare as compare_ops,
+    dedup as dedup_ops,
+    details as details_ops,
+    merge as merge_ops,
+    multimodal as mm_ops,
+    similarity as sim_ops,
+    text as text_ops,
+)
+from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Reference-surface operators (SURVEY §2.1-§2.9) over the star schema
+# =====================================================================
+
+# --- A-family aggregation (flagship; the groupBy().agg() surface the
+# engine gets for free, SURVEY §2.4). TPC-H-Q1-shaped.
+@q(
+    "flagship_pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc = dec(F.lit(1) - F.col("l_discount"), 8, 4)
+    tax = dec(F.lit(1) + F.col("l_tax"), 8, 4)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 8, 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- P2/P14/P17: projection + range predicate + computed column
+# (pushdown-friendly; the scan should show PushedFilters on l_shipdate).
+@q(
+    "filter_project_compute",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_quantity,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+    """,
+)
+def filter_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# --- P1/P3/P9: rename / case-fold / upper (the schema-normalizer ops,
+# download_historical_price.py:423,502; :187).
+@q(
+    "normalize_case_rename",
+    """
+    SELECT
+      c_custkey,
+      UPPER(c_name) AS name_upper,
+      c_acctbal AS account_balance,
+      LOWER(c_mktsegment) AS segment
+    FROM customer
+    """,
+)
+def normalize_case_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.col("c_acctbal").alias("account_balance"),
+        F.lower("c_mktsegment").alias("segment"),
+    )
+
+
+# --- P10: char translation (symbol '-' ↔ '.' mapping,
+# download_historical_price.py:389, :459).
+@q(
+    "translate_brand",
+    """
+    SELECT replace(p_brand, '#', '.') AS brand_t, COUNT(*) AS n_parts
+    FROM part GROUP BY replace(p_brand, '#', '.')
+    """,
+)
+def translate_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(F.translate("p_brand", "#", ".").alias("brand_t"))
+        .groupBy("brand_t")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+# --- P5: add-missing-columns-as-NULL (update_live_price.py:245-248).
+@q(
+    "null_pad_schema",
+    """
+    SELECT event_id, value AS adj_close,
+           CAST(NULL AS DOUBLE) AS trade_count,
+           CAST(NULL AS DOUBLE) AS vwap
+    FROM events
+    """,
+)
+def null_pad_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    out = ev.select("event_id", F.col("value").alias("adj_close"))
+    for c in ("trade_count", "vwap"):  # the P5 pad
+        out = out.withColumn(c, F.lit(None).cast("double"))
+    return out
+
+
+# --- P15: JSON field extraction (update_live_price.py:153-157).
+@q(
+    "json_extract_agg",
+    r"""
+    SELECT
+      TRY_CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k_value,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).try_cast("long")
+    return (
+        ev.select(k.alias("k_value"), "value")
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+# --- P12/A2: date normalization + daily rollup (update_live_price.py:251-252).
+@q(
+    "daily_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --- P11: timestamp floor (update_live_price.py:206) at minute grain.
+@q(
+    "minute_floor_counts",
+    """
+    SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def minute_floor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# --- J1: anti-join (skip-list pruning, download_historical_price.py:347).
+@q(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- J3: semi-join membership (update_live_price.py:250-254).
+@q(
+    "semi_join_building_buyers",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_building_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# --- J4/A4: the keep-latest upsert invariant (update_live_price.py:250-274)
+# exercised on events as the live-tick analogue (FIXTURES.md §B).
+@q(
+    "upsert_keep_latest_per_day",
+    """
+    SELECT user_id, day, value AS last_value FROM (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def upsert_keep_latest_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    latest = merge_ops.keep_latest(
+        ev, ["user_id", "day"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "day", F.col("value").alias("last_value"))
+
+
+# --- A3/J5: last-value-per-key (current_prices snapshot,
+# update_live_price.py:69,:164).
+@q(
+    "last_event_per_user",
+    """
+    SELECT user_id, event_id, value, ts FROM (
+      SELECT user_id, event_id, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    latest = merge_ops.keep_latest(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "event_id", "value", "ts")
+
+
+# --- U1/A1: union-distinct of universes (download_historical_price.py:180-188).
+@q(
+    "union_distinct_nations",
+    """
+    SELECT DISTINCT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier) t
+    """,
+)
+def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# --- set ops beyond the reference (free in Spark; SURVEY §2.7).
+@q(
+    "except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.distinct().exceptAll(s.distinct())
+
+
+@q(
+    "intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+# --- O3/O4: top-N with total ordering (parquet_details.py:22-23).
+@q(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# --- O4: head/tail preview (parquet_details.py:33-34).
+@q(
+    "events_head_tail",
+    """
+    SELECT * FROM (
+      SELECT event_id, ts, 'head' AS part FROM events
+      ORDER BY ts, event_id LIMIT 5) h
+    UNION ALL
+    SELECT * FROM (
+      SELECT event_id, ts, 'tail' AS part FROM events
+      ORDER BY ts DESC, event_id DESC LIMIT 5) t
+    """,
+)
+def events_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    return details_ops.head_tail(ev, [F.col("ts"), F.col("event_id")], 5)
+
+
+# --- J6: the data-diff operator (compare_parquet.py's acknowledged TODO
+# at :101-102, made real).
+@q(
+    "source_diff",
+    """
+    SELECT
+      COALESCE(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+      a.l_quantity AS l_quantity_left,
+      b.l_quantity AS l_quantity_right,
+      CASE WHEN b.l_orderkey IS NULL THEN 'left_only'
+           WHEN a.l_orderkey IS NULL THEN 'right_only'
+           ELSE 'mismatch' END AS diff_kind
+    FROM (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 1) a
+    FULL OUTER JOIN (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_linenumber = 2) b
+      ON a.l_orderkey = b.l_orderkey
+    WHERE b.l_orderkey IS NULL OR a.l_orderkey IS NULL
+       OR a.l_quantity IS DISTINCT FROM b.l_quantity
+    """,
+)
+def source_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_quantity")
+    right = li.filter(F.col("l_linenumber") == 2).select("l_orderkey", "l_quantity")
+    return compare_ops.data_diff(left, right, ["l_orderkey"], ["l_quantity"])
+
+
+# --- grouped stats family (SURVEY §2.4 note: free via groupBy().agg()).
+@q(
+    "order_priority_stats",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+# --- ROLLUP grouping sets.
+@q(
+    "rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# --- pivot (CASE-aggregation form in the oracle).
+@q(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# --- window top-k per group (SURVEY §2.5 planned surface).
+@q(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- lag/lead (returns; SURVEY §2.5).
+@q(
+    "event_value_deltas",
+    """
+    SELECT user_id, event_id,
+           value - LAG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# --- rolling frame (moving average; SURVEY §2.5).
+@q(
+    "moving_avg_3",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    mov = F.sum(dec("value")).over(w).cast("double") / F.count("value").over(w)
+    return ev.select("user_id", "event_id", mov.alias("mov_avg"))
+
+
+# --- multiway star join (broadcast dims; SURVEY §2.3 Spark treatment).
+@q(
+    "region_revenue",
+    """
+    SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey).join(
+            c, c.c_nationkey == n.n_nationkey
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --- TPC-H-Q3-shaped: join + filter + top-k revenue.
+@q(
+    "top_building_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --- as-of join (SURVEY §2.3 closing note: the natural price-data
+# extension) expressed as carry-forward last_value IGNORE NULLS.
+@q(
+    "asof_last_purchase",
+    """
+    SELECT user_id, event_id, last_purchase_value FROM (
+      SELECT user_id, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+      FROM events) t
+    WHERE event_type = 'click'
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "last_purchase_value"
+    )
+
+
+# --- sessionization (gap > 1 h) — lag + cumulative sum (SURVEY §2.9 T7
+# family; exact integer math via epoch microseconds).
+@q(
+    "user_sessions",
+    """
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                    > 3600000000 OR LAG(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events) a) b
+    GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > 3_600_000_000), 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wcum)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+# =====================================================================
+# Extension operators (SURVEY §2.11): dedup / text / similarity / media
+# =====================================================================
+
+# --- X1 exact dedup, deterministic survivor.
+@q(
+    "dedup_exact_documents",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_chars")
+
+
+@q(
+    "dedup_exact_first_events",
+    """
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    first = merge_ops.keep_latest(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return first.select("user_id", "event_type", "event_id", "value")
+
+
+# --- X2 near-dup: exact n-gram Jaccard (correctness baseline).
+@q(
+    "jaccard_near_dup_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] AS shingle
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5)
+
+
+# --- X2 scale path: MinHash-LSH (Spark xxhash64-based → rows-only check).
+@q("minhash_lsh_pairs")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_dedup(
+        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+# --- X2: SimHash fingerprints (Spark xxhash64-based → rows-only check).
+@q("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(d, "doc_id", "text")
+
+
+# --- X4 text quality stats.
+@q(
+    "text_quality_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens,
+           CASE WHEN len(words) > 0 THEN
+             CAST(len(list_filter(words, t -> lower(t) IN ('a','the','of','and','is'))) AS DOUBLE)
+               / CAST(len(words) AS DOUBLE) END AS stopword_ratio,
+           CASE WHEN len(words) > 0 THEN
+             CAST(list_sum(list_transform(words, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+               / CAST(len(words) AS DOUBLE) END AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct
+    FROM w
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    s = text_ops.quality_stats(d, "doc_id", "text")
+    return s.select(
+        "doc_id",
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "avg_word_len",
+        F.col("n_punct").cast("long").alias("n_punct"),
+    )
+
+
+# --- X4 language ID (marker-word heuristic; same CASE chain both sides).
+@q(
+    "language_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+                             t -> lower(t) IN ('the','a','of'))) AS en,
+             len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+                             t -> lower(t) IN ('el','la','de'))) AS es,
+             len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+                             t -> lower(t) IN ('der','die','das'))) AS de
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM s
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.predict_language(d, "doc_id", "text")
+
+
+# --- X4 document fingerprint (rolling polynomial hash; list-fold oracle).
+@q(
+    "document_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.document_fingerprints(d, "doc_id", "text")
+
+
+# --- X3 brute-force cosine top-k (correctness baseline for ANN).
+@q(
+    "cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+               AS cosine
+      FROM q JOIN e ON e.vec_id != q.query_id)
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = sim_ops.cosine_topk(e, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --- X3 embedding near-dup pairs (O(n²) baseline).
+@q(
+    "embedding_near_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_pairs(e, threshold=0.4)
+
+
+# --- X3 scale path: LSH-bucketed ANN (hyperplanes from Spark xxhash64 →
+# rows-only check; recall measured in tests against cosine_topk).
+@q("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = sim_ops.ann_lsh_topk(e, queries, k=5, num_planes=8)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --- X5 multimodal: JVM-side payload metadata (oracle-checkable half).
+@q(
+    "media_payload_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def media_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = mm_ops.build_media_table(d)
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").cast("long").alias("byte_len"),
+        F.sha2("payload", 256).alias("sha"),
+    )
+
+
+# --- X5 multimodal: Arrow-batched Pandas-UDF decode plumbing (fake
+# decoder → rows-only check; see operators.multimodal docstring).
+@q("media_decode_meta")
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = mm_ops.build_media_table(d)
+    return mm_ops.extract_media_meta(media)

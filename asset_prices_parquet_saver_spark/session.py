@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Pins the settings every other module assumes:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference normalizes every
+  timestamp to tz-aware UTC (download_historical_price.py:508-513,
+  update_live_price.py:239-242); we store UTC and pin the session tz so
+  DuckDB-oracle comparisons see identical naive datetimes.
+- AQE on (runtime coalesce + skew-join) — the scale posture for 100 TB.
+- Arrow on — every Pandas-UDF boundary is Arrow-batched.
+- shuffle partitions sized to the local core count, not the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "asset-prices-parquet-saver-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical session.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.
+    On a real cluster the same configs apply unchanged; only ``master``
+    comes from the environment instead.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE") or (cpus if cpus != "*" else "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed as a count-collapsed action (materializes the
+full result without driver-side row transfer). A warmup query first
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from asset_prices_parquet_saver_spark.plans import QUERIES
+from asset_prices_parquet_saver_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_pricing_summary",
+    "filter_project_compute",
+    "region_revenue",
+    "top_building_orders",
+    "upsert_keep_latest_per_day",
+    "topk_orders_per_customer",
+    "asof_last_purchase",
+    "user_sessions",
+    "daily_rollup",
+    "source_diff",
+    "dedup_exact_documents",
+    "jaccard_near_dup_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "text_quality_stats",
+    "document_fingerprints",
+    "cosine_topk",
+    "embedding_near_pairs",
+    "ann_lsh_topk",
+    "media_decode_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    QUERIES["flagship_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Driver-simulation: run every ``queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compare
+row count, column names, and an order-insensitive value hash — the
+same gate the driver applies at sf0.01 (CORRECTNESS_r{N}.json).
+
+Usage: python scripts/oracle_check.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(val) -> str:
+    """Canonicalize a cell the way a tolerant driver would."""
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if val != val:
+            return "NULL"
+        return f"{val:.6g}"
+    if isinstance(val, bool):
+        return str(int(val))
+    if isinstance(val, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in val) + "]"
+    if isinstance(val, bytes):
+        return val.hex()
+    return str(val)
+
+
+def value_hash(rows: list[dict], cols: list[str]) -> str:
+    cols = sorted(cols)
+    lines = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from asset_prices_parquet_saver_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            continue
+        if name not in osql:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            continue
+        try:
+            rel = con.execute(osql[name])
+            ocols = [d[0] for d in rel.description]
+            orows = [dict(zip(ocols, row)) for row in rel.fetchall()]
+        except Exception as ex:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"valuehash spark={sh} duck={oh}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: {len(srows)} rows hash-match")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; failures: {failures or 'none'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

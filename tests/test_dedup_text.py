@@ -1,0 +1,118 @@
+"""Unit tests: dedup family (X1/X2) and text analysis (X4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import dedup, text
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=5, text="x"), Row(doc_id=2, text="x"), Row(doc_id=9, text="y")]
+    )
+    out = sorted(r.doc_id for r in dedup.exact_dedup(df, ["text"], "doc_id").collect())
+    assert out == [2, 9]
+
+
+def test_word_shingles_short_doc_is_empty(spark):
+    df = _docs(spark, ["one", "a b c"])
+    out = df.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 2).alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[0] == []
+    assert by_id[1] == ["a b", "b c"]
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    df = _docs(spark, ["a b c d e", "a b c d e", "z y x w v"])
+    out = dedup.jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.9).collect()
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b, out[0].jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_finds_what_exact_jaccard_finds(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(d, "doc_id", "text", 2, 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup(d, "doc_id", "text", 2, 32, 8, 0.5).collect()
+    }
+    # verification step guarantees precision; recall should be high
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    df = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "delta epsilon zeta"])
+    fps = {r.id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_simhash_near_pairs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls on "
+        "green hills and long rivers flow past quiet towns toward distant "
+        "mountains under bright skies full of drifting white clouds"
+    )
+    df = _docs(
+        spark,
+        [
+            base + " today",
+            base + " tonight",
+            "completely different words entirely unrelated content here now "
+            "nothing shared with that other text at all in any position",
+        ],
+    )
+    fp = dedup.simhash(df, "doc_id", "text")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(fp, max_hamming=16).collect()
+    }
+    assert (0, 1) in pairs  # one word of ~35 differs → small hamming
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_quality_stats_values(spark):
+    df = _docs(spark, ["The cat is on a mat!"])
+    r = text.quality_stats(df, "doc_id", "text").collect()[0]
+    assert r.n_chars_computed == 20
+    assert r.n_words == 6
+    assert r.n_tokens == 7  # 6 words + '!'
+    assert abs(r.stopword_ratio - 3 / 6) < 1e-12  # the, is, a
+    assert r.n_punct == 1
+
+
+def test_empty_text_guarded(spark):
+    df = _docs(spark, ["", "   "])
+    rows = text.quality_stats(df, "doc_id", "text").collect()
+    for r in rows:
+        assert r.n_words == 0
+        assert r.stopword_ratio is None and r.avg_word_len is None
+
+
+def test_fingerprint_known_value(spark):
+    df = _docs(spark, ["ab"])
+    got = text.document_fingerprints(df, "doc_id", "text").collect()[0].fingerprint
+    assert got == (ord("a") * 31 + ord("b")) % 1_000_000_007
+
+
+def test_language_id_markers(spark):
+    df = _docs(spark, ["the cat of a hat", "el gato de la casa", "der die das haus", "xyzzy plugh"])
+    out = {r.doc_id: r.predicted_lang for r in text.predict_language(df, "doc_id", "text").collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "und"}

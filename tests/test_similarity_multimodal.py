@@ -1,0 +1,90 @@
+"""Unit tests: similarity search (X3) and multimodal plumbing (X5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import multimodal as mm
+from asset_prices_parquet_saver_spark.operators import similarity as sim
+from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = _emb(
+        spark,
+        [
+            [1.0, 0.0],  # query
+            [1.0, 0.01],  # nearly parallel → top
+            [0.0, 1.0],  # orthogonal
+            [-1.0, 0.0],  # opposite
+        ],
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk(emb, q, k=3).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    assert out[0].cosine > 0.99
+
+
+def test_cosine_pairs_threshold(spark):
+    emb = _emb(spark, [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0]])
+    pairs = {(r.id_a, r.id_b) for r in sim.cosine_pairs(emb, 0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id) for r in sim.cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sim.ann_lsh_topk(e, q, k=5, num_planes=4, num_tables=8).collect()
+    }
+    # approximate: bucket-candidates only; multi-table union drives recall
+    assert len(approx & exact) / len(exact) >= 0.4
+    # every query found *some* neighbors
+    assert {qid for qid, _ in approx} == {0, 1, 2, 3, 4}
+
+
+def test_media_table_and_meta_roundtrip(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    media = mm.build_media_table(docs)
+    meta = mm.extract_media_meta(media).collect()
+    assert len(meta) == 20
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in meta:
+        payload = src[r.media_id].encode()
+        assert r.byte_len == len(payload)
+        assert r.sha256 == hashlib.sha256(payload).hexdigest()
+        w, h, d = mm.fake_decode_meta(payload)
+        assert (r.width, r.height, r.duration_ms) == (w, h, d)
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(30)
+    media = mm.build_media_table(docs)
+    frames = mm.frame_sample(media, every_ms=1000)
+    rows = frames.collect()
+    assert rows, "expected at least one video with sampled frames"
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    for mid, ts_list in per_media.items():
+        assert ts_list == sorted(ts_list) or sorted(ts_list) == ts_list
+        assert ts_list[0] == 0

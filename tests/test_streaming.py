@@ -1,0 +1,82 @@
+"""Streaming tests (T1-T7; SURVEY §5.5): the live upsert pipeline driven
+by a file micro-batch source with out-of-order and duplicate ticks."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from asset_prices_parquet_saver_spark.schema import BAR_SCHEMA, LIVE_TRADE_SCHEMA
+from asset_prices_parquet_saver_spark.sources.prices import write_prices
+from asset_prices_parquet_saver_spark.streaming.live import run_live_upsert
+
+
+def _tick(symbol, price, *dt):
+    return Row(symbol=symbol, price=price, ts=datetime.datetime(*dt))
+
+
+def test_streaming_upsert_end_to_end(spark, tmp_path):
+    prices_path = str(tmp_path / "prices")
+    ticks_dir = tmp_path / "ticks"
+    ticks_dir.mkdir()
+    checkpoint = str(tmp_path / "ckpt")
+
+    # seed the prices table with one existing bar
+    seed = spark.createDataFrame(
+        [
+            Row(
+                source="alpaca",
+                symbol="AAPL",
+                timestamp=datetime.datetime(2024, 1, 2),
+                open=1.0,
+                high=2.0,
+                low=0.5,
+                adj_close=1.5,
+                volume=9.0,
+                trade_count=3.0,
+                vwap=1.4,
+            )
+        ],
+        BAR_SCHEMA,
+    )
+    write_prices(seed, prices_path)
+
+    # micro-batch input: duplicate + out-of-order + invalid ticks
+    batch = spark.createDataFrame(
+        [
+            _tick("AAPL", 10.0, 2024, 1, 2, 15, 0, 0),
+            _tick("AAPL", 10.0, 2024, 1, 2, 15, 0, 0),  # exact duplicate
+            _tick("AAPL", 7.0, 2024, 1, 2, 9, 0, 0),  # earlier, must lose
+            _tick("MSFT", 5.0, 2024, 1, 3, 10, 0, 0),  # new symbol+day
+            Row(symbol="BAD", price=None, ts=datetime.datetime(2024, 1, 2)),
+        ],
+        LIVE_TRADE_SCHEMA,
+    )
+    # part files must land at the streamed directory's top level — the
+    # file-stream source does not recurse into subdirectories
+    batch.coalesce(1).write.mode("append").parquet(str(ticks_dir))
+
+    stream = (
+        spark.readStream.schema(LIVE_TRADE_SCHEMA)
+        .parquet(str(ticks_dir))
+    )
+    query = run_live_upsert(
+        spark,
+        stream,
+        prices_path,
+        checkpoint_dir=checkpoint,
+        available_now=True,
+    )
+    query.awaitTermination(120)
+
+    out = {
+        (r.symbol, r.timestamp.date()): r
+        for r in spark.read.schema(BAR_SCHEMA).parquet(prices_path).collect()
+    }
+    aapl = out[("AAPL", datetime.date(2024, 1, 2))]
+    assert aapl.adj_close == 10.0  # last-write-wins within the day
+    assert (aapl.open, aapl.volume) == (1.0, 9.0)  # other columns preserved
+    msft = out[("MSFT", datetime.date(2024, 1, 3))]
+    assert msft.adj_close == 5.0 and msft.open is None  # NULL-padded append
+    assert ("BAD", datetime.date(2024, 1, 2)) not in out  # P7 filter

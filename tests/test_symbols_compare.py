@@ -1,0 +1,73 @@
+"""Unit tests: symbol universe ops (A1/J1/J2/P6/P16) and compare (J6)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from asset_prices_parquet_saver_spark.operators.compare import data_diff, schema_diff
+from asset_prices_parquet_saver_spark.operators.symbols import (
+    exclude_status,
+    parse_invalid_symbols,
+    tradable_only,
+    union_universe,
+)
+
+
+def test_union_universe_uppercases_and_dedupes(spark):
+    a = spark.createDataFrame([Row(symbol="aapl"), Row(symbol="MSFT")])
+    b = spark.createDataFrame([Row(symbol="AAPL"), Row(symbol="goog")])
+    out = sorted(r.symbol for r in union_universe(a, b).collect())
+    assert out == ["AAPL", "GOOG", "MSFT"]
+
+
+def test_exclude_status_anti_join(spark):
+    from asset_prices_parquet_saver_spark.schema import SYMBOL_STATUS_SCHEMA
+
+    syms = spark.createDataFrame([Row(symbol=s) for s in ["A", "B", "C"]])
+    status = spark.createDataFrame(
+        [
+            ("B", "alpaca", "invalid", None),
+            ("C", "yfinance", "invalid", None),
+        ],
+        SYMBOL_STATUS_SCHEMA,
+    )
+    out = sorted(r.symbol for r in exclude_status(syms, status, "alpaca").collect())
+    assert out == ["A", "C"]  # C only invalid for yfinance
+
+
+def test_tradable_filter(spark):
+    assets = spark.createDataFrame(
+        [Row(symbol="A", tradable=True), Row(symbol="B", tradable=False)]
+    )
+    assert [r.symbol for r in tradable_only(assets).collect()] == ["A"]
+
+
+def test_parse_invalid_symbols(spark):
+    msgs = spark.createDataFrame(
+        [Row(message="400: invalid symbols found: abc, DEF, ghi")]
+    )
+    out = sorted(r.symbol for r in parse_invalid_symbols(msgs).collect())
+    assert out == ["ABC", "DEF", "GHI"]
+
+
+def test_schema_diff(spark):
+    d1 = spark.createDataFrame([Row(a=1, b="x", c=1.0)])
+    d2 = spark.createDataFrame([Row(a=1, b=2, d=True)])
+    diff = schema_diff(d1, d2)
+    assert diff["only_in_left"] == ["c"]
+    assert diff["only_in_right"] == ["d"]
+    assert diff["type_mismatch"] == [("b", "string", "bigint")]
+
+
+def test_data_diff_kinds(spark):
+    d1 = spark.createDataFrame(
+        [Row(k=1, v=1.0), Row(k=2, v=2.0), Row(k=3, v=3.0)]
+    )
+    d2 = spark.createDataFrame(
+        [Row(k=1, v=1.0), Row(k=2, v=99.0), Row(k=4, v=4.0)]
+    )
+    out = {r.k: r.diff_kind for r in data_diff(d1, d2, ["k"]).collect()}
+    # k=1 equal → excluded; k=2 mismatch; k=3 left_only; k=4 right_only
+    assert out == {2: "mismatch", 3: "left_only", 4: "right_only"}

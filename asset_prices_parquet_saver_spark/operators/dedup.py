@@ -64,6 +64,61 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 # ----------------------------------------------------- exact n-gram Jaccard
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-document hashed shingle set: (id, arr, n_sh) where ``arr`` is
+    the distinct xxhash64'd shingles sorted rarest-first (global
+    (frequency, hash) order) and ``n_sh = size(arr)``.
+
+    Hashing shingles to int64 before any join/shuffle cuts shuffle bytes
+    ~10× vs raw strings; a collision would need ~2^32 distinct shingles
+    (birthday bound), far beyond any per-corpus shingle vocabulary.
+    The rarest-first order is what prefix filtering (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search"; PPJoin) requires: a fixed
+    global order shared by every document.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    freq = sh.groupBy("h").agg(F.count("*").alias("f"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "h"))).alias("fh"))
+        .select(
+            "id",
+            F.transform("fh", lambda x: x["h"]).alias("arr"),
+            F.size("fh").alias("n_sh"),
+        )
+    )
+
+
+def _verified_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array
+    intersection — per-pair O(|a|+|b|), no row explosion."""
+    sets_a = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
+    )
+    sets_b = arrs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("nb")
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -71,35 +126,84 @@ def jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """X2 baseline: all pairs with shingle-set Jaccard ≥ threshold.
+    """X2 baseline: ALL pairs with shingle-set Jaccard ≥ threshold —
+    exact, via prefix filtering instead of a full shingle self-join.
 
-    inter(a,b) via a self-equi-join on shingle (shuffle keyed on the
-    shingle — skew on stop-shingles is the known hazard; the MinHash
-    path avoids it). Output: id_a, id_b (a<b), jaccard (double division
-    of exact ints → cross-engine deterministic).
+    A naive self-equi-join on shingle explodes quadratically on frequent
+    shingles ("of the" in f docs → f² join rows). Prefix filtering
+    (AllPairs/PPJoin) is exact: with documents' shingle sets sorted in a
+    global rarest-first order, any pair with Jaccard ≥ t shares at least
+    one shingle within each side's first |s| - ⌈t·|s|⌉ + 1 shingles. So
+    the candidate join touches only those rare prefixes (tiny fan-out),
+    plus a size filter (t·|a| ≤ |b| ≤ |a|/t); candidates are then
+    verified exactly with array_intersect. Same output as the naive
+    plan, orders of magnitude fewer intermediate rows — and the shuffle
+    is keyed on *rare* shingles, so no skew hazard at scale.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    arrs = shingle_arrays(df, id_col, text_col, n).cache()
+    # Materialize the cache eagerly: the downstream plan references it
+    # from four branches (two prefix-join sides, two verification
+    # sides); letting them race to fill the cache serializes tasks on
+    # the per-partition cache locks.
+    arrs.count()
+    # round before ceil: fp noise in t·n must not overtighten the
+    # prefix (→ missed pairs) or the k bound
+    tceil = lambda c: F.ceil(F.round(F.lit(threshold) * c, 9))  # noqa: E731
+    pre_len = (F.col("n_sh") - tceil(F.col("n_sh")) + 1).cast("int")
+    prefix = arrs.select(
+        "id",
+        "n_sh",
+        F.posexplode(F.slice("arr", F.lit(1), pre_len)).alias("pos", "h"),
     )
-    return (
-        inter.join(F.broadcast(sizes).alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("id_b") == F.col("sb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
-            ).alias("jaccard"),
+    # Positional filter (PPJoin Lemma 2): arrays share one global sort
+    # order, so for the *first* (rarest) shared shingle at 0-based
+    # positions (i, j), every other match lies after it in BOTH arrays:
+    # |a∩b| ≤ 1 + min(na-1-i, nb-1-j). For any pair with Jaccard ≥ t
+    # (⇔ |a∩b| ≥ α = ⌈t/(1+t)·(na+nb)⌉) the first shared shingle is
+    # preceded only by unshared ones (≤ n-α < plen of them), so it is
+    # visible to this prefix join and min(pos) is exact — qualifying
+    # pairs always survive; pairs that merely share a late common-ish
+    # shingle get pruned before the expensive verification.
+    alpha = F.ceil(
+        F.round(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")), 9)
+    )
+    inter_ub = F.lit(1) + F.least(
+        F.col("na") - 1 - F.col("min_pa"), F.col("nb") - 1 - F.col("min_pb")
+    )
+    # k-prefix count filter: with prefix length n - ⌈t·n⌉ + 1, the
+    # k = α + 1 - max(⌈t·na⌉, ⌈t·nb⌉) rarest shared shingles of any
+    # qualifying pair all land in BOTH prefixes (the j-th smallest
+    # shared element sits at position ≤ (n - inter) + j - 1 ≤
+    # n - α + j - 1 < plen for j ≤ k), so pairs sharing fewer prefix
+    # shingles can be dropped without verification. False candidates
+    # share 1-3 common-ish shingles; qualifying pairs here need ~9.
+    k_min = alpha + 1 - F.greatest(tceil(F.col("na")), tceil(F.col("nb")))
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("pm"),
+            F.min(F.col("a.pos")).alias("min_pa"),
+            F.min(F.col("b.pos")).alias("min_pb"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+        .filter((inter_ub >= alpha) & (F.col("pm") >= k_min))
+        .select("id_a", "id_b")
+    ).cache()
+    # Materialize candidates before composing verification: measured
+    # separately the stages sum to ~1/3 of what the single fused plan
+    # costs (the optimizer fuses the candidate join+agg with the
+    # verification joins into one over-wide stage); the barrier also
+    # gives AQE exact stats for choosing the verification join strategy.
+    cand.count()
+    return _verified_jaccard(cand, arrs, threshold)
 
 
 # ------------------------------------------------------------ MinHash-LSH
@@ -107,18 +211,22 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 2, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature per document: h_i = min over shingles of
-    xxhash64(shingle, i). One groupBy with ``num_hashes`` min-aggregates
-    (single shuffle, map-side partial aggregation)."""
-    sh = shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle_hash, i), computed from the per-doc hashed shingle
+    array entirely JVM-side (nested higher-order functions) — no
+    shuffle beyond building the arrays, which callers reuse for
+    verification."""
+    return _signatures_from_arrays(
+        shingle_arrays(df, id_col, text_col, n), num_hashes
+    ).select("id", "sig")
+
+
+def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform("arr", lambda h: F.xxhash64(h, i))),
     )
+    return arrs.select("id", "arr", "n_sh", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
@@ -160,35 +268,16 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """X2 scale path end-to-end: LSH candidates, then exact Jaccard
-    verification *only on candidates*. Returns (id_a, id_b, jaccard)."""
+    verification *only on candidates* (array_intersect — no row
+    explosion). The shingle arrays are built once and shared by the
+    signature and verification stages. Returns (id_a, id_b, jaccard)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.alias("sa"), cand.id_a == F.col("sa.id"))
-        .join(
-            sh.alias("sb"),
-            (cand.id_b == F.col("sb.id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(F.broadcast(sizes).alias("za"), F.col("id_a") == F.col("za.id"))
-        .join(F.broadcast(sizes).alias("zb"), F.col("id_b") == F.col("zb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter")
-                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    arrs = _signatures_from_arrays(
+        shingle_arrays(df, id_col, text_col, n), num_hashes
+    ).cache()
+    arrs.count()  # eager fill — see jaccard_pairs
+    cand = lsh_candidate_pairs(arrs.select("id", "sig"), bands, rows_per_band)
+    return _verified_jaccard(cand, arrs.select("id", "arr", "n_sh"), threshold)
 
 
 # --------------------------------------------------------------- SimHash

@@ -69,74 +69,215 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
 
-    O(n²) verification baseline; use :func:`ann_lsh_topk`'s bucketing at
-    scale. Norms are precomputed once per side to halve the flops."""
+    O(n²) in comparisons (the exact baseline — use LSH bucketing at
+    scale), but executed as a *blocked matrix product*: vectors are
+    grouped into ``num_blocks`` row blocks, the upper triangle of block
+    pairs fans out as tasks, and each task computes one
+    (n/B × n/B) cosine submatrix with a single numpy matmul inside
+    ``mapInPandas`` (Arrow-batched). ~100× less per-pair overhead than
+    evaluating a 64-term expression tree per row; parallelism =
+    B(B+1)/2 tasks. Final rounding + thresholding happen JVM-side with
+    ``F.round`` so results stay bit-identical to the SQL oracle; the
+    numpy stage pre-filters with an epsilon slack only.
+    """
+    import numpy as np
+    import pandas as pd
+
     e = emb.select(
-        F.col(id_col).alias("id"), to_double_array(vec_col).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    pairs = (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.id") < F.col("b.id"))
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
+        F.col(id_col).alias("id"),
+        to_double_array(vec_col).alias("v"),
+    )
+    blocks = e.groupBy("block").agg(
+        F.collect_list(F.struct("id", "v")).alias("items")
+    )
+    cross = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
-                round_decimals,
-            ).alias("cosine"),
+            F.col("a.block").alias("block_a"),
+            F.col("b.block").alias("block_b"),
+            F.col("a.items").alias("items_a"),
+            F.col("b.items").alias("items_b"),
         )
+        # the broadcast NLJ emits all B(B+1)/2 block pairs from one
+        # task; spread them so each matmul gets its own python worker
+        .repartition(num_blocks * (num_blocks + 1) // 2)
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    slack = threshold - 10.0 ** (-round_decimals) / 2 - 1e-9
 
-
-def _plane_weight(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1]:
-    hash-derived from (plane, dimension index) — reproducible across
-    runs/cluster sizes with no driver-side RNG state."""
-    h = F.xxhash64(F.lit(plane), dim_idx)
-    return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
-
-
-def _weighted_elem(p: int):
-    # closure factory: a default arg would change the lambda arity and
-    # break zip_with's 2-argument lambda binding
-    return lambda x, i: x * _plane_weight(p, i)
-
-
-def lsh_bucket(vec: Column, num_planes: int = 8, table: int = 0) -> Column:
-    """Sign-pattern bucket id (random-hyperplane LSH) of an
-    array<double> vector within one hash table: bit p = sign(v · plane_p).
-    Distinct ``table`` values derive independent plane sets."""
-    idx = F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda i: i)
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(vec, idx, _weighted_elem(table * 10_007 + p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
-
-
-def _with_buckets(df: DataFrame, vec: str, num_planes: int, num_tables: int) -> DataFrame:
-    """Explode each vector into (table, bucket) rows — one per hash table."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket(F.col(vec), num_planes, t).alias("bucket"),
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for items_a, items_b, same in zip(
+                pdf["items_a"], pdf["items_b"], pdf["block_a"] == pdf["block_b"]
+            ):
+                ids_a = np.array([it["id"] for it in items_a])
+                ids_b = np.array([it["id"] for it in items_b])
+                A = np.array([it["v"] for it in items_a])
+                B = np.array([it["v"] for it in items_b])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = An @ Bn.T
+                ia, ib = np.nonzero(S >= slack)
+                keep = ids_a[ia] < ids_b[ib] if len(ia) else np.array([], bool)
+                # cross-block pairs can land as (bigger, smaller): emit
+                # the swapped orientation too so every a<b pair appears
+                swap = ids_a[ia] > ids_b[ib] if len(ia) else np.array([], bool)
+                out_a.append(ids_a[ia[keep]])
+                out_b.append(ids_b[ib[keep]])
+                out_c.append(S[ia[keep], ib[keep]])
+                if not bool(same):
+                    out_a.append(ids_b[ib[swap]])
+                    out_b.append(ids_a[ia[swap]])
+                    out_c.append(S[ia[swap], ib[swap]])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                    "raw_cosine": np.concatenate(out_c) if out_c else np.array([], "float64"),
+                }
             )
-            for t in range(num_tables)
-        ]
+
+    raw = cross.mapInPandas(score, "id_a long, id_b long, raw_cosine double")
+    return raw.select(
+        "id_a",
+        "id_b",
+        F.round("raw_cosine", round_decimals).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Coarse quantizer: the ``num_cells`` lowest-id vectors serve as
+    deterministic centroids (an IVF-flat without k-means iterations —
+    no RNG, reproducible across runs and cluster sizes). Every corpus
+    vector is assigned to its nearest centroid with one numpy matmul
+    per Arrow batch; queries probe their ``nprobe`` nearest cells and
+    rerank candidates by exact cosine. Per-query work ≈
+    nprobe·n/num_cells. At 100 TB the assignment pass is a single
+    linear scan (centroids broadcast in the task closure) and the
+    candidate join shuffles on the cell id — the same recall/cost dial
+    as FAISS IVF: raise num_cells to shrink cells, nprobe for recall.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    cent_rows = (
+        e.orderBy("vec_id").limit(num_cells).collect()
+    )  # num_cells small vectors — a driver-side constant, like a literal
+    C = np.array([r.v for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(top: int):
+        def gen(batches):
+            for pdf in batches:
+                V = np.array(list(pdf["v"]))
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = Vn @ Cn.T
+                cells = np.argsort(-S, axis=1)[:, :top]
+                idx = np.repeat(np.arange(len(pdf)), top)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy()[idx],
+                        "v": pdf["v"].to_numpy()[idx],
+                        "cell": cells.ravel().astype("int64"),
+                    }
+                )
+
+        return gen
+
+    corpus = e.mapInPandas(assign(1), "vec_id long, v array<double>, cell long")
+    probes = (
+        queries.select(
+            F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
+        )
+        .mapInPandas(assign(nprobe), "vec_id long, v array<double>, cell long")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+        )
     )
-    return df.select("*", F.explode(buckets).alias("tb")).select(
-        *df.columns, "tb.table", "tb.bucket"
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+_LSH_SEED = 0x5EED_CAFE
+
+
+def _with_buckets(
+    df: DataFrame, id_name: str, vec: str, num_planes: int, num_tables: int
+) -> DataFrame:
+    """Random-hyperplane LSH bucket ids: for each of ``num_tables``
+    independent plane sets, bit p of the bucket = sign(v · plane_p).
+
+    One numpy matmul per Arrow batch against planes drawn from a
+    fixed-seed generator — deterministic across runs, batches, and
+    cluster sizes (every worker derives the identical planes), with a
+    plan-sized footprint instead of num_tables·num_planes inlined
+    dot-product expression trees (whose codegen alone costs seconds).
+    Output: one (id, v, table, bucket) row per table."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        planes = None
+        weights = 1 << np.arange(num_planes, dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec]))
+            if planes is None:
+                rng = np.random.default_rng(_LSH_SEED)
+                planes = rng.standard_normal((num_tables, num_planes, V.shape[1]))
+            out = []
+            for t in range(num_tables):
+                bits = (V @ planes[t].T) > 0
+                buckets = (bits @ weights).astype("int64")
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_name: pdf[id_name].to_numpy(),
+                            vec: pdf[vec].to_numpy(),
+                            "table": np.full(len(pdf), t, dtype="int64"),
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return df.mapInPandas(
+        gen, f"{id_name} long, {vec} array<double>, table long, bucket long"
     )
 
 
@@ -158,6 +299,7 @@ def ann_lsh_topk(
     shuffles on (table, bucket); queries broadcast."""
     e = _with_buckets(
         emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
+        "vec_id",
         "v",
         num_planes,
         num_tables,
@@ -166,6 +308,7 @@ def ann_lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
         ),
+        "query_id",
         "qv",
         num_planes,
         num_tables,

@@ -725,6 +725,69 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P16: error-message parse (update_live_price.py:170-179 splits
+# "...invalid: A, B" back into a symbol list). Round-tripped here:
+# aggregate error events into a message, then regexp_extract + split +
+# explode the list back out.
+@q(
+    "parse_error_message",
+    r"""
+    WITH m AS (
+      SELECT user_id,
+             'invalid: ' || string_agg(CAST(event_id AS VARCHAR), ', ' ORDER BY event_id) AS msg
+      FROM events WHERE event_type = 'error' GROUP BY user_id)
+    SELECT user_id, CAST(tok AS BIGINT) AS bad_event_id
+    FROM m, UNNEST(string_split(regexp_extract(msg, 'invalid: (.*)', 1), ', ')) t(tok)
+    """,
+)
+def parse_error_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    msgs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(
+            F.concat(
+                F.lit("invalid: "),
+                F.concat_ws(
+                    ", ", F.sort_array(F.collect_list(F.col("event_id").cast("string")))
+                ),
+            ).alias("msg")
+        )
+    )
+    return msgs.select(
+        "user_id",
+        F.explode(
+            F.split(F.regexp_extract("msg", r"invalid: (.*)", 1), ", ")
+        ).alias("tok"),
+    ).select("user_id", F.col("tok").cast("long").alias("bad_event_id"))
+
+
+# --- dispersion/correlation aggregate family (free via groupBy().agg(),
+# SURVEY §2.4 note; genuinely-float results rounded to 6 decimals on
+# both sides, same policy as cosine).
+@q(
+    "value_dispersion_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           round(stddev_samp(value), 6) AS sd,
+           round(var_samp(value), 6) AS var,
+           round(quantile_cont(value, 0.5), 6) AS median,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+    FROM events GROUP BY event_type
+    """,
+)
+def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_vu"),
+    )
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================
@@ -952,6 +1015,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X3 scale path: IVF-bucketed ANN (deterministic coarse quantizer;
+# approximate → rows-only check; recall measured in tests).
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = sim_ops.ann_ivf_topk(e, queries, k=5, num_cells=16, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --- X5 multimodal: JVM-side payload metadata (oracle-checkable half).
 @q(
     "media_payload_meta",
@@ -975,10 +1050,62 @@ def media_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X5 multimodal: Arrow-batched Pandas-UDF decode plumbing (fake
-# decoder → rows-only check; see operators.multimodal docstring).
-@q("media_decode_meta")
+# Oracle-side reimplementation of multimodal.fake_decode_meta: the fake
+# decoder derives (width, height, duration_ms) from sha256 digest bytes,
+# which the SQL side recovers by parsing hex digits of sha256(text).
+_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(sha, {a}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(sha, {b}, 1)) - 1)"
+)
+_B0 = _HEXBYTE.format(a=1, b=2)
+_B1 = _HEXBYTE.format(a=3, b=4)
+_B2 = _HEXBYTE.format(a=5, b=6)
+_B3 = _HEXBYTE.format(a=7, b=8)
+_MEDIA_META_SQL = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             sha256(text) AS sha
+      FROM documents)
+    SELECT media_id, kind, byte_len, sha AS sha256,
+           CAST(16 + {_B0} % 240 AS INTEGER) AS width,
+           CAST(16 + {_B1} % 240 AS INTEGER) AS height,
+           CAST({_B2} * 256 + {_B3} AS BIGINT) AS duration_ms
+    FROM m
+"""
+
+
+# --- X5 multimodal: Arrow-batched Pandas-UDF decode plumbing (the
+# deterministic fake decoder is mirrored exactly in SQL, so even the
+# Python decode path is hash-checked, not just row-counted).
+@q("media_decode_meta", _MEDIA_META_SQL)
 def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = mm_ops.build_media_table(d)
     return mm_ops.extract_media_meta(media)
+
+
+# --- X5 multimodal: video frame-sampling fan-out (explode-shaped; one
+# row per sampled frame timestamp, payload pruned before the fan-out).
+@q(
+    "media_frame_sample",
+    f"""
+    WITH meta AS (
+      SELECT media_id, kind, CAST({_B2} * 256 + {_B3} AS BIGINT) AS duration_ms
+      FROM (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               sha256(text) AS sha
+        FROM documents) m)
+    SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms
+    FROM meta, UNNEST(range(0, duration_ms + 1, 1000)) t(f)
+    WHERE kind = 'video'
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = mm_ops.build_media_table(d)
+    return mm_ops.frame_sample(media, every_ms=1000)

@@ -30,6 +30,11 @@ def get_spark(
     On a real cluster the same configs apply unchanged; only ``master``
     comes from the environment instead.
     """
+    # Python workers run one task each and inherit this env; without it
+    # every numpy matmul in a Pandas UDF spawns a full BLAS thread pool
+    # (32 tasks × 32 BLAS threads thrash the box and timings go bimodal).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*")
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE") or (cpus if cpus != "*" else "32"))
     builder = (

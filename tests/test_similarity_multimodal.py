@@ -57,6 +57,20 @@ def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
     assert {qid for qid, _ in approx} == {0, 1, 2, 3, 4}
 
 
+def test_ann_ivf_recall_against_bruteforce(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id) for r in sim.cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sim.ann_ivf_topk(e, q, k=5, num_cells=8, nprobe=3).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.4
+    assert {qid for qid, _ in approx} == {0, 1, 2, 3, 4}
+
+
 def test_media_table_and_meta_roundtrip(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(20)
     media = mm.build_media_table(docs)

@@ -1,0 +1,136 @@
+"""Command-line surface mirroring the reference's four entry points.
+
+| reference script | subcommand | notes |
+|---|---|---|
+| ``parquet_details.py --symbol S`` | ``details`` | head/tail/schema; top-N files by mtime when no symbol given (parquet_details.py:15-38) |
+| ``compare_parquet.py --symbol S`` | ``compare`` | schema diff + the row-level data diff the reference left as a TODO (compare_parquet.py:101-102) |
+| ``download_historical_price.py`` | ``ingest`` | symbol universe → fetch → normalize → partitioned prices write (§3.1); needs a network SDK, else exits with the FetcherUnavailable message |
+| ``update_live_price.py`` | ``live`` | Structured Streaming upsert loop (§3.2); same gating |
+
+Run as ``python -m asset_prices_parquet_saver_spark <subcommand>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.session import get_spark
+
+
+def _cmd_details(args) -> int:
+    from asset_prices_parquet_saver_spark.operators import details
+
+    spark = get_spark(app_name="details")
+    df = spark.read.parquet(args.path)
+    if args.symbol:
+        df = df.filter(F.col("symbol") == args.symbol.upper())
+    df.printSchema()
+    out = details.head_tail(df, [F.col(c) for c in args.order_by.split(",")], args.num_rows)
+    out.show(2 * args.num_rows, truncate=False)
+    if not args.symbol:
+        print("most recently modified files:")
+        details.latest_files(spark, args.path, args.num_files).show(truncate=False)
+    return 0
+
+
+def _cmd_compare(args) -> int:
+    from asset_prices_parquet_saver_spark.operators import compare
+
+    spark = get_spark(app_name="compare")
+    left = spark.read.parquet(args.left)
+    right = spark.read.parquet(args.right)
+    sdiff = compare.schema_diff(left, right)
+    print("schema diff:", sdiff)
+    keys = args.keys.split(",")
+    ddiff = compare.data_diff(left, right, keys)
+    n = ddiff.count()
+    print(f"data diff rows: {n}")
+    ddiff.show(args.num_rows, truncate=False)
+    return 0 if (n == 0 and not any(sdiff.values())) else 1
+
+
+def _cmd_ingest(args) -> int:
+    from asset_prices_parquet_saver_spark.operators.normalize import normalize_bars
+    from asset_prices_parquet_saver_spark.operators.symbols import union_universe
+    from asset_prices_parquet_saver_spark.sources import fetchers
+    from asset_prices_parquet_saver_spark.sources.prices import write_prices
+
+    spark = get_spark(app_name="ingest")
+    symbols = spark.createDataFrame(
+        [(s,) for s in args.symbols.split(",")], "symbol string"
+    )
+    universe = union_universe(symbols)
+    try:
+        if args.source == "alpaca":
+            raw = fetchers.fetch_alpaca_bars(universe)
+        else:
+            raw = fetchers.fetch_yfinance_bars(universe)
+    except fetchers.FetcherUnavailable as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    write_prices(normalize_bars(raw, args.source), args.output)
+    return 0
+
+
+def _cmd_live(args) -> int:
+    from asset_prices_parquet_saver_spark.schema import LIVE_TRADE_SCHEMA
+    from asset_prices_parquet_saver_spark.streaming.live import run_live_upsert
+
+    spark = get_spark(app_name="live")
+    # tick stream: a parquet drop directory stands in for the REST
+    # poller when no SDK is available (same micro-batch semantics)
+    ticks = (
+        spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(args.ticks_dir)
+    )
+    query = run_live_upsert(
+        spark,
+        ticks,
+        args.output,
+        trigger_seconds=args.interval,
+        checkpoint_dir=args.checkpoint,
+    )
+    query.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("details", help="head/tail/schema of a prices dataset")
+    d.add_argument("--path", required=True)
+    d.add_argument("--symbol")
+    d.add_argument("--order-by", default="timestamp")
+    d.add_argument("--num-rows", type=int, default=5)
+    d.add_argument("--num-files", type=int, default=5)
+    d.set_defaults(fn=_cmd_details)
+
+    c = sub.add_parser("compare", help="schema + data diff of two datasets")
+    c.add_argument("--left", required=True)
+    c.add_argument("--right", required=True)
+    c.add_argument("--keys", default="symbol,timestamp")
+    c.add_argument("--num-rows", type=int, default=20)
+    c.set_defaults(fn=_cmd_compare)
+
+    i = sub.add_parser("ingest", help="bulk historical ingest")
+    i.add_argument("--source", choices=["alpaca", "yfinance"], required=True)
+    i.add_argument("--symbols", required=True, help="comma-separated")
+    i.add_argument("--output", required=True)
+    i.set_defaults(fn=_cmd_ingest)
+
+    lv = sub.add_parser("live", help="streaming live-price upsert")
+    lv.add_argument("--ticks-dir", required=True)
+    lv.add_argument("--output", required=True)
+    lv.add_argument("--interval", type=int, default=60)
+    lv.add_argument("--checkpoint")
+    lv.set_defaults(fn=_cmd_live)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

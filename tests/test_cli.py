@@ -1,0 +1,96 @@
+"""CLI surface: the reference's four entry points as subcommands."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from asset_prices_parquet_saver_spark import cli
+from asset_prices_parquet_saver_spark.schema import BAR_SCHEMA
+from asset_prices_parquet_saver_spark.sources.prices import write_prices
+
+
+def _bar(source, symbol, day, close):
+    return Row(
+        source=source,
+        symbol=symbol,
+        timestamp=datetime.datetime(2024, 1, day),
+        open=1.0,
+        high=2.0,
+        low=0.5,
+        adj_close=close,
+        volume=10.0,
+        trade_count=None,
+        vwap=None,
+    )
+
+
+@pytest.fixture()
+def prices_path(spark, tmp_path):
+    path = str(tmp_path / "prices")
+    bars = [
+        _bar("alpaca", "AAPL", 2, 10.0),
+        _bar("alpaca", "AAPL", 3, 11.0),
+        _bar("yfinance", "AAPL", 2, 10.5),
+    ]
+    write_prices(spark.createDataFrame(bars, BAR_SCHEMA), path)
+    return path
+
+
+def test_cli_details_runs(spark, prices_path, capsys):
+    rc = cli.main(
+        ["details", "--path", prices_path, "--symbol", "aapl", "--num-rows", "2"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "head" in out and "tail" in out
+    assert "adj_close" in out
+
+
+def test_cli_compare_detects_diff(spark, prices_path, capsys):
+    rc = cli.main(
+        [
+            "compare",
+            "--left",
+            f"{prices_path}/source=alpaca",
+            "--right",
+            f"{prices_path}/source=yfinance",
+            "--keys",
+            "symbol,timestamp",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1  # frames differ (10.0 vs 10.5, and a left-only day)
+    assert "left_only" in out or "mismatch" in out
+
+
+def test_cli_compare_identical_is_clean(spark, prices_path, capsys):
+    rc = cli.main(
+        [
+            "compare",
+            "--left",
+            f"{prices_path}/source=alpaca",
+            "--right",
+            f"{prices_path}/source=alpaca",
+        ]
+    )
+    assert rc == 0
+    assert "data diff rows: 0" in capsys.readouterr().out
+
+
+def test_cli_ingest_gated_without_sdk(spark, tmp_path, capsys):
+    rc = cli.main(
+        [
+            "ingest",
+            "--source",
+            "alpaca",
+            "--symbols",
+            "AAPL,MSFT",
+            "--output",
+            str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 2  # FetcherUnavailable → clean error, not a traceback
+    assert "not installed" in capsys.readouterr().err

@@ -76,14 +76,14 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     "Scaling Up All Pairs Similarity Search"; PPJoin) requires: a fixed
     global order shared by every document.
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .select("id", F.xxhash64("shingle").alias("h"))
-        .distinct()
+    # per-row dedupe + hash: no shuffle at all until the frequency agg
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("hs"),
     )
+    sh = docs.select("id", F.explode("hs").alias("h"))
     freq = sh.groupBy("h").agg(F.count("*").alias("f"))
     return (
         sh.join(freq, "h")

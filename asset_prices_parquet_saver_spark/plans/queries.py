@@ -788,6 +788,160 @@ def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- string scalar family (P9/P10 relatives; SURVEY §2.8).
+@q(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           (p_type LIKE '%BRASS%') AS is_brass
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+    )
+
+
+# --- date arithmetic family (P11-P13 relatives; SURVEY §2.8).
+@q(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_day,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.date_add(F.to_date("o_orderdate"), 90).alias("due_day"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_eoy"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+
+
+# --- conditional aggregation (CASE-filtered measures; SURVEY §2.4).
+@q(
+    "conditional_agg",
+    """
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS building_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", dec("c_acctbal"))
+            )
+            .cast("double")
+            .alias("building_balance"),
+        )
+    )
+
+
+# --- CUBE grouping sets (rollup's sibling; SURVEY §2.4 note).
+@q(
+    "cube_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+# --- NTILE quantile banding (window family; SURVEY §2.5).
+@q(
+    "ntile_price_bands",
+    """
+    SELECT band, COUNT(*) AS n,
+           MIN(o_totalprice) AS band_min, MAX(o_totalprice) AS band_max
+    FROM (
+      SELECT o_totalprice,
+             CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS band
+      FROM orders) t
+    GROUP BY band
+    """,
+)
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("band_min"),
+            F.max("o_totalprice").alias("band_max"),
+        )
+    )
+
+
+# --- per-key ordered array aggregation (collect_list; stringified on
+# both sides so the hash compare sees identical scalars).
+@q(
+    "event_type_journey",
+    """
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS journey,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ordered = ev.withColumn("journey_arr", F.collect_list("event_type").over(w))
+    latest = merge_ops.keep_latest(
+        ordered, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select(
+        "user_id",
+        F.array_join("journey_arr", ">").alias("journey"),
+        F.size("journey_arr").cast("long").alias("n_events"),
+    )
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================

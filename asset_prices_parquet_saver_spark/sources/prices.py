@@ -33,3 +33,48 @@ def write_prices(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_prices(spark: SparkSession, path: str) -> DataFrame:
     """Scan the prices dataset (source partition column recovered)."""
     return spark.read.schema(BAR_SCHEMA).parquet(path)
+
+
+def write_prices_bucketed(
+    df: DataFrame, table: str, num_buckets: int = 32
+) -> None:
+    """Warehouse-managed variant bucketed+sorted by symbol: two bucketed
+    tables with matching bucketing join/aggregate on symbol without a
+    shuffle — the co-location the reference got implicitly from
+    one-file-per-symbol, kept at cluster scale."""
+    (
+        df.select([f.name for f in BAR_SCHEMA.fields])
+        .write.bucketBy(num_buckets, "symbol")
+        .sortBy("symbol", "timestamp")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def compact_prices(
+    spark: SparkSession, path: str, max_records_per_file: int = 5_000_000
+) -> None:
+    """Rewrite the dataset with size-targeted files per source
+    partition. The reference's layout degrades into one tiny file per
+    symbol (small-files problem); a live `foreachBatch` sink degrades
+    the same way over time — periodic compaction is the standing fix.
+    Uses a staging + atomic-rename swap, same protocol as the live
+    upsert sink."""
+    import os
+    import shutil
+
+    df = read_prices(spark, path)
+    staging = path.rstrip("/") + ".compact"
+    (
+        df.repartition("source")
+        .sortWithinPartitions("symbol", "timestamp")
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("source")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    backup = path.rstrip("/") + ".old"
+    os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)

@@ -46,6 +46,12 @@ HEADLINE = [
     "media_frame_sample",
     "parse_error_message",
     "value_dispersion_stats",
+    "string_functions",
+    "date_arithmetic",
+    "conditional_agg",
+    "cube_order_stats",
+    "ntile_price_bands",
+    "event_type_journey",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Skew helpers and dataset maintenance (compaction, bucketing)."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import skew
+from asset_prices_parquet_saver_spark.schema import BAR_SCHEMA
+from asset_prices_parquet_saver_spark.sources.prices import (
+    compact_prices,
+    read_prices,
+    write_prices,
+)
+from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    salted = skew.salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=4
+    )
+    assert salted.count() == plain.count()
+    a = plain.groupBy("c_mktsegment").count().collect()
+    b = salted.groupBy("c_mktsegment").count().collect()
+    assert {(r.c_mktsegment, r["count"]) for r in a} == {
+        (r.c_mktsegment, r["count"]) for r in b
+    }
+
+
+def test_salted_sum_matches_plain_agg(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.n, round(r.total, 2))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.total, 2))
+        for r in skew.salted_sum_count(ev, ["event_type"], "value", 8).collect()
+    }
+    assert salted == plain
+
+
+def test_two_phase_distinct_count(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    twop = {
+        r.event_type: r.n_distinct
+        for r in skew.two_phase_distinct_count(ev, ["event_type"], "user_id").collect()
+    }
+    assert twop == plain
+
+
+def test_salt_is_deterministic(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    s1 = {(r.k, r["__salt"]) for r in skew.with_salt(df, 8).collect()}
+    s2 = {(r.k, r["__salt"]) for r in skew.with_salt(df, 8).collect()}
+    assert s1 == s2  # hash-derived, not rand(): stable under task retry
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "prices")
+    bars = [
+        Row(
+            source="alpaca",
+            symbol=f"SYM{i % 7}",
+            timestamp=datetime.datetime(2024, 1, 1 + i % 28),
+            open=1.0,
+            high=2.0,
+            low=0.5,
+            adj_close=float(i),
+            volume=1.0,
+            trade_count=None,
+            vwap=None,
+        )
+        for i in range(196)
+    ]
+    # fragment: one write per symbol group → many small files
+    df = spark.createDataFrame(bars, BAR_SCHEMA)
+    for i in range(7):
+        write_prices(df.filter(F.col("symbol") == f"SYM{i}"), path, mode="append")
+    before = read_prices(spark, path)
+    rows_before = {(r.symbol, r.timestamp, r.adj_close) for r in before.collect()}
+    files_before = len(glob.glob(f"{path}/source=*/*.parquet"))
+
+    compact_prices(spark, path)
+
+    after = read_prices(spark, path)
+    rows_after = {(r.symbol, r.timestamp, r.adj_close) for r in after.collect()}
+    files_after = len(glob.glob(f"{path}/source=*/*.parquet"))
+    assert rows_after == rows_before
+    assert files_after < files_before

@@ -151,6 +151,52 @@ def cosine_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the scale path for
+    :func:`cosine_pairs`): candidates are pairs sharing a bucket in any
+    of ``num_tables`` hyperplane tables, verified by exact cosine.
+    Comparisons drop from n²/2 to Σ_buckets |b|²/2 per table; recall of
+    true near-dups grows with num_tables (a pair at cosine θ collides
+    in one table with prob (1 - arccos(θ)/π)^num_planes)."""
+    e = _with_buckets(
+        emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
+        "vec_id",
+        "v",
+        num_planes,
+        num_tables,
+    )
+    cand = (
+        e.alias("a")
+        .join(e.alias("b"), ["table", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_decimals).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

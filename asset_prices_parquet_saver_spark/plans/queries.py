@@ -942,6 +942,54 @@ def event_type_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scalar subquery (global aggregate as a predicate operand).
+@q(
+    "above_avg_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                                  / COUNT(p_retailprice) FROM part)
+    """,
+)
+def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    avg_price = p.agg(davg("p_retailprice").alias("a"))
+    return (
+        p.join(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("a"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --- NULL-handling scalar family (coalesce/nullif/null-safe compare;
+# the P5/J4 coalesce machinery as a standalone surface).
+@q(
+    "null_handling",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           COALESCE(value, 0.0) AS value_filled,
+           (value IS NULL) AS value_missing,
+           CASE WHEN value IS NOT DISTINCT FROM 0.0 THEN 'zero' ELSE 'nonzero' END AS zero_class
+    FROM events
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("n/a")).alias(
+            "type_or_na"
+        ),
+        F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+        F.col("value").isNull().alias("value_missing"),
+        F.when(F.col("value").eqNullSafe(F.lit(0.0)), F.lit("zero"))
+        .otherwise(F.lit("nonzero"))
+        .alias("zero_class"),
+    )
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================
@@ -1167,6 +1215,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+# --- X2/X3 scale path: embedding near-dup pairs via LSH bucketing
+# (numpy-seeded hyperplanes → rows-only check; recall vs the exact
+# pairs measured in tests).
+@q("embedding_near_pairs_lsh")
+def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_pairs_lsh(e, threshold=0.45, num_planes=6, num_tables=8)
 
 
 # --- X3 scale path: IVF-bucketed ANN (deterministic coarse quantizer;

@@ -57,6 +57,23 @@ def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
     assert {qid for qid, _ in approx} == {0, 1, 2, 3, 4}
 
 
+def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine for r in sim.cosine_pairs(e, 0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.cosine_pairs_lsh(e, 0.3, num_planes=4, num_tables=8).collect()
+    }
+    # precision is exact by construction (candidates verified by true
+    # cosine); recall is the tunable dial
+    assert set(lsh) <= set(exact)
+    assert lsh, "expected some near pairs from 8 tables"
+    for k, v in lsh.items():
+        assert v == exact[k]
+
+
 def test_ann_ivf_recall_against_bruteforce(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)

@@ -990,6 +990,74 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- rank family (window functions; SURVEY §2.5).
+@q(
+    "rank_functions",
+    """
+    SELECT o_orderkey,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(drnk AS BIGINT) AS drnk,
+           round(prnk, 6) AS prnk,
+           round(cdist, 6) AS cdist
+    FROM (
+      SELECT o_orderkey,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             PERCENT_RANK() OVER w AS prnk,
+             CUME_DIST() OVER w AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)) t
+    """,
+)
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --- arg-min/arg-max aggregates (min_by/max_by; SURVEY §2.4).
+@q(
+    "argmax_per_nation",
+    """
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal * 10000000 + c_custkey) AS richest,
+           min_by(c_name, c_acctbal * 10000000 + c_custkey) AS poorest,
+           MAX(c_acctbal) AS top_balance
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def argmax_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    # arithmetic tie-break key (acctbal has 2 decimals, custkey < 1e7)
+    # so the chosen row is unique and the same on both engines
+    key = F.col("c_acctbal") * 10_000_000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.max("c_acctbal").alias("top_balance"),
+    )
+
+
+# --- sketch-based approximate aggregates (HLL distinct, quantile
+# sketch) — implementation-specific values → rows-only check; accuracy
+# vs exact asserted in tests.
+@q("approx_user_stats")
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("approx_median"),
+    )
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================

@@ -52,6 +52,12 @@ HEADLINE = [
     "cube_order_stats",
     "ntile_price_bands",
     "event_type_journey",
+    "embedding_near_pairs_lsh",
+    "above_avg_parts",
+    "null_handling",
+    "rank_functions",
+    "argmax_per_nation",
+    "approx_user_stats",
 ]
 
 

@@ -140,12 +140,13 @@ def jaccard_pairs(
     plan, orders of magnitude fewer intermediate rows — and the shuffle
     is keyed on *rare* shingles, so no skew hazard at scale.
     """
-    arrs = shingle_arrays(df, id_col, text_col, n).cache()
-    # Materialize the cache eagerly: the downstream plan references it
-    # from four branches (two prefix-join sides, two verification
-    # sides); letting them race to fill the cache serializes tasks on
-    # the per-partition cache locks.
-    arrs.count()
+    # Materialize the shingle arrays once: the downstream plan
+    # references them from four branches (two prefix-join sides, two
+    # verification sides). localCheckpoint, not cache(): the in-memory
+    # columnar cache pays a heavy batch-conversion cost for nested
+    # array columns (~5× this whole query), while checkpoint blocks
+    # store the rows as-is and truncate the lineage.
+    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint()
     # round before ceil: fp noise in t·n must not overtighten the
     # prefix (→ missed pairs) or the k bound
     tceil = lambda c: F.ceil(F.round(F.lit(threshold) * c, 9))  # noqa: E731
@@ -196,13 +197,12 @@ def jaccard_pairs(
         )
         .filter((inter_ub >= alpha) & (F.col("pm") >= k_min))
         .select("id_a", "id_b")
-    ).cache()
-    # Materialize candidates before composing verification: measured
+    ).localCheckpoint()
+    # Candidates materialize before verification composes: measured
     # separately the stages sum to ~1/3 of what the single fused plan
     # costs (the optimizer fuses the candidate join+agg with the
     # verification joins into one over-wide stage); the barrier also
-    # gives AQE exact stats for choosing the verification join strategy.
-    cand.count()
+    # gives the verification join exact input stats.
     return _verified_jaccard(cand, arrs, threshold)
 
 
@@ -274,8 +274,7 @@ def minhash_dedup(
     rows_per_band = num_hashes // bands
     arrs = _signatures_from_arrays(
         shingle_arrays(df, id_col, text_col, n), num_hashes
-    ).cache()
-    arrs.count()  # eager fill — see jaccard_pairs
+    ).localCheckpoint()  # eager materialization — see jaccard_pairs
     cand = lsh_candidate_pairs(arrs.select("id", "sig"), bands, rows_per_band)
     return _verified_jaccard(cand, arrs.select("id", "arr", "n_sh"), threshold)
 

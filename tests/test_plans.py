@@ -74,11 +74,17 @@ def test_no_cartesian_in_headline_joins(spark, sf_dir):
         assert "CartesianProduct" not in _plan(QUERIES[name](spark, sf_dir)), name
 
 
-def test_jaccard_prefix_join_avoids_full_shingle_join(spark, sf_dir):
-    # the exact-Jaccard optimized plan joins on *hashed* shingles only
-    # through the rarest-first prefix slice — the raw text column must
-    # not appear anywhere past the first projection of the plan
-    df = QUERIES["jaccard_near_dup_pairs"](spark, sf_dir)
-    opt = _optimized(df)
-    assert "slice(" in opt  # prefix slice is in the candidate join
-    assert "xxhash64" in opt  # joins run on hashed shingles
+def test_jaccard_shingle_arrays_hash_before_shuffle(spark, sf_dir):
+    # the exact-Jaccard pipeline joins on *hashed* shingles sorted
+    # rarest-first; raw shingle strings must be hashed in the very
+    # first projection, before any exchange (the final query's own
+    # plan is lineage-truncated by localCheckpoint, so assert on the
+    # pre-checkpoint fragment)
+    from asset_prices_parquet_saver_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    arrs = dedup.shingle_arrays(d, "doc_id", "text", 2)
+    opt = _optimized(arrs)
+    assert "xxhash64" in opt
+    first_exchange = opt.find("Aggregate")
+    assert "xxhash64" in opt[first_exchange:], "hashing must precede the shuffle"

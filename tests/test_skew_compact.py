@@ -73,6 +73,52 @@ def test_salt_is_deterministic(spark):
     assert s1 == s2  # hash-derived, not rand(): stable under task retry
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import datetime as _dt
+
+    from asset_prices_parquet_saver_spark.sources.prices import (
+        write_prices_bucketed,
+    )
+
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); drop catalog entries AND stale dirs for idempotence
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_alp", "t_yf"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    bars = [
+        Row(
+            source=s,
+            symbol=f"SYM{i % 5}",
+            timestamp=_dt.datetime(2024, 1, 1 + i % 10),
+            open=1.0,
+            high=2.0,
+            low=0.5,
+            adj_close=float(i),
+            volume=1.0,
+            trade_count=None,
+            vwap=None,
+        )
+        for i in range(50)
+        for s in ("alpaca", "yfinance")
+    ]
+    df = spark.createDataFrame(bars, BAR_SCHEMA)
+    write_prices_bucketed(df.filter(F.col("source") == "alpaca"), "t_alp", 4)
+    write_prices_bucketed(df.filter(F.col("source") == "yfinance"), "t_yf", 4)
+    a = spark.table("t_alp").groupBy("symbol").agg(F.sum("adj_close").alias("sa"))
+    b = spark.table("t_yf").groupBy("symbol").agg(F.sum("adj_close").alias("sb"))
+    joined = a.join(b, "symbol")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # matching bucketing on the join/group key: aggregation and join
+    # run in place — no shuffle exchange anywhere (a BroadcastExchange
+    # of the already-aggregated 5-row side is fine and is not a shuffle)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan
+    assert joined.count() == 5
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     path = str(tmp_path / "prices")
     bars = [

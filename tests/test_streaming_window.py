@@ -1,0 +1,57 @@
+"""Streaming windowed aggregation with watermark (T7; SURVEY §2.9):
+the 1-day tumbling window implicit in the reference's date-keyed upsert
+(update_live_price.py:250-274) as an explicit event-time aggregation."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.schema import LIVE_TRADE_SCHEMA
+
+
+def _tick(symbol, price, *dt):
+    return Row(symbol=symbol, price=price, ts=datetime.datetime(*dt))
+
+
+def test_tumbling_window_counts_with_watermark(spark, tmp_path):
+    ticks_dir = tmp_path / "ticks"
+    ticks_dir.mkdir()
+    ticks = [
+        _tick("AAPL", 10.0, 2024, 1, 2, 9, 0, 0),
+        _tick("AAPL", 11.0, 2024, 1, 2, 15, 0, 0),
+        _tick("AAPL", 12.0, 2024, 1, 3, 9, 0, 0),
+        _tick("MSFT", 5.0, 2024, 1, 2, 10, 0, 0),
+    ]
+    spark.createDataFrame(ticks, LIVE_TRADE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(ticks_dir))
+
+    stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy("symbol", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("daily_bars")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.symbol, r.w.start.date().isoformat()): r
+        for r in spark.sql("SELECT * FROM daily_bars").collect()
+    }
+    assert rows[("AAPL", "2024-01-02")].n_ticks == 2
+    assert rows[("AAPL", "2024-01-02")].high == 11.0
+    assert rows[("AAPL", "2024-01-03")].n_ticks == 1
+    assert rows[("MSFT", "2024-01-02")].low == 5.0

@@ -1,0 +1,54 @@
+"""Pandas-UDF surface (SURVEY §2.10): the reference needs no UDFs, but
+the engine exposes the full Arrow-batched escape hatch for operators
+built-ins can't express. Each op here is deliberately *also* SQL-
+expressible so the DuckDB oracle hash-checks the UDF plumbing itself
+(schemas, grouping, Arrow round-trip), not just row counts.
+
+Float discipline: anything crossing the Arrow boundary is rounded to 6
+decimals on both engines (same policy as cosine; see plans/queries.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-group z-score normalization
+    (the canonical grouped-map example — one pandas frame per group,
+    vectorized numpy math inside). Groups with a single row or zero
+    variance yield NULL."""
+    out_schema = f"{id_col} long, {group_col} string, z double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        sd = v.std(ddof=1)
+        if pd.isna(sd) or sd == 0:
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            z = ((v - v.mean()) / sd).round(6)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], group_col: pdf[group_col], "z": z}
+        )
+
+    return df.groupBy(group_col).applyInPandas(normalize, out_schema)
+
+
+def weighted_mean_per_group(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Grouped-agg ``pandas_udf``: weighted mean per group — the
+    Arrow-batched aggregate path (series in, scalar out)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    return df.groupBy(group_col).agg(
+        F.round(wmean(F.col(value_col), F.col(weight_col)), 6).alias("wmean")
+    )

@@ -1058,6 +1058,106 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H-Q7-shaped: two-nation shipping volume (multiway join with
+# a symmetric nation-pair predicate + year rollup).
+@q(
+    "nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --- UDF surface (SURVEY §2.10): grouped-map applyInPandas, with the
+# same computation mirrored exactly in window SQL so the Arrow
+# round-trip is hash-checked.
+@q(
+    "zscore_per_segment",
+    """
+    SELECT c_custkey, c_mktsegment AS segment,
+           CASE WHEN sd IS NOT NULL AND sd != 0
+                THEN round((c_acctbal - m) / sd, 6) END AS z
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             avg(c_acctbal) OVER (PARTITION BY c_mktsegment) AS m,
+             stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment) AS sd
+      FROM customer) t
+    """,
+)
+def zscore_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import (
+        zscore_per_group,
+    )
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"), "c_acctbal"
+    )
+    return zscore_per_group(c, "segment", "c_acctbal", "c_custkey")
+
+
+# --- UDF surface: grouped-agg pandas_udf (weighted mean), SQL-mirrored.
+@q(
+    "weighted_avg_price",
+    """
+    SELECT l_returnflag,
+           round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wmean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import (
+        weighted_mean_per_group,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return weighted_mean_per_group(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================

@@ -58,6 +58,9 @@ HEADLINE = [
     "rank_functions",
     "argmax_per_nation",
     "approx_user_stats",
+    "nation_trade_volume",
+    "zscore_per_segment",
+    "weighted_avg_price",
 ]
 
 

@@ -16,6 +16,45 @@ def _tick(symbol, price, *dt):
     return Row(symbol=symbol, price=price, ts=datetime.datetime(*dt))
 
 
+def test_session_window_gap_grouping(spark, tmp_path):
+    """F.session_window: gap-based event grouping on a stream — the
+    streaming analogue of the batch user_sessions query."""
+    ticks_dir = tmp_path / "sticks"
+    ticks_dir.mkdir()
+    ticks = [
+        _tick("AAPL", 1.0, 2024, 1, 2, 9, 0, 0),
+        _tick("AAPL", 2.0, 2024, 1, 2, 9, 10, 0),  # same session (gap 10m < 30m)
+        _tick("AAPL", 3.0, 2024, 1, 2, 11, 0, 0),  # new session (gap 110m)
+        _tick("MSFT", 9.0, 2024, 1, 2, 9, 5, 0),
+    ]
+    spark.createDataFrame(ticks, LIVE_TRADE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(ticks_dir))
+    stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("symbol", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.symbol, r.sw.start.isoformat(), r.n)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    )
+    assert rows == [
+        ("AAPL", "2024-01-02T09:00:00", 2),
+        ("AAPL", "2024-01-02T11:00:00", 1),
+        ("MSFT", "2024-01-02T09:05:00", 1),
+    ]
+
+
 def test_tumbling_window_counts_with_watermark(spark, tmp_path):
     ticks_dir = tmp_path / "ticks"
     ticks_dir.mkdir()

@@ -1158,6 +1158,17 @@ def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mean_per_group(li, "l_returnflag", "l_extendedprice", "l_quantity")
 
 
+# --- stratified sampling (seeded sampleBy — RNG is engine-specific →
+# rows-only check; per-stratum fractions asserted in tests).
+@q("stratified_event_sample")
+def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 0.25}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================

@@ -24,6 +24,35 @@ def test_approx_distinct_within_5pct(spark, sf_dir):
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
 
 
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    totals = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 0.25}
+    s1 = QUERIES["stratified_event_sample"](spark, sf_dir).collect()
+    s2 = QUERIES["stratified_event_sample"](spark, sf_dir).collect()
+    # seeded → identical across runs (required for the driver's
+    # rows-only re-execution check)
+    assert {r.event_id for r in s1} == {r.event_id for r in s2}
+    got = {}
+    for r in s1:
+        got[r.event_type] = got.get(r.event_type, 0) + 1
+    for etype, frac in fractions.items():
+        if etype not in totals:
+            continue
+        expect = totals[etype] * frac
+        if frac == 1.0:
+            assert got.get(etype, 0) == totals[etype]
+        else:
+            # Bernoulli sampling: allow 5 sigma
+            import math
+
+            sigma = math.sqrt(totals[etype] * frac * (1 - frac))
+            assert abs(got.get(etype, 0) - expect) <= 5 * sigma + 1, etype
+
+
 def test_approx_median_within_tolerance(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     exact = {

@@ -76,12 +76,25 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     "Scaling Up All Pairs Similarity Search"; PPJoin) requires: a fixed
     global order shared by every document.
     """
-    # per-row dedupe + hash: no shuffle at all until the frequency agg
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("hs"),
+    # Higher-order functions don't participate in whole-stage codegen
+    # (interpreted eval, one closure call per lambda application), so
+    # the shingle transform is the CPU hog of the whole pipeline. Two
+    # consequences: (1) a small parquet scan arrives in 1-3 partitions,
+    # which would serialize that work on as many cores — spread it to
+    # the full parallelism first (rows are tiny; the shuffle is free
+    # relative to the eval); (2) materialize the hashed arrays once
+    # (localCheckpoint) so the freq-join's two branches and every
+    # downstream consumer don't re-run the interpreted transform.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+        .localCheckpoint()
     )
     sh = docs.select("id", F.explode("hs").alias("h"))
     freq = sh.groupBy("h").agg(F.count("*").alias("f"))
@@ -289,9 +302,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     (bit votes, then bit_or of set bits). Heavier than a Pandas UDF per
     row but fully JVM-side and shuffle-partitioned; near-dup = pairs
     with small Hamming distance (see :func:`simhash_near_pairs`)."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    # spread the token×bit fan-out across all cores — a small parquet
+    # scan otherwise pins the whole explode on 1-3 partitions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("tok"))
+        .withColumn("th", F.xxhash64("tok"))
+    )
     votes = (
         toks.select(
             "id",

@@ -1113,6 +1113,129 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H-Q8-shaped: national market share inside one region for one
+# part type. 8-way join where everything except lineitem/orders is
+# broadcast-able; the nation→region filter prunes before the big join.
+@q(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN rev END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) AS rev,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00') all_nations
+    GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4)
+    return (
+        li.join(
+            o.filter(
+                F.col("o_orderdate").between(
+                    F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                    F.lit("1997-12-31 00:00:00").cast("timestamp"),
+                )
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("rev"))).cast("double")
+                / F.sum("rev").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- TPC-H-Q9-shaped: profit per supplier nation per year for parts
+# matching a name pattern. No partsupp table in the driver schema, so
+# cost = p_retailprice * l_quantity stands in for ps_supplycost * qty;
+# revenue and cost are decimal-summed separately and differenced in
+# double so both engines round identically.
+@q(
+    "product_profit_by_nation",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(rev) AS DOUBLE) - CAST(SUM(cost) AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) AS rev,
+             CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS cost
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = read_table(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice", 12, 2) * dec(F.lit(1) - F.col("l_discount"), 8, 4)
+    cost = dec("p_retailprice", 12, 2) * dec("l_quantity", 12, 2)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            cost.alias("cost"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum("rev").cast("double") - F.sum("cost").cast("double")).alias("profit")
+        )
+    )
+
+
 # --- UDF surface (SURVEY §2.10): grouped-map applyInPandas, with the
 # same computation mirrored exactly in window SQL so the Arrow
 # round-trip is hash-checked.

@@ -890,6 +890,26 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- explicit GROUPING SETS (asymmetric — not expressible as a single
+# rollup/cube): per (priority, status), per priority, and grand total.
+@q(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+
+
 # --- NTILE quantile banding (window family; SURVEY §2.5).
 @q(
     "ntile_price_bands",

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime bloom-filter pruning: on a selective fact⨝fact join
+        # (too big to broadcast) the filter built from the small side's
+        # join keys prunes the big side's scan — the 100 TB analogue of
+        # the reference's skip-list pruning before the expensive fetch.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

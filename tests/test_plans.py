@@ -76,15 +76,24 @@ def test_no_cartesian_in_headline_joins(spark, sf_dir):
 
 def test_jaccard_shingle_arrays_hash_before_shuffle(spark, sf_dir):
     # the exact-Jaccard pipeline joins on *hashed* shingles sorted
-    # rarest-first; raw shingle strings must be hashed in the very
-    # first projection, before any exchange (the final query's own
-    # plan is lineage-truncated by localCheckpoint, so assert on the
-    # pre-checkpoint fragment)
+    # rarest-first; raw shingle strings must be hashed before any
+    # exchange. shingle_arrays materializes the hashed projection with
+    # localCheckpoint (so the interpreted transform runs exactly once),
+    # which truncates lineage to a LogicalRDD — so assert the invariant
+    # structurally: everything downstream of the checkpoint (i.e. every
+    # shuffle) sees only int64 hash arrays, never shingle strings.
+    from pyspark.sql.types import ArrayType, LongType
+
     from asset_prices_parquet_saver_spark.operators import dedup
 
     d = read_table(spark, sf_dir, "documents")
     arrs = dedup.shingle_arrays(d, "doc_id", "text", 2)
+    assert isinstance(arrs.schema["arr"].dataType, ArrayType)
+    assert arrs.schema["arr"].dataType.elementType == LongType()
     opt = _optimized(arrs)
-    assert "xxhash64" in opt
-    first_exchange = opt.find("Aggregate")
-    assert "xxhash64" in opt[first_exchange:], "hashing must precede the shuffle"
+    # lineage starts at the checkpointed (id, hs) RDD whose shingles are
+    # already hashed — bigint arrays in, no string column anywhere in
+    # the join/agg fragment
+    assert "LogicalRDD" in opt
+    assert "xxhash64" not in opt, "hashing must happen before the checkpoint"
+    assert "string" not in opt.lower(), "no raw shingle strings past the checkpoint"

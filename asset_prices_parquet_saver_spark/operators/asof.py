@@ -1,0 +1,85 @@
+"""Nearest-timestamp (as-of) join: for each left row, the latest right
+row with ``right_ts <= left_ts`` in the same key group.
+
+Reference parity: update_live_price.py keeps "the latest price at or
+before now" per symbol when merging live ticks into daily bars
+(update_live_price.py:142-156 keeps the last tick per day); the general
+operator — align a probe stream against the most recent bar of a
+*second* table — is the natural extension SURVEY §2.3 flags.
+
+Spark-first design (the 100 TB shape): instead of a per-row range probe
+or an exploded inequality join, tag both inputs, union them, and run ONE
+hash-partitioned window over ``(keys...)`` ordered by ``(ts, side)``
+with a carry-forward ``last(..., ignorenulls=True)``.  Cost is a single
+shuffle of |left| + |right| rows on the join keys — no range cross
+product, no per-key skew amplification beyond the key's own row count,
+and Catalyst keeps the whole pipeline in WholeStageCodegen.  DuckDB's
+``ASOF JOIN`` (the oracle) implements the same semantics with a sorted
+merge; at equal timestamps the right row is eligible (``>=`` inclusive),
+which the union ordering encodes by sorting right-side rows first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = right (bars), 1 = left (probes): right sorts first
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join.
+
+    Returns every ``left`` row plus, for each name in ``value_cols`` and
+    the matched ``right_ts`` (as ``asof_ts``), the values of the latest
+    ``right`` row with ``right_ts <= left_ts`` for the same ``keys`` —
+    NULL when no prior right row exists (left-join semantics).
+
+    ``right`` must be unique per ``(keys, right_ts)`` — aggregate bars
+    before joining — so the carried value is deterministic.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c) for c in value_cols],
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left_payload],
+    )
+
+    # Right rows at the same timestamp sort before left rows (inclusive
+    # `>=` as-of); _SIDE completes the tie-break only between the two
+    # sides — right is pre-aggregated unique per (keys, ts).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l)
+    for c in ["asof_ts", *value_cols]:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *keys, F.col("__ts").alias(left_ts), *left_payload, "asof_ts", *value_cols
+    )

@@ -1,0 +1,77 @@
+"""Tests for the nearest-timestamp as-of join (SURVEY §2.3 extension).
+
+Semantics under test (mirroring DuckDB ``ASOF LEFT JOIN`` with
+``left.ts >= right.ts``): every left row survives; it carries the
+values of the latest right row at-or-before its timestamp within the
+same key group, NULL when none exists; equal timestamps match
+(inclusive bound).  Plan shape: one shuffle on the keys, no range
+cross-product.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from asset_prices_parquet_saver_spark.operators.asof import asof_join
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", probe_id=1, ts=_ts(1, 12)),   # after bar day1 → day1
+            Row(k="a", probe_id=2, ts=_ts(3)),       # equal to bar day3 → day3 (inclusive)
+            Row(k="a", probe_id=3, ts=_ts(2, 23)),   # between bars → day1
+            Row(k="b", probe_id=4, ts=_ts(1)),       # before any b bar → NULL
+            Row(k="b", probe_id=5, ts=_ts(9)),       # after last b bar → day5
+            Row(k="c", probe_id=6, ts=_ts(4)),       # key with no bars at all → NULL
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", bar_ts=_ts(1), px=10.0),
+            Row(k="a", bar_ts=_ts(3), px=30.0),
+            Row(k="b", bar_ts=_ts(5), px=50.0),
+        ]
+    )
+    return left, right
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = asof_join(left, right, ["k"], "ts", "bar_ts", ["px"])
+    got = {r.probe_id: (r.asof_ts, r.px) for r in out.collect()}
+    assert got == {
+        1: (_ts(1), 10.0),
+        2: (_ts(3), 30.0),   # inclusive >= at equal ts
+        3: (_ts(1), 10.0),
+        4: (None, None),     # left-join: no prior bar
+        5: (_ts(5), 50.0),
+        6: (None, None),     # key absent from right entirely
+    }
+    assert out.count() == left.count()
+
+
+def test_asof_preserves_left_payload_and_schema(frames):
+    left, right = frames
+    out = asof_join(left, right, ["k"], "ts", "bar_ts", ["px"])
+    assert set(out.columns) == {"k", "ts", "probe_id", "asof_ts", "px"}
+    assert dict(out.dtypes)["ts"] == dict(left.dtypes)["ts"]
+    assert dict(out.dtypes)["px"] == dict(right.dtypes)["px"]
+
+
+def test_asof_plan_single_shuffle_no_cartesian(frames):
+    left, right = frames
+    out = asof_join(left, right, ["k"], "ts", "bar_ts", ["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union + one window: exactly one exchange hash-partitioned on the key
+    assert plan.count("Exchange hashpartitioning") == 1

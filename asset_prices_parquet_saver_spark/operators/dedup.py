@@ -163,53 +163,77 @@ def jaccard_pairs(
     # round before ceil: fp noise in t·n must not overtighten the
     # prefix (→ missed pairs) or the k bound
     tceil = lambda c: F.ceil(F.round(F.lit(threshold) * c, 9))  # noqa: E731
-    pre_len = (F.col("n_sh") - tceil(F.col("n_sh")) + 1).cast("int")
-    prefix = arrs.select(
-        "id",
-        "n_sh",
-        F.posexplode(F.slice("arr", F.lit(1), pre_len)).alias("pos", "h"),
+    # PPJoin's asymmetric prefixes (Xiao et al., "Efficient Similarity
+    # Joins for Near Duplicate Detection"): order documents by
+    # (n_sh, id); a pair is detected as (s = earlier/smaller, l =
+    # later/larger).  l contributes its PROBING prefix of length
+    # nl - ⌈t·nl⌉ + 1; s contributes its INDEXING prefix of length
+    # ns - ⌈2t/(1+t)·ns⌉ + 1 — shorter, because any qualifying partner
+    # of s is at least as large, forcing overlap ≥ ⌈2t/(1+t)·ns⌉.  The
+    # globally-first shared shingle e of a qualifying pair sits at
+    # position ≤ n - o in each array (all o shared elements follow it
+    # in the shared sort order), so e lands inside BOTH prefixes and
+    # the equi-join on h finds the pair.  vs symmetric AllPairs
+    # prefixes this cuts the index side — and the join's row count —
+    # by ~1/3 at t=0.5 with zero recall loss.
+    t2 = 2.0 * threshold / (1.0 + threshold)
+    probe_len = (F.col("n_sh") - tceil(F.col("n_sh")) + 1).cast("int")
+    index_len = (
+        F.col("n_sh") - F.ceil(F.round(F.lit(t2) * F.col("n_sh"), 9)) + 1
+    ).cast("int")
+    probe = arrs.select(
+        "id", "n_sh", F.posexplode(F.slice("arr", F.lit(1), probe_len)).alias("pos", "h")
     )
-    # Positional filter (PPJoin Lemma 2): arrays share one global sort
-    # order, so for the *first* (rarest) shared shingle at 0-based
-    # positions (i, j), every other match lies after it in BOTH arrays:
-    # |a∩b| ≤ 1 + min(na-1-i, nb-1-j). For any pair with Jaccard ≥ t
-    # (⇔ |a∩b| ≥ α = ⌈t/(1+t)·(na+nb)⌉) the first shared shingle is
-    # preceded only by unshared ones (≤ n-α < plen of them), so it is
-    # visible to this prefix join and min(pos) is exact — qualifying
-    # pairs always survive; pairs that merely share a late common-ish
-    # shingle get pruned before the expensive verification.
+    index = arrs.select(
+        "id", "n_sh", F.posexplode(F.slice("arr", F.lit(1), index_len)).alias("pos", "h")
+    )
+    # Positional filter (PPJoin Lemma 2): for a qualifying pair the
+    # min observed positions are those of the globally-first shared
+    # shingle e (arrays share one sort order), and every other match
+    # lies after e in both arrays: |s∩l| ≤ 1 + min(ns-1-pos_s(e),
+    # nl-1-pos_l(e)).  Jaccard ≥ t ⇔ |s∩l| ≥ α = ⌈t/(1+t)·(ns+nl)⌉.
     alpha = F.ceil(
-        F.round(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")), 9)
+        F.round(F.lit(threshold / (1.0 + threshold)) * (F.col("ns") + F.col("nl")), 9)
     )
     inter_ub = F.lit(1) + F.least(
-        F.col("na") - 1 - F.col("min_pa"), F.col("nb") - 1 - F.col("min_pb")
+        F.col("ns") - 1 - F.col("min_ps"), F.col("nl") - 1 - F.col("min_pl")
     )
-    # k-prefix count filter: with prefix length n - ⌈t·n⌉ + 1, the
-    # k = α + 1 - max(⌈t·na⌉, ⌈t·nb⌉) rarest shared shingles of any
-    # qualifying pair all land in BOTH prefixes (the j-th smallest
-    # shared element sits at position ≤ (n - inter) + j - 1 ≤
-    # n - α + j - 1 < plen for j ≤ k), so pairs sharing fewer prefix
-    # shingles can be dropped without verification. False candidates
-    # share 1-3 common-ish shingles; qualifying pairs here need ~9.
-    k_min = alpha + 1 - F.greatest(tceil(F.col("na")), tceil(F.col("nb")))
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "h")
-        .filter(
-            (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+    # k-prefix count filter: the j-th smallest shared shingle of a
+    # qualifying pair sits at position ≤ n - o + j - 1, hence inside
+    # s's indexing prefix for j ≤ α - ⌈2t/(1+t)·ns⌉ + 1 and inside l's
+    # probing prefix for j ≤ α - ⌈t·nl⌉ + 1 — so a qualifying pair
+    # shares at least k_min prefix-visible shingles; false candidates
+    # sharing fewer are dropped before the expensive verification.
+    k_min = (
+        alpha
+        + 1
+        - F.greatest(
+            F.ceil(F.round(F.lit(t2) * F.col("ns"), 9)), tceil(F.col("nl"))
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        probe.alias("l")
+        .join(index.alias("s"), "h")
+        .filter(
+            (
+                (F.col("s.n_sh") < F.col("l.n_sh"))
+                | ((F.col("s.n_sh") == F.col("l.n_sh")) & (F.col("s.id") < F.col("l.id")))
+            )
+            & (F.col("l.n_sh") * F.lit(threshold) <= F.col("s.n_sh"))
+        )
+        .groupBy(F.col("s.id").alias("id_s"), F.col("l.id").alias("id_l"))
         .agg(
             F.count("*").alias("pm"),
-            F.min(F.col("a.pos")).alias("min_pa"),
-            F.min(F.col("b.pos")).alias("min_pb"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
+            F.min(F.col("s.pos")).alias("min_ps"),
+            F.min(F.col("l.pos")).alias("min_pl"),
+            F.first(F.col("s.n_sh")).alias("ns"),
+            F.first(F.col("l.n_sh")).alias("nl"),
         )
         .filter((inter_ub >= alpha) & (F.col("pm") >= k_min))
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
     ).localCheckpoint()
     # Candidates materialize before verification composes: measured
     # separately the stages sum to ~1/3 of what the single fused plan

@@ -34,14 +34,18 @@ def latest_ticks_per_day(ticks: DataFrame) -> DataFrame:
     """P7 validity filter + last tick per (symbol, calendar day).
 
     Mirrors update_live_price.py:160-168 (drop NULL price/ts) and the
-    last-write-wins-per-date semantics of :250-258. Tie-break on price
-    only matters for exactly-equal timestamps; the reference processes
-    sequentially so later wins — we order by ts desc.
+    last-write-wins-per-date semantics of :250-258. The full tie-break
+    (ts desc, price desc) makes the survivor deterministic even for
+    ticks sharing a second-truncated timestamp — required for the
+    exactly-once foreachBatch sink, whose replay after a task retry
+    must reproduce the same adj_close.
     """
     valid = ticks.filter(F.col("price").isNotNull() & F.col("ts").isNotNull())
     valid = valid.withColumn("ts", F.date_trunc("second", F.col("ts")))
     valid = valid.withColumn("day", F.to_date("ts"))
-    return keep_latest(valid, ["symbol", "day"], [F.col("ts").desc()])
+    return keep_latest(
+        valid, ["symbol", "day"], [F.col("ts").desc(), F.col("price").desc()]
+    )
 
 
 def upsert_live_prices(prices: DataFrame, ticks: DataFrame, source: str = "alpaca") -> DataFrame:

@@ -62,18 +62,41 @@ def fetch_alpaca_bars(
     download_historical_price.py:404-414: adjustment='all', Day bars,
     1970-01-01→now, feed='sip'). Rate limiting (batch_size=10, 2 s —
     download_historical_price.py:322-335) moves into each partition."""
-    _require("alpaca")  # alpaca-py / alpaca_trade_api; absent in this env
+    _require("alpaca")  # alpaca-py; absent in this env
 
-    def fetch(batches: Iterator) -> Iterator:  # pragma: no cover
+    def fetch(batches: Iterator) -> Iterator:  # pragma: no cover - needs SDK+network
+        import datetime
+        import os
+
         import pandas as pd
+        from alpaca.data.historical import StockHistoricalDataClient
+        from alpaca.data.requests import StockBarsRequest
+        from alpaca.data.timeframe import TimeFrame
 
+        # standard alpaca-py env credentials; raising on absence keeps
+        # ingest loud instead of writing an empty dataset
+        client = StockHistoricalDataClient(
+            os.environ["APCA_API_KEY_ID"], os.environ["APCA_API_SECRET_KEY"]
+        )
+        cols = [f.name for f in RAW_BAR_SCHEMA.fields]
         for pdf in batches:
             for i in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[i : i + batch_size]
+                chunk = list(pdf.iloc[i : i + batch_size]["symbol"])
                 time.sleep(delay_between_batches)
-                yield pd.DataFrame(
-                    [], columns=[f.name for f in RAW_BAR_SCHEMA.fields]
-                ).assign(symbol=chunk["symbol"])
+                bars = client.get_stock_bars(
+                    StockBarsRequest(
+                        symbol_or_symbols=chunk,
+                        timeframe=TimeFrame.Day,
+                        start=datetime.datetime(1970, 1, 1),
+                        adjustment="all",
+                        feed="sip",
+                    )
+                ).df  # MultiIndex (symbol, timestamp)
+                if bars.empty:
+                    continue
+                out = bars.reset_index().rename(columns={"close": "adj_close"})
+                out["close"] = out["adj_close"]
+                yield out.reindex(columns=cols)
 
     return symbols.repartition(32, "symbol").mapInPandas(fetch, RAW_BAR_SCHEMA)
 
@@ -83,13 +106,30 @@ def fetch_yfinance_bars(symbols: DataFrame, per_symbol_delay: float = 0.5) -> Da
     0.5 s/symbol throttle (:352) applied inside each partition."""
     _require("yfinance")
 
-    def fetch(batches: Iterator) -> Iterator:  # pragma: no cover
+    def fetch(batches: Iterator) -> Iterator:  # pragma: no cover - needs SDK+network
         import pandas as pd
+        import yfinance as yf
 
+        cols = [f.name for f in RAW_BAR_SCHEMA.fields]
         for pdf in batches:
             for _, row in pdf.iterrows():
                 time.sleep(per_symbol_delay)
-                yield pd.DataFrame([], columns=[f.name for f in RAW_BAR_SCHEMA.fields])
+                h = yf.Ticker(row["symbol"]).history(period="max", auto_adjust=False)
+                if h.empty:
+                    continue
+                out = h.reset_index().rename(
+                    columns={
+                        "Date": "timestamp",
+                        "Open": "open",
+                        "High": "high",
+                        "Low": "low",
+                        "Close": "close",
+                        "Adj Close": "adj_close",
+                        "Volume": "volume",
+                    }
+                )
+                out["symbol"] = row["symbol"]
+                yield out.reindex(columns=cols)
 
     return symbols.repartition(32, "symbol").mapInPandas(fetch, RAW_BAR_SCHEMA)
 

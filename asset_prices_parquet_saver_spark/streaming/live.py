@@ -55,17 +55,52 @@ def run_live_upsert(
     checkpoint_dir: str | None = None,
     available_now: bool = False,
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    layout: str = "daily",
 ):
     """Start the live upsert query (T1/T3): every micro-batch merges its
     ticks into the prices dataset with the reference's last-write-wins-
-    per-(symbol, day) semantics (J4)."""
+    per-(symbol, day) semantics (J4).
 
-    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+    ``layout='daily'`` (default, the scale path): the sink is the
+    partition-pruned incremental merge into a (source, day)-partitioned
+    dataset — per-batch cost O(ticks + touched-day partitions),
+    committed by Spark's dynamic partition overwrite, no driver
+    filesystem calls (works against HDFS/S3 warehouses).
+
+    ``layout='flat'`` (local-mode convenience): whole-dataset rewrite
+    into a flat directory via a staging write + two driver-local
+    ``os.replace`` renames. Only meaningful where the driver's local
+    filesystem IS the warehouse; a crash between the renames is
+    recovered at the next batch (the ``.old`` backup is restored).
+    """
+    if layout not in ("daily", "flat"):
+        raise ValueError(f"unknown layout {layout!r}: expected 'daily' or 'flat'")
+
+    def merge_batch_daily(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from asset_prices_parquet_saver_spark.sources.prices_daily import (
+            merge_ticks_incremental,
+        )
+
+        merge_ticks_incremental(spark, prices_path, batch, source=source)
+        if on_batch is not None:
+            on_batch(batch, epoch_id)
+
+    def merge_batch_flat(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         import os
         import shutil
 
+        staging = prices_path.rstrip("/") + ".staging"
+        backup = prices_path.rstrip("/") + ".old"
+        # crash recovery: a previous batch that died between its two
+        # renames left the dataset missing with the backup intact —
+        # restore it BEFORE reading, or the merge would silently treat
+        # the table as empty and drop all history.
+        if not os.path.exists(prices_path) and os.path.exists(backup):
+            os.replace(backup, prices_path)
         try:
             prices = spark.read.schema(BAR_SCHEMA).parquet(prices_path)
             prices.head(1)
@@ -77,9 +112,10 @@ def run_live_upsert(
         # tmp+rename idea as the reference's atomic writes
         # (update_live_price.py:288-293), at dataset granularity. All
         # work stays distributed; no driver-side materialization.
-        staging = prices_path.rstrip("/") + ".staging"
         write_prices(merged, staging, mode="overwrite")
-        backup = prices_path.rstrip("/") + ".old"
+        # a stale backup (crash after a completed swap) would make the
+        # rename below fail with ENOTEMPTY — clear it first
+        shutil.rmtree(backup, ignore_errors=True)
         if os.path.exists(prices_path):
             os.replace(prices_path, backup)
         os.replace(staging, prices_path)
@@ -87,6 +123,7 @@ def run_live_upsert(
         if on_batch is not None:
             on_batch(batch, epoch_id)
 
+    merge_batch = merge_batch_daily if layout == "daily" else merge_batch_flat
     deduped = dedupe_ticks_with_watermark(ticks_stream)
     writer = deduped.writeStream.outputMode("update").foreachBatch(merge_batch)
     if checkpoint_dir:

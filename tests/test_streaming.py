@@ -9,6 +9,10 @@ from pyspark.sql import Row
 
 from asset_prices_parquet_saver_spark.schema import BAR_SCHEMA, LIVE_TRADE_SCHEMA
 from asset_prices_parquet_saver_spark.sources.prices import write_prices
+from asset_prices_parquet_saver_spark.sources.prices_daily import (
+    read_prices_daily,
+    write_prices_daily,
+)
 from asset_prices_parquet_saver_spark.streaming.live import run_live_upsert
 
 
@@ -16,14 +20,8 @@ def _tick(symbol, price, *dt):
     return Row(symbol=symbol, price=price, ts=datetime.datetime(*dt))
 
 
-def test_streaming_upsert_end_to_end(spark, tmp_path):
-    prices_path = str(tmp_path / "prices")
-    ticks_dir = tmp_path / "ticks"
-    ticks_dir.mkdir()
-    checkpoint = str(tmp_path / "ckpt")
-
-    # seed the prices table with one existing bar
-    seed = spark.createDataFrame(
+def _seed(spark):
+    return spark.createDataFrame(
         [
             Row(
                 source="alpaca",
@@ -40,8 +38,9 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
         ],
         BAR_SCHEMA,
     )
-    write_prices(seed, prices_path)
 
+
+def _write_batch(spark, ticks_dir):
     # micro-batch input: duplicate + out-of-order + invalid ticks
     batch = spark.createDataFrame(
         [
@@ -57,16 +56,60 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
     # file-stream source does not recurse into subdirectories
     batch.coalesce(1).write.mode("append").parquet(str(ticks_dir))
 
-    stream = (
-        spark.readStream.schema(LIVE_TRADE_SCHEMA)
-        .parquet(str(ticks_dir))
-    )
+
+def _assert_merged(out):
+    aapl = out[("AAPL", datetime.date(2024, 1, 2))]
+    assert aapl.adj_close == 10.0  # last-write-wins within the day
+    assert (aapl.open, aapl.volume) == (1.0, 9.0)  # other columns preserved
+    msft = out[("MSFT", datetime.date(2024, 1, 3))]
+    assert msft.adj_close == 5.0 and msft.open is None  # NULL-padded append
+    assert ("BAD", datetime.date(2024, 1, 2)) not in out  # P7 filter
+
+
+def test_streaming_upsert_end_to_end_daily_default(spark, tmp_path):
+    """Default sink: partition-pruned incremental merge (no driver-FS
+    calls; dynamic partition overwrite commits only touched days)."""
+    prices_path = str(tmp_path / "prices")
+    ticks_dir = tmp_path / "ticks"
+    ticks_dir.mkdir()
+
+    write_prices_daily(_seed(spark), prices_path)
+    _write_batch(spark, ticks_dir)
+
+    stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
     query = run_live_upsert(
         spark,
         stream,
         prices_path,
-        checkpoint_dir=checkpoint,
+        checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
+    )
+    query.awaitTermination(120)
+
+    out = {
+        (r.symbol, r.timestamp.date()): r
+        for r in read_prices_daily(spark, prices_path).collect()
+    }
+    _assert_merged(out)
+
+
+def test_streaming_upsert_end_to_end_flat_layout(spark, tmp_path):
+    """Local-mode flat layout: staging write + rename swap."""
+    prices_path = str(tmp_path / "prices")
+    ticks_dir = tmp_path / "ticks"
+    ticks_dir.mkdir()
+
+    write_prices(_seed(spark), prices_path)
+    _write_batch(spark, ticks_dir)
+
+    stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
+    query = run_live_upsert(
+        spark,
+        stream,
+        prices_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        layout="flat",
     )
     query.awaitTermination(120)
 
@@ -74,9 +117,39 @@ def test_streaming_upsert_end_to_end(spark, tmp_path):
         (r.symbol, r.timestamp.date()): r
         for r in spark.read.schema(BAR_SCHEMA).parquet(prices_path).collect()
     }
-    aapl = out[("AAPL", datetime.date(2024, 1, 2))]
-    assert aapl.adj_close == 10.0  # last-write-wins within the day
-    assert (aapl.open, aapl.volume) == (1.0, 9.0)  # other columns preserved
-    msft = out[("MSFT", datetime.date(2024, 1, 3))]
-    assert msft.adj_close == 5.0 and msft.open is None  # NULL-padded append
-    assert ("BAD", datetime.date(2024, 1, 2)) not in out  # P7 filter
+    _assert_merged(out)
+
+
+def test_flat_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two renames leaves prices missing + .old
+    intact; the next batch must restore the backup instead of treating
+    the table as empty (which would silently drop all history)."""
+    import os
+
+    prices_path = str(tmp_path / "prices")
+    ticks_dir = tmp_path / "ticks"
+    ticks_dir.mkdir()
+
+    write_prices(_seed(spark), prices_path)
+    # simulate the torn state: dataset renamed to .old, new one missing
+    os.replace(prices_path, prices_path + ".old")
+
+    _write_batch(spark, ticks_dir)
+    stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
+    query = run_live_upsert(
+        spark,
+        stream,
+        prices_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        layout="flat",
+    )
+    query.awaitTermination(120)
+
+    out = {
+        (r.symbol, r.timestamp.date()): r
+        for r in spark.read.schema(BAR_SCHEMA).parquet(prices_path).collect()
+    }
+    # the seeded history survived the torn swap AND the merge applied
+    _assert_merged(out)
+    assert not os.path.exists(prices_path + ".old")

@@ -36,6 +36,7 @@ from asset_prices_parquet_saver_spark.operators import (
     details as details_ops,
     merge as merge_ops,
     multimodal as mm_ops,
+    sampling as sampling_ops,
     similarity as sim_ops,
     text as text_ops,
 )
@@ -1309,15 +1310,26 @@ def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mean_per_group(li, "l_returnflag", "l_extendedprice", "l_quantity")
 
 
-# --- stratified sampling (seeded sampleBy — RNG is engine-specific →
-# rows-only check; per-stratum fractions asserted in tests).
-@q("stratified_event_sample")
+# --- stratified sampling, deterministic md5-bucket variant (operators/
+# sampling.py): the exact sampled row set is engine-independent, so the
+# gate hash-checks the full result instead of a rows-only count.
+_SAMPLE_FRACTIONS = {
+    "click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 0.25,
+}
+
+
+@q(
+    "stratified_event_sample",
+    f"""
+    SELECT event_id, event_type, user_id FROM events
+    WHERE {sampling_ops.sample_oracle_predicate("event_type", "event_id", _SAMPLE_FRACTIONS)}
+    """,
+)
 def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 1.0, "signup": 0.25}
-    return ev.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "event_type", "user_id"
-    )
+    return sampling_ops.stratified_sample(
+        ev, "event_type", "event_id", _SAMPLE_FRACTIONS
+    ).select("event_id", "event_type", "user_id")
 
 
 # =====================================================================

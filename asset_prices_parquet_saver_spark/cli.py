@@ -63,6 +63,21 @@ def _cmd_ingest(args) -> int:
         [(s,) for s in args.symbols.split(",")], "symbol string"
     )
     universe = union_universe(symbols)
+    if getattr(args, "categories", None):
+        # --categories narrows the universe to the selected market-cap
+        # buckets (download_historical_price.py:223-243); caps come from
+        # a (symbol, market_cap) parquet instead of the reference's
+        # machine-local fundamental-data module.
+        from asset_prices_parquet_saver_spark.operators.symbols import (
+            universe_by_categories,
+        )
+
+        if not args.market_caps:
+            print("error: --categories requires --market-caps", file=sys.stderr)
+            return 2
+        caps = spark.read.parquet(args.market_caps)
+        allowed = universe_by_categories(caps, args.categories)
+        universe = universe.join(F.broadcast(allowed), "symbol", "left_semi")
     try:
         if args.source == "alpaca":
             raw = fetchers.fetch_alpaca_bars(universe)
@@ -119,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--source", choices=["alpaca", "yfinance"], required=True)
     i.add_argument("--symbols", required=True, help="comma-separated")
     i.add_argument("--output", required=True)
+    i.add_argument(
+        "--categories",
+        nargs="+",
+        help="market-cap buckets (mega/large/mid/small/micro/nano or 'all')",
+    )
+    i.add_argument(
+        "--market-caps",
+        help="parquet with (symbol, market_cap) used to resolve --categories",
+    )
     i.set_defaults(fn=_cmd_ingest)
 
     lv = sub.add_parser("live", help="streaming live-price upsert")

@@ -46,6 +46,52 @@ def exclude_status(
     return symbols.join(F.broadcast(bad), "symbol", "left_anti")
 
 
+#: Conventional market-cap buckets, largest first (USD).  The reference
+#: resolves categories through an external get_market_cap module
+#: (download_historical_price.py:223-243, module import at :31-40);
+#: the thresholds themselves are the standard public convention.
+MARKET_CAP_BUCKETS: tuple[tuple[str, float], ...] = (
+    ("mega", 2e11),
+    ("large", 1e10),
+    ("mid", 2e9),
+    ("small", 3e8),
+    ("micro", 5e7),
+)
+_SMALLEST_BUCKET = "nano"
+
+
+def categorize_market_caps(
+    caps: DataFrame,
+    cap_col: str = "market_cap",
+    buckets: tuple[tuple[str, float], ...] = MARKET_CAP_BUCKETS,
+) -> DataFrame:
+    """Append a ``category`` column from a descending CASE chain over
+    ``cap_col`` (mirrors categorize_market_caps in the reference's
+    external module; NULL caps get NULL category)."""
+    expr = None
+    for name, floor_ in buckets:
+        cond = F.col(cap_col) >= F.lit(floor_)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.when(F.col(cap_col).isNotNull(), _SMALLEST_BUCKET)
+    return caps.withColumn("category", expr)
+
+
+def universe_by_categories(
+    caps: DataFrame,
+    categories: list[str],
+    symbol_col: str = "symbol",
+    cap_col: str = "market_cap",
+    buckets: tuple[tuple[str, float], ...] = MARKET_CAP_BUCKETS,
+) -> DataFrame:
+    """The ``--categories`` pathway (download_historical_price.py:223-243):
+    symbols whose market-cap bucket is in ``categories`` ('all' selects
+    every bucket). Output: distinct uppercased symbols."""
+    cat = categorize_market_caps(caps, cap_col, buckets)
+    if "all" not in {c.lower() for c in categories}:
+        cat = cat.filter(F.col("category").isin(*[c.lower() for c in categories]))
+    return cat.select(F.upper(F.col(symbol_col)).alias("symbol")).distinct()
+
+
 def parse_invalid_symbols(msg_col_df: DataFrame, msg_col: str = "message") -> DataFrame:
     """P16/T4: parse an Alpaca 400-error message like
     ``"...invalid symbols: A, B"`` into one row per symbol

@@ -38,6 +38,7 @@ from asset_prices_parquet_saver_spark.operators import (
     multimodal as mm_ops,
     sampling as sampling_ops,
     similarity as sim_ops,
+    symbols as symbols_ops,
     text as text_ops,
 )
 from asset_prices_parquet_saver_spark.sources.tables import read_table
@@ -1332,6 +1333,37 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "user_id")
 
 
+# --- the --categories universe pathway (download_historical_price.py:
+# 223-243): bucket "symbols" by a cap column with a descending CASE
+# chain, keep buckets in the requested set.  Exercised on customer with
+# acctbal-scaled thresholds (the operator's bucket table is a
+# parameter; the standard USD thresholds are its default).
+_CAP_BUCKETS = (("mega", 9000.0), ("large", 5000.0), ("mid", 0.0),
+                ("small", -500.0), ("micro", -900.0))
+
+
+@q(
+    "category_universe",
+    """
+    SELECT DISTINCT UPPER(c_name) AS symbol FROM customer
+    WHERE CASE WHEN c_acctbal >= 9000 THEN 'mega'
+               WHEN c_acctbal >= 5000 THEN 'large'
+               WHEN c_acctbal >= 0 THEN 'mid'
+               WHEN c_acctbal >= -500 THEN 'small'
+               WHEN c_acctbal >= -900 THEN 'micro'
+               WHEN c_acctbal IS NOT NULL THEN 'nano'
+          END IN ('mega', 'large')
+    """,
+)
+def category_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("symbol"), F.col("c_acctbal").alias("market_cap")
+    )
+    return symbols_ops.universe_by_categories(
+        c, ["mega", "large"], buckets=_CAP_BUCKETS
+    )
+
+
 # =====================================================================
 # Extension operators (SURVEY §2.11): dedup / text / similarity / media
 # =====================================================================
@@ -1776,10 +1808,11 @@ _GATE_ORDER = [
     "zscore_per_segment",
     "weighted_avg_price",
     "stratified_event_sample",
-    "nation_trade_volume",
+    "category_universe",
     # ---- gate-window boundary (position 50) ----
     # Demoted: operator coverage duplicated by in-window queries; all
     # were driver-green in CORRECTNESS_r01 and stay locally gated.
+    "nation_trade_volume",
     "except_nations",
     "intersect_nations",
     "topk_orders_per_customer",

@@ -71,3 +71,29 @@ def test_data_diff_kinds(spark):
     out = {r.k: r.diff_kind for r in data_diff(d1, d2, ["k"]).collect()}
     # k=1 equal → excluded; k=2 mismatch; k=3 left_only; k=4 right_only
     assert out == {2: "mismatch", 3: "left_only", 4: "right_only"}
+
+
+def test_market_cap_categorization(spark):
+    from asset_prices_parquet_saver_spark.operators.symbols import (
+        categorize_market_caps,
+        universe_by_categories,
+    )
+
+    caps = spark.createDataFrame(
+        [
+            ("aapl", 3.0e12),   # mega
+            ("mid1", 5.0e9),    # mid
+            ("tiny", 1.0e6),    # nano
+            ("nocap", None),    # NULL category
+        ],
+        "symbol string, market_cap double",
+    )
+    got = {r.symbol: r.category for r in categorize_market_caps(caps).collect()}
+    assert got == {"aapl": "mega", "mid1": "mid", "tiny": "nano", "nocap": None}
+
+    assert {r.symbol for r in universe_by_categories(caps, ["mega", "nano"]).collect()} == {
+        "AAPL",
+        "TINY",
+    }
+    # 'all' selects every non-NULL-cap bucket
+    assert universe_by_categories(caps, ["all"]).count() == 4

@@ -94,3 +94,58 @@ def test_tumbling_window_counts_with_watermark(spark, tmp_path):
     assert rows[("AAPL", "2024-01-02")].high == 11.0
     assert rows[("AAPL", "2024-01-03")].n_ticks == 1
     assert rows[("MSFT", "2024-01-02")].low == 5.0
+
+
+def test_windows_operators_batch_and_stream_parity(spark, tmp_path):
+    """streaming/windows.py: the same operator runs on batch and
+    streaming frames and produces identical bars."""
+    from asset_prices_parquet_saver_spark.streaming.windows import (
+        session_bars,
+        tumbling_bars,
+    )
+
+    ticks = [
+        _tick("AAPL", 5.0, 2024, 1, 2, 9, 0, 0),
+        _tick("AAPL", 1.0, 2024, 1, 2, 9, 10, 0),
+        _tick("AAPL", 3.0, 2024, 1, 3, 11, 0, 0),
+        _tick("MSFT", 9.0, 2024, 1, 2, 9, 5, 0),
+    ]
+    batch = spark.createDataFrame(ticks, LIVE_TRADE_SCHEMA)
+
+    tb = {
+        (r.symbol, r.window_start.date().isoformat()): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in tumbling_bars(batch).collect()
+    }
+    assert tb[("AAPL", "2024-01-02")] == (5.0, 5.0, 1.0, 1.0, 2)
+    assert tb[("AAPL", "2024-01-03")] == (3.0, 3.0, 3.0, 3.0, 1)
+    assert tb[("MSFT", "2024-01-02")] == (9.0, 9.0, 9.0, 9.0, 1)
+
+    sb = {
+        (r.symbol, r.session_start.isoformat()): r.n_ticks
+        for r in session_bars(batch).collect()
+    }
+    assert sb == {
+        ("AAPL", "2024-01-02T09:00:00"): 2,
+        ("AAPL", "2024-01-03T11:00:00"): 1,
+        ("MSFT", "2024-01-02T09:05:00"): 1,
+    }
+
+    # same operator on a stream
+    ticks_dir = tmp_path / "wticks"
+    ticks_dir.mkdir()
+    batch.coalesce(1).write.mode("append").parquet(str(ticks_dir))
+    stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
+    q = (
+        tumbling_bars(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_bars_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.symbol, r.window_start.date().isoformat()): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in spark.sql("SELECT * FROM tumbling_bars_stream").collect()
+    }
+    assert got == tb

@@ -70,15 +70,29 @@ def salted_join(
     small: DataFrame,
     key: str,
     n_salts: int = 16,
+    spread_duplicates: bool = False,
 ) -> DataFrame:
     """Salt-and-replicate inner join for a hot key against a side too
     large to broadcast outright but small enough to replicate
-    ``n_salts`` times: the big side gets a random salt, the small side
-    is exploded once per salt value, and the join key becomes
+    ``n_salts`` times: the big side gets a salt, the small side is
+    exploded once per salt value, and the join key becomes
     (key, salt) — the hot key's rows land on n_salts reducers instead
-    of one."""
+    of one.
+
+    The default salt hashes the full row: deterministic, so a task
+    retry replays identically (required by exactly-once sinks) — but
+    exact duplicate rows share one salt. For duplicate-heavy inputs
+    set ``spread_duplicates=True``: the salt mixes in a per-partition
+    monotonic id, spreading copies across reducers at the cost of a
+    partitioning-dependent (though still retry-safe: Spark replays a
+    partition's rows in order) salt assignment."""
+    salt_src = (
+        F.xxhash64(F.monotonically_increasing_id(), *big.columns)
+        if spread_duplicates
+        else F.xxhash64(*big.columns)
+    )
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+        "__salt", F.pmod(salt_src, F.lit(n_salts)).cast("int")
     )
     small_replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -66,7 +66,7 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Per-document hashed shingle set: (id, arr, n_sh) where ``arr`` is
-    the distinct xxhash64'd shingles sorted rarest-first (global
+    the distinct blake2b-8-hashed shingles sorted rarest-first (global
     (frequency, hash) order) and ``n_sh = size(arr)``.
 
     Hashing shingles to int64 before any join/shuffle cuts shuffle bytes
@@ -76,24 +76,61 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     "Scaling Up All Pairs Similarity Search"; PPJoin) requires: a fixed
     global order shared by every document.
     """
-    # Higher-order functions don't participate in whole-stage codegen
-    # (interpreted eval, one closure call per lambda application), so
-    # the shingle transform is the CPU hog of the whole pipeline. Two
-    # consequences: (1) a small parquet scan arrives in 1-3 partitions,
-    # which would serialize that work on as many cores — spread it to
-    # the full parallelism first (rows are tiny; the shuffle is free
-    # relative to the eval); (2) materialize the hashed arrays once
-    # (localCheckpoint) so the freq-join's two branches and every
-    # downstream consumer don't re-run the interpreted transform.
+    # Shingle building + hashing is the CPU hog of the whole pipeline,
+    # and the higher-order-function form runs interpreted (no codegen,
+    # one closure call per lambda application) — so it runs as an
+    # Arrow-batched Python kernel instead: tokenize, shingle, and hash
+    # each distinct shingle with blake2b-8. Only hash CONSISTENCY
+    # matters (the oracle computes Jaccard over string shingles; any
+    # collision-free 64-bit hash preserves the values), tokenization
+    # must match the oracle's regex exactly: RE2/Java '\s' is
+    # ASCII-only, hence re.ASCII. Two notes: (1) a small parquet scan
+    # arrives in 1-3 partitions, which would serialize the kernel on as
+    # many cores — spread to full parallelism first (rows are tiny);
+    # (2) materialize the hashed arrays once (localCheckpoint) so the
+    # freq-join's two branches and every downstream consumer don't
+    # re-run the kernel.
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    def hash_shingles(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids, arrs = [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                w = [t for t in ws.split(txt.strip()) if t]
+                if len(w) >= n:
+                    sh = (
+                        set(w)
+                        if n == 1
+                        else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+                    )
+                else:
+                    sh = set()
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                            "big",
+                            signed=True,
+                        )
+                        for s in sh
+                    ),
+                    dtype="int64",
+                    count=len(sh),
+                )
+                ids.append(doc_id)
+                arrs.append(hs)
+            yield pd.DataFrame({"id": ids, "hs": arrs})
+
     par = df.sparkSession.sparkContext.defaultParallelism
     docs = (
-        df.repartition(par)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-            ).alias("hs"),
-        )
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
+        .mapInPandas(hash_shingles, "id long, hs array<long>")
         .localCheckpoint()
     )
     sh = docs.select("id", F.explode("hs").alias("h"))

@@ -16,9 +16,11 @@ schema, and an order-insensitive value hash — so:
 - every LIMIT/top-k sits behind a totally-ordered sort (explicit
   tie-break columns) so the *set* of returned rows is deterministic.
 
-Queries without an ORACLE entry (Spark-hash-dependent: MinHash-LSH,
-SimHash, hyperplane-LSH ANN, Pandas-UDF media decode) get the driver's
-rows-only check.
+Queries without an ORACLE entry get the driver's rows-only check —
+exactly six, each inherently engine-hash- or sketch-dependent
+(MinHash-LSH, SimHash, hyperplane-LSH pairs and both ANN top-k
+variants, HLL approx stats); each is bounded against its exact
+counterpart by a recall/accuracy test instead.
 """
 
 from __future__ import annotations

@@ -353,6 +353,85 @@ def minhash_dedup(
     return _verified_jaccard(cand, arrs.select("id", "arr", "n_sh"), threshold)
 
 
+# ------------------------------------------- clusters / end-to-end dedup
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components of the near-duplicate pair graph by
+    iterative min-label propagation: every node starts labeled with its
+    own id; each round a node adopts the minimum label among itself and
+    its neighbors; fixpoint = component = minimum member id.
+
+    Rounds needed = graph diameter. Near-dup clusters are dense and
+    tiny (dozens of docs sharing variants), so diameter is single-digit
+    and ``max_iter`` is a safety bound, checked per-round with an
+    early-exit count of changed labels (one action per round — the
+    standard large-graph CC loop, same shape as GraphFrames'). Output:
+    (id, component).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+        ).localCheckpoint()  # truncate lineage: iterative joins otherwise
+        # re-execute the whole history each round
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """End-to-end fuzzy dedup (the LLM-corpus pipeline composition):
+    MinHash-LSH candidates → exact-Jaccard verification → connected
+    components → keep one deterministic survivor per component (its
+    minimum id). Rows in no near-dup pair survive untouched. Returns
+    the deduplicated ``df`` (original columns)."""
+    pairs = minhash_dedup(df, id_col, text_col, n, num_hashes, bands, threshold)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    # no broadcast hint: at corpus scale the loser set can be a large
+    # fraction of the table — AQE picks broadcast when it actually fits
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

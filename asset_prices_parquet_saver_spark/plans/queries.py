@@ -1742,6 +1742,19 @@ def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X2 end-to-end fuzzy dedup: MinHash-LSH pairs → exact-Jaccard
+# verify → connected components → min-id survivor per component.
+# Rows-only (components derive from Spark-hash-dependent LSH pairs);
+# Spark CC is verified against a union-find reference in
+# tests/test_dedup_text.py.
+@q("fuzzy_dedup_documents")
+def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.fuzzy_dedup(d, "doc_id", "text", threshold=0.5).select(
+        "doc_id", "n_chars"
+    )
+
+
 # =====================================================================
 # Gate ordering
 # =====================================================================
@@ -1830,6 +1843,7 @@ _GATE_ORDER = [
     "nation_market_share",
     "product_profit_by_nation",
     "value_dispersion_stats",
+    "fuzzy_dedup_documents",
 ]
 
 

@@ -116,3 +116,60 @@ def test_language_id_markers(spark):
     df = _docs(spark, ["the cat of a hat", "el gato de la casa", "der die das haus", "xyzzy plugh"])
     out = {r.doc_id: r.predicted_lang for r in text.predict_language(df, "doc_id", "text").collect()}
     assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Spark min-label-propagation CC vs a driver-side union-find over
+    the same verified near-dup pairs."""
+    from asset_prices_parquet_saver_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.3).localCheckpoint()
+    got = {
+        (r.id, r.component) for r in connected_components(pairs).collect()
+    }
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
+    assert edges, "fixture should contain near-dup pairs"
+
+
+def test_fuzzy_dedup_end_to_end(spark, sf_dir):
+    """fuzzy_dedup keeps exactly one (minimum-id) survivor per
+    component and leaves unpaired docs untouched."""
+    from asset_prices_parquet_saver_spark.operators.dedup import (
+        connected_components,
+        fuzzy_dedup,
+        minhash_dedup,
+    )
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = fuzzy_dedup(docs, "doc_id", "text", threshold=0.3)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+
+    pairs = minhash_dedup(docs, "doc_id", "text", threshold=0.3)
+    comp = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    losers = {i for i, c in comp if i != c}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - losers
+    assert losers, "fixture should contain duplicates to drop"

@@ -119,3 +119,57 @@ def test_frame_sample_fanout(spark, sf_dir):
     for mid, ts_list in per_media.items():
         assert ts_list == sorted(ts_list) or sorted(ts_list) == ts_list
         assert ts_list[0] == 0
+
+
+def test_ivf_trained_centroids_beat_naive_on_clustered_data(spark):
+    """VERDICT r1 #6: on clustered data, k-means-trained centroids must
+    not lose recall vs the old lowest-id quantizer at the same
+    num_cells/nprobe budget (lowest-id centroids all fall in whatever
+    cluster the first ids belong to, collapsing cell balance)."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators import similarity as sim
+    from asset_prices_parquet_saver_spark.operators.similarity import (
+        _train_centroids,
+        to_double_array,
+    )
+
+    rng = np.random.default_rng(7)
+    # 8 tight clusters; ids assigned so the lowest ids share ONE cluster
+    centers = rng.standard_normal((8, 16)) * 5
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(40):
+            rows.append((vid, (c + rng.standard_normal(16) * 0.05).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 40 == 3)  # one probe per cluster
+
+    exact = {
+        (r.query_id, r.vec_id) for r in sim.cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(centroid_fn):
+        import asset_prices_parquet_saver_spark.operators.similarity as s
+
+        orig = s._train_centroids
+        s._train_centroids = centroid_fn
+        try:
+            approx = {
+                (r.query_id, r.vec_id)
+                for r in sim.ann_ivf_topk(emb, q, k=5, num_cells=8, nprobe=1).collect()
+            }
+        finally:
+            s._train_centroids = orig
+        return len(approx & exact) / len(exact)
+
+    def naive_lowest_id(e, num_cells, **kw):
+        rows_ = e.orderBy("vec_id").limit(num_cells).collect()
+        C = np.array([r.v for r in rows_])
+        return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    r_naive = recall(naive_lowest_id)
+    r_trained = recall(_train_centroids)
+    assert r_trained >= r_naive
+    assert r_trained >= 0.9, (r_trained, r_naive)

@@ -296,11 +296,46 @@ def minhash_signatures(
 
 
 def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform("arr", lambda h: F.xxhash64(h, i))),
+    """sig[i] = min over shingle hashes h of mix64(h ^ seed_i) — the
+    standard one-permutation-per-seed MinHash family, computed as one
+    vectorized numpy pass per Arrow batch (the higher-order-function
+    form evaluates num_hashes·|arr| interpreted closure calls per doc).
+    mix64 is splitmix64's finalizer: a bijective 64-bit mixer, so each
+    seed induces an independent pseudo-permutation of shingle space.
+    Docs with no shingles get an all-NULL signature (matching the
+    array_min-of-empty semantics of the HOF form)."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = np.arange(1, num_hashes + 1, dtype="uint64") * np.uint64(
+        0x9E3779B97F4A7C15
     )
-    return arrs.select("id", "arr", "n_sh", sig.alias("sig"))
+
+    def mix64(x):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def gen(batches):
+        empty_sig = [None] * num_hashes
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs = []
+            for arr in pdf["arr"]:
+                if not len(arr):
+                    sigs.append(empty_sig)
+                    continue
+                h = np.asarray(arr, dtype="int64").astype("uint64")
+                m = mix64(h[:, None] ^ seeds[None, :]).min(axis=0)
+                sigs.append(m.astype("int64").tolist())
+            out = pdf[["id", "arr", "n_sh"]].copy()
+            out["sig"] = sigs
+            yield out
+
+    return arrs.select("id", "arr", "n_sh").mapInPandas(
+        gen, "id long, arr array<long>, n_sh int, sig array<long>"
+    )
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:

@@ -218,11 +218,26 @@ def jaccard_pairs(
     index_len = (
         F.col("n_sh") - F.ceil(F.round(F.lit(t2) * F.col("n_sh"), 9)) + 1
     ).cast("int")
-    probe = arrs.select(
-        "id", "n_sh", F.posexplode(F.slice("arr", F.lit(1), probe_len)).alias("pos", "h")
+    # Length-bucketed join key: a qualifying partner s of l satisfies
+    # t·nl ≤ ns ≤ nl, so b(s) = ⌊log2 ns⌋ lies in [⌊log2⌈t·nl⌉⌋,
+    # ⌊log2 nl⌋]. The probe side emits one row per bucket in that range
+    # (≤2 for t ≥ 0.5), the index side its own bucket — size-
+    # incompatible pairs never get GENERATED by the join (~35% of the
+    # raw fan-out on this corpus), instead of being filtered after.
+    b0 = F.floor(F.log2("n_sh"))
+    b_low = F.floor(
+        F.log2(F.greatest(F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9)), F.lit(1)))
     )
+    probe = arrs.select(
+        "id",
+        "n_sh",
+        F.posexplode(F.slice("arr", F.lit(1), probe_len)).alias("pos", "h"),
+    ).withColumn("bucket", F.explode(F.sequence(b_low, b0)))
     index = arrs.select(
-        "id", "n_sh", F.posexplode(F.slice("arr", F.lit(1), index_len)).alias("pos", "h")
+        "id",
+        "n_sh",
+        b0.alias("bucket"),
+        F.posexplode(F.slice("arr", F.lit(1), index_len)).alias("pos", "h"),
     )
     # Positional filter (PPJoin Lemma 2): for a qualifying pair the
     # min observed positions are those of the globally-first shared
@@ -250,7 +265,7 @@ def jaccard_pairs(
     )
     cand = (
         probe.alias("l")
-        .join(index.alias("s"), "h")
+        .join(index.alias("s"), ["h", "bucket"])
         .filter(
             (
                 (F.col("s.n_sh") < F.col("l.n_sh"))

@@ -105,6 +105,67 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: payload → decoded → resized → re-encoded
+    payload, as an Arrow-batched ``mapInPandas`` (the batch shape a real
+    PIL/cv2 resize would use; the codec itself is the deterministic
+    fake: output payload = sha256-keyed bytes of length width·height·3,
+    standing in for an RGB buffer). Non-image rows pass through
+    untouched. Output schema matches the input media table, with meta
+    width/height set to the target size for resized rows."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = width * height * 3
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                seed = hashlib.sha256(payload or b"").digest()
+                # deterministic fake RGB buffer: repeat the digest
+                payloads.append((seed * (n_bytes // len(seed) + 1))[:n_bytes])
+                new_meta = dict(meta) if meta is not None else {}
+                new_meta.update({"width": width, "height": height})
+                metas.append(new_meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(do_resize, media.schema)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Fake media featurizer: payload → dense unit vector (the CLIP-
+    style encode step of a multimodal training pipeline), Arrow-batched.
+    Deterministic: features derive from the payload digest, so the
+    operator composes with the similarity/ANN stack reproducibly
+    (media features → operators.similarity.ann_lsh_topk). Output:
+    (media_id, kind, feature array<double>)."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                d = hashlib.sha256(payload or b"").digest()
+                need = dim * 8
+                buf = (d * (need // len(d) + 1))[:need]
+                v = np.frombuffer(buf, dtype=">u8").astype("float64")
+                v = v / np.iinfo("uint64").max - 0.5
+                n = np.linalg.norm(v)
+                feats.append((v / n if n > 0 else v).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        featurize, "media_id long, kind string, feature array<double>"
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (duration from the fake decode; a real decoder would yield

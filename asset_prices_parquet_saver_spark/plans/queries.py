@@ -1755,6 +1755,18 @@ def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X5 media featurization: payload → unit vector (the encode step
+# of a multimodal training pipeline; deterministic fake codec, real
+# Arrow plumbing). Rows-only: the digest→float pipeline has no
+# tractable SQL mirror; determinism + composition with the ANN stack
+# are asserted in tests/test_similarity_multimodal.py.
+@q("media_features")
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = mm_ops.build_media_table(d)
+    return mm_ops.extract_features(media, dim=16)
+
+
 # =====================================================================
 # Gate ordering
 # =====================================================================
@@ -1844,6 +1856,7 @@ _GATE_ORDER = [
     "product_profit_by_nation",
     "value_dispersion_stats",
     "fuzzy_dedup_documents",
+    "media_features",
 ]
 
 

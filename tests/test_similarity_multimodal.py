@@ -173,3 +173,37 @@ def test_ivf_trained_centroids_beat_naive_on_clustered_data(spark):
     r_trained = recall(_train_centroids)
     assert r_trained >= r_naive
     assert r_trained >= 0.9, (r_trained, r_naive)
+
+
+def test_resize_and_feature_extract_plumbing(spark, sf_dir):
+    """resize_image / extract_features: deterministic fake codec, real
+    Arrow plumbing; features compose with the ANN stack."""
+    docs = read_table(spark, sf_dir, "documents").limit(30)
+    media = mm.build_media_table(docs)
+
+    resized = mm.resize_image(media, 32, 24)
+    assert resized.schema == media.schema
+    rows = {r.media_id: r for r in resized.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    for mid, r in rows.items():
+        if r.kind == "image":
+            assert len(r.payload) == 32 * 24 * 3
+            assert (r.meta.width, r.meta.height) == (32, 24)
+        else:  # non-images pass through untouched
+            assert bytes(r.payload) == bytes(orig[mid].payload)
+
+    feats = mm.extract_features(media, dim=8)
+    import math
+
+    got = {r.media_id: r.feature for r in feats.collect()}
+    assert len(got) == 30 and all(len(v) == 8 for v in got.values())
+    for v in got.values():  # unit-norm
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    # determinism: same payloads -> same features on re-run
+    again = {r.media_id: r.feature for r in mm.extract_features(media, dim=8).collect()}
+    assert got == again
+
+    # composes with the similarity stack
+    emb = feats.selectExpr("media_id as vec_id", "feature as embedding")
+    topk = sim.cosine_topk(emb, emb.limit(3), k=2).collect()
+    assert {r.query_id for r in topk} <= set(got) and len(topk) == 6

@@ -42,16 +42,19 @@ HEADLINE = [
     "daily_rollup",
     "source_diff",
     "dedup_exact_documents",
+    "fuzzy_dedup_documents",
     "jaccard_near_dup_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "text_quality_stats",
+    "language_id",
     "document_fingerprints",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_decode_meta",
     "media_frame_sample",
+    "media_features",
     "parse_error_message",
     "value_dispersion_stats",
     "string_functions",
@@ -69,6 +72,8 @@ HEADLINE = [
     "nation_trade_volume",
     "zscore_per_segment",
     "weighted_avg_price",
+    "stratified_event_sample",
+    "category_universe",
 ]
 
 

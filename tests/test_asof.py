@@ -75,3 +75,49 @@ def test_asof_plan_single_shuffle_no_cartesian(frames):
     assert "BroadcastNestedLoopJoin" not in plan
     # union + one window: exactly one exchange hash-partitioned on the key
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check vs an independent reference: pandas merge_asof
+    (direction='backward', allow_exact_matches=True) on randomized
+    per-key event sets, including duplicate left timestamps and keys
+    with zero bars."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = datetime.datetime(2024, 1, 1)
+    left_rows, right_rows = [], []
+    pid = 0
+    for k in "abcdef":
+        for _ in range(rng.integers(5, 30)):
+            left_rows.append(
+                Row(k=k, probe_id=pid, ts=base + datetime.timedelta(minutes=int(rng.integers(0, 5000))))
+            )
+            pid += 1
+        if k != "f":  # key 'f' has no right rows at all
+            for m in sorted(rng.choice(5000, size=rng.integers(1, 10), replace=False).tolist()):
+                right_rows.append(
+                    Row(k=k, bar_ts=base + datetime.timedelta(minutes=int(m)), px=float(m))
+                )
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(right_rows)
+    got = {
+        r.probe_id: (r.asof_ts, r.px)
+        for r in asof_join(left, right, ["k"], "ts", "bar_ts", ["px"]).collect()
+    }
+
+    lp = pd.DataFrame([r.asDict() for r in left_rows]).sort_values("ts")
+    rp = pd.DataFrame([r.asDict() for r in right_rows]).sort_values("bar_ts")
+    ref = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="bar_ts", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        int(row.probe_id): (
+            None if pd.isna(row.bar_ts) else row.bar_ts.to_pydatetime(),
+            None if pd.isna(row.px) else float(row.px),
+        )
+        for row in ref.itertuples()
+    }
+    assert got == want

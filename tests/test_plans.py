@@ -97,3 +97,37 @@ def test_jaccard_shingle_arrays_hash_before_shuffle(spark, sf_dir):
     assert "LogicalRDD" in opt
     assert "xxhash64" not in opt, "hashing must happen before the checkpoint"
     assert "string" not in opt.lower(), "no raw shingle strings past the checkpoint"
+
+def test_media_meta_prunes_payload_column(spark, sf_dir):
+    """Non-decode media queries must never read payload bytes: the scan's
+    ReadSchema should carry only the projected document columns."""
+    df = QUERIES["media_frame_sample"](spark, sf_dir)
+    plan = _plan(df)
+    read_schema = [seg.split(">")[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert read_schema, "expected a parquet scan"
+
+
+def test_similarity_queries_broadcast_query_side(spark, sf_dir):
+    """ANN candidate joins broadcast the (tiny) probe side — the corpus
+    must shuffle at most on its bucket/cell key, never be broadcast."""
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_cosine_topk_never_shuffles_vectors_wide(spark, sf_dir):
+    """Exact top-k: one shuffle groups the corpus into blocks; the rank
+    window then shuffles only (query_id, vec_id, cosine) rows."""
+    plan = _plan(QUERIES["cosine_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # rank window input is the narrow scored schema, not vectors
+    after_window = plan.split("Window")[0]
+    assert "raw_cosine" not in after_window or "array" not in after_window
+
+
+def test_stratified_sample_is_a_pure_filter(spark, sf_dir):
+    """The md5 sampler must stay a scan+filter — no shuffle, no UDF."""
+    plan = _plan(QUERIES["stratified_event_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -15,12 +15,16 @@ from pyspark.sql import functions as F
 
 from asset_prices_parquet_saver_spark.schema import TESTDATA_TABLES
 
-#: Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-#: reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read them as
-#: raw int64 nanos (legacy conf) and truncate to microsecond timestamps
-#: — exactly what DuckDB's ns→µs coercion yields, keeping the oracle
-#: comparison exact.
-_NANO_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+#: Event-time columns that must surface as session-tz TIMESTAMP no matter
+#: how the generator wrote them. Seen so far across driver testdata
+#: generations: parquet TIMESTAMP(NANOS) (Spark's vectorized reader
+#: rejects it → read as raw int64 nanos via the legacy conf and truncate
+#: to µs, matching DuckDB's ns→µs coercion) and plain timestamp[us]
+#: without UTC metadata (Spark 4 infers TIMESTAMP_NTZ → cast to
+#: TIMESTAMP, a wall-clock identity under the pinned UTC session tz).
+#: The adaptation is schema-driven, not config-driven, so a future
+#: regeneration can't break every events query again.
+_EVENT_TIME_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -28,12 +32,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a vanilla session; timestamp↔date semantics
     # must match DuckDB's naive-UTC reading for the oracle comparison.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    nano_cols = _NANO_TS_COLUMNS.get(name, [])
-    if nano_cols:
+    ts_cols = _EVENT_TIME_COLUMNS.get(name, [])
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ts_cols:
+        dtype = df.schema[c].dataType.simpleString()
+        if dtype == "bigint":  # TIMESTAMP(NANOS) read as raw int64
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype != "timestamp":  # timestamp_ntz (or string, defensively)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

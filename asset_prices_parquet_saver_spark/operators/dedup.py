@@ -353,6 +353,60 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _portable_signature_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(id, arr, n_sh, sig) with the engine-portable md5-60 hash family
+    (see ``functions.portable_hash``): arr = h60(shingle) per distinct
+    shingle, sig[i] = min over shingles of h60(f"{i}:{shingle}") —
+    seeding by domain-separating prefix, no integer mixing, so any
+    md5-capable engine (the DuckDB oracle included) reproduces the
+    signatures, the band buckets, and hence the exact candidate set
+    bit-for-bit. Same Arrow-batched kernel shape as
+    :func:`_signatures_from_arrays`; ~num_hashes md5 calls per shingle
+    instead of one vectorized mix — the price of portability, paid only
+    by the gate-checked variant."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    def kernel(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids, arrs, sigs = [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                w = [t for t in ws.split(txt.strip()) if t]
+                if len(w) >= n:
+                    sh = (
+                        set(w)
+                        if n == 1
+                        else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+                    )
+                else:
+                    sh = set()
+                h60 = lambda s: int(  # noqa: E731
+                    hashlib.md5(s.encode()).hexdigest()[:15], 16
+                )
+                ids.append(doc_id)
+                arrs.append([h60(s) for s in sh])
+                sigs.append(
+                    [
+                        min((h60(f"{i}:{s}") for s in sh), default=None)
+                        for i in range(num_hashes)
+                    ]
+                )
+            yield pd.DataFrame({"id": ids, "arr": arrs, "sig": sigs})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
+        .mapInPandas(kernel, "id long, arr array<long>, sig array<long>")
+        .withColumn("n_sh", F.size("arr"))
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates.
 
@@ -390,15 +444,28 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """X2 scale path end-to-end: LSH candidates, then exact Jaccard
     verification *only on candidates* (array_intersect — no row
     explosion). The shingle arrays are built once and shared by the
-    signature and verification stages. Returns (id_a, id_b, jaccard)."""
+    signature and verification stages. Returns (id_a, id_b, jaccard).
+
+    ``hash_family``: ``"xxhash64"`` (default — vectorized splitmix64
+    mixing, fastest) or ``"md5"`` (engine-portable; the signatures and
+    hence the candidate set are reproducible in the SQL oracle, so the
+    gate query hash-checks the full pipeline instead of row counts).
+    The banding/candidate join and the verification are the same code
+    either way — only the signature kernel differs."""
     rows_per_band = num_hashes // bands
-    arrs = _signatures_from_arrays(
-        shingle_arrays(df, id_col, text_col, n), num_hashes
-    ).localCheckpoint()  # eager materialization — see jaccard_pairs
+    if hash_family == "md5":
+        arrs = _portable_signature_arrays(
+            df, id_col, text_col, n, num_hashes
+        ).localCheckpoint()
+    else:
+        arrs = _signatures_from_arrays(
+            shingle_arrays(df, id_col, text_col, n), num_hashes
+        ).localCheckpoint()  # eager materialization — see jaccard_pairs
     cand = lsh_candidate_pairs(arrs.select("id", "sig"), bands, rows_per_band)
     return _verified_jaccard(cand, arrs.select("id", "arr", "n_sh"), threshold)
 
@@ -484,21 +551,35 @@ def fuzzy_dedup(
 
 # --------------------------------------------------------------- SimHash
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """X2: 64-bit SimHash fingerprint per document.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """X2: SimHash fingerprint per document (``bits`` wide).
 
     token hash → per-bit ±1 votes → sign → fingerprint, entirely with
     built-in functions: explode (token × bit) rows, two aggregations
     (bit votes, then bit_or of set bits). Heavier than a Pandas UDF per
     row but fully JVM-side and shuffle-partitioned; near-dup = pairs
-    with small Hamming distance (see :func:`simhash_near_pairs`)."""
+    with small Hamming distance (see :func:`simhash_near_pairs`).
+
+    ``token_hash`` (Column → Column) picks the hash family: default
+    ``F.xxhash64`` (fastest, JVM-only). Pass
+    :func:`...functions.portable_hash.md5_int60` with ``bits=60`` for a
+    fingerprint any md5-capable engine reproduces bit-for-bit — the
+    oracle-checked gate variant."""
+    if token_hash is None:
+        token_hash = F.xxhash64
     # spread the token×bit fan-out across all cores — a small parquet
     # scan otherwise pins the whole explode on 1-3 partitions
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
         df.repartition(par)
         .select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("tok"))
-        .withColumn("th", F.xxhash64("tok"))
+        .withColumn("th", token_hash(F.col("tok")))
     )
     votes = (
         toks.select(

@@ -417,6 +417,20 @@ def _train_centroids(
 _LSH_SEED = 0x5EED_CAFE
 
 
+def lsh_planes(num_planes: int, num_tables: int, dim: int):
+    """The fixed-seed hyperplane tensor (num_tables, num_planes, dim)
+    every worker derives identically inside :func:`_with_buckets`.
+
+    Exposed so the correctness oracle can inline the SAME constants into
+    SQL: the planes are data-independent, so a DuckDB mirror computing
+    ``sign(v · plane)`` over inlined float64 literals reproduces the
+    bucket ids — and with them the LSH candidate sets — exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((num_tables, num_planes, dim))
+
+
 def _with_buckets(
     df: DataFrame, id_name: str, vec: str, num_planes: int, num_tables: int
 ) -> DataFrame:
@@ -440,8 +454,7 @@ def _with_buckets(
                 continue
             V = np.array(list(pdf[vec]))
             if planes is None:
-                rng = np.random.default_rng(_LSH_SEED)
-                planes = rng.standard_normal((num_tables, num_planes, V.shape[1]))
+                planes = lsh_planes(num_planes, num_tables, V.shape[1])
             out = []
             for t in range(num_tables):
                 bits = (V @ planes[t].T) > 0

@@ -16,11 +16,17 @@ schema, and an order-insensitive value hash — so:
 - every LIMIT/top-k sits behind a totally-ordered sort (explicit
   tie-break columns) so the *set* of returned rows is deterministic.
 
-Queries without an ORACLE entry get the driver's rows-only check —
-exactly six, each inherently engine-hash- or sketch-dependent
-(MinHash-LSH, SimHash, hyperplane-LSH pairs and both ANN top-k
-variants, HLL approx stats); each is bounded against its exact
-counterpart by a recall/accuracy test instead.
+Queries without an ORACLE entry get the driver's rows-only check.
+The MinHash-LSH / SimHash queries run the engine-portable md5-60 hash
+family (functions/portable_hash.py) and the hyperplane-LSH queries
+replay their fixed-seed planes from constants inlined in the SQL, so
+all four are fully hash-checked despite being sketch-based. What
+remains rows-only is genuinely oracle-proof: ann_ivf_topk (k-means
+centroids are data-dependent — not expressible as a static SQL
+string), approx_user_stats (HLL sketch internals), fuzzy_dedup and
+media_features (compositions whose inner stages are already
+hash-checked individually); each is bounded by a recall/accuracy test
+instead.
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.functions import portable_hash as ph
 from asset_prices_parquet_saver_spark.functions.numeric import davg, dec, dsum
 from asset_prices_parquet_saver_spark.operators import (
     asof as asof_ops,
@@ -1434,20 +1441,89 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5)
 
 
-# --- X2 scale path: MinHash-LSH (Spark xxhash64-based → rows-only check).
-@q("minhash_lsh_pairs")
+# --- X2 scale path: MinHash-LSH, run with the engine-portable md5-60
+# hash family (functions/portable_hash.py) so the oracle reproduces the
+# signatures, the band buckets, the candidate set, and the verified
+# jaccard values bit-for-bit — a full hash check of the LSH pipeline,
+# not a rows-only count. The xxhash64 family stays the scale default.
+@q(
+    "minhash_lsh_pairs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] AS shingle
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), seeded AS (
+      SELECT sh.id, b.i,
+             substr(md5(CAST(b.i AS VARCHAR) || ':' || sh.shingle), 1, 15) AS hx
+      FROM sh, (SELECT unnest(range(32)) AS i) b
+    ), sigrow AS (
+      SELECT id, i, MIN({{HEX15}}) AS m
+      FROM seeded GROUP BY id, i
+    ), sig AS (
+      SELECT id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY id
+    ), bands AS (
+      SELECT id, b.band,
+             array_to_string(list_transform(
+               list_slice(sig, CAST(b.band*4+1 AS INT), CAST(b.band*4+4 AS INT)),
+               x -> CAST(x AS VARCHAR)), '|') AS bkey
+      FROM sig, (SELECT unnest(range(8)) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id
+    ), inter AS (
+      SELECT cand.id_a, cand.id_b, COUNT(*) AS inter
+      FROM cand
+      JOIN sh x ON x.id = cand.id_a
+      JOIN sh y ON y.id = cand.id_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           i.inter / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+    FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+    WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.5
+    """.replace("{HEX15}", ph.sql_hex15_int("hx")),
+)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_dedup(
-        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.5
+        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.5,
+        hash_family="md5",
     )
 
 
-# --- X2: SimHash fingerprints (Spark xxhash64-based → rows-only check).
-@q("simhash_fingerprints")
+# --- X2: SimHash fingerprints with the portable md5-60 token hash —
+# bit-for-bit reproducible in the oracle (strpos+shift hex decode).
+@q(
+    "simhash_fingerprints",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+      FROM documents
+    ), hx AS (
+      SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM toks
+    ), th AS (
+      SELECT doc_id, {{HEX15}} AS th FROM hx
+    ), votes AS (
+      SELECT doc_id, b.bit, SUM(((th >> CAST(b.bit AS INT)) & 1) * 2 - 1) AS v
+      FROM th, (SELECT unnest(range(60)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id AS id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """.replace("{HEX15}", ph.sql_hex15_int("hx")),
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash(d, "doc_id", "text")
+    return dedup_ops.simhash(d, "doc_id", "text", bits=60, token_hash=ph.md5_int60)
 
 
 # --- X4 text quality stats.
@@ -1581,9 +1657,62 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_pairs(e, threshold=0.4)
 
 
-# --- X3 scale path: LSH-bucketed ANN (hyperplanes from Spark xxhash64 →
-# rows-only check; recall measured in tests against cosine_topk).
-@q("ann_lsh_topk")
+# The LSH hyperplanes are fixed-seed and data-independent
+# (operators/similarity.py:lsh_planes), so the oracle inlines the SAME
+# float64 constants as literals and re-derives every bucket id with
+# sign(list_dot_product) — candidate sets match the Spark side exactly
+# and the approximate queries become fully hash-checked. dim=64 is the
+# testdata embeddings contract (TESTDATA.md).
+_EMB_DIM = 64
+
+
+def _lsh_bucket_union_sql(num_planes: int, num_tables: int) -> str:
+    """UNION ALL of per-table bucket assignments over CTE ``e`` —
+    one SELECT per table, planes inlined as shortest-round-trip float64
+    literals (exact binary64 both when Python reprs and DuckDB parses)."""
+    planes = sim_ops.lsh_planes(num_planes, num_tables, _EMB_DIM)
+    sels = []
+    for t in range(num_tables):
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in planes[t][p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+        sels.append(f"SELECT vec_id, v, {t} AS tbl, {terms} AS bucket FROM e")
+    return "\nUNION ALL\n".join(sels)
+
+
+# --- X3 scale path: LSH-bucketed ANN. Approximate, but deterministic —
+# the oracle replays the hyperplane bucketing from inlined constants.
+@q(
+    "ann_lsh_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bk AS (
+      {BUCKETS}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                         AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    ), scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """.replace("{BUCKETS}", _lsh_bucket_union_sql(num_planes=8, num_tables=4)),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
@@ -1593,10 +1722,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X2/X3 scale path: embedding near-dup pairs via LSH bucketing
-# (numpy-seeded hyperplanes → rows-only check; recall vs the exact
-# pairs measured in tests).
-@q("embedding_near_pairs_lsh")
+# --- X2/X3 scale path: embedding near-dup pairs via LSH bucketing —
+# hash-checked the same way (buckets replayed from inlined planes).
+@q(
+    "embedding_near_pairs_lsh",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bk AS (
+      {BUCKETS}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT cand.id_a, cand.id_b,
+             round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.id_a
+      JOIN e eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+    """.replace("{BUCKETS}", _lsh_bucket_union_sql(num_planes=6, num_tables=8)),
+)
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs_lsh(e, threshold=0.45, num_planes=6, num_tables=8)

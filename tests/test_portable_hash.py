@@ -1,0 +1,62 @@
+"""The portable md5-60 hash family must agree across its three
+renderings (Spark JVM, Python kernel, DuckDB SQL) — that agreement is
+what upgrades the MinHash/SimHash gate queries from rows-only to fully
+hash-checked."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.functions import portable_hash as ph
+
+SAMPLES = ["hello", "the quick brown fox", "0:a b", "ümlaut text", "", "7:x y"]
+
+
+def test_python_vs_duckdb():
+    con = duckdb.connect()
+    for s in SAMPLES:
+        got = con.execute(
+            f"SELECT {ph.sql_md5_int60('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got == ph.py_md5_int60(s), s
+
+
+def test_python_vs_spark(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    rows = df.select("s", ph.md5_int60("s").alias("h")).collect()
+    assert len(rows) == len(SAMPLES)
+    for r in rows:
+        assert r["h"] == ph.py_md5_int60(r["s"]), r["s"]
+        assert 0 <= r["h"] < 1 << 60
+
+
+def test_portable_minhash_candidates_match_oracle_banding(spark):
+    """The portable signature kernel must produce, for a tiny corpus,
+    identical band keys to a direct Python re-derivation (the same
+    computation the SQL oracle spells relationally)."""
+    from asset_prices_parquet_saver_spark.operators import dedup
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),  # exact dup of 1 → all bands collide
+        (3, "a b c d e g"),  # near dup
+        (4, "x y z w v u"),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    arrs = {
+        r["id"]: r["sig"]
+        for r in dedup._portable_signature_arrays(df, "doc_id", "text", 2, 32).collect()
+    }
+    for doc_id, text in docs:
+        w = text.split()
+        sh = {" ".join(w[j : j + 2]) for j in range(len(w) - 1)}
+        expect = [min(ph.py_md5_int60(f"{i}:{s}") for s in sh) for i in range(32)]
+        assert arrs[doc_id] == expect, doc_id
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup(
+            df, "doc_id", "text", hash_family="md5"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)

@@ -1,0 +1,92 @@
+"""Distributed global ordering (SURVEY §2.5 window family, scale path).
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` funnels the whole
+table through ONE task (Spark even warns: "No Partition Defined for
+Window operation") — fine at sf0.1, fatal at 100 TB. Global row
+numbering doesn't need that: a range partitioner already gives a total
+order ACROSS partitions, so a global row number is just
+
+    local row_number within the sorted range partition
+    + the number of rows in all preceding partitions.
+
+The per-partition counts are one tiny aggregation (≤ #partitions rows);
+their running sum is the only unpartitioned window left and it runs
+over that constant-size frame, not the data. Every big-data step stays
+fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global row number under ``order``.
+
+    ``order`` must be a total order (include a unique tie-break column):
+    range partitioning guarantees every key in partition *i* sorts
+    before every key in partition *i+1*, so with unique keys the
+    concatenation of sorted partitions IS the global sort; equal keys
+    straddling a boundary would get an arbitrary relative numbering.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(num_partitions, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("__pid").orderBy(*order)
+    d = d.withColumn("__lrn", F.row_number().over(local).cast("long"))
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # running sum over ≤ num_partitions rows — constant-size frame, the
+    # one place a global window is safe by construction
+    prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(prev), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
+        .drop("__pid", "__lrn")
+    )
+
+
+def ntile_expr(rn: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) from a global row number: the first ``total % n``
+    buckets take ``ceil(total/n)`` rows, the rest ``floor(total/n)`` —
+    a pure expression, no windowing. (Double-precision division keeps
+    this exact to 2^53 rows — absurd headroom for a bucket count.)"""
+    big = F.floor(total / n) + 1  # ceil size; only used when total % n != 0
+    small = F.floor(total / n)
+    r = total % n  # buckets that get the big size
+    cut = r * big  # rows covered by the big buckets
+    return (
+        F.when(rn <= cut, F.ceil(rn / big))
+        .otherwise(r + F.ceil((rn - cut) / small))
+        .cast("long")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order: list[Column],
+    n: int,
+    band_col: str = "band",
+) -> DataFrame:
+    """NTILE(n) over a global order without a single-partition window:
+    global row number (distributed, see above) + the closed-form bucket
+    expression + one broadcast of the total count."""
+    numbered = with_global_row_number(df, order, rn_col="__rn")
+    total = numbered.agg(F.count("*").alias("__total"))
+    return (
+        numbered.crossJoin(F.broadcast(total))
+        .withColumn(band_col, ntile_expr(F.col("__rn"), F.col("__total"), n))
+        .drop("__rn", "__total")
+    )

@@ -43,6 +43,7 @@ from asset_prices_parquet_saver_spark.operators import (
     compare as compare_ops,
     dedup as dedup_ops,
     details as details_ops,
+    globalorder as globalorder_ops,
     merge as merge_ops,
     multimodal as mm_ops,
     sampling as sampling_ops,
@@ -943,16 +944,20 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT F.ntile over Window.orderBy: that funnels the table through a
+    # single-partition WindowExec. global_ntile range-partitions, numbers
+    # rows with per-partition offsets, and derives the band closed-form —
+    # every full-data step stays parallel (operators/globalorder.py).
     o = read_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (
-        o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("band"))
-        .groupBy("band")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_totalprice").alias("band_min"),
-            F.max("o_totalprice").alias("band_max"),
-        )
+    banded = globalorder_ops.global_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        n=4,
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("band_min"),
+        F.max("o_totalprice").alias("band_max"),
     )
 
 

@@ -1,0 +1,64 @@
+"""Distributed global ordering must agree with the single-partition
+window functions it replaces, while keeping the full-data path free of
+unpartitioned WindowExec nodes."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import globalorder
+
+
+@pytest.fixture()
+def df(spark):
+    # duplicate values, unique tie-break id, odd count (uneven buckets)
+    rows = [(i, (i * 7919) % 13) for i in range(1003)]
+    return spark.createDataFrame(rows, "id long, v long").repartition(7)
+
+
+def test_global_row_number_matches_window(df):
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rn"]
+        for r in globalorder.with_global_row_number(df, order).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [2, 4, 5, 32])
+def test_global_ntile_matches_window(df, n):
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["band"] for r in globalorder.global_ntile(df, order, n).collect()
+    }
+    want = {
+        r["id"]: r["band"]
+        for r in df.withColumn(
+            "band", F.ntile(n).over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_no_unpartitioned_window_on_data(df):
+    """The row-numbering window over the data must be keyed by the
+    partition id; the only partition-less window allowed is the offsets
+    running sum, whose input is the per-partition count aggregate."""
+    order = [F.col("v").asc(), F.col("id").asc()]
+    plan = (
+        globalorder.with_global_row_number(df, order)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln.strip()]
+    assert window_lines, plan
+    for ln in window_lines:
+        if "row_number" in ln:
+            assert "__pid" in ln.split("windowspecdefinition")[1], ln

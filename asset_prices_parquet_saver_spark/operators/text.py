@@ -118,3 +118,49 @@ def fingerprint64(text: Column, mod: int = 1_000_000_007) -> Column:
 
 def document_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """X4: per-document top-k terms by TF-IDF over the whole corpus
+    (keyword extraction — the corpus-statistics op of a training-data
+    pipeline). Returns (id, term, tfidf, rank).
+
+    tf = term_count / doc_len;  idf = ln((N+1)/(df+1)) + 1  (smoothed,
+    sklearn-style).  The score is rounded to 6 decimals BEFORE ranking
+    and tie-broken by term, so the result set is deterministic across
+    engines (same discipline as the cosine queries).
+
+    Scale shape: two shuffles keyed on (id) and (term) — both map-side
+    combinable aggregations; the document-frequency side is a
+    term-keyed aggregate joined back on term (AQE broadcasts it when
+    small); the corpus size N is a 1-row broadcast. Top-k ranking
+    windows per document, never globally.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("n"))
+    doclen = tf.groupBy("id").agg(F.sum("n").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = doclen.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doclen, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("n") / F.col("dl"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
+    )

@@ -1611,6 +1611,42 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.document_fingerprints(d, "doc_id", "text")
 
 
+# --- X4 corpus statistics: per-doc top-k terms by TF-IDF (keyword
+# extraction). Score rounded to 6 decimals before ranking, term
+# tie-break — deterministic result set (cosine-query discipline).
+@q(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS n FROM toks GROUP BY id, term
+    ), dl AS (
+      SELECT id, SUM(n) AS dl FROM tf GROUP BY id
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM dl
+    ), scored AS (
+      SELECT tf.id, tf.term,
+             round((tf.n / dl.dl)
+                   * (ln((nd.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+      FROM tf JOIN dl ON tf.id = dl.id JOIN dfreq ON tf.term = dfreq.term, nd
+    )
+    SELECT id, term, tfidf, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY tfidf DESC, term) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
 # --- X3 brute-force cosine top-k (correctness baseline for ANN).
 @q(
     "cosine_topk",
@@ -1942,6 +1978,7 @@ _GATE_ORDER = [
     "text_quality_stats",
     "language_id",
     "document_fingerprints",
+    "tfidf_top_terms",
     "dedup_exact_documents",
     "dedup_exact_first_events",
     "media_payload_meta",
@@ -1986,7 +2023,6 @@ _GATE_ORDER = [
     "string_functions",
     "ntile_price_bands",
     "argmax_per_nation",
-    "approx_user_stats",
     "zscore_per_segment",
     "weighted_avg_price",
     "stratified_event_sample",
@@ -1994,6 +2030,9 @@ _GATE_ORDER = [
     # ---- gate-window boundary (position 50) ----
     # Demoted: operator coverage duplicated by in-window queries; all
     # were driver-green in CORRECTNESS_r01 and stay locally gated.
+    # approx_user_stats is rows-only by nature (HLL sketch) — swapped
+    # out for the hash-checked tfidf_top_terms in round 3.
+    "approx_user_stats",
     "nation_trade_volume",
     "except_nations",
     "intersect_nations",

@@ -169,12 +169,109 @@ def _verified_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> Dat
     )
 
 
+def _dense_jaccard(
+    arrs: DataFrame, threshold: float, num_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs Jaccard for SMALL shingle vocabularies: densify
+    each document's shingle set into a |vocab|-wide 0/1 vector and get
+    every pairwise intersection from one float32 matmul per block pair
+    (the :func:`cosine_pairs` block plan, integer-exact here because
+    0/1 dot products are integers < 2^24 — float32 accumulates them
+    exactly in any order).
+
+    Why it exists: prefix filtering thrives on rare shingles. A
+    template-generated corpus can have a tiny vocabulary (sf0.1
+    documents: 931 distinct shingles across 5 000 docs, 275× reuse) —
+    then NO shingle is rare, the prefix join degenerates toward the
+    all-pairs explosion it was built to avoid (9.1M candidate rows),
+    and a dense linear-algebra sweep is the right physical plan. The
+    strategy switch is stats-driven (see :func:`jaccard_pairs`), the
+    logical result identical.
+
+    The vocabulary is collected to the driver (bounded by the
+    ``dense_vocab_limit`` guard — constant-size, like IVF centroids)
+    and shipped in the task closure."""
+    import numpy as np
+    import pandas as pd
+
+    vocab = [
+        r["h"]
+        for r in arrs.select(F.explode("arr").alias("h")).distinct().collect()
+    ]
+    vmap = {h: i for i, h in enumerate(vocab)}
+    v = max(len(vocab), 1)
+
+    e = arrs.select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)).alias("block"),
+        "id",
+        "arr",
+    )
+    blocks = e.groupBy("block").agg(F.collect_list(F.struct("id", "arr")).alias("items"))
+    cross = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
+        .select(
+            F.col("a.block").alias("block_a"),
+            F.col("b.block").alias("block_b"),
+            F.col("a.items").alias("items_a"),
+            F.col("b.items").alias("items_b"),
+        )
+        .repartition(num_blocks * (num_blocks + 1) // 2)
+    )
+
+    def densify(items):
+        ids = np.array([it["id"] for it in items])
+        M = np.zeros((len(items), v), dtype="float32")
+        for r, it in enumerate(items):
+            if len(it["arr"]):
+                M[r, [vmap[h] for h in it["arr"]]] = 1.0
+        return ids, M
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for items_a, items_b, same in zip(
+                pdf["items_a"], pdf["items_b"], pdf["block_a"] == pdf["block_b"]
+            ):
+                ids_a, A = densify(items_a)
+                ids_b, B = (ids_a, A) if bool(same) else densify(items_b)
+                inter = A @ B.T
+                na, nb = A.sum(axis=1), B.sum(axis=1)
+                union = na[:, None] + nb[None, :] - inter
+                # integral float32 → float64 division == BIGINT/BIGINT
+                # double division on the SQL side, bit for bit
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    jac = inter.astype("float64") / union.astype("float64")
+                hit = (union > 0) & (jac >= threshold)
+                ia, ib = np.nonzero(hit)
+                keep = ids_a[ia] < ids_b[ib] if len(ia) else np.array([], bool)
+                swap = ids_a[ia] > ids_b[ib] if len(ia) else np.array([], bool)
+                out_a.append(ids_a[ia[keep]])
+                out_b.append(ids_b[ib[keep]])
+                out_j.append(jac[ia[keep], ib[keep]])
+                if not bool(same):
+                    out_a.append(ids_b[ib[swap]])
+                    out_b.append(ids_a[ia[swap]])
+                    out_j.append(jac[ia[swap], ib[swap]])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                    "jaccard": np.concatenate(out_j) if out_j else np.array([], "float64"),
+                }
+            )
+
+    return cross.mapInPandas(score, "id_a long, id_b long, jaccard double")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    strategy: str = "auto",
+    dense_vocab_limit: int = 4096,
 ) -> DataFrame:
     """X2 baseline: ALL pairs with shingle-set Jaccard ≥ threshold —
     exact, via prefix filtering instead of a full shingle self-join.
@@ -189,6 +286,13 @@ def jaccard_pairs(
     verified exactly with array_intersect. Same output as the naive
     plan, orders of magnitude fewer intermediate rows — and the shuffle
     is keyed on *rare* shingles, so no skew hazard at scale.
+
+    ``strategy``: ``"prefix"`` (the above), ``"dense"`` (small-vocab
+    linear-algebra sweep, :func:`_dense_jaccard`), or ``"auto"`` —
+    one approx_count_distinct pass over the shingle hashes (map-side
+    HLL partials, scale-safe) picks dense only when the vocabulary
+    fits ``dense_vocab_limit``; prefix filtering assumes rare shingles
+    exist, which a tiny vocabulary structurally rules out.
     """
     # Materialize the shingle arrays once: the downstream plan
     # references them from four branches (two prefix-join sides, two
@@ -197,6 +301,15 @@ def jaccard_pairs(
     # array columns (~5× this whole query), while checkpoint blocks
     # store the rows as-is and truncate the lineage.
     arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint()
+    if strategy == "auto":
+        est = (
+            arrs.select(F.explode("arr").alias("h"))
+            .agg(F.approx_count_distinct("h", 0.02).alias("c"))
+            .collect()[0]["c"]
+        )
+        strategy = "dense" if est <= dense_vocab_limit * 0.9 else "prefix"
+    if strategy == "dense":
+        return _dense_jaccard(arrs, threshold)
     # round before ceil: fp noise in t·n must not overtighten the
     # prefix (→ missed pairs) or the k bound
     tceil = lambda c: F.ceil(F.round(F.lit(threshold) * c, 9))  # noqa: E731

@@ -52,13 +52,19 @@ def test_filtered_jaccard_matches_bruteforce(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
-    for threshold in (0.3, 0.5, 0.8):
-        expected = _python_jaccard_pairs(texts, 2, threshold)
-        got = {
-            (r.id_a, r.id_b): round(r.jaccard, 9)
-            for r in dedup.jaccard_pairs(df, "doc_id", "text", 2, threshold).collect()
-        }
-        assert got == expected, (
-            f"t={threshold}: missing={set(expected) - set(got)} "
-            f"extra={set(got) - set(expected)}"
-        )
+    # both physical strategies must produce the identical logical result
+    # (auto would pick dense here — force each explicitly)
+    for strategy in ("prefix", "dense"):
+        for threshold in (0.3, 0.5, 0.8):
+            expected = _python_jaccard_pairs(texts, 2, threshold)
+            got = {
+                (r.id_a, r.id_b): round(r.jaccard, 9)
+                for r in dedup.jaccard_pairs(
+                    df, "doc_id", "text", 2, threshold, strategy=strategy
+                ).collect()
+            }
+            assert got == expected, (
+                f"strategy={strategy} t={threshold}: "
+                f"missing={set(expected) - set(got)} "
+                f"extra={set(got) - set(expected)}"
+            )

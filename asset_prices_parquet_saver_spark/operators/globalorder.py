@@ -54,8 +54,68 @@ def with_global_row_number(
     return (
         d.join(F.broadcast(offsets), "__pid")
         .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
-        .drop("__pid", "__lrn")
+        .drop("__pid", "__lrn", "__off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the inclusive running sum of ``value_col`` under the
+    global ``order`` — the distributed prefix-sum: local running sums
+    inside sorted range partitions, plus each partition's offset (the
+    running total of preceding partitions' sums, a constant-size
+    frame). Same total-order requirement as
+    :func:`with_global_row_number`."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(num_partitions, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__lcum", F.sum(value_col).over(local).cast("long"))
+    totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(prev), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(cum_col, (F.col("__lcum") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lcum", "__off")
+    )
+
+
+def pack_by_budget(
+    df: DataFrame,
+    order: list[Column],
+    size_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each row to an output shard by start-offset packing: a
+    row starting at running offset *o* (exclusive prefix sum of sizes
+    under the global order) lands in shard ``o div budget``. The
+    training-data sharding primitive — deterministic, order-preserving,
+    one distributed prefix-sum, no sequential driver loop. Rows wider
+    than the budget simply own their shard(s); shard boundaries are
+    start-based so the assignment is a pure expression, exactly
+    reproducible in a windowed-SUM SQL mirror."""
+    d = with_global_cumsum(df, order, size_col, cum_col="__cum")
+    return d.withColumn(
+        shard_col,
+        F.expr(f"(__cum - {size_col}) div {budget}").cast("long"),
+    ).drop("__cum")
 
 
 def ntile_expr(rn: Column, total: Column, n: int) -> Column:

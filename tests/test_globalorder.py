@@ -62,3 +62,33 @@ def test_no_unpartitioned_window_on_data(df):
     for ln in window_lines:
         if "row_number" in ln:
             assert "__pid" in ln.split("windowspecdefinition")[1], ln
+
+
+def test_global_cumsum_matches_window(df):
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["cum"]
+        for r in globalorder.with_global_cumsum(df, order, "v").collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_pack_by_budget_properties(df):
+    order = [F.col("id").asc()]
+    out = globalorder.pack_by_budget(df, order, "v", budget=50).collect()
+    rows = sorted(out, key=lambda r: r["id"])
+    # shards are contiguous, non-decreasing along the order, start at 0
+    shards = [r["shard"] for r in rows]
+    assert shards[0] == 0
+    assert all(b - a in (0, 1) or b == a for a, b in zip(shards, shards[1:]))
+    assert shards == sorted(shards)
+    # every row's start offset lies in its shard's window
+    start = 0
+    for r in rows:
+        assert r["shard"] == start // 50, r
+        start += r["v"]

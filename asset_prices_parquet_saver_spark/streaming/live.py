@@ -67,11 +67,13 @@ def run_live_upsert(
     committed by Spark's dynamic partition overwrite, no driver
     filesystem calls (works against HDFS/S3 warehouses).
 
-    ``layout='flat'`` (local-mode convenience): whole-dataset rewrite
-    into a flat directory via a staging write + two driver-local
-    ``os.replace`` renames. Only meaningful where the driver's local
-    filesystem IS the warehouse; a crash between the renames is
-    recovered at the next batch (the ``.old`` backup is restored).
+    ``layout='flat'``: whole-dataset rewrite committed through the
+    manifest protocol (sources/manifest.py) — each batch writes an
+    immutable snapshot directory and atomically publishes a one-file
+    pointer to it. No directory renames, no window where the table is
+    missing, crash-of-writer leaves only an orphan snapshot that the
+    next commit numbers past and garbage-collects; the only atomic
+    primitive is single-object publish, which object stores have.
     """
     if layout not in ("daily", "flat"):
         raise ValueError(f"unknown layout {layout!r}: expected 'daily' or 'flat'")
@@ -90,36 +92,14 @@ def run_live_upsert(
     def merge_batch_flat(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        import os
-        import shutil
+        from asset_prices_parquet_saver_spark.sources import manifest
 
-        staging = prices_path.rstrip("/") + ".staging"
-        backup = prices_path.rstrip("/") + ".old"
-        # crash recovery: a previous batch that died between its two
-        # renames left the dataset missing with the backup intact —
-        # restore it BEFORE reading, or the merge would silently treat
-        # the table as empty and drop all history.
-        if not os.path.exists(prices_path) and os.path.exists(backup):
-            os.replace(backup, prices_path)
-        try:
-            prices = spark.read.schema(BAR_SCHEMA).parquet(prices_path)
-            prices.head(1)
-        except Exception:
-            prices = spark.createDataFrame([], BAR_SCHEMA)
+        # the merge plan lazily scans the CURRENT snapshot while the
+        # NEW one is written to a different immutable directory — no
+        # read-under-overwrite hazard, by construction
+        prices = manifest.read_versioned(spark, prices_path, schema=BAR_SCHEMA)
         merged = upsert_live_prices(prices, batch, source=source)
-        # Overwriting the dataset being lazily read would corrupt the
-        # read; write the merge to a staging dir and swap — the same
-        # tmp+rename idea as the reference's atomic writes
-        # (update_live_price.py:288-293), at dataset granularity. All
-        # work stays distributed; no driver-side materialization.
-        write_prices(merged, staging, mode="overwrite")
-        # a stale backup (crash after a completed swap) would make the
-        # rename below fail with ENOTEMPTY — clear it first
-        shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(prices_path):
-            os.replace(prices_path, backup)
-        os.replace(staging, prices_path)
-        shutil.rmtree(backup, ignore_errors=True)
+        manifest.commit_versioned(merged, prices_path)
         if on_batch is not None:
             on_batch(batch, epoch_id)
 

@@ -1,0 +1,56 @@
+"""Manifest-pointer commit protocol (sources/manifest.py): version
+advance, retention, compaction, and reader isolation."""
+
+import os
+
+from asset_prices_parquet_saver_spark.sources import manifest
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x long")
+
+
+def test_commit_read_roundtrip_and_retention(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert manifest.commit_versioned(_df(spark, [1, 2]), t) == 1
+    assert manifest.commit_versioned(_df(spark, [3]), t) == 2
+    assert manifest.commit_versioned(_df(spark, [4, 5, 6]), t) == 3
+    assert manifest.current_version(t) == 3
+    got = sorted(r["x"] for r in manifest.read_versioned(spark, t).collect())
+    assert got == [4, 5, 6]
+    # keep=1: the previous committed snapshot survives for in-flight
+    # readers, older ones are gone
+    dirs = sorted(n for n in os.listdir(t) if n.startswith("v"))
+    assert dirs == ["v00000002", "v00000003"]
+
+
+def test_reader_of_old_snapshot_survives_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    manifest.commit_versioned(_df(spark, [1, 2, 3]), t)
+    old = manifest.read_versioned(spark, t)  # lazy plan over v1
+    manifest.commit_versioned(_df(spark, [9]), t)  # v2 published
+    # v1's files are immutable and retained (keep=1) — the stale plan
+    # still executes correctly after the commit
+    assert sorted(r["x"] for r in old.collect()) == [1, 2, 3]
+    assert sorted(r["x"] for r in manifest.read_versioned(spark, t).collect()) == [9]
+
+
+def test_compact_versioned_single_file(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    manifest.commit_versioned(_df(spark, range(100)).repartition(8), t)
+    v = manifest.compact_versioned(spark, t, num_files=1)
+    assert v == 2
+    files = [
+        n
+        for n in os.listdir(os.path.join(t, "v00000002"))
+        if n.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    got = sorted(r["x"] for r in manifest.read_versioned(spark, t).collect())
+    assert got == list(range(100))
+
+
+def test_empty_table_with_schema(spark, tmp_path):
+    t = str(tmp_path / "missing")
+    df = manifest.read_versioned(spark, t, "x long")
+    assert df.count() == 0

@@ -94,7 +94,10 @@ def test_streaming_upsert_end_to_end_daily_default(spark, tmp_path):
 
 
 def test_streaming_upsert_end_to_end_flat_layout(spark, tmp_path):
-    """Local-mode flat layout: staging write + rename swap."""
+    """Flat layout: manifest-committed snapshots. Seeds a LEGACY plain
+    parquet dir — the first batch must absorb it into version 1."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
     prices_path = str(tmp_path / "prices")
     ticks_dir = tmp_path / "ticks"
     ticks_dir.mkdir()
@@ -115,24 +118,37 @@ def test_streaming_upsert_end_to_end_flat_layout(spark, tmp_path):
 
     out = {
         (r.symbol, r.timestamp.date()): r
-        for r in spark.read.schema(BAR_SCHEMA).parquet(prices_path).collect()
+        for r in manifest.read_versioned(spark, prices_path, BAR_SCHEMA).collect()
     }
     _assert_merged(out)
+    assert manifest.current_version(prices_path) >= 1
 
 
-def test_flat_swap_crash_recovery(spark, tmp_path):
-    """A crash between the two renames leaves prices missing + .old
-    intact; the next batch must restore the backup instead of treating
-    the table as empty (which would silently drop all history)."""
+def test_flat_manifest_crash_recovery(spark, tmp_path):
+    """A crashed writer leaves an orphan snapshot directory and the old
+    manifest. Readers must keep serving the committed snapshot and the
+    next commit must number PAST the orphan (never reuse its path) and
+    garbage-collect it."""
     import os
 
+    from asset_prices_parquet_saver_spark.sources import manifest
+
     prices_path = str(tmp_path / "prices")
     ticks_dir = tmp_path / "ticks"
     ticks_dir.mkdir()
 
-    write_prices(_seed(spark), prices_path)
-    # simulate the torn state: dataset renamed to .old, new one missing
-    os.replace(prices_path, prices_path + ".old")
+    # committed seed at version 1
+    seed = _seed(spark)
+    manifest.commit_versioned(seed, prices_path)
+    assert manifest.current_version(prices_path) == 1
+    # simulate a writer that died mid-snapshot: orphan v7, stale files,
+    # manifest still at 1
+    orphan = os.path.join(prices_path, "v00000007")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-garbage.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    # reader is unaffected by the orphan
+    assert manifest.read_versioned(spark, prices_path, BAR_SCHEMA).count() == seed.count()
 
     _write_batch(spark, ticks_dir)
     stream = spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(str(ticks_dir))
@@ -148,8 +164,9 @@ def test_flat_swap_crash_recovery(spark, tmp_path):
 
     out = {
         (r.symbol, r.timestamp.date()): r
-        for r in spark.read.schema(BAR_SCHEMA).parquet(prices_path).collect()
+        for r in manifest.read_versioned(spark, prices_path, BAR_SCHEMA).collect()
     }
-    # the seeded history survived the torn swap AND the merge applied
+    # seeded history survived AND the merge applied
     _assert_merged(out)
-    assert not os.path.exists(prices_path + ".old")
+    assert manifest.current_version(prices_path) == 8  # numbered past orphan
+    assert not os.path.exists(orphan)  # orphan GC'd post-publish

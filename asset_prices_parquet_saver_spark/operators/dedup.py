@@ -646,13 +646,19 @@ def fuzzy_dedup(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end fuzzy dedup (the LLM-corpus pipeline composition):
     MinHash-LSH candidates → exact-Jaccard verification → connected
     components → keep one deterministic survivor per component (its
     minimum id). Rows in no near-dup pair survive untouched. Returns
-    the deduplicated ``df`` (original columns)."""
-    pairs = minhash_dedup(df, id_col, text_col, n, num_hashes, bands, threshold)
+    the deduplicated ``df`` (original columns). ``hash_family="md5"``
+    makes the whole composition engine-portable (see
+    :func:`minhash_dedup`) — the oracle then reproduces even the
+    connected components, via a recursive-CTE transitive closure."""
+    pairs = minhash_dedup(
+        df, id_col, text_col, n, num_hashes, bands, threshold, hash_family
+    )
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

@@ -17,16 +17,17 @@ schema, and an order-insensitive value hash — so:
   tie-break columns) so the *set* of returned rows is deterministic.
 
 Queries without an ORACLE entry get the driver's rows-only check.
-The MinHash-LSH / SimHash queries run the engine-portable md5-60 hash
-family (functions/portable_hash.py) and the hyperplane-LSH queries
-replay their fixed-seed planes from constants inlined in the SQL, so
-all four are fully hash-checked despite being sketch-based. What
-remains rows-only is genuinely oracle-proof: ann_ivf_topk (k-means
-centroids are data-dependent — not expressible as a static SQL
-string), approx_user_stats (HLL sketch internals), fuzzy_dedup and
-media_features (compositions whose inner stages are already
-hash-checked individually); each is bounded by a recall/accuracy test
-instead.
+Almost everything sketch-based is still fully hash-checked: the
+MinHash-LSH / SimHash / fuzzy-dedup queries run the engine-portable
+md5-60 hash family (functions/portable_hash.py), the hyperplane-LSH
+queries replay their fixed-seed planes from constants inlined in the
+SQL, fuzzy dedup's connected components are mirrored by a
+recursive-CTE closure, and the media featurizer's digest→unit-vector
+pipeline is re-derived from sha256 hex in DOUBLE arithmetic. Only two
+queries remain rows-only, each genuinely oracle-proof: ann_ivf_topk
+(k-means centroids are data-dependent — not expressible as a static
+SQL string) and approx_user_stats (HLL sketch internals differ by
+engine); both are bounded by recall/accuracy tests instead.
 """
 
 from __future__ import annotations
@@ -1451,10 +1452,10 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signatures, the band buckets, the candidate set, and the verified
 # jaccard values bit-for-bit — a full hash check of the LSH pipeline,
 # not a rows-only count. The xxhash64 family stays the scale default.
-@q(
-    "minhash_lsh_pairs",
-    rf"""
-    WITH toks AS (
+# The CTE chain is shared with the fuzzy_dedup_documents oracle, which
+# extends it with a recursive-CTE connected-components closure.
+_MINHASH_PAIRS_CTES = rf"""
+    toks AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
       FROM documents
     ), sh AS (
@@ -1487,12 +1488,18 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh x ON x.id = cand.id_a
       JOIN sh y ON y.id = cand.id_b AND y.shingle = x.shingle
       GROUP BY 1, 2
+    ), mh_pairs AS (
+      SELECT i.id_a, i.id_b,
+             i.inter / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+      FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+      WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.5
     )
-    SELECT i.id_a, i.id_b,
-           i.inter / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
-    FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
-    WHERE i.inter / (sa.n_sh + sb.n_sh - i.inter) >= 0.5
-    """.replace("{HEX15}", ph.sql_hex15_int("hx")),
+    """.replace("{HEX15}", ph.sql_hex15_int("hx"))
+
+
+@q(
+    "minhash_lsh_pairs",
+    f"WITH {_MINHASH_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM mh_pairs",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
@@ -1966,23 +1973,80 @@ def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2 end-to-end fuzzy dedup: MinHash-LSH pairs → exact-Jaccard
 # verify → connected components → min-id survivor per component.
-# Rows-only (components derive from Spark-hash-dependent LSH pairs);
-# Spark CC is verified against a union-find reference in
-# tests/test_dedup_text.py.
-@q("fuzzy_dedup_documents")
+# Run with the portable md5-60 family, so the oracle replays the WHOLE
+# composition: the shared minhash CTE chain plus a recursive-CTE
+# transitive closure standing in for the iterative min-label
+# propagation (same fixpoint: a doc survives iff no reachable doc has
+# a smaller id). Spark CC is additionally verified against a
+# union-find reference in tests/test_dedup_text.py.
+@q(
+    "fuzzy_dedup_documents",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM mh_pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), minlbl AS (
+      SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d LEFT JOIN minlbl m ON d.doc_id = m.id
+    WHERE m.id IS NULL OR m.mn >= d.doc_id
+    """,
+)
 def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup_ops.fuzzy_dedup(d, "doc_id", "text", threshold=0.5).select(
-        "doc_id", "n_chars"
-    )
+    return dedup_ops.fuzzy_dedup(
+        d, "doc_id", "text", threshold=0.5, hash_family="md5"
+    ).select("doc_id", "n_chars")
 
 
 # --- X5 media featurization: payload → unit vector (the encode step
 # of a multimodal training pipeline; deterministic fake codec, real
-# Arrow plumbing). Rows-only: the digest→float pipeline has no
-# tractable SQL mirror; determinism + composition with the ANN stack
-# are asserted in tests/test_similarity_multimodal.py.
-@q("media_features")
+# Arrow plumbing). The digest→float pipeline IS SQL-mirrorable: parse
+# sha256 hex into 16 big-endian u64 components in DOUBLE arithmetic
+# (each digit·16^k term is exact; the ≤8-ulp summation skew and the
+# numpy-vs-fold norm skew both sit ~9 orders below the driver's .6g
+# float canonicalization), then normalize. Determinism + composition
+# with the ANN stack are asserted in tests/test_similarity_multimodal.
+_POW16_DESC = ", ".join(repr(float(16 ** (15 - j))) for j in range(16))
+
+
+@q(
+    "media_features",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             sha256(text) AS sha
+      FROM documents
+    ), x AS (
+      SELECT media_id, kind, sha || sha || sha || sha AS hx FROM m
+    ), comp AS (
+      SELECT media_id, kind, ii.i AS i,
+             list_sum(list_transform(range(16), j ->
+               CAST(strpos('0123456789abcdef',
+                           substr(hx, CAST(ii.i*16 + j + 1 AS INT), 1)) - 1 AS DOUBLE)
+               * ([{_POW16_DESC}])[CAST(j+1 AS INT)]
+             )) / 18446744073709551615.0 - 0.5 AS e
+      FROM x, (SELECT unnest(range(16)) AS i) ii
+    ), vecs AS (
+      SELECT media_id, kind, list(e ORDER BY i) AS v
+      FROM comp GROUP BY media_id, kind
+    )
+    SELECT media_id, kind,
+           CASE WHEN nrm > 0 THEN list_transform(v, e -> e / nrm) ELSE v END AS feature
+    FROM (SELECT media_id, kind, v,
+                 sqrt(list_sum(list_transform(v, e -> e * e))) AS nrm
+          FROM vecs) t
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = mm_ops.build_media_table(d)
@@ -2010,7 +2074,7 @@ _GATE_ORDER = [
     "language_id",
     "document_fingerprints",
     "dedup_exact_documents",
-    "dedup_exact_first_events",
+    "fuzzy_dedup_documents",
     "media_payload_meta",
     "media_decode_meta",
     "media_frame_sample",
@@ -2061,12 +2125,16 @@ _GATE_ORDER = [
     # ---- gate-window boundary (position 50) ----
     # Demoted: operator coverage duplicated by in-window queries; all
     # were driver-green in CORRECTNESS_r01 and stay locally gated.
-    # approx_user_stats is rows-only by nature (HLL sketch) and
+    # approx_user_stats is rows-only by nature (HLL sketch),
     # embedding_near_pairs duplicates X3's exact-baseline evidence
-    # (cosine_topk stays in-window) — swapped out in round 3 for the
-    # hash-checked tfidf_top_terms and pack_training_shards.
+    # (cosine_topk stays in-window), dedup_exact_first_events
+    # duplicates X1's (dedup_exact_documents stays) — swapped out in
+    # round 3 for the hash-checked tfidf_top_terms,
+    # pack_training_shards, and the end-to-end fuzzy_dedup_documents
+    # (now hash-checked via its recursive-CTE oracle).
     "approx_user_stats",
     "embedding_near_pairs",
+    "dedup_exact_first_events",
     "nation_trade_volume",
     "except_nations",
     "intersect_nations",
@@ -2083,7 +2151,6 @@ _GATE_ORDER = [
     "nation_market_share",
     "product_profit_by_nation",
     "value_dispersion_stats",
-    "fuzzy_dedup_documents",
     "media_features",
 ]
 

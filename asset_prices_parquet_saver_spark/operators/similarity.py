@@ -284,6 +284,35 @@ def cosine_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate removal (the semantic twin of
+    ``dedup.fuzzy_dedup``): LSH-bucketed cosine near-pairs → connected
+    components → keep the minimum-id survivor per component. Returns
+    the deduplicated ``emb`` (original columns). Deterministic given
+    the fixed-seed planes, so the whole composition is reproducible —
+    and oracle-checkable via the inlined-plane SQL + recursive-CTE
+    closure, like the text-side pipeline."""
+    from asset_prices_parquet_saver_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = cosine_pairs_lsh(
+        emb, threshold, num_planes, num_tables, id_col, vec_col
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return emb.join(losers, id_col, "left_anti")
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

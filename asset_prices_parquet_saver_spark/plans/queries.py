@@ -1803,10 +1803,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2/X3 scale path: embedding near-dup pairs via LSH bucketing —
 # hash-checked the same way (buckets replayed from inlined planes).
-@q(
-    "embedding_near_pairs_lsh",
-    """
-    WITH e AS (
+# CTE chain shared with semantic_dedup_embeddings' closure oracle.
+_LSH_PAIR_CTES = """
+    e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), bk AS (
       {BUCKETS}
@@ -1822,13 +1821,47 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN e ea ON ea.vec_id = cand.id_a
       JOIN e eb ON eb.vec_id = cand.id_b
+    ), lsh_pairs AS (
+      SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
     )
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
-    """.replace("{BUCKETS}", _lsh_bucket_union_sql(num_planes=6, num_tables=8)),
+""".replace("{BUCKETS}", _lsh_bucket_union_sql(num_planes=6, num_tables=8))
+
+
+@q(
+    "embedding_near_pairs_lsh",
+    f"WITH {_LSH_PAIR_CTES} SELECT id_a, id_b, cosine FROM lsh_pairs",
 )
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs_lsh(e, threshold=0.45, num_planes=6, num_tables=8)
+
+
+# --- X2/X3 composition: embedding-space near-dup REMOVAL — the
+# semantic twin of fuzzy_dedup_documents, oracle-checked the same way
+# (inlined-plane LSH pairs + recursive-CTE components closure).
+@q(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH RECURSIVE {_LSH_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM lsh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM lsh_pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, x.b FROM reach r JOIN edges x ON r.b = x.a
+    ), minlbl AS (
+      SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a
+    )
+    SELECT emb.vec_id, emb.label
+    FROM embeddings emb LEFT JOIN minlbl m ON emb.vec_id = m.id
+    WHERE m.id IS NULL OR m.mn >= emb.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim_ops.semantic_dedup(e, threshold=0.45).select("vec_id", "label")
 
 
 # --- X3 scale path: IVF-bucketed ANN (deterministic coarse quantizer;
@@ -2041,16 +2074,25 @@ _POW16_DESC = ", ".join(repr(float(16 ** (15 - j))) for j in range(16))
       FROM comp GROUP BY media_id, kind
     )
     SELECT media_id, kind,
-           CASE WHEN nrm > 0 THEN list_transform(v, e -> e / nrm) ELSE v END AS feature
+           CASE WHEN nrm > 0 THEN list_transform(v, e -> round(e / nrm, 6))
+                ELSE list_transform(v, e -> round(e, 6)) END AS feature
     FROM (SELECT media_id, kind, v,
                  sqrt(list_sum(list_transform(v, e -> e * e))) AS nrm
           FROM vecs) t
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rounded to 6 decimals on BOTH sides (cosine-query discipline):
+    # numpy-vs-SQL summation-order skew lives at 1e-15, far under the
+    # rounding grain, so the comparison is exact, not tolerance-based
     d = read_table(spark, sf_dir, "documents")
     media = mm_ops.build_media_table(d)
-    return mm_ops.extract_features(media, dim=16)
+    feats = mm_ops.extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.transform("feature", lambda e: F.round(e, 6)).alias("feature"),
+    )
 
 
 # =====================================================================
@@ -2152,6 +2194,7 @@ _GATE_ORDER = [
     "product_profit_by_nation",
     "value_dispersion_stats",
     "media_features",
+    "semantic_dedup_embeddings",
 ]
 
 

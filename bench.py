@@ -49,6 +49,8 @@ HEADLINE = [
     "text_quality_stats",
     "language_id",
     "document_fingerprints",
+    "tfidf_top_terms",
+    "pack_training_shards",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -64,6 +66,7 @@ HEADLINE = [
     "ntile_price_bands",
     "event_type_journey",
     "embedding_near_pairs_lsh",
+    "semantic_dedup_embeddings",
     "above_avg_parts",
     "null_handling",
     "rank_functions",

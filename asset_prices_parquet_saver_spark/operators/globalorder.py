@@ -43,8 +43,13 @@ def with_global_row_number(
         .withColumn("__pid", F.spark_partition_id())
     )
     local = Window.partitionBy("__pid").orderBy(*order)
-    d = d.withColumn("__lrn", F.row_number().over(local).cast("long"))
-    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # Materialize ONCE at the branch point: the offsets branch must see
+    # the SAME partition boundaries as the data branch — two separate
+    # executions of a range partitioner re-sample them, and without the
+    # barrier the plan also scans+shuffles the input twice.
+    d = d.withColumn("__lrn", F.row_number().over(local).cast("long")).localCheckpoint()
+    # partition sizes fall out of the local numbering: max local rn
+    counts = d.groupBy("__pid").agg(F.max("__lrn").alias("__cnt"))
     # running sum over ≤ num_partitions rows — constant-size frame, the
     # one place a global window is safe by construction
     prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -83,7 +88,14 @@ def with_global_cumsum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = d.withColumn("__lcum", F.sum(value_col).over(local).cast("long"))
+    # same barrier rationale as with_global_row_number: one execution of
+    # the range partitioner, shared by the data and totals branches
+    d = d.withColumn(
+        "__lcum", F.sum(value_col).over(local).cast("long")
+    ).localCheckpoint()
+    # re-aggregating the checkpointed frame is a read of materialized
+    # rows, not a second scan+shuffle of the input (and unlike
+    # max(__lcum), stays correct for negative values)
     totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

@@ -139,7 +139,10 @@ def tfidf_top_terms(
     windows per document, never globally.
     """
     toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
-    tf = toks.groupBy("id", "term").agg(F.count("*").alias("n"))
+    # one corpus scan: doclen / dfreq / ndocs all derive from the tf
+    # aggregate, which is materialized once (without the barrier the
+    # optimizer plans four independent scans of the corpus)
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("n")).localCheckpoint()
     doclen = tf.groupBy("id").agg(F.sum("n").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = doclen.agg(F.count("*").alias("n_docs"))

@@ -520,13 +520,12 @@ def _portable_signature_arrays(
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
-    """Band the signatures; docs sharing any band bucket are candidates.
-
-    bucket key = xxhash64(band_id, slice of signature); candidates via a
-    self-equi-join on (band, bucket) — the LSH trick that turns O(n²)
-    into O(n·collisions)."""
-    banded = sig.select(
+def banded_keys(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, bucket) rows: one LSH band bucket per (doc, band);
+    bucket key = xxhash64(band_id, slice of signature). The join key
+    shape shared by the batch self-join and the incremental
+    new-vs-index join."""
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -540,6 +539,14 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) 
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates.
+
+    Candidates via a self-equi-join on (band, bucket) — the LSH trick
+    that turns O(n²) into O(n·collisions)."""
+    banded = banded_keys(sig, bands, rows_per_band)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])

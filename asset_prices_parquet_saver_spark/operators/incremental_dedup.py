@@ -1,0 +1,181 @@
+"""Incremental fuzzy dedup against a persistent signature index.
+
+Production corpus dedup is incremental: each crawl/ingest batch must be
+deduplicated against everything already accepted, without re-touching
+the historical corpus. The state is a **signature index** — one row per
+accepted document holding its hashed shingle set and MinHash signature
+— persisted as a manifest-committed table (sources/manifest.py), so
+the accept-and-append step is an atomic snapshot commit.
+
+Per batch (one pass, fully parallel):
+
+1. signatures for the new docs (same kernels as ``minhash_dedup``);
+2. LSH band join of the new side against (index ∪ new) — the index
+   side streams through the join keyed on (band, bucket); the new side
+   is a batch, which AQE broadcasts when it fits;
+3. exact-Jaccard verification on candidates only;
+4. a new doc is DROPPED iff it matches any indexed doc or any
+   smaller-id doc of the same batch ("match-any-predecessor" — the
+   standard parallel relaxation of sequential greedy dedup; unlike
+   sequential greedy it may drop a doc whose matched predecessor was
+   itself dropped, which is the accepted trade for a one-pass parallel
+   rule and usually the better dedup anyway);
+5. survivors' signature rows are appended to the index.
+
+At 100 TB: the index table should be bucketed by its band keys (store
+the exploded (band, bucket, id) form via ``write_prices_bucketed``-
+style bucketing) so step 2 is a shuffle of the BATCH only; the
+verification join fetches only colliding index rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators.dedup import (
+    _portable_signature_arrays,
+    _signatures_from_arrays,
+    _verified_jaccard,
+    banded_keys,
+    shingle_arrays,
+)
+from asset_prices_parquet_saver_spark.sources import manifest
+
+#: signature-index schema (see minhash_dedup's arrs frame)
+INDEX_SCHEMA = "id long, arr array<long>, n_sh int, sig array<long>"
+
+
+def signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_hashes: int = 32,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, arr, n_sh, sig) for a document frame — the index row shape."""
+    if hash_family == "md5":
+        return _portable_signature_arrays(df, id_col, text_col, n, num_hashes).select(
+            "id", "arr", "n_sh", "sig"
+        )
+    return _signatures_from_arrays(
+        shingle_arrays(df, id_col, text_col, n), num_hashes
+    ).select("id", "arr", "n_sh", "sig")
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental step. Returns ``(survivors, new_index_rows)``:
+    the accepted subset of ``new_docs`` (original columns) and their
+    signature rows to append to the index. Pure transformation — the
+    caller owns persistence (see :func:`run_incremental_dedup`)."""
+    rows_per_band = num_hashes // bands
+    new_sig = signature_frame(
+        new_docs, id_col, text_col, n, num_hashes, hash_family
+    ).localCheckpoint()  # shared by banding + verification + append
+    nb = banded_keys(new_sig.select("id", "sig"), bands, rows_per_band)
+    ib = banded_keys(index.select("id", "sig"), bands, rows_per_band)
+    # candidates: new × index (any collision) ∪ new × smaller-id new
+    cand_old = (
+        nb.alias("a")
+        .join(ib.alias("b"), ["band", "bucket"])
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_prev"))
+    )
+    cand_new = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "bucket"])
+        .filter(F.col("b.id") < F.col("a.id"))
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_prev"))
+    )
+    cand = cand_old.unionByName(cand_new).distinct()
+    # verification needs both sides' shingle arrays
+    arrs = new_sig.select("id", "arr", "n_sh").unionByName(
+        index.select("id", "arr", "n_sh")
+    )
+    pairs = _verified_jaccard(
+        cand.select(
+            F.col("id_new").alias("id_a"), F.col("id_prev").alias("id_b")
+        ),
+        arrs,
+        threshold,
+    )
+    losers = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    survivors = new_docs.join(losers, id_col, "left_anti")
+    new_rows = new_sig.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return survivors, new_rows
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Dedup ``new_docs`` against the manifest-committed index at
+    ``index_path``, append the survivors' signatures as a new snapshot
+    commit, and return the survivors. The commit is atomic — a crash
+    mid-step leaves the previous index version live, and re-running the
+    batch is idempotent for dedup purposes (already-indexed docs simply
+    match themselves... so feed each batch once; exactly-once delivery
+    belongs to the caller's checkpointing, e.g. foreachBatch epochs)."""
+    index = manifest.read_versioned(spark, index_path, schema=INDEX_SCHEMA)
+    survivors, new_rows = dedup_increment(
+        new_docs, index, id_col, text_col, threshold, hash_family=hash_family
+    )
+    # append-log commit: O(batch) — only the new signature rows are
+    # written; the manifest's segment list grows by one. Compact with
+    # manifest.compact_versioned when small segments accumulate.
+    manifest.commit_append(new_rows, index_path)
+    return survivors
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    hash_family: str = "xxhash64",
+):
+    """Streaming corpus ingestion with online dedup: every micro-batch
+    is deduplicated against the signature index, survivors are appended
+    to the corpus table, and their signatures to the index — both via
+    O(batch) append-log commits. Spark's checkpoint gives each batch an
+    epoch, so a crashed batch replays and its commits re-apply (the
+    index gains duplicate signature rows for the replayed docs, which
+    is harmless to dedup semantics: matching one copy ≡ matching two).
+    """
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        survivors = run_incremental_dedup(
+            spark, batch, index_path, id_col, text_col, threshold, hash_family
+        ).localCheckpoint()  # materialize before the corpus commit below
+        manifest.commit_append(survivors, corpus_path)
+
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

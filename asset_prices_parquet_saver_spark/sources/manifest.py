@@ -9,8 +9,12 @@ metadata file naming the live snapshot.
 
 Layout::
 
-    <table>/_MANIFEST        one-line JSON {"version": N}
-    <table>/v0000000N/       immutable parquet snapshot N
+    <table>/_MANIFEST   one-line JSON {"version": N, "segments": [...]}
+    <table>/v0000000N/  immutable parquet segment N
+
+A rewrite commit publishes a single-segment list (a full snapshot); an
+append commit extends the list with one new segment — the append-log
+shape an incremental index needs, O(batch) per commit.
 
 Properties:
   * Executors write each new snapshot directly to its final immutable
@@ -40,7 +44,6 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST"
-_KEEP_PREVIOUS = 1  # snapshots retained behind the live one (in-flight readers)
 
 
 def _manifest_path(table: str) -> str:
@@ -51,13 +54,22 @@ def _version_dir(table: str, version: int) -> str:
     return os.path.join(table, f"v{version:08d}")
 
 
-def current_version(table: str) -> int | None:
-    """The committed snapshot number, or None (legacy/empty table)."""
+def _read_manifest(table: str) -> dict | None:
+    """Manifest as {"version": N, "segments": [dirnames]} — normalizes
+    the single-snapshot form (no "segments" key) for compatibility."""
     try:
         with open(_manifest_path(table)) as fh:
-            return int(json.load(fh)["version"])
+            m = json.load(fh)
     except (FileNotFoundError, NotADirectoryError):
         return None
+    m.setdefault("segments", [f"v{int(m['version']):08d}"])
+    return m
+
+
+def current_version(table: str) -> int | None:
+    """The committed snapshot number, or None (legacy/empty table)."""
+    m = _read_manifest(table)
+    return None if m is None else int(m["version"])
 
 
 def _all_version_dirs(table: str) -> list[int]:
@@ -86,13 +98,16 @@ def _legacy_files(table: str) -> list[str]:
 
 
 def read_versioned(spark: SparkSession, table: str, schema=None) -> DataFrame:
-    """Resolve the manifest and scan the live snapshot. Falls back to
-    the loose root files for a legacy (pre-manifest) directory, and to
-    an empty DataFrame (``schema`` required) when nothing exists."""
-    v = current_version(table)
-    if v is not None:
+    """Resolve the manifest and scan the live snapshot — the union of
+    its segment directories (one for rewrite commits, several for
+    append-log tables). Falls back to the loose root files for a legacy
+    (pre-manifest) directory, and to an empty DataFrame (``schema``
+    required) when nothing exists."""
+    m = _read_manifest(table)
+    if m is not None:
+        paths = [os.path.join(table, seg) for seg in m["segments"]]
         reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(_version_dir(table, v))
+        return reader.parquet(*paths)
     files = _legacy_files(table)
     if files:
         # pin the exact legacy files: scanning the directory itself
@@ -107,37 +122,45 @@ def read_versioned(spark: SparkSession, table: str, schema=None) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def commit_versioned(df: DataFrame, table: str, keep: int = _KEEP_PREVIOUS) -> int:
-    """Write ``df`` as the next immutable snapshot and atomically
-    publish it. Returns the committed version number.
+def _commit(df: DataFrame, table: str, append: bool) -> int:
+    """Shared commit path: write the next immutable segment directory,
+    atomically publish a manifest whose segment list either replaces
+    (rewrite) or extends (append) the previous one, then GC.
 
-    The new number is one past everything on disk — committed OR orphan
-    — so a crashed writer's leftovers are never reused. GC (post-
-    publish, best-effort) drops snapshots older than ``keep`` behind
-    the new one, orphans above the old manifest, and legacy root files
-    superseded by the first versioned commit."""
+    The new segment number is one past everything on disk — committed
+    OR orphan — so a crashed writer's leftovers are never reused. GC
+    (post-publish, best-effort) keeps the new manifest's segments plus
+    the previous manifest's (in-flight readers), and drops orphans and
+    legacy root files superseded by the first versioned commit."""
     os.makedirs(table, exist_ok=True)
-    committed = current_version(table)
+    prev = _read_manifest(table)
+    if prev is None and append and _legacy_files(table):
+        raise ValueError(
+            f"append commit onto legacy directory {table}: absorb the loose "
+            "files with a rewrite commit_versioned first"
+        )
+    prev_segments = prev["segments"] if prev else []
     seen = _all_version_dirs(table)
-    new_v = max([committed or 0, *seen, 0]) + 1
-    # the snapshot lands directly at its final, never-reused path; the
+    new_v = max([(prev or {}).get("version", 0), *seen, 0]) + 1
+    new_seg = f"v{new_v:08d}"
+    # the segment lands directly at its final, never-reused path; the
     # source-of-truth for readers is still the old manifest until the
     # publish below, so a failure anywhere in this write is invisible
-    df.write.mode("overwrite").parquet(_version_dir(table, new_v))
+    df.write.mode("overwrite").parquet(os.path.join(table, new_seg))
+    segments = [*prev_segments, new_seg] if append else [new_seg]
     tmp = _manifest_path(table) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": new_v}, fh)
+        json.dump({"version": new_v, "segments": segments}, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, _manifest_path(table))  # conditional PUT on S3/GCS
     # ---- post-publish GC (best-effort; failures leave only garbage) --
+    live = {int(s[1:]) for s in segments} | {int(s[1:]) for s in prev_segments}
     for v in _all_version_dirs(table):
-        is_live = v == new_v
-        is_kept_history = committed is not None and committed - keep < v <= committed
-        if not is_live and not is_kept_history:
+        if v not in live:
             shutil.rmtree(_version_dir(table, v), ignore_errors=True)
     # legacy sweep: once a manifest exists, everything in the table dir
-    # that is neither a snapshot nor the manifest is superseded data
+    # that is neither a segment nor the manifest is superseded data
     # (loose part files, Hive partition dirs, _SUCCESS markers)
     for n in os.listdir(table):
         if n == MANIFEST or n.startswith(MANIFEST + "."):
@@ -150,6 +173,21 @@ def commit_versioned(df: DataFrame, table: str, keep: int = _KEEP_PREVIOUS) -> i
         except OSError:
             pass
     return new_v
+
+
+def commit_versioned(df: DataFrame, table: str) -> int:
+    """Write ``df`` as the next full snapshot (replacing all previous
+    segments) and atomically publish it. Returns the version number."""
+    return _commit(df, table, append=False)
+
+
+def commit_append(df: DataFrame, table: str) -> int:
+    """Append-log commit: publish ``df`` as a NEW segment extending the
+    live segment list — O(batch) work regardless of table size, the
+    shape an incremental index needs. Readers see prior segments ∪ the
+    new one; compaction (:func:`compact_versioned`) folds the log back
+    into one segment when small files accumulate."""
+    return _commit(df, table, append=True)
 
 
 def compact_versioned(

@@ -111,6 +111,30 @@ def _cmd_live(args) -> int:
     return 0
 
 
+def _cmd_dedup(args) -> int:
+    """Incremental corpus dedup (X2 extension surface): dedupe a batch
+    of documents against a persistent signature index, append survivors
+    to the output corpus table — both manifest append-log commits."""
+    from asset_prices_parquet_saver_spark.operators import incremental_dedup as inc
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    spark = get_spark(app_name="dedup")
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    survivors = inc.run_incremental_dedup(
+        spark,
+        docs,
+        args.index,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        threshold=args.threshold,
+    ).localCheckpoint()
+    manifest.commit_append(survivors, args.output)
+    n_out = survivors.count()
+    print(f"accepted {n_out}/{n_in} documents ({n_in - n_out} near-duplicates dropped)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -151,6 +175,15 @@ def main(argv: list[str] | None = None) -> int:
     lv.add_argument("--interval", type=int, default=60)
     lv.add_argument("--checkpoint")
     lv.set_defaults(fn=_cmd_live)
+
+    dd = sub.add_parser("dedup", help="incremental corpus dedup vs a signature index")
+    dd.add_argument("--docs", required=True, help="parquet of incoming documents")
+    dd.add_argument("--index", required=True, help="signature-index table dir")
+    dd.add_argument("--output", required=True, help="deduplicated corpus table dir")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.set_defaults(fn=_cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

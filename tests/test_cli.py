@@ -94,3 +94,26 @@ def test_cli_ingest_gated_without_sdk(spark, tmp_path, capsys):
     )
     assert rc == 2  # FetcherUnavailable → clean error, not a traceback
     assert "not installed" in capsys.readouterr().err
+
+
+def test_cli_dedup_runs(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "something else entirely with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    rc = cli.main(
+        [
+            "dedup",
+            "--docs", docs,
+            "--index", str(tmp_path / "idx"),
+            "--output", str(tmp_path / "corpus"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "accepted 2/3" in out

@@ -167,3 +167,52 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tfidf", "rank")
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """X4: benchmark decontamination — per document, the fraction of its
+    distinct word n-grams that also occur anywhere in ``benchmark``
+    (the standard test-set-leakage screen run before training).
+    Returns (id, n_sh, n_hit, contamination); documents with fewer than
+    ``n`` words are excluded (no n-grams to test).
+
+    Scale shape: both sides reduce to DISTINCT (id, shingle) /
+    (shingle) sets; the hit count is one semi-join-shaped aggregation
+    shuffled on the shingle. The benchmark's distinct-shingle set is
+    usually small (benchmarks are) — AQE broadcasts it. Joining on the
+    raw shingle string keeps the op engine-exact; at extreme scale,
+    pre-hash both sides with the same portable 60-bit family
+    (functions/portable_hash.py) to cut shuffle bytes ~10x.
+    """
+    from asset_prices_parquet_saver_spark.operators.dedup import shingle_table
+
+    if bench_text_col is None:
+        bench_text_col = text_col
+    doc_sh = shingle_table(docs, id_col, text_col, n)
+    bench_sh = (
+        shingle_table(benchmark, id_col, bench_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            "id",
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_sh")).alias("contamination"),
+        )
+    )

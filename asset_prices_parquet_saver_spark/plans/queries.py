@@ -1685,6 +1685,43 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X4 benchmark decontamination: per-doc fraction of distinct
+# 3-gram shingles that also occur in the "benchmark" slice (docs with
+# id < 25 stand in for a held-out test set). The leakage screen every
+# training corpus runs; exact set semantics, exact oracle.
+@q(
+    "benchmark_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 3
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE id < 25
+    ), d AS (
+      SELECT * FROM sh WHERE id >= 25
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM d GROUP BY id
+    ), hits AS (
+      SELECT d.id, COUNT(*) AS n_hit
+      FROM d JOIN bench ON d.shingle = bench.shingle
+      GROUP BY d.id
+    )
+    SELECT s.id, s.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) / s.n_sh AS contamination
+    FROM sizes s LEFT JOIN hits h ON s.id = h.id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 25)
+    rest = d.filter(F.col("doc_id") >= 25)
+    return text_ops.contamination_report(rest, bench, "doc_id", "text", n=3)
+
+
 # --- X3 brute-force cosine top-k (correctness baseline for ANN).
 @q(
     "cosine_topk",
@@ -2195,6 +2232,7 @@ _GATE_ORDER = [
     "value_dispersion_stats",
     "media_features",
     "semantic_dedup_embeddings",
+    "benchmark_contamination",
 ]
 
 

@@ -51,6 +51,7 @@ HEADLINE = [
     "document_fingerprints",
     "tfidf_top_terms",
     "pack_training_shards",
+    "benchmark_contamination",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

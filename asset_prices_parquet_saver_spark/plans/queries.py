@@ -1511,31 +1511,59 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2: SimHash fingerprints with the portable md5-60 token hash —
 # bit-for-bit reproducible in the oracle (strpos+shift hex decode).
-@q(
-    "simhash_fingerprints",
-    rf"""
-    WITH toks AS (
+# CTE chain shared with simhash_near_dup_pairs.
+_SIMHASH_CTES = r"""
+    toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
       FROM documents
     ), hx AS (
       SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM toks
     ), th AS (
-      SELECT doc_id, {{HEX15}} AS th FROM hx
+      SELECT doc_id, {HEX15} AS th FROM hx
     ), votes AS (
       SELECT doc_id, b.bit, SUM(((th >> CAST(b.bit AS INT)) & 1) * 2 - 1) AS v
       FROM th, (SELECT unnest(range(60)) AS bit) b
       GROUP BY doc_id, b.bit
+    ), fp AS (
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id AS id,
-           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
-                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """.replace("{HEX15}", ph.sql_hex15_int("hx")),
+""".replace("{HEX15}", ph.sql_hex15_int("hx"))
+
+
+@q(
+    "simhash_fingerprints",
+    f"WITH {_SIMHASH_CTES} SELECT id, simhash FROM fp",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.simhash(d, "doc_id", "text", bits=60, token_hash=ph.md5_int60)
+
+
+# --- X2: SimHash near-dup pairs. The Spark side uses pigeonhole chunk
+# blocking, which is EXACT for hamming ≤ num_chunks-1 — so the oracle
+# can be the brute-force all-pairs hamming scan and the hashes must
+# agree, verifying the blocking itself, not just the fingerprints.
+@q(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH {_SIMHASH_CTES}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    fp = dedup_ops.simhash(d, "doc_id", "text", bits=60, token_hash=ph.md5_int60)
+    out = dedup_ops.simhash_near_pairs(fp, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # --- X4 text quality stats.
@@ -2233,6 +2261,7 @@ _GATE_ORDER = [
     "media_features",
     "semantic_dedup_embeddings",
     "benchmark_contamination",
+    "simhash_near_dup_pairs",
 ]
 
 

@@ -46,6 +46,7 @@ HEADLINE = [
     "jaccard_near_dup_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
+    "simhash_near_dup_pairs",
     "text_quality_stats",
     "language_id",
     "document_fingerprints",

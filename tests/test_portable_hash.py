@@ -60,3 +60,27 @@ def test_portable_minhash_candidates_match_oracle_banding(spark):
     }
     assert (1, 2) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_hypothesis_python_vs_duckdb_agree():
+    """Property: the Python and DuckDB renderings agree on arbitrary
+    unicode strings (the Spark rendering is pinned separately — it
+    needs a session; md5 is md5 everywhere once bytes agree)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    # NUL is rejected by DuckDB VARCHAR; surrogates aren't UTF-8
+    alphabet = st.characters(
+        blacklist_characters="\x00", blacklist_categories=("Cs",)
+    )
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=80))
+    def check(s):
+        got = con.execute(
+            f"SELECT {ph.sql_md5_int60('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got == ph.py_md5_int60(s)
+
+    check()

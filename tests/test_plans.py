@@ -131,3 +131,23 @@ def test_stratified_sample_is_a_pure_filter(spark, sf_dir):
     plan = _plan(QUERIES["stratified_event_sample"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_pushes_slice_predicates_and_broadcasts_benchmark(spark, sf_dir):
+    df = QUERIES["benchmark_contamination"](spark, sf_dir)
+    plan = _plan(df)
+    # the id<25 / id>=25 slice predicates reach the scans
+    assert "CartesianProduct" not in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("GreaterThanOrEqual(doc_id,25" in s for s in pushed), pushed
+    assert any("LessThan(doc_id,25" in s for s in pushed), pushed
+    # the benchmark's distinct shingle set is the broadcast (semi) side
+    assert "LeftSemi, BuildRight" in plan
+
+
+def test_tfidf_broadcasts_corpus_size_and_term_freq(spark, sf_dir):
+    plan = _plan(QUERIES["tfidf_top_terms"](spark, sf_dir))
+    # the 1-row corpus size is broadcast, never shuffled against the data
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    # per-doc top-k is group-limited before the final rank (no global sort)
+    assert "WindowGroupLimit" in plan

@@ -746,6 +746,54 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T7/§2.9 in batch: Spark's NATIVE session_window operator, checked
+# against an INDEPENDENT sessionization algorithm (lag + running sum of
+# gap breaks) in the oracle — two formulations, one fixpoint. Spark
+# merges events into a session iff the gap to the previous event is
+# STRICTLY under the gap duration (windows are end-exclusive), so the
+# oracle breaks on diff >= gap. Output representation-proof (epoch-µs
+# BIGINTs, decimal-exact value sum).
+@q(
+    "session_window_bars",
+    """
+    WITH lagd AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        F.unix_micros("sw.end").alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # --- P16: error-message parse (update_live_price.py:170-179 splits
 # "...invalid: A, B" back into a symbol list). Round-tripped here:
 # aggregate error events into a message, then regexp_extract + split +
@@ -2262,6 +2310,7 @@ _GATE_ORDER = [
     "semantic_dedup_embeddings",
     "benchmark_contamination",
     "simhash_near_dup_pairs",
+    "session_window_bars",
 ]
 
 

@@ -39,6 +39,7 @@ HEADLINE = [
     "asof_last_purchase",
     "asof_price_lookup",
     "user_sessions",
+    "session_window_bars",
     "daily_rollup",
     "source_diff",
     "dedup_exact_documents",

@@ -216,3 +216,66 @@ def contamination_report(
             (F.coalesce("n_hit", F.lit(0)) / F.col("n_sh")).alias("contamination"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n_dup: int = 3, n_top: int = 2
+) -> DataFrame:
+    """X4 quality signal (the Gopher-style repetition rules): per doc,
+    the duplicate n-gram fraction (1 - distinct/total over ``n_dup``-
+    grams, duplicates retained) and the top-n-gram fraction (share of
+    all ``n_top``-grams taken by the single most frequent one). High
+    values flag boilerplate/spam before training. Docs shorter than
+    ``n_dup`` words are excluded. Two doc-keyed map-side-combinable
+    aggregations; nothing global."""
+    from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
+
+    tri = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n_dup)).alias("g"),
+    )
+    a_dup = tri.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_ngrams"),
+        F.countDistinct("g").cast("long").alias("n_distinct"),
+    )
+    bi = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n_top)).alias("g"),
+    )
+    a_top = (
+        bi.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("total"), F.max("c").cast("long").alias("top_count"))
+    )
+    return (
+        a_dup.join(a_top, "id")
+        .select(
+            "id",
+            "n_ngrams",
+            "n_distinct",
+            ((F.col("n_ngrams") - F.col("n_distinct")) / F.col("n_ngrams")).alias(
+                "dup_ngram_frac"
+            ),
+            "top_count",
+            (F.col("top_count") / F.col("total")).alias("top_ngram_frac"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """X4 corpus statistic: the k most frequent word n-grams across the
+    whole corpus (ngram, n), deterministically tie-broken by the ngram
+    string. One map-side-combinable aggregation + a distributed
+    TakeOrdered top-k — no global sort materializes."""
+    from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
+
+    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -1730,6 +1730,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_top_terms(d, "doc_id", "text", k=5)
 
 
+# --- X4 repetition quality signals (Gopher-style filtering rules):
+# duplicate 3-gram fraction + top 2-gram share, per document.
+@q(
+    "repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), tri AS (
+      SELECT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM toks, UNNEST(range(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 3
+    ), a3 AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM tri GROUP BY id
+    ), bi AS (
+      SELECT doc_id AS id, w[i] || ' ' || w[i+1] AS g
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), cnt2 AS (
+      SELECT id, g, COUNT(*) AS c FROM bi GROUP BY id, g
+    ), a2 AS (
+      SELECT id, SUM(c) AS total, CAST(MAX(c) AS BIGINT) AS top_count
+      FROM cnt2 GROUP BY id
+    )
+    SELECT a3.id, a3.n_ngrams, a3.n_distinct,
+           (a3.n_ngrams - a3.n_distinct) / a3.n_ngrams AS dup_ngram_frac,
+           a2.top_count,
+           a2.top_count / a2.total AS top_ngram_frac
+    FROM a3 JOIN a2 ON a3.id = a2.id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(d, "doc_id", "text")
+
+
+# --- X4 corpus statistic: global top-k frequent 2-grams (TakeOrdered,
+# deterministic ngram tie-break).
+@q(
+    "top_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), bi AS (
+      SELECT w[i] || ' ' || w[i+1] AS ngram
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi GROUP BY ngram
+    ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.top_ngrams(d, "doc_id", "text", n=2, k=20)
+
+
 # --- X4/§2.5 training-data sharding: pack documents into fixed
 # token-budget output shards by start-offset over a global order —
 # the distributed prefix-sum (operators/globalorder.py), not a
@@ -2311,6 +2372,8 @@ _GATE_ORDER = [
     "benchmark_contamination",
     "simhash_near_dup_pairs",
     "session_window_bars",
+    "repetition_stats",
+    "top_ngrams",
 ]
 
 

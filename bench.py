@@ -54,6 +54,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "pack_training_shards",
     "benchmark_contamination",
+    "repetition_stats",
+    "top_ngrams",
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

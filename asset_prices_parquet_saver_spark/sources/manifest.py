@@ -97,12 +97,37 @@ def _legacy_files(table: str) -> list[str]:
     return sorted(out)
 
 
-def read_versioned(spark: SparkSession, table: str, schema=None) -> DataFrame:
+def read_versioned(
+    spark: SparkSession, table: str, schema=None, version: int | None = None
+) -> DataFrame:
     """Resolve the manifest and scan the live snapshot — the union of
     its segment directories (one for rewrite commits, several for
     append-log tables). Falls back to the loose root files for a legacy
     (pre-manifest) directory, and to an empty DataFrame (``schema``
-    required) when nothing exists."""
+    required) when nothing exists.
+
+    ``version`` time-travels to a historical commit: every commit also
+    writes an immutable ``_MANIFEST.vNNNNNNNN`` copy, readable as long
+    as its segments survive GC — which retains the previous commit's
+    segments, so at least one version back is always available (keep
+    deeper history by archiving segments before they age out)."""
+    if version is not None:
+        try:
+            with open(_manifest_path(table) + f".v{version:08d}") as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no manifest history for version {version} of {table}"
+            ) from None
+        m.setdefault("segments", [f"v{int(m['version']):08d}"])
+        for seg in m["segments"]:
+            if not os.path.isdir(os.path.join(table, seg)):
+                raise FileNotFoundError(
+                    f"version {version} of {table} references GC'd segment {seg}"
+                )
+        paths = [os.path.join(table, seg) for seg in m["segments"]]
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(*paths)
     m = _read_manifest(table)
     if m is not None:
         paths = [os.path.join(table, seg) for seg in m["segments"]]
@@ -154,6 +179,10 @@ def _commit(df: DataFrame, table: str, append: bool) -> int:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, _manifest_path(table))  # conditional PUT on S3/GCS
+    # immutable history copy for time-travel reads (small; never GC'd)
+    hist = _manifest_path(table) + f".v{new_v:08d}"
+    with open(hist, "w") as fh:
+        json.dump({"version": new_v, "segments": segments}, fh)
     # ---- post-publish GC (best-effort; failures leave only garbage) --
     live = {int(s[1:]) for s in segments} | {int(s[1:]) for s in prev_segments}
     for v in _all_version_dirs(table):

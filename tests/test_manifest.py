@@ -54,3 +54,23 @@ def test_empty_table_with_schema(spark, tmp_path):
     t = str(tmp_path / "missing")
     df = manifest.read_versioned(spark, t, "x long")
     assert df.count() == 0
+
+
+def test_time_travel_reads(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    manifest.commit_versioned(_df(spark, [1, 2]), t)
+    manifest.commit_versioned(_df(spark, [3]), t)
+    # one generation back is always readable (GC retains prev segments)
+    old = sorted(
+        r["x"] for r in manifest.read_versioned(spark, t, version=1).collect()
+    )
+    assert old == [1, 2]
+    manifest.commit_versioned(_df(spark, [4]), t)
+    # v1's segment is now GC'd: time-travel fails loudly, not wrongly
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="GC'd segment"):
+        manifest.read_versioned(spark, t, version=1)
+    assert sorted(
+        r["x"] for r in manifest.read_versioned(spark, t, version=2).collect()
+    ) == [3]

@@ -1791,6 +1791,51 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(d, "doc_id", "text", n=2, k=20)
 
 
+# --- X1+X4 composition: the curation pipeline end-to-end — language
+# filter (marker heuristic) + minimum-length rule + exact dedup with
+# deterministic survivor. The "training-ready corpus" query a pipeline
+# user actually runs; every stage reuses an individually-proven
+# operator, and the composition is hash-checked as a whole.
+@q(
+    "curated_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_chars, text, len(w) AS nw,
+             len(list_filter(w, t -> lower(t) IN ('the','a','of'))) AS en,
+             len(list_filter(w, t -> lower(t) IN ('el','la','de'))) AS es,
+             len(list_filter(w, t -> lower(t) IN ('der','die','das'))) AS de
+      FROM toks
+    ), l AS (
+      SELECT *, CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                     WHEN es >= de AND es > 0 THEN 'es'
+                     WHEN de > 0 THEN 'de'
+                     ELSE 'und' END AS plang
+      FROM s
+    ), f AS (
+      SELECT doc_id, n_chars, text FROM l WHERE plang = 'en' AND nw >= 30
+    ), d AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM f
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM d WHERE rn = 1
+    """,
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    lang = text_ops.predict_language(d, "doc_id", "text")
+    filt = d.join(lang, "doc_id").filter(
+        (F.col("predicted_lang") == "en")
+        & (text_ops.n_words(F.col("text")) >= 30)
+    )
+    kept = dedup_ops.exact_dedup(filt, ["text"], tie_break="doc_id")
+    return kept.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 # --- X4/§2.5 training-data sharding: pack documents into fixed
 # token-budget output shards by start-offset over a global order —
 # the distributed prefix-sum (operators/globalorder.py), not a
@@ -2374,6 +2419,7 @@ _GATE_ORDER = [
     "session_window_bars",
     "repetition_stats",
     "top_ngrams",
+    "curated_corpus",
 ]
 
 

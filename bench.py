@@ -44,6 +44,7 @@ HEADLINE = [
     "source_diff",
     "dedup_exact_documents",
     "fuzzy_dedup_documents",
+    "curated_corpus",
     "jaccard_near_dup_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",

@@ -121,15 +121,21 @@ def _cmd_dedup(args) -> int:
     spark = get_spark(app_name="dedup")
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
-    survivors = inc.run_incremental_dedup(
-        spark,
+    index = manifest.read_versioned(spark, args.index, schema=inc.INDEX_SCHEMA)
+    survivors, new_rows = inc.dedup_increment(
         docs,
-        args.index,
+        index,
         id_col=args.id_col,
         text_col=args.text_col,
         threshold=args.threshold,
-    ).localCheckpoint()
+    )
+    survivors = survivors.localCheckpoint()
+    new_rows = new_rows.localCheckpoint()
+    # corpus before index: dedup_increment is replay-deterministic
+    # (self-matches excluded), so a crash between the two commits is
+    # recovered by simply re-running the command
     manifest.commit_append(survivors, args.output)
+    manifest.commit_append(new_rows, args.index)
     n_out = survivors.count()
     print(f"accepted {n_out}/{n_in} documents ({n_in - n_out} near-duplicates dropped)")
     return 0

@@ -85,10 +85,16 @@ def dedup_increment(
     ).localCheckpoint()  # shared by banding + verification + append
     nb = banded_keys(new_sig.select("id", "sig"), bands, rows_per_band)
     ib = banded_keys(index.select("id", "sig"), bands, rows_per_band)
-    # candidates: new × index (any collision) ∪ new × smaller-id new
+    # candidates: new × index (any collision) ∪ new × smaller-id new.
+    # id_new != id_prev: ids are unique keys, so an equal-id collision
+    # is the SAME document already indexed (a replayed batch after a
+    # crash between the corpus and index commits) — excluding it makes
+    # replay reproduce the original survivor set instead of dropping
+    # every doc against its own index row.
     cand_old = (
         nb.alias("a")
         .join(ib.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
         .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_prev"))
     )
     cand_new = (
@@ -125,22 +131,36 @@ def run_incremental_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    epoch: tuple[str, int] | None = None,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """Dedup ``new_docs`` against the manifest-committed index at
     ``index_path``, append the survivors' signatures as a new snapshot
     commit, and return the survivors. The commit is atomic — a crash
-    mid-step leaves the previous index version live, and re-running the
-    batch is idempotent for dedup purposes (already-indexed docs simply
-    match themselves... so feed each batch once; exactly-once delivery
-    belongs to the caller's checkpointing, e.g. foreachBatch epochs)."""
+    mid-step leaves the previous index version live. Replaying the same
+    batch is safe: equal-id self-matches are excluded in
+    :func:`dedup_increment`, so the recomputed survivor set is identical
+    even if the index commit already landed, and passing
+    ``epoch=(app_id, epoch_id)`` (from foreachBatch) makes the index
+    commit itself idempotent via the manifest txn record."""
     index = manifest.read_versioned(spark, index_path, schema=INDEX_SCHEMA)
     survivors, new_rows = dedup_increment(
-        new_docs, index, id_col, text_col, threshold, hash_family=hash_family
+        new_docs,
+        index,
+        id_col,
+        text_col,
+        threshold,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
     )
     # append-log commit: O(batch) — only the new signature rows are
     # written; the manifest's segment list grows by one. Compact with
     # manifest.compact_versioned when small segments accumulate.
-    manifest.commit_append(new_rows, index_path)
+    manifest.commit_append(new_rows, index_path, txn=epoch)
     return survivors
 
 
@@ -155,23 +175,49 @@ def run_streaming_dedup(
     checkpoint_dir: str | None = None,
     available_now: bool = False,
     hash_family: str = "xxhash64",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
 ):
     """Streaming corpus ingestion with online dedup: every micro-batch
     is deduplicated against the signature index, survivors are appended
     to the corpus table, and their signatures to the index — both via
-    O(batch) append-log commits. Spark's checkpoint gives each batch an
-    epoch, so a crashed batch replays and its commits re-apply (the
-    index gains duplicate signature rows for the replayed docs, which
-    is harmless to dedup semantics: matching one copy ≡ matching two).
-    """
+    O(batch) append-log commits tagged with the foreachBatch epoch
+    (Delta-style manifest txn records), so a replayed epoch skips any
+    commit that already landed instead of double-appending.
+
+    Crash-safety across the two commits: the corpus commit goes FIRST,
+    and the dedup computation is replay-deterministic (equal-id
+    self-matches are excluded), so every crash point replays to the
+    same survivor set — a crash between the commits re-runs the batch,
+    skips the already-applied corpus append via its txn record, and
+    applies the missing index append. No window loses documents."""
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        survivors = run_incremental_dedup(
-            spark, batch, index_path, id_col, text_col, threshold, hash_family
-        ).localCheckpoint()  # materialize before the corpus commit below
-        manifest.commit_append(survivors, corpus_path)
+        index = manifest.read_versioned(spark, index_path, schema=INDEX_SCHEMA)
+        survivors, new_rows = dedup_increment(
+            batch,
+            index,
+            id_col,
+            text_col,
+            threshold,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_family=hash_family,
+        )
+        # materialize both outputs before the first commit so neither
+        # lazily re-reads the index mid-way through its own update
+        survivors = survivors.localCheckpoint()
+        new_rows = new_rows.localCheckpoint()
+        manifest.commit_append(
+            survivors, corpus_path, txn=("dedup-corpus", epoch_id)
+        )
+        manifest.commit_append(
+            new_rows, index_path, txn=("dedup-index", epoch_id)
+        )
 
     writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
     if checkpoint_dir:

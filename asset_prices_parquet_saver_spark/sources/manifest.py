@@ -147,7 +147,26 @@ def read_versioned(
     return spark.createDataFrame([], schema)
 
 
-def _commit(df: DataFrame, table: str, append: bool) -> int:
+def last_txn(table: str, app_id: str) -> int:
+    """Highest transaction version committed to ``table`` under
+    ``app_id``, or -1 — the Delta ``txn`` idiom for exactly-once
+    foreachBatch sinks (check-or-skip happens inside :func:`_commit`)."""
+    m = _read_manifest(table)
+    return int(((m or {}).get("txn") or {}).get(app_id, -1))
+
+
+def _write_json_atomic(path: str, doc: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)  # conditional PUT on S3/GCS
+
+
+def _commit(
+    df: DataFrame, table: str, append: bool, txn: tuple[str, int] | None = None
+) -> int:
     """Shared commit path: write the next immutable segment directory,
     atomically publish a manifest whose segment list either replaces
     (rewrite) or extends (append) the previous one, then GC.
@@ -156,9 +175,19 @@ def _commit(df: DataFrame, table: str, append: bool) -> int:
     OR orphan — so a crashed writer's leftovers are never reused. GC
     (post-publish, best-effort) keeps the new manifest's segments plus
     the previous manifest's (in-flight readers), and drops orphans and
-    legacy root files superseded by the first versioned commit."""
+    legacy root files superseded by the first versioned commit.
+
+    ``txn=(app_id, version)`` makes the commit idempotent per writer
+    stream (the Delta transaction-identifier idiom): the manifest keeps
+    the highest version applied per app_id, and a commit at or below it
+    is SKIPPED — so a replayed foreachBatch epoch cannot double-append.
+    """
     os.makedirs(table, exist_ok=True)
     prev = _read_manifest(table)
+    if txn is not None:
+        app_id, txn_v = txn
+        if int(((prev or {}).get("txn") or {}).get(app_id, -1)) >= int(txn_v):
+            return int(prev["version"])  # epoch already applied — no-op
     if prev is None and append and _legacy_files(table):
         raise ValueError(
             f"append commit onto legacy directory {table}: absorb the loose "
@@ -173,16 +202,16 @@ def _commit(df: DataFrame, table: str, append: bool) -> int:
     # publish below, so a failure anywhere in this write is invisible
     df.write.mode("overwrite").parquet(os.path.join(table, new_seg))
     segments = [*prev_segments, new_seg] if append else [new_seg]
-    tmp = _manifest_path(table) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": new_v, "segments": segments}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _manifest_path(table))  # conditional PUT on S3/GCS
-    # immutable history copy for time-travel reads (small; never GC'd)
-    hist = _manifest_path(table) + f".v{new_v:08d}"
-    with open(hist, "w") as fh:
-        json.dump({"version": new_v, "segments": segments}, fh)
+    doc = {"version": new_v, "segments": segments}
+    txns = dict((prev or {}).get("txn") or {})
+    if txn is not None:
+        txns[txn[0]] = int(txn[1])
+    if txns:
+        doc["txn"] = txns
+    _write_json_atomic(_manifest_path(table), doc)
+    # immutable history copy for time-travel reads (small; never GC'd);
+    # same tmp+replace path so a crash cannot leave a torn .vN copy
+    _write_json_atomic(_manifest_path(table) + f".v{new_v:08d}", doc)
     # ---- post-publish GC (best-effort; failures leave only garbage) --
     live = {int(s[1:]) for s in segments} | {int(s[1:]) for s in prev_segments}
     for v in _all_version_dirs(table):
@@ -204,19 +233,24 @@ def _commit(df: DataFrame, table: str, append: bool) -> int:
     return new_v
 
 
-def commit_versioned(df: DataFrame, table: str) -> int:
+def commit_versioned(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
     """Write ``df`` as the next full snapshot (replacing all previous
     segments) and atomically publish it. Returns the version number."""
-    return _commit(df, table, append=False)
+    return _commit(df, table, append=False, txn=txn)
 
 
-def commit_append(df: DataFrame, table: str) -> int:
+def commit_append(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
     """Append-log commit: publish ``df`` as a NEW segment extending the
     live segment list — O(batch) work regardless of table size, the
     shape an incremental index needs. Readers see prior segments ∪ the
     new one; compaction (:func:`compact_versioned`) folds the log back
-    into one segment when small files accumulate."""
-    return _commit(df, table, append=True)
+    into one segment when small files accumulate. Pass
+    ``txn=(app_id, epoch)`` from foreachBatch for exactly-once appends."""
+    return _commit(df, table, append=True, txn=txn)
 
 
 def compact_versioned(

@@ -18,43 +18,58 @@ DOCS = [
     (10, "the quick brown fox jumps over the lazy dog"),  # dup of indexed 1
     (11, "fresh content that matches nothing else here at all"),
     (12, "fresh content that matches nothing else here at ALL"),  # near-dup of 11
+    # drops vs dropped SAME-BATCH 12 (jac 0.5) but not survivor 11 (0.36):
+    # within a batch every smaller-id doc is a predecessor, dropped or not
+    (13, "matches nothing else here at ALL yes indeed"),
     # batch 3
     (20, "an entirely different document about spark engines"),  # dup of 2
     (21, "completely novel text with its own unique shingles only"),
+    # matches ONLY batch-1's dropped 3 (jac 0.5; vs survivor 1 it is
+    # 0.36) -> SURVIVES: dropped docs are not in the index, so across
+    # batches only survivors count. This is the case where survivor-
+    # index semantics diverge from greedy-over-all-predecessors.
+    (22, "fox jumps over the lazy cat today yes"),
 ]
 
 
 def _reference_greedy(batches, threshold=0.5):
-    """match-any-predecessor over the concatenated arrival order."""
+    """The semantics dedup_increment implements: within a batch, a doc
+    is dropped iff it matches ANY smaller-id doc of the batch (dropped
+    ones included) or any indexed survivor; across batches, only
+    SURVIVORS are in the index — a doc whose only match was dropped
+    earlier survives (near-dup is not transitive)."""
     def sh(t):
         w = t.split()
         return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
 
-    seen: list[tuple[int, set]] = []
+    index: list[set] = []  # survivors' shingle sets only
     survivors = []
     for batch in batches:
-        for did, txt in batch:
-            s = sh(txt)
+        batch_sh = [(did, sh(txt)) for did, txt in sorted(batch)]
+        accepted = []
+        for i, (did, s) in enumerate(batch_sh):
+            preds = index + [ps for _, ps in batch_sh[:i]]
             dup = any(
-                len(s & ps) / len(s | ps) >= threshold for _, ps in seen if s or ps
+                len(s & ps) / len(s | ps) >= threshold for ps in preds if s or ps
             )
-            # NOTE: reference intentionally checks ALL predecessors
-            # (dropped ones included), matching dedup_increment
-            seen.append((did, s))
             if not dup:
+                accepted.append(s)
                 survivors.append(did)
+        index.extend(accepted)
     return survivors
 
 
 def test_incremental_matches_reference_and_appends(spark, tmp_path):
     idx = str(tmp_path / "sigindex")
-    batches = [DOCS[:3], DOCS[3:6], DOCS[6:]]
+    batches = [DOCS[:3], DOCS[3:7], DOCS[7:]]
     got = []
     for batch in batches:
         df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in batch])
-        # LSH banding can only MISS pairs vs brute force; with these
-        # near-exact dups (jaccard ~0.8+) all bands collide reliably
-        out = inc.run_incremental_dedup(spark, df, idx, threshold=0.5)
+        # bands=32 (1 row/band) -> candidate iff ANY minhash collides:
+        # miss probability for the fixture's threshold-boundary pairs
+        # (jaccard 0.5) is 0.5^32, so LSH recall is effectively exact
+        # and the reference comparison is deterministic
+        out = inc.run_incremental_dedup(spark, df, idx, threshold=0.5, bands=32)
         got.extend(r["doc_id"] for r in out.collect())
     assert sorted(got) == sorted(_reference_greedy(batches))
     # index = one signature row per SURVIVOR, grown by append segments
@@ -105,6 +120,7 @@ def test_streaming_dedup_end_to_end(spark, tmp_path):
         corpus,
         checkpoint_dir=str(tmp_path / "ckpt"),
         available_now=True,
+        bands=32,
     )
     q.awaitTermination(120)
     got = sorted(
@@ -114,3 +130,64 @@ def test_streaming_dedup_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert got == sorted(_reference_greedy([DOCS]))
+
+
+def test_txn_commit_is_epoch_idempotent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    v1 = manifest.commit_append(df1, t, txn=("app", 0))
+    # replayed epoch: skipped entirely, version unchanged, no new rows
+    v2 = manifest.commit_append(df2, t, txn=("app", 0))
+    assert v2 == v1
+    assert [r["x"] for r in manifest.read_versioned(spark, t).collect()] == [1]
+    assert manifest.last_txn(t, "app") == 0
+    # next epoch applies; an unrelated app_id is tracked independently
+    manifest.commit_append(df2, t, txn=("app", 1))
+    manifest.commit_append(df2, t, txn=("other", 0))
+    got = sorted(r["x"] for r in manifest.read_versioned(spark, t).collect())
+    assert got == [1, 2, 2]
+    assert manifest.last_txn(t, "app") == 1
+    assert manifest.last_txn(t, "missing") == -1
+
+
+def test_replay_after_partial_commit_loses_nothing(spark, tmp_path):
+    """The ADVICE crash window: index commit landed, corpus commit did
+    not. The replayed epoch must reproduce the SAME survivor set (the
+    equal-id self-match exclusion) and the corpus must receive it."""
+    idx = str(tmp_path / "sigindex")
+    corpus = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS[:3]], "doc_id long, text string"
+    )
+
+    def run_epoch(epoch_id, crash_before_corpus=False):
+        index = manifest.read_versioned(spark, idx, schema=inc.INDEX_SCHEMA)
+        survivors, new_rows = inc.dedup_increment(
+            batch, index, "doc_id", "text", 0.5, bands=32
+        )
+        survivors = survivors.localCheckpoint()
+        new_rows = new_rows.localCheckpoint()
+        # simulate the OLD commit order crashing mid-way: index commit
+        # lands, corpus commit never happens
+        manifest.commit_append(new_rows, idx, txn=("dedup-index", epoch_id))
+        if crash_before_corpus:
+            return None
+        manifest.commit_append(survivors, corpus, txn=("dedup-corpus", epoch_id))
+        return survivors
+
+    run_epoch(0, crash_before_corpus=True)  # crash: index has batch sigs
+    run_epoch(0)  # replay of the same epoch
+    expected = sorted(_reference_greedy([DOCS[:3]]))
+    got = sorted(
+        r["doc_id"]
+        for r in manifest.read_versioned(
+            spark, corpus, schema="doc_id long, text string"
+        ).collect()
+    )
+    assert got == expected  # no documents lost to the crash window
+    # index commit of the replay was skipped via txn -> one segment,
+    # no duplicate signature rows
+    assert len(manifest._read_manifest(idx)["segments"]) == 1
+    rows = manifest.read_versioned(spark, idx, schema=inc.INDEX_SCHEMA).collect()
+    assert sorted(r["id"] for r in rows) == expected

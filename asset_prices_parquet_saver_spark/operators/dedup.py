@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.operators.similarity import auto_num_blocks
+
 
 # ---------------------------------------------------------------- exact
 
@@ -170,7 +172,11 @@ def _verified_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> Dat
 
 
 def _dense_jaccard(
-    arrs: DataFrame, threshold: float, num_blocks: int = 8
+    arrs: DataFrame,
+    threshold: float,
+    num_blocks: int | None = None,
+    rows_per_block: int = 4096,
+    vocab_limit: int = 4096,
 ) -> DataFrame:
     """Exact all-pairs Jaccard for SMALL shingle vocabularies: densify
     each document's shingle set into a |vocab|-wide 0/1 vector and get
@@ -188,19 +194,34 @@ def _dense_jaccard(
     strategy switch is stats-driven (see :func:`jaccard_pairs`), the
     logical result identical.
 
-    The vocabulary is collected to the driver (bounded by the
-    ``dense_vocab_limit`` guard — constant-size, like IVF centroids)
-    and shipped in the task closure."""
+    The vocabulary is collected to the driver and shipped in the task
+    closure. ``vocab_limit`` is enforced HERE (not only by the caller's
+    strategy pick): the collect is capped at vocab_limit + 1 rows, and
+    a larger vocabulary raises instead of building (rows × vocab)
+    matrices that would OOM — so an explicit ``strategy="dense"`` call
+    on a big-vocab corpus fails fast (and guards the auto path if the
+    HLL estimate under-counted)."""
     import numpy as np
     import pandas as pd
 
     vocab = [
         r["h"]
-        for r in arrs.select(F.explode("arr").alias("h")).distinct().collect()
+        for r in arrs.select(F.explode("arr").alias("h"))
+        .distinct()
+        .limit(vocab_limit + 1)
+        .collect()
     ]
+    if len(vocab) > vocab_limit:
+        raise ValueError(
+            f"dense Jaccard needs a small shingle vocabulary "
+            f"(> {vocab_limit} distinct shingles found); use "
+            f'strategy="prefix" for this corpus'
+        )
     vmap = {h: i for i, h in enumerate(vocab)}
     v = max(len(vocab), 1)
 
+    if num_blocks is None:
+        num_blocks = auto_num_blocks(arrs.count(), rows_per_block)
     e = arrs.select(
         F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)).alias("block"),
         "id",
@@ -309,7 +330,7 @@ def jaccard_pairs(
         )
         strategy = "dense" if est <= dense_vocab_limit * 0.9 else "prefix"
     if strategy == "dense":
-        return _dense_jaccard(arrs, threshold)
+        return _dense_jaccard(arrs, threshold, vocab_limit=dense_vocab_limit)
     # round before ceil: fp noise in t·n must not overtighten the
     # prefix (→ missed pairs) or the k bound
     tceil = lambda c: F.ceil(F.round(F.lit(threshold) * c, 9))  # noqa: E731

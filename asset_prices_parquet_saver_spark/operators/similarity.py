@@ -29,6 +29,20 @@ from asset_prices_parquet_saver_spark.functions.vectors import (
 )
 
 
+def auto_num_blocks(
+    n_rows: int, rows_per_block: int, min_blocks: int = 8
+) -> int:
+    """Block count for the blocked-matmul kernels, derived from a
+    rows-per-block target: what stays CONSTANT as the corpus grows is
+    the block size (per-task ``collect_list`` memory and matmul shape),
+    not the block count — a fixed count would make every task's memory
+    grow linearly with the input until it OOMs. ``min_blocks`` floors
+    the parallelism for small inputs (where everything fits anyway)."""
+    import math
+
+    return max(min_blocks, math.ceil(max(int(n_rows), 1) / rows_per_block))
+
+
 def _rowwise_cosine(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Score candidate pairs: every column but the two vectors passes
     through; appends ``raw_cosine``.  One einsum per Arrow batch.
@@ -66,7 +80,8 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
+    rows_per_block: int = 65536,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector by cosine.
 
@@ -74,16 +89,21 @@ def cosine_topk(
     on the *rounded* similarity with id tie-break, so the result set is
     deterministic across engines and partitionings.
 
-    Execution: the corpus is hash-grouped into ``num_blocks`` row
-    blocks; the (small, broadcast) query set is scored against each
+    Execution: the corpus is hash-grouped into row blocks of ~
+    ``rows_per_block`` vectors (``num_blocks`` overrides the auto
+    sizing); the (small, broadcast) query set is scored against each
     block with one numpy matmul, and each task emits only its block's
     per-query top-k — the global top-k is a subset of the union, so the
     JVM-side window rank over B·q·k rows reproduces the exact answer.
-    The corpus is never shuffled; scoring parallelism = num_blocks.
+    The corpus is never shuffled; scoring parallelism = the block
+    count, which grows with the corpus while per-task memory stays
+    constant (~rows_per_block·dim·8 bytes + the q×block score matrix).
     """
     import numpy as np
     import pandas as pd
 
+    if num_blocks is None:
+        num_blocks = auto_num_blocks(emb.count(), rows_per_block)
     e = emb.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
         F.col(id_col).alias("vec_id"),
@@ -152,24 +172,31 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine ≥ threshold.
 
     O(n²) in comparisons (the exact baseline — use LSH bucketing at
     scale), but executed as a *blocked matrix product*: vectors are
-    grouped into ``num_blocks`` row blocks, the upper triangle of block
-    pairs fans out as tasks, and each task computes one
-    (n/B × n/B) cosine submatrix with a single numpy matmul inside
-    ``mapInPandas`` (Arrow-batched). ~100× less per-pair overhead than
-    evaluating a 64-term expression tree per row; parallelism =
-    B(B+1)/2 tasks. Final rounding + thresholding happen JVM-side with
-    ``F.round`` so results stay bit-identical to the SQL oracle; the
-    numpy stage pre-filters with an epsilon slack only.
+    grouped into row blocks of ~``rows_per_block`` (``num_blocks``
+    overrides the auto sizing), the upper triangle of block pairs fans
+    out as tasks, and each task computes one block×block cosine
+    submatrix with a single numpy matmul inside ``mapInPandas``
+    (Arrow-batched). ~100× less per-pair overhead than evaluating a
+    64-term expression tree per row; parallelism = B(B+1)/2 tasks.
+    The per-task score matrix is rows_per_block² doubles (~130 MB at
+    the default) regardless of corpus size — growth lands in the task
+    COUNT, which is the quadratic-cost term made visible, not a
+    per-task memory ceiling. Final rounding + thresholding happen
+    JVM-side with ``F.round`` so results stay bit-identical to the SQL
+    oracle; the numpy stage pre-filters with an epsilon slack only.
     """
     import numpy as np
     import pandas as pd
 
+    if num_blocks is None:
+        num_blocks = auto_num_blocks(emb.count(), rows_per_block)
     e = emb.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
         F.col(id_col).alias("id"),

@@ -68,3 +68,18 @@ def test_filtered_jaccard_matches_bruteforce(spark):
                 f"missing={set(expected) - set(got)} "
                 f"extra={set(got) - set(expected)}"
             )
+
+
+def test_dense_strategy_rejects_large_vocab(spark):
+    import pytest
+
+    # 60 docs of disjoint words -> vocabulary far above the limit
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"u{i}_{j}" for j in range(10)))
+         for i in range(60)]
+    )
+    with pytest.raises(ValueError, match="vocabulary"):
+        dedup.jaccard_pairs(
+            df, "doc_id", "text", 2, 0.5, strategy="dense",
+            dense_vocab_limit=100,
+        ).collect()

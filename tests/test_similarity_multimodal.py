@@ -207,3 +207,28 @@ def test_resize_and_feature_extract_plumbing(spark, sf_dir):
     emb = feats.selectExpr("media_id as vec_id", "feature as embedding")
     topk = sim.cosine_topk(emb, emb.limit(3), k=2).collect()
     assert {r.query_id for r in topk} <= set(got) and len(topk) == 6
+
+
+def test_auto_num_blocks_bounds_block_size_not_count():
+    # block SIZE is the constant: count grows linearly with rows
+    assert sim.auto_num_blocks(100, 4096) == 8  # parallelism floor
+    assert sim.auto_num_blocks(4096 * 8, 4096) == 8
+    assert sim.auto_num_blocks(4096 * 100, 4096) == 100
+    assert sim.auto_num_blocks(4096 * 100 + 1, 4096) == 101
+    assert sim.auto_num_blocks(0, 4096) == 8
+
+
+def test_blocked_kernels_invariant_to_block_count(spark, sf_dir):
+    # the exact kernels must produce identical results under any
+    # blocking -- exercise a non-default block count end to end
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.limit(4)
+    base = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.cosine_topk(emb, q, k=3).collect()
+    }
+    rebloc = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.cosine_topk(emb, q, k=3, num_blocks=23).collect()
+    }
+    assert base == rebloc and len(base) > 0

@@ -348,24 +348,33 @@ def ann_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
     Coarse quantizer: k-means-trained centroids (see
-    :func:`_train_centroids` — deterministic, no RNG). Every corpus
-    vector is assigned to its nearest centroid with one numpy matmul
-    per Arrow batch; queries probe their ``nprobe`` nearest cells and
-    rerank candidates by exact cosine. Per-query work ≈
-    nprobe·n/num_cells. At 100 TB the assignment pass is a single
-    linear scan (centroids broadcast in the task closure) and the
-    candidate join shuffles on the cell id — the same recall/cost dial
-    as FAISS IVF: raise num_cells to shrink cells, nprobe for recall.
+    :func:`_train_centroids` — deterministic, no RNG), or a PINNED
+    centroid array passed as ``centroids`` — the production IVF shape
+    (FAISS-style): train the quantizer once offline, persist it, and
+    reuse it for assignment; pinning also makes the whole pipeline a
+    pure function of its inputs, so an external oracle can replay it
+    from the same constants. Every corpus vector is assigned to its
+    nearest centroid with one numpy matmul per Arrow batch; queries
+    probe their ``nprobe`` nearest cells and rerank candidates by
+    exact cosine. Per-query work ≈ nprobe·n/num_cells. At 100 TB the
+    assignment pass is a single linear scan (centroids broadcast in
+    the task closure) and the candidate join shuffles on the cell id —
+    the same recall/cost dial as FAISS IVF: raise num_cells to shrink
+    cells, nprobe for recall.
     """
     import numpy as np
     import pandas as pd
 
     e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
-    Cn = _train_centroids(e, num_cells)
+    if centroids is not None:
+        Cn = np.asarray(centroids, dtype="float64")
+    else:
+        Cn = _train_centroids(e, num_cells)
 
     def assign(top: int):
         def gen(batches):
@@ -375,7 +384,10 @@ def ann_ivf_topk(
                 V = np.array(list(pdf["v"]))
                 Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
                 S = Vn @ Cn.T
-                cells = np.argsort(-S, axis=1)[:, :top]
+                # stable sort: similarity ties assign to the LOWER cell
+                # id on every engine (argsort's default introsort makes
+                # tie order an implementation detail)
+                cells = np.argsort(-S, axis=1, kind="stable")[:, :top]
                 idx = np.repeat(np.arange(len(pdf)), top)
                 yield pd.DataFrame(
                     {

@@ -22,12 +22,12 @@ MinHash-LSH / SimHash / fuzzy-dedup queries run the engine-portable
 md5-60 hash family (functions/portable_hash.py), the hyperplane-LSH
 queries replay their fixed-seed planes from constants inlined in the
 SQL, fuzzy dedup's connected components are mirrored by a
-recursive-CTE closure, and the media featurizer's digest→unit-vector
-pipeline is re-derived from sha256 hex in DOUBLE arithmetic. Only two
-queries remain rows-only, each genuinely oracle-proof: ann_ivf_topk
-(k-means centroids are data-dependent — not expressible as a static
-SQL string) and approx_user_stats (HLL sketch internals differ by
-engine); both are bounded by recall/accuracy tests instead.
+recursive-CTE closure, the media featurizer's digest→unit-vector
+pipeline is re-derived from sha256 hex in DOUBLE arithmetic, and
+ann_ivf_topk runs its PINNED offline-trained quantizer (constants
+inlined, assignment replayed in SQL). Only one query remains
+rows-only, genuinely oracle-proof: approx_user_stats (HLL sketch
+internals differ by engine); it is bounded by an accuracy test.
 """
 
 from __future__ import annotations
@@ -2083,13 +2083,78 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semantic_dedup(e, threshold=0.45).select("vec_id", "label")
 
 
-# --- X3 scale path: IVF-bucketed ANN (deterministic coarse quantizer;
-# approximate → rows-only check; recall measured in tests).
-@q("ann_ivf_topk")
+# --- X3 scale path: IVF-bucketed ANN. The coarse quantizer is the
+# PINNED artifact of an offline deterministic k-means training run
+# (operators/ivf_centroids.py, regenerated by
+# scripts/gen_ivf_centroids.py — the FAISS persist-the-quantizer
+# workflow), so cell assignment is a pure function of inlined float64
+# constants and the oracle replays it: corpus rows take their argmax-
+# similarity cell (ties → lower cell id, matching the kernel's stable
+# sort), queries probe their top-nprobe cells, candidates rerank by
+# exact cosine. Centroids are unit vectors, so ranking by raw dot
+# product equals ranking by cosine — no normalization in the replay.
+def _ivf_oracle_sql(nprobe: int, k: int) -> str:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+
+    values = ",\n      ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, row in enumerate(PINNED_IVF_CENTROIDS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT * FROM (VALUES
+      {values}) AS t(cell, cv)
+    ), sims AS (
+      SELECT e.vec_id, cent.cell, list_dot_product(e.v, cent.cv) AS s
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims) t
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims WHERE vec_id < 8) t
+      WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+                                 AND a.vec_id != p.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= {k}
+    """
+
+
+@q("ann_ivf_topk", _ivf_oracle_sql(nprobe=3, k=5))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+
     e = read_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
-    out = sim_ops.ann_ivf_topk(e, queries, k=5, num_cells=16, nprobe=3)
+    out = sim_ops.ann_ivf_topk(
+        e, queries, k=5, nprobe=3, centroids=PINNED_IVF_CENTROIDS
+    )
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
     )

@@ -541,13 +541,17 @@ def _portable_signature_arrays(
     )
 
 
-def banded_keys(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+def banded_keys(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4, carry: tuple = ()
+) -> DataFrame:
     """(id, band, bucket) rows: one LSH band bucket per (doc, band);
     bucket key = xxhash64(band_id, slice of signature). The join key
     shape shared by the batch self-join and the incremental
-    new-vs-index join."""
+    new-vs-index join. ``carry`` columns pass through unchanged (the
+    bucketed index stores shingle arrays alongside the band keys)."""
     return sig.select(
         "id",
+        *carry,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -559,7 +563,7 @@ def banded_keys(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataF
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", *carry, "bb.band", "bb.bucket")
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:

@@ -83,8 +83,16 @@ def dedup_increment(
     new_sig = signature_frame(
         new_docs, id_col, text_col, n, num_hashes, hash_family
     ).localCheckpoint()  # shared by banding + verification + append
-    nb = banded_keys(new_sig.select("id", "sig"), bands, rows_per_band)
-    ib = banded_keys(index.select("id", "sig"), bands, rows_per_band)
+    # zero-shingle docs never match anything (0/0 Jaccard is NULL) but
+    # share one degenerate all-NULL signature — banding them creates
+    # O(k²) candidate pairs of pure wasted verification work. They
+    # survive via the anti-join without ever being banded.
+    nb = banded_keys(
+        new_sig.filter(F.col("n_sh") > 0).select("id", "sig"), bands, rows_per_band
+    )
+    ib = banded_keys(
+        index.filter(F.col("n_sh") > 0).select("id", "sig"), bands, rows_per_band
+    )
     # candidates: new × index (any collision) ∪ new × smaller-id new.
     # id_new != id_prev: ids are unique keys, so an equal-id collision
     # is the SAME document already indexed (a replayed batch after a
@@ -161,6 +169,121 @@ def run_incremental_dedup(
     # written; the manifest's segment list grows by one. Compact with
     # manifest.compact_versioned when small segments accumulate.
     manifest.commit_append(new_rows, index_path, txn=epoch)
+    return survivors
+
+
+#: bucketed band-index schema: one row per (surviving doc, band), the
+#: shingle array denormalized in so verification never touches a second
+#: table (the standard LSH-index space/time trade: ×bands array copies
+#: buy a single-join probe path)
+BAND_INDEX_SCHEMA = "band int, bucket long, id long, arr array<long>, n_sh int"
+
+
+def ensure_band_index(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> None:
+    """Create the physically bucketed signature index if absent: a
+    managed table bucketed by (band, bucket) — the join keys of the
+    per-batch LSH probe — so index files are already hash-partitioned
+    on disk and the probe join never shuffles the index side."""
+    if not spark.catalog.tableExists(table):
+        (
+            spark.createDataFrame([], BAND_INDEX_SCHEMA)
+            .write.bucketBy(num_buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+
+def dedup_increment_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    band_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Incremental dedup against a PHYSICALLY BUCKETED band index —
+    the 100 TB shape of :func:`dedup_increment`: the index is a managed
+    table bucketed by (band, bucket), so the per-batch LSH probe join
+    reads index buckets in place and shuffles ONLY the batch side
+    (plan-asserted in tests/test_plans.py). The batch builds the hash
+    side of a shuffled-hash join; the index streams through it — no
+    exchange and no sort of the O(corpus) side, per batch cost
+    O(batch + colliding index rows).
+
+    The index row carries the doc's shingle array, so candidate
+    verification happens inline on the join output instead of
+    re-joining (and re-shuffling) a second signatures table.
+
+    Appends survivors' band rows to the index and returns survivors.
+    vs the manifest-table variant: bucketing needs the session catalog
+    (a metastore), whose appends are not single-file-atomic commits —
+    on an object store you'd get both by declaring (band, bucket) as an
+    Iceberg bucket-transform partition spec. A torn write here is
+    recoverable: the band index is derivable, and a re-run only
+    re-appends rows whose equal-id matches are excluded anyway."""
+    ensure_band_index(spark, band_table, num_buckets)
+    rows_per_band = num_hashes // bands
+    new_sig = signature_frame(
+        new_docs, id_col, text_col, n, num_hashes, hash_family
+    ).localCheckpoint()
+    nb = banded_keys(
+        new_sig.filter(F.col("n_sh") > 0), bands, rows_per_band,
+        carry=("arr", "n_sh"),
+    ).localCheckpoint()  # reused: probe join, self join, index append
+    ib = spark.table(band_table)
+    inter = F.size(F.array_intersect("arr_new", "arr_prev"))
+    jac = inter / (F.col("n_new") + F.col("n_prev") - inter)
+    # probe: batch (hash side, hinted) vs bucketed index (streamed in
+    # place). Equal-id matches excluded — see dedup_increment.
+    losers_old = (
+        nb.alias("a")
+        .hint("shuffle_hash")
+        .join(ib.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("a.arr").alias("arr_new"),
+            F.col("a.n_sh").alias("n_new"),
+            F.col("b.arr").alias("arr_prev"),
+            F.col("b.n_sh").alias("n_prev"),
+        )
+        .filter(jac >= F.lit(threshold))
+        .select(F.col("id_new").alias(id_col))
+    )
+    # batch-internal: smaller-id docs of the same batch are predecessors
+    losers_new = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "bucket"])
+        .filter(F.col("b.id") < F.col("a.id"))
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("a.arr").alias("arr_new"),
+            F.col("a.n_sh").alias("n_new"),
+            F.col("b.arr").alias("arr_prev"),
+            F.col("b.n_sh").alias("n_prev"),
+        )
+        .filter(jac >= F.lit(threshold))
+        .select(F.col("id_new").alias(id_col))
+    )
+    losers = losers_old.unionByName(losers_new).distinct()
+    survivors = new_docs.join(losers, id_col, "left_anti").localCheckpoint()
+    new_rows = nb.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    ).select("band", "bucket", "id", "arr", "n_sh")
+    (
+        new_rows.write.bucketBy(num_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .mode("append")
+        .saveAsTable(band_table)
+    )
     return survivors
 
 

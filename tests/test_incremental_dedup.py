@@ -191,3 +191,49 @@ def test_replay_after_partial_commit_loses_nothing(spark, tmp_path):
     assert len(manifest._read_manifest(idx)["segments"]) == 1
     rows = manifest.read_versioned(spark, idx, schema=inc.INDEX_SCHEMA).collect()
     assert sorted(r["id"] for r in rows) == expected
+
+
+def test_bucketed_index_matches_reference_and_never_shuffles_index(spark):
+    tbl = "sigband_test_e2e"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        batches = [DOCS[:3], DOCS[3:7], DOCS[7:]]
+        got = []
+        for bi, batch in enumerate(batches):
+            rows = [Row(doc_id=i, text=t) for i, t in batch]
+            if bi == 1:  # zero-shingle doc: never banded, always survives
+                rows.append(Row(doc_id=99, text="single"))
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            out = inc.dedup_increment_bucketed(
+                spark, df, tbl, threshold=0.5, bands=32, num_buckets=8
+            )
+            got.extend(r["doc_id"] for r in out.collect())
+        expected = sorted(_reference_greedy(batches) + [99])
+        assert sorted(got) == expected
+        # index holds band rows for every bandable survivor (not 99)
+        idx_ids = {
+            r["id"] for r in spark.table(tbl).select("id").distinct().collect()
+        }
+        assert idx_ids == set(expected) - {99}
+        # plan shape: the probe join shuffles ONLY the batch side — the
+        # bucketed index streams through a ShuffledHashJoin in place
+        from pyspark.sql import functions as F
+
+        from asset_prices_parquet_saver_spark.operators.dedup import banded_keys
+
+        sig = inc.signature_frame(
+            spark.createDataFrame([Row(doc_id=1000, text="alpha beta gamma")]),
+            "doc_id", "text", 2, 32,
+        ).localCheckpoint()
+        nb = banded_keys(
+            sig.filter(F.col("n_sh") > 0), 32, 1, carry=("arr", "n_sh")
+        ).localCheckpoint()
+        probe = nb.alias("a").hint("shuffle_hash").join(
+            spark.table(tbl).alias("b"), ["band", "bucket"]
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert plan.count("Exchange") == 1  # the batch side only
+        assert "Bucketed: true" in plan  # index read in place
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

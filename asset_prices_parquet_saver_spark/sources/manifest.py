@@ -37,13 +37,56 @@ removes the loose root data files.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST"
+
+#: how long a committer waits for a concurrent commit to finish before
+#: raising (a crashed holder leaves the .lock file; the error names it)
+LOCK_TIMEOUT_SECONDS = 60.0
+
+
+@contextlib.contextmanager
+def _commit_lock(table: str):
+    """Serialize committers of one table on a local filesystem.
+
+    ``os.replace`` publishes atomically but last-writer-wins: two
+    concurrent committers would both read the OLD manifest and the
+    second publish would silently drop the first one's segment list
+    (lost update — fatal for append-log tables). ``O_CREAT|O_EXCL`` is
+    the POSIX atomic-claim primitive, so the whole read-manifest →
+    write-segment → publish sequence runs under a lock file. Against
+    S3/GCS the lock is unnecessary — the publish becomes a conditional
+    PUT (if-match), turning races into first-writer-wins errors."""
+    lock = _manifest_path(table) + ".lock"
+    deadline = time.monotonic() + LOCK_TIMEOUT_SECONDS
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"manifest commit lock {lock} held for over "
+                    f"{LOCK_TIMEOUT_SECONDS:.0f}s — if the holding "
+                    "committer crashed, delete the lock file to recover"
+                ) from None
+            time.sleep(0.05)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def _manifest_path(table: str) -> str:
@@ -181,8 +224,18 @@ def _commit(
     stream (the Delta transaction-identifier idiom): the manifest keeps
     the highest version applied per app_id, and a commit at or below it
     is SKIPPED — so a replayed foreachBatch epoch cannot double-append.
+
+    The whole sequence runs under :func:`_commit_lock`, so local-FS
+    concurrent committers serialize instead of losing updates.
     """
     os.makedirs(table, exist_ok=True)
+    with _commit_lock(table):
+        return _commit_under_lock(df, table, append, txn)
+
+
+def _commit_under_lock(
+    df: DataFrame, table: str, append: bool, txn: tuple[str, int] | None
+) -> int:
     prev = _read_manifest(table)
     if txn is not None:
         app_id, txn_v = txn

@@ -21,6 +21,8 @@ symbols; compaction keeps file counts bounded).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,6 +54,18 @@ def read_prices_daily(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _dataset_exists(path: str) -> bool:
+    """True iff a prices dataset was ever written at ``path`` (any
+    non-marker entry in the directory — partition dirs in practice).
+    Local-FS check, consistent with sources/manifest.py; on an object
+    store this becomes a prefix listing."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        not n.startswith((".", "_")) for n in os.listdir(path)
+    )
+
+
 def merge_ticks_incremental(
     spark: SparkSession,
     path: str,
@@ -75,13 +89,18 @@ def merge_ticks_incremental(
     if not days:
         return []
 
-    try:
+    # EXPLICIT first-write detection — never catch read errors here: an
+    # AnalysisException from a corrupt or permission-denied store must
+    # propagate, not be mistaken for "nothing on disk yet" and silently
+    # rebuild the dataset from this one batch (the durability path is
+    # the last place to guess)
+    if _dataset_exists(path):
         existing = (
             read_prices_daily(spark, path)
             .filter((F.col("source") == source) & (F.col("day").isin(days)))
             .select("day", *_DATA_COLUMNS)
         )
-    except Exception:  # first write: nothing on disk yet
+    else:
         existing = None
 
     if existing is None:

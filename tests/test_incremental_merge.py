@@ -122,3 +122,33 @@ def test_incremental_streaming_end_to_end(spark, tmp_path):
     }
     assert rows[("AAPL", "2024-01-02")].adj_close == 11.0
     assert rows[("AAPL", "2024-01-02")].open == 1.0
+
+
+def test_corrupt_store_raises_instead_of_rebuilding(spark, tmp_path):
+    """A store that EXISTS but cannot be read must raise — treating it
+    as a first write would silently drop all history."""
+    import pytest
+
+    path = str(tmp_path / "prices_corrupt")
+    os.makedirs(os.path.join(path, "source=alpaca", "day=2024-01-02"))
+    with open(
+        os.path.join(path, "source=alpaca", "day=2024-01-02", "part-0.parquet"),
+        "wb",
+    ) as fh:
+        fh.write(b"this is not a parquet file")
+    ticks = spark.createDataFrame(
+        [_tick("AAPL", 101.0, 2024, 1, 2, 10, 0, 0)], LIVE_TRADE_SCHEMA
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt|schema"):
+        merge_ticks_incremental(spark, path, ticks)
+
+
+def test_missing_or_empty_dir_is_first_write(spark, tmp_path):
+    path = str(tmp_path / "prices_fresh")
+    os.makedirs(path)  # exists but empty -> still a first write
+    ticks = spark.createDataFrame(
+        [_tick("AAPL", 101.0, 2024, 1, 2, 10, 0, 0)], LIVE_TRADE_SCHEMA
+    )
+    assert merge_ticks_incremental(spark, path, ticks) != []
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["adj_close"] == 101.0

@@ -74,3 +74,27 @@ def test_time_travel_reads(spark, tmp_path):
     assert sorted(
         r["x"] for r in manifest.read_versioned(spark, t, version=2).collect()
     ) == [3]
+
+
+def test_commit_lock_serializes_local_writers(spark, tmp_path, monkeypatch):
+    import os
+    import pytest
+
+    from asset_prices_parquet_saver_spark.sources import manifest as m
+
+    t = str(tmp_path / "locked")
+    df = spark.createDataFrame([(1,)], "x long")
+    m.commit_versioned(df, t)  # creates the table; lock released after
+    lock = os.path.join(t, "_MANIFEST.lock")
+    assert not os.path.exists(lock)  # released on success
+    # a held lock blocks the next committer until timeout
+    monkeypatch.setattr(m, "LOCK_TIMEOUT_SECONDS", 0.3)
+    with open(lock, "w") as fh:
+        fh.write("12345")
+    with pytest.raises(TimeoutError, match="lock"):
+        m.commit_versioned(df, t)
+    os.remove(lock)
+    # and the table is untouched by the failed commit
+    assert m.current_version(t) == 1
+    m.commit_versioned(df, t)
+    assert m.current_version(t) == 2

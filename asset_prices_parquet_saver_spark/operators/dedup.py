@@ -92,6 +92,25 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     # (2) materialize the hashed arrays once (localCheckpoint) so the
     # freq-join's two branches and every downstream consumer don't
     # re-run the kernel.
+    sh, _docs = _hashed_shingle_rows(df, id_col, text_col, n)
+    freq = sh.groupBy("h").agg(F.count("*").alias("f"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "h"))).alias("fh"))
+        .select(
+            "id",
+            F.transform("fh", lambda x: x["h"]).alias("arr"),
+            F.size("fh").alias("n_sh"),
+        )
+    )
+
+
+def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
+    """Shared first stage of the shingle pipelines: ``(sh, docs)`` where
+    ``docs`` is (id, hs: array<long>) — one hashed-shingle-set row per
+    document (Arrow-batched kernel; see :func:`shingle_arrays` for why
+    this is Python-side) — and ``sh`` its exploded (id, h) form."""
     import hashlib
     import re as _re
 
@@ -135,18 +154,9 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
         .mapInPandas(hash_shingles, "id long, hs array<long>")
         .localCheckpoint()
     )
-    sh = docs.select("id", F.explode("hs").alias("h"))
-    freq = sh.groupBy("h").agg(F.count("*").alias("f"))
-    return (
-        sh.join(freq, "h")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("f", "h"))).alias("fh"))
-        .select(
-            "id",
-            F.transform("fh", lambda x: x["h"]).alias("arr"),
-            F.size("fh").alias("n_sh"),
-        )
-    )
+    return docs.select("id", F.explode("hs").alias("h")), docs
+
+
 
 
 def _verified_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
@@ -293,6 +303,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     dense_vocab_limit: int = 4096,
+    suffix_filter: bool = True,
 ) -> DataFrame:
     """X2 baseline: ALL pairs with shingle-set Jaccard ≥ threshold —
     exact, via prefix filtering instead of a full shingle self-join.
@@ -314,26 +325,72 @@ def jaccard_pairs(
     HLL partials, scale-safe) picks dense only when the vocabulary
     fits ``dense_vocab_limit``; prefix filtering assumes rare shingles
     exist, which a tiny vocabulary structurally rules out.
+
+    The prefix path layers the full PPJoin+ filter stack (see
+    :func:`_prefix_candidates`): asymmetric prefixes, length-bucketed
+    join keys, a row-level positional pre-filter inside the join, the
+    group-stage positional + k-prefix-count filters, and the depth-1
+    suffix filter over carried order-statistic sketches
+    (``suffix_filter`` switches the last one, for A/B measurement).
     """
-    # Materialize the shingle arrays once: the downstream plan
-    # references them from four branches (two prefix-join sides, two
-    # verification sides). localCheckpoint, not cache(): the in-memory
-    # columnar cache pays a heavy batch-conversion cost for nested
-    # array columns (~5× this whole query), while checkpoint blocks
-    # store the rows as-is and truncate the lineage.
-    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint()
+    from asset_prices_parquet_saver_spark.operators.globalorder import (
+        with_global_row_number,
+    )
+
+    sh, _docs = _hashed_shingle_rows(df, id_col, text_col, n)
     if strategy == "auto":
-        est = (
-            arrs.select(F.explode("arr").alias("h"))
-            .agg(F.approx_count_distinct("h", 0.02).alias("c"))
-            .collect()[0]["c"]
-        )
+        est = sh.agg(F.approx_count_distinct("h", 0.02).alias("c")).collect()[0]["c"]
         strategy = "dense" if est <= dense_vocab_limit * 0.9 else "prefix"
+    # Rank-encode the shingle space: each distinct shingle hash maps to
+    # its ORDINAL in the global rarest-first (frequency, hash) order —
+    # a bijection, so Jaccard values are identical to the raw-hash
+    # encoding, but arrays become ascending int64 sequences whose
+    # element comparisons respect the global order directly (what the
+    # PPJoin+ suffix filter needs). Ranks come from the distributed
+    # range-partitioned row_number — no single-partition window over
+    # the vocabulary. Materialize once (localCheckpoint, not cache():
+    # the in-memory columnar cache pays a heavy batch-conversion cost
+    # for nested array columns): the downstream plan references the
+    # arrays from four branches (two candidate-join sides, two
+    # verification sides).
+    freq = sh.groupBy("h").agg(F.count("*").alias("f"))
+    ranks = with_global_row_number(
+        freq, [F.col("f").asc(), F.col("h").asc()], rn_col="r"
+    )
+    arrs = (
+        sh.join(ranks.select("h", "r"), "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("r")).alias("arr"))
+        .select("id", "arr", F.size("arr").alias("n_sh"))
+        .localCheckpoint()
+    )
     if strategy == "dense":
         return _dense_jaccard(arrs, threshold, vocab_limit=dense_vocab_limit)
+    cand = _prefix_candidates(arrs, threshold, suffix_filter).localCheckpoint()
+    # Candidates materialize before verification composes: measured
+    # separately the stages sum to ~1/3 of what the single fused plan
+    # costs (the optimizer fuses the candidate join+agg with the
+    # verification joins into one over-wide stage); the barrier also
+    # gives the verification join exact input stats.
+    return _verified_jaccard(cand, arrs, threshold)
+
+
+#: suffix-filter sketch resolution: S+1 order statistics per document
+_SUFFIX_SKETCH_CELLS = 16
+
+
+def _prefix_candidates(
+    arrs: DataFrame, threshold: float, suffix_filter: bool = True
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for the prefix-filtered Jaccard
+    join. ``arrs`` must be rank-encoded (ascending int64 arrays in the
+    global frequency order — see :func:`jaccard_pairs`). Every filter
+    is SOUND: no qualifying pair is ever dropped (randomized
+    brute-force equality in tests/test_jaccard_exactness.py)."""
     # round before ceil: fp noise in t·n must not overtighten the
     # prefix (→ missed pairs) or the k bound
     tceil = lambda c: F.ceil(F.round(F.lit(threshold) * c, 9))  # noqa: E731
+    S = _SUFFIX_SKETCH_CELLS
     # PPJoin's asymmetric prefixes (Xiao et al., "Efficient Similarity
     # Joins for Near Duplicate Detection"): order documents by
     # (n_sh, id); a pair is detected as (s = earlier/smaller, l =
@@ -362,14 +419,28 @@ def jaccard_pairs(
     b_low = F.floor(
         F.log2(F.greatest(F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9)), F.lit(1)))
     )
+    # Equi-spaced order-statistic sketch (S+1 values at positions
+    # min(j·⌈n/S⌉, n-1)): a constant-size summary that travels with
+    # each prefix row and lets the group stage bound suffix overlap
+    # without touching the arrays (the PPJoin+ suffix filter below).
+    step = F.ceil(F.col("n_sh") / S).cast("long")
+    sketch = F.transform(
+        F.sequence(F.lit(0), F.lit(S)),
+        lambda j: F.element_at(
+            "arr",
+            F.least(j.cast("long") * step + 1, F.col("n_sh").cast("long")).cast("int"),
+        ),
+    )
     probe = arrs.select(
         "id",
         "n_sh",
+        sketch.alias("sk"),
         F.posexplode(F.slice("arr", F.lit(1), probe_len)).alias("pos", "h"),
     ).withColumn("bucket", F.explode(F.sequence(b_low, b0)))
     index = arrs.select(
         "id",
         "n_sh",
+        sketch.alias("sk"),
         b0.alias("bucket"),
         F.posexplode(F.slice("arr", F.lit(1), index_len)).alias("pos", "h"),
     )
@@ -397,7 +468,70 @@ def jaccard_pairs(
             F.ceil(F.round(F.lit(t2) * F.col("ns"), 9)), tceil(F.col("nl"))
         )
     )
-    cand = (
+    # Row-level positional pre-filter, applied DURING the join: the
+    # j-th smallest shared shingle of a qualifying pair has positional
+    # bound ≥ α - j + 1, and the k-prefix argument caps the j of
+    # countable rows at k_min, so every row a qualifying pair needs for
+    # the pm ≥ k_min count satisfies bound ≥ α - k_min + 1. Filtering
+    # at that threshold drops junk rows before the groupBy shuffle
+    # without ever starving a qualifying pair's count (the plain-α
+    # version WOULD: it can drop a qualifying pair's j ≥ 2 rows).
+    # k_min clamps to ≥ 1: when the k-prefix bound is vacuous (≤ 0) the
+    # only row every pair must keep is e's, whose bound is ≥ α.
+    alpha_r = F.ceil(
+        F.round(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("s.n_sh") + F.col("l.n_sh")),
+            9,
+        )
+    )
+    kmin_r = F.greatest(
+        alpha_r
+        + 1
+        - F.greatest(
+            F.ceil(F.round(F.lit(t2) * F.col("s.n_sh"), 9)),
+            F.ceil(F.round(F.lit(threshold) * F.col("l.n_sh"), 9)),
+        ),
+        F.lit(1),
+    )
+    row_bound = F.lit(1) + F.least(
+        F.col("s.n_sh") - 1 - F.col("s.pos"), F.col("l.n_sh") - 1 - F.col("l.pos")
+    )
+    # PPJoin+ depth-1 suffix filter, from the carried sketches only.
+    # Suffixes start after the first shared element e: Sa = a[min_ps+1:],
+    # Sb = b[min_pl+1:], and |a∩b| ≤ 1 + |Sa∩Sb|. Pick a pivot v (≈ the
+    # median of s's suffix, snapped to a sketch point) and partition:
+    # |Sa∩Sb| ≤ min(|Sa<v|, |Sb<v|) + min(|Sa≥v|, |Sb≥v|). Each term is
+    # bounded from the sketches: if m of a doc's S+1 order statistics
+    # are < v, then (m-1)·step+1 ≤ |arr<v| ≤ m·step (sound: positions
+    # are exact, values strictly increasing; both ends capped at n).
+    def _cnt_bounds(sk_col, nn, v):
+        stp = F.ceil(nn / S).cast("long")
+        m = F.size(F.filter(sk_col, lambda x: x < v)).cast("long")
+        ub = F.least(m * stp, nn)
+        lb = F.when(m > 0, F.least((m - 1) * stp + 1, nn)).otherwise(F.lit(0))
+        return ub, lb
+
+    sza = F.col("ns") - 1 - F.col("min_ps")
+    szb = F.col("nl") - 1 - F.col("min_pl")
+    s_step = F.ceil(F.col("ns") / S).cast("long")
+    mid = (F.col("min_ps") + F.col("ns")) / F.lit(2.0)
+    k_idx = F.least(
+        F.greatest(F.round(mid / s_step, 0).cast("int"), F.lit(0)), F.lit(S)
+    )
+    pivot = F.element_at("sk_s", k_idx + 1)
+    ub_a, lb_a = _cnt_bounds(F.col("sk_s"), F.col("ns"), pivot)
+    ub_b, lb_b = _cnt_bounds(F.col("sk_l"), F.col("nl"), pivot)
+    la_ub = F.least(ub_a, sza)
+    ga_ub = sza - F.greatest(lb_a - (F.col("min_ps") + 1), F.lit(0))
+    lb_ub = F.least(ub_b, szb)
+    gb_ub = szb - F.greatest(lb_b - (F.col("min_pl") + 1), F.lit(0))
+    suffix_ub = F.lit(1) + F.least(la_ub, lb_ub) + F.least(ga_ub, gb_ub)
+
+    group_keep = (inter_ub >= alpha) & (F.col("pm") >= k_min)
+    if suffix_filter:
+        group_keep = group_keep & (suffix_ub >= alpha)
+    return (
         probe.alias("l")
         .join(index.alias("s"), ["h", "bucket"])
         .filter(
@@ -406,6 +540,7 @@ def jaccard_pairs(
                 | ((F.col("s.n_sh") == F.col("l.n_sh")) & (F.col("s.id") < F.col("l.id")))
             )
             & (F.col("l.n_sh") * F.lit(threshold) <= F.col("s.n_sh"))
+            & (row_bound >= alpha_r - kmin_r + 1)
         )
         .groupBy(F.col("s.id").alias("id_s"), F.col("l.id").alias("id_l"))
         .agg(
@@ -414,19 +549,15 @@ def jaccard_pairs(
             F.min(F.col("l.pos")).alias("min_pl"),
             F.first(F.col("s.n_sh")).alias("ns"),
             F.first(F.col("l.n_sh")).alias("nl"),
+            F.first(F.col("s.sk")).alias("sk_s"),
+            F.first(F.col("l.sk")).alias("sk_l"),
         )
-        .filter((inter_ub >= alpha) & (F.col("pm") >= k_min))
+        .filter(group_keep)
         .select(
             F.least("id_s", "id_l").alias("id_a"),
             F.greatest("id_s", "id_l").alias("id_b"),
         )
-    ).localCheckpoint()
-    # Candidates materialize before verification composes: measured
-    # separately the stages sum to ~1/3 of what the single fused plan
-    # costs (the optimizer fuses the candidate join+agg with the
-    # verification joins into one over-wide stage); the barrier also
-    # gives the verification join exact input stats.
-    return _verified_jaccard(cand, arrs, threshold)
+    )
 
 
 # ------------------------------------------------------------ MinHash-LSH

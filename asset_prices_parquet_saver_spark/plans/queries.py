@@ -49,6 +49,7 @@ from asset_prices_parquet_saver_spark.operators import (
     multimodal as mm_ops,
     sampling as sampling_ops,
     similarity as sim_ops,
+    skew as skew_ops,
     symbols as symbols_ops,
     text as text_ops,
 )
@@ -2391,6 +2392,69 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference operator family; queries demoted past the window duplicate
 # operator coverage that stays in-window and were all driver-green in
 # round 1 (they remain registered, tested, and hash-checked locally).
+# =====================================================================
+# Skew-mitigation operators under the value gate (SURVEY §4 scale
+# posture): salting is pure execution strategy — the logical result is
+# a plain join/aggregate, so each query hash-checks against ordinary
+# SQL while the Spark side runs the salted physical plan.
+# =====================================================================
+
+@q(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value, d.type_total
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate join keyed on the 5-value (maximally hot)
+    event_type column: the big side salts, the dim side replicates per
+    salt, the hot keys spread across n_salts reducers. Output is the
+    plain inner join — the salt never escapes the operator."""
+    e = read_table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    return skew_ops.salted_join(
+        e.select("event_id", "event_type", "value"), dim, "event_type", n_salts=8
+    ).select("event_id", "event_type", "value", "type_total")
+
+
+@q(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted sum/count/avg over the hot event_type keys —
+    partials per (key, salt), then the final fold per key. The decimal
+    staging keeps the sums exact, so the hash matches plain SQL."""
+    e = read_table(spark, sf_dir, "events")
+    return skew_ops.salted_sum_count(
+        e.select("event_type", "value"), ["event_type"], "value", n_salts=16
+    )
+
+
+@q(
+    "skew_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count without funnelling a hot key through one
+    reducer: dedupe on (key, value) — cardinality spreads over the
+    shuffle — then count per key."""
+    e = read_table(spark, sf_dir, "events")
+    return skew_ops.two_phase_distinct_count(e, ["event_type"], "user_id")
+
+
 # Round-4 rotation: the window now carries (a) every query that has
 # NEVER had a driver-green row (the round-3 additions media_features,
 # semantic_dedup_embeddings, benchmark_contamination,
@@ -2457,12 +2521,16 @@ _GATE_ORDER = [
     "anti_join_inactive_customers",
     "upsert_keep_latest_per_day",
     "source_diff",
-    "stratified_event_sample",
     "category_universe",
+    # skew-mitigation surface, new this round — first driver evidence.
+    "skew_salted_join",
+    "skew_salted_agg",
+    "skew_distinct_users",
+    # ---- gate-window boundary (position 50) ----
+    # Demoted this round (all multi-round driver-green; locally gated):
+    "stratified_event_sample",
     "string_functions",
     "argmax_per_nation",
-    # ---- gate-window boundary (position 50) ----
-    # Demoted this round (all triple-green r1+r2+r3; locally gated):
     "translate_brand",
     "null_pad_schema",
     "minute_floor_counts",

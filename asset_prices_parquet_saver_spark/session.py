@@ -56,6 +56,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # RocksDB state store: stateful streaming state (session windows,
+        # applyInPandasWithState, dedupe watermarks) lives on disk with a
+        # bounded block cache instead of in executor heap — the default
+        # HDFSBackedStateStore keeps every version of every key in
+        # memory, which a long-running 100 TB stream outgrows. Changelog
+        # checkpointing keeps per-batch commits incremental.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

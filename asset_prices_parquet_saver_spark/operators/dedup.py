@@ -742,7 +742,13 @@ def minhash_dedup(
         arrs = _signatures_from_arrays(
             shingle_arrays(df, id_col, text_col, n), num_hashes
         ).localCheckpoint()  # eager materialization — see jaccard_pairs
-    cand = lsh_candidate_pairs(arrs.select("id", "sig"), bands, rows_per_band)
+    # zero-shingle docs share one degenerate all-NULL signature; banding
+    # them yields O(k²) candidates that the NULL-jaccard filter later
+    # discards — exclude them up front (the SQL oracle never emits sig
+    # rows for them, so the candidate sets stay bit-identical).
+    cand = lsh_candidate_pairs(
+        arrs.filter(F.col("n_sh") > 0).select("id", "sig"), bands, rows_per_band
+    )
     return _verified_jaccard(cand, arrs.select("id", "arr", "n_sh"), threshold)
 
 

@@ -32,6 +32,14 @@ def test_word_shingles_short_doc_is_empty(spark):
     assert by_id[1] == ["a b", "b c"]
 
 
+def test_minhash_skips_zero_shingle_docs(spark):
+    # docs too short to shingle share one all-NULL signature; they must
+    # neither pair with each other nor crash the banding path
+    df = _docs(spark, ["one", "two", "x", "a b c d e", "a b c d e"])
+    out = dedup.minhash_dedup(df, "doc_id", "text", 2, 32, 8, 0.5).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(3, 4)]
+
+
 def test_jaccard_pairs_identical_docs(spark):
     df = _docs(spark, ["a b c d e", "a b c d e", "z y x w v"])
     out = dedup.jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.9).collect()

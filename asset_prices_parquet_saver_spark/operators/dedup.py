@@ -337,10 +337,20 @@ def jaccard_pairs(
         with_global_row_number,
     )
 
-    sh, _docs = _hashed_shingle_rows(df, id_col, text_col, n)
+    sh, docs = _hashed_shingle_rows(df, id_col, text_col, n)
     if strategy == "auto":
         est = sh.agg(F.approx_count_distinct("h", 0.02).alias("c")).collect()[0]["c"]
         strategy = "dense" if est <= dense_vocab_limit * 0.9 else "prefix"
+    if strategy == "dense":
+        # the rank-encoding pass below exists only for the PPJoin+
+        # prefix/suffix filters — the dense sweep is encoding-agnostic
+        # (Jaccard is set-cardinality arithmetic), so it reads the raw
+        # per-doc hash arrays directly and skips two shuffles + a
+        # distributed row_number over the vocabulary.
+        arrs = docs.select(
+            "id", F.col("hs").alias("arr"), F.size("hs").alias("n_sh")
+        )
+        return _dense_jaccard(arrs, threshold, vocab_limit=dense_vocab_limit)
     # Rank-encode the shingle space: each distinct shingle hash maps to
     # its ORDINAL in the global rarest-first (frequency, hash) order —
     # a bijection, so Jaccard values are identical to the raw-hash
@@ -364,8 +374,6 @@ def jaccard_pairs(
         .select("id", "arr", F.size("arr").alias("n_sh"))
         .localCheckpoint()
     )
-    if strategy == "dense":
-        return _dense_jaccard(arrs, threshold, vocab_limit=dense_vocab_limit)
     cand = _prefix_candidates(arrs, threshold, suffix_filter).localCheckpoint()
     # Candidates materialize before verification composes: measured
     # separately the stages sum to ~1/3 of what the single fused plan

@@ -287,6 +287,46 @@ def dedup_increment_bucketed(
     return survivors
 
 
+def compact_band_index(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> tuple[int, int]:
+    """Compact the bucketed band index's accumulated append files.
+
+    Every :func:`dedup_increment_bucketed` append writes a fresh file
+    per (task, bucket), so after B batches the probe scan opens
+    O(B × buckets) small files — the classic small-files decay of any
+    append-log index. Rewrite into a staging table with ONE file per
+    non-empty bucket: repartition by the COMPUTED bucket id
+    (``pmod(hash(band, bucket), num_buckets)``, the writer's own
+    Murmur3-pmod bucket expression — asserted aligned in the test), so
+    all rows of a bucket land on one task and the bucketed writer
+    emits a single file for it. Repartitioning on the raw key columns
+    is NOT equivalent: the write-side task layout doesn't preserve the
+    shuffle's partition-per-bucket mapping, and each task then spills
+    one file per bucket it happens to hold. The swap is a metastore
+    DROP + RENAME — same single-writer assumption the append path
+    already documents; on an Iceberg / Delta catalog this whole
+    function is a rewrite-data-files action with a snapshot commit
+    instead.
+
+    Returns ``(files_before, files_after)``."""
+    staging = f"{table}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    cur = spark.table(table)
+    files_before = len(cur.inputFiles())
+    bucket_id = F.pmod(F.hash("band", "bucket"), F.lit(num_buckets))
+    (
+        cur.repartition(num_buckets, bucket_id)
+        .write.bucketBy(num_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .mode("overwrite")
+        .saveAsTable(staging)
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return files_before, len(spark.table(table).inputFiles())
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     docs_stream: DataFrame,

@@ -237,3 +237,64 @@ def test_bucketed_index_matches_reference_and_never_shuffles_index(spark):
         assert "Bucketed: true" in plan  # index read in place
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_band_index_merges_append_files(spark):
+    tbl = "sigband_test_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        batches = [DOCS[:3], DOCS[3:7], DOCS[7:]]
+        for batch in batches:
+            df = spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in batch],
+                "doc_id long, text string",
+            )
+            inc.dedup_increment_bucketed(
+                spark, df, tbl, threshold=0.5, bands=32, num_buckets=8
+            )
+        rows_before = sorted(
+            (r["band"], r["bucket"], r["id"])
+            for r in spark.table(tbl).collect()
+        )
+        before, after = inc.compact_band_index(spark, tbl, num_buckets=8)
+        # each append adds its own files; compaction folds them into at
+        # most one file per non-empty bucket
+        assert before > after
+        assert after <= 8
+        rows_after = sorted(
+            (r["band"], r["bucket"], r["id"])
+            for r in spark.table(tbl).collect()
+        )
+        assert rows_after == rows_before
+        # the compacted table is still bucketed: a probe join reads it
+        # in place with a single (batch-side) exchange
+        from pyspark.sql import functions as F
+
+        from asset_prices_parquet_saver_spark.operators.dedup import banded_keys
+
+        sig = inc.signature_frame(
+            spark.createDataFrame([Row(doc_id=1000, text="alpha beta gamma")]),
+            "doc_id", "text", 2, 32,
+        ).localCheckpoint()
+        nb = banded_keys(
+            sig.filter(F.col("n_sh") > 0), 32, 1, carry=("arr", "n_sh")
+        ).localCheckpoint()
+        probe = nb.alias("a").hint("shuffle_hash").join(
+            spark.table(tbl).alias("b"), ["band", "bucket"]
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert plan.count("Exchange") == 1
+        assert "Bucketed: true" in plan
+        # and further increments keep working against the compacted index
+        df = spark.createDataFrame(
+            [Row(doc_id=50, text="the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        out = inc.dedup_increment_bucketed(
+            spark, df, tbl, threshold=0.5, bands=32, num_buckets=8
+        )
+        assert out.count() == 0  # dup of indexed 1 still caught
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")

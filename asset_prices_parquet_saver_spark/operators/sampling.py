@@ -49,6 +49,128 @@ def stratified_sample(
     return df.filter(pred)
 
 
+def assign_split(key: Column, splits: list[tuple[str, float]]) -> Column:
+    """Deterministic train/val/test assignment: label a row by which
+    cumulative md5-bucket range its key hashes into. ``splits`` is
+    ``[(label, fraction), ...]``; fractions must sum to ≤ 1 and the
+    LAST label absorbs the remainder, so every row gets a label and
+    the assignment is stable under appends (a new row never moves an
+    old row between splits — the property ``randomSplit`` cannot
+    give you, since its row assignment depends on partitioning)."""
+    h = hash_bucket_hex(key)
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    cuts = []
+    for label, frac in splits[:-1]:
+        cum += frac
+        cuts.append((label, fraction_threshold_hex(cum)))
+    for label, thr in reversed(cuts):
+        expr = F.when(h < F.lit(thr), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def split_oracle_case(key_col: str, splits: list[tuple[str, float]]) -> str:
+    """ANSI-SQL CASE mirroring :func:`assign_split`."""
+    h = f"substring(md5(CAST({key_col} AS VARCHAR)), 1, 8)"
+    cum, whens = 0.0, []
+    for label, frac in splits[:-1]:
+        cum += frac
+        whens.append(f"WHEN {h} < '{fraction_threshold_hex(cum)}' THEN '{label}'")
+    return f"CASE {' '.join(whens)} ELSE '{splits[-1][0]}' END"
+
+
+#: md5-prefix width (hex chars) and its numeric range, shared by the
+#: mixing threshold arithmetic on both engines
+_MIX_RANGE = 4294967296  # 16^8
+
+
+def mix_to_proportions(
+    df: DataFrame, strata_col: str, key_col: str, targets: dict[str, int]
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample each stratum so output
+    proportions match integer-percent ``targets`` at the largest
+    achievable total (strata not in ``targets`` are dropped).
+
+    The per-stratum keep-thresholds are data-dependent, so they are
+    computed IN THE PLAN with exact integer arithmetic (``div`` floor
+    division; the one oversized product goes through DECIMAL(38)) —
+    the SQL oracle reproduces the identical thresholds with HUGEINT
+    ``//``, making the exact selected row set cross-engine
+    reproducible. Formulas (n_s = stratum count, p_s = target pct):
+
+    - budget  = min_s(n_s·100 div p_s)   (max total respecting targets)
+    - k_s     = budget·p_s div 100       (per-stratum keep count)
+    - thr_s   = k_s·16^8 div n_s         (md5-prefix keep threshold)
+
+    A row survives iff its 8-char md5 prefix < thr_s (9-char zero-pad
+    on both sides so a full-stratum threshold of exactly 16^8 — nine
+    hex digits — still compares correctly). Thresholding keeps ~k_s
+    rows (binomially tight), which is the right trade at scale: the
+    plan is one scan + two broadcast-joined tiny aggregates — no
+    per-stratum sort, no skew-prone shuffle, unlike an exact-k
+    hash-ranked top-k per stratum."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, int(p)) for s, p in targets.items()], f"{strata_col} string, pct int"
+    )
+    counts = (
+        df.join(F.broadcast(tgt), strata_col)
+        .groupBy(strata_col, "pct")
+        .agg(F.count("*").alias("n"))
+    )
+    budget = counts.agg(F.min(F.expr("n * 100 div pct")).alias("budget"))
+    thr = (
+        counts.crossJoin(F.broadcast(budget))
+        .withColumn("k", F.expr("budget * pct div 100"))
+        .withColumn(
+            "thr_hex",
+            F.lpad(
+                F.lower(
+                    F.hex(F.expr(f"CAST(k AS DECIMAL(38,0)) * {_MIX_RANGE} div n"))
+                ),
+                9,
+                "0",
+            ),
+        )
+        .select(strata_col, "thr_hex")
+    )
+    probe = F.lpad(hash_bucket_hex(F.col(key_col)), 9, "0")
+    return df.join(F.broadcast(thr), strata_col).filter(probe < F.col("thr_hex"))
+
+
+def mix_oracle_ctes(
+    table: str, strata_col: str, key_col: str, targets: dict[str, int]
+) -> tuple[str, str]:
+    """(CTE block, WHERE-join tail) mirroring :func:`mix_to_proportions`
+    in DuckDB SQL. Usage::
+
+        ctes, tail = mix_oracle_ctes("documents", "lang", "doc_id", T)
+        sql = f"{ctes} SELECT d.doc_id, d.lang FROM documents d {tail}"
+    """
+    values = ", ".join(f"('{s}', {int(p)})" for s, p in targets.items())
+    ctes = f"""
+    WITH tgt({strata_col}, pct) AS (VALUES {values}),
+    cnt AS (
+        SELECT d.{strata_col} AS s, t.pct AS pct, COUNT(*) AS n
+        FROM {table} d JOIN tgt t ON d.{strata_col} = t.{strata_col}
+        GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(n * 100 // pct) AS budget FROM cnt),
+    thr AS (
+        SELECT s,
+               lpad(lower(to_hex(CAST(
+                   (((SELECT budget FROM b) * pct // 100)::HUGEINT
+                    * {_MIX_RANGE}) // n AS BIGINT))), 9, '0') AS thr_hex
+        FROM cnt
+    )"""
+    tail = (
+        f"JOIN thr ON d.{strata_col} = thr.s "
+        f"WHERE lpad(substring(md5(CAST(d.{key_col} AS VARCHAR)), 1, 8), 9, '0')"
+        f" < thr.thr_hex"
+    )
+    return ctes, tail
+
+
 def sample_oracle_predicate(
     strata_col: str, key_col: str, fractions: dict[str, float]
 ) -> str:

@@ -858,6 +858,51 @@ def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact order-statistics quantiles: the value at row ceil(q·n) of
+# each group's sorted order — positions via exact integer arithmetic,
+# values are raw row values, so the result hash-checks with no float
+# interpolation involved (complements value_dispersion_stats'
+# interpolated quantile_cont). The per-group window sort is the honest
+# exactness anchor; at 100 TB the production path is approx_percentile
+# (one pass, mergeable sketches) — this query is its ground truth.
+@q(
+    "exact_price_quantiles",
+    """
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS rn
+        FROM lineitem
+    ),
+    c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT r.l_returnflag,
+           MAX(CASE WHEN rn = (n*25+99)//100 THEN l_extendedprice END) AS p25,
+           MAX(CASE WHEN rn = (n*50+99)//100 THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = (n*75+99)//100 THEN l_extendedprice END) AS p75,
+           MAX(CASE WHEN rn = (n*99+99)//100 THEN l_extendedprice END) AS p99
+    FROM r JOIN c USING (l_returnflag)
+    GROUP BY r.l_returnflag
+    """,
+)
+def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w))
+    pos = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    joined = ranked.join(F.broadcast(pos), "l_returnflag")
+    def at(pct: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n * {pct} + 99) div 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(f"p{pct}")
+    return joined.groupBy("l_returnflag").agg(at(25), at(50), at(75), at(99))
+
+
 # --- string scalar family (P9/P10 relatives; SURVEY §2.8).
 @q(
     "string_functions",
@@ -1395,6 +1440,56 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling_ops.stratified_sample(
         ev, "event_type", "event_id", _SAMPLE_FRACTIONS
     ).select("event_id", "event_type", "user_id")
+
+
+# --- deterministic corpus mixing (operators/sampling.mix_to_proportions):
+# downsample each language so output proportions hit integer-percent
+# targets at the largest achievable total. The data-dependent keep-
+# thresholds are derived IN THE PLAN with exact integer arithmetic, so
+# the oracle reproduces the identical row set. One scan + two broadcast
+# tiny aggregates — no per-stratum sort, scale-safe.
+_MIX_TARGETS = {"en": 40, "de": 20, "es": 15, "fr": 15, "zh": 10}
+_MIX_CTES, _MIX_TAIL = sampling_ops.mix_oracle_ctes(
+    "documents", "lang", "doc_id", _MIX_TARGETS
+)
+
+
+@q(
+    "corpus_mix",
+    f"""
+    {_MIX_CTES}
+    SELECT d.doc_id, d.lang, d.source FROM documents d {_MIX_TAIL}
+    """,
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling_ops.mix_to_proportions(
+        docs, "lang", "doc_id", _MIX_TARGETS
+    ).select("doc_id", "lang", "source")
+
+
+# --- deterministic train/val/test assignment (operators/sampling.
+# assign_split): a row's split is a pure function of md5(key), so the
+# partition is stable under appends and reproducible on any engine —
+# the property randomSplit cannot give. Pure narrow map over the scan.
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+@q(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id, lang,
+           {sampling_ops.split_oracle_case("doc_id", _SPLITS)} AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        sampling_ops.assign_split(F.col("doc_id"), _SPLITS).alias("split"),
+    )
 
 
 # --- the --categories universe pathway (download_historical_price.py:
@@ -2513,21 +2608,26 @@ _GATE_ORDER = [
     "nation_market_share",
     "product_profit_by_nation",
     "conditional_agg",
+    # new this round: deterministic corpus mixing / split assignment /
+    # exact order-statistics quantiles — first driver evidence.
+    "corpus_mix",
+    "train_val_test_split",
+    "exact_price_quantiles",
     # reference-family representatives retained in-window.
     "filter_project_compute",
     "normalize_case_rename",
     "json_extract_agg",
     "daily_rollup",
     "anti_join_inactive_customers",
-    "upsert_keep_latest_per_day",
-    "source_diff",
-    "category_universe",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "upsert_keep_latest_per_day",
+    "source_diff",
+    "category_universe",
     "stratified_event_sample",
     "string_functions",
     "argmax_per_nation",

@@ -86,6 +86,9 @@ HEADLINE = [
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
+    "corpus_mix",
+    "train_val_test_split",
+    "exact_price_quantiles",
 ]
 
 

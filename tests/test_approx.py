@@ -69,3 +69,54 @@ def test_approx_median_within_tolerance(spark, sf_dir):
         # percentile_approx with 10k accuracy returns an actual data
         # value near the true median
         assert abs(approx[k] - m) <= max(0.5, 0.05 * abs(m)), (k, approx[k], m)
+
+
+def test_mix_to_proportions_hits_targets(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    targets = {"en": 40, "de": 20, "es": 15, "fr": 15, "zh": 10}
+    out = sampling.mix_to_proportions(docs, "lang", "doc_id", targets)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    # thresholding is binomially tight around each stratum's exact keep
+    # count k_s; at these sizes allow generous slack but require shape
+    for lang, pct in targets.items():
+        assert abs(got.get(lang, 0) / total - pct / 100) < 0.12
+    # the binding (scarcest-relative-to-target) stratum is kept whole:
+    # its threshold is exactly 16^8, the 9-hex-digit edge case
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    binding = min(targets, key=lambda s: n_by_lang[s] * 100 // targets[s])
+    assert got[binding] == n_by_lang[binding]
+    # deterministic: identical row set on a rerun
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sampling.mix_to_proportions(docs, "lang", "doc_id", targets)
+        .select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_assign_split_partitions_and_is_append_stable(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    col = sampling.assign_split(F.col("doc_id"), splits)
+    assigned = docs.select("doc_id", col.alias("split"))
+    counts = {r["split"]: r["n"] for r in assigned.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()  # every row labeled
+    assert set(counts) <= {"train", "val", "test"}
+    assert abs(counts["train"] / total - 0.8) < 0.08
+    # append stability: the label of a row is a pure function of its
+    # key — computing over any subset yields the same assignment
+    subset = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", col.alias("split"))
+    full = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    for r in subset.collect():
+        assert full[r["doc_id"]] == r["split"]

@@ -279,3 +279,80 @@ def top_ngrams(
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+# ----------------------------------------------------- PII scrubbing
+
+#: redaction patterns, ordered (emails contain digits and dots, so they
+#: must be masked before phone/IP patterns can misfire inside them).
+#: Dialect-portable subset: char classes, bounded repeats and \b work
+#: identically in Java regex (Spark) and RE2 (DuckDB / Go scanners).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails, NANP-style phone numbers, and IPv4 addresses with
+    typed placeholder tokens — the standard pre-training scrub pass.
+    Chained JVM-side ``regexp_replace`` (no UDF); pattern order matters
+    and is fixed by ``PII_PATTERNS``."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (for corpus audit reports), same patterns
+    as :func:`redact_pii`. Counted on the RAW text — order-independent."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_oracle_exprs(text_sql: str) -> tuple[str, dict[str, str]]:
+    """(redacted-text SQL, per-kind count SQL) mirroring the above in
+    DuckDB (global replace needs the explicit ``'g'`` flag there)."""
+    red = text_sql
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = {
+        kind: f"CAST(len(regexp_extract_all({text_sql}, '{pat}')) AS BIGINT)"
+        for kind, pat, _ in PII_PATTERNS
+    }
+    return red, counts
+
+
+# ------------------------------------------- context-window chunking
+
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, tokens_per_chunk: int = 16
+) -> DataFrame:
+    """Split each document's whitespace tokens into fixed-size
+    context-window chunks: one output row per (doc, chunk) with the
+    chunk ordinal, its token count, and the re-joined chunk text.
+
+    Pure narrow transformation — split / slice / posexplode are all
+    JVM-side; no shuffle, so it runs at scan speed and composes with
+    any downstream repartitioning (e.g. pack_training_shards for
+    token-budgeted shard assignment of the chunks)."""
+    k = tokens_per_chunk
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * k + 1, k),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "toks"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_join("toks", " ").alias("chunk_text"),
+    )

@@ -903,6 +903,109 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_returnflag").agg(at(25), at(50), at(75), at(99))
 
 
+# --- PII scrubbing (operators/text.redact_pii): the standard
+# pre-training scrub pass — emails, phones, IPv4 masked with typed
+# placeholders, per-kind audit counts. The corpus tables carry no real
+# PII, so the query assembles a deterministic contact string from
+# customer keys on BOTH sides and the redaction chain is the unit
+# under test. All chained JVM-side regexp_replace — no UDF, narrow,
+# runs at scan speed.
+_PII_CONTACT_SQL = (
+    "c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))"
+    " || '@example.com> phone 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.' || CAST(c_nationkey AS VARCHAR)"
+    " || '.0.' || CAST(c_custkey % 256 AS VARCHAR)"
+)
+_PII_RED_SQL, _PII_COUNT_SQL = text_ops.pii_oracle_exprs("contact")
+
+
+@q(
+    "pii_redaction",
+    f"""
+    WITH src AS (SELECT c_custkey, {_PII_CONTACT_SQL} AS contact FROM customer)
+    SELECT c_custkey,
+           {_PII_RED_SQL} AS redacted,
+           {_PII_COUNT_SQL['email']} AS n_email,
+           {_PII_COUNT_SQL['phone']} AS n_phone,
+           {_PII_COUNT_SQL['ip']} AS n_ip
+    FROM src
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", ".")),
+        F.lit("@example.com> phone 555-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") % 256).cast("string"),
+    )
+    counts = text_ops.pii_counts(F.col("contact"))
+    return (
+        c.select("c_custkey", contact.alias("contact"))
+        .select(
+            "c_custkey",
+            text_ops.redact_pii(F.col("contact")).alias("redacted"),
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["ip"].alias("n_ip"),
+        )
+    )
+
+
+# --- context-window chunking (operators/text.chunk_documents): one row
+# per (doc, fixed-token-budget chunk) — split/slice/posexplode, all
+# JVM-side, no shuffle; composes with pack_training_shards downstream.
+@q(
+    "document_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, i*16+1, i*16+16)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, i*16+1, i*16+16), ' ') AS chunk_text
+    FROM t, UNNEST(range((len(toks) + 15) // 16)) AS u(i)
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, "doc_id", "text", tokens_per_chunk=16)
+
+
+# --- deterministic global training order (the shuffle-before-training
+# pass): position = rank of md5(doc_id) — engine-independent, and the
+# global numbering runs the DISTRIBUTED range-partition + offset path
+# (operators/globalorder.py), not a single-partition window.
+@q(
+    "global_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    ordered = globalorder_ops.with_global_row_number(
+        docs, [F.col("h").asc(), F.col("doc_id").asc()], rn_col="pos"
+    )
+    return ordered.select("doc_id", "pos")
+
+
 # --- string scalar family (P9/P10 relatives; SURVEY §2.8).
 @q(
     "string_functions",
@@ -2609,15 +2712,16 @@ _GATE_ORDER = [
     "product_profit_by_nation",
     "conditional_agg",
     # new this round: deterministic corpus mixing / split assignment /
-    # exact order-statistics quantiles — first driver evidence.
+    # exact order-statistics quantiles / PII scrub / chunking / global
+    # shuffle order — first driver evidence.
     "corpus_mix",
     "train_val_test_split",
     "exact_price_quantiles",
+    "pii_redaction",
+    "document_chunks",
+    "global_shuffle_order",
     # reference-family representatives retained in-window.
     "filter_project_compute",
-    "normalize_case_rename",
-    "json_extract_agg",
-    "daily_rollup",
     "anti_join_inactive_customers",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
@@ -2625,6 +2729,9 @@ _GATE_ORDER = [
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "normalize_case_rename",
+    "json_extract_agg",
+    "daily_rollup",
     "upsert_keep_latest_per_day",
     "source_diff",
     "category_universe",

@@ -89,6 +89,9 @@ HEADLINE = [
     "corpus_mix",
     "train_val_test_split",
     "exact_price_quantiles",
+    "pii_redaction",
+    "document_chunks",
+    "global_shuffle_order",
 ]
 
 

@@ -181,3 +181,54 @@ def test_fuzzy_dedup_end_to_end(spark, sf_dir):
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert kept == all_ids - losers
     assert losers, "fixture should contain duplicates to drop"
+
+
+def test_redact_pii_masks_all_kinds(spark):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at alice.smith+x@sub.example.org or call 555-123-4567"),
+            (1, "server 192.168.1.254 and 10.0.0.1 are internal"),
+            (2, "no pii here at all"),
+            (3, "bob@ex.io bob@ex.io twice"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        text_ops.redact_pii(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in text_ops.pii_counts(F.col("text")).items()],
+    ).collect()
+    by = {r.doc_id: r for r in out}
+    assert by[0].red == "mail me at <EMAIL> or call <PHONE>"
+    assert (by[0].email, by[0].phone, by[0].ip) == (1, 1, 0)
+    assert by[1].red == "server <IP> and <IP> are internal"
+    assert by[1].ip == 2
+    assert by[2].red == "no pii here at all"
+    assert by[3].red == "<EMAIL> <EMAIL> twice"  # global replace
+    assert by[3].email == 2
+
+
+def test_chunk_documents_reconstructs_tokens(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    k = 7
+    chunks = text_ops.chunk_documents(docs, "doc_id", "text", k)
+    rows = chunks.collect()
+    orig = {r.doc_id: r.text.split() for r in docs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(orig)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        # contiguous ordinals; all chunks full except possibly the last
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens == k for r in rs[:-1])
+        assert 1 <= rs[-1].n_tokens <= k
+        # concatenating chunk texts reproduces the token stream
+        rebuilt = " ".join(r.chunk_text for r in rs).split()
+        assert rebuilt == orig[doc_id]

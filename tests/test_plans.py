@@ -151,3 +151,40 @@ def test_tfidf_broadcasts_corpus_size_and_term_freq(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     # per-doc top-k is group-limited before the final rank (no global sort)
     assert "WindowGroupLimit" in plan
+
+
+def test_corpus_mix_broadcasts_thresholds_no_sort(spark, sf_dir):
+    """The mixing plan is one scan + broadcast-joined tiny aggregates:
+    no sort-merge join, no per-stratum sort anywhere."""
+    df = QUERIES["corpus_mix"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_and_redaction_are_narrow(spark, sf_dir):
+    """Chunking and PII redaction run at scan speed: zero exchanges."""
+    for name in ("document_chunks", "pii_redaction"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+
+
+def test_global_shuffle_order_uses_range_partitioning(spark, sf_dir):
+    """The training-order numbering must run the distributed global-
+    order path: a range-partitioned exchange, and no single-partition
+    (empty partition spec) window over the full data."""
+    df = QUERIES["global_shuffle_order"](spark, sf_dir)
+    plan = _plan(df)
+    # the range-partitioned numbering ran BEFORE the checkpoint barrier
+    # (the final plan reads the checkpointed RDD and joins broadcast
+    # offsets); what must never appear downstream is a global sort or
+    # an unpartitioned window over the document rows
+    assert "scan existingrdd" in plan.lower()
+    assert "broadcast" in plan.lower()
+    import re as _re
+
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", plan.lower()):
+        assert "__pid" in spec or "rows between" in spec
+    # the distributed path itself (range partition + per-partition
+    # numbering + constant-size offsets) is plan-asserted in
+    # tests/test_globalorder.py

@@ -593,3 +593,176 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------ product quantization
+
+def train_pq_codebooks(
+    e: DataFrame,
+    num_subq: int,
+    num_codes: int,
+    sample_cap: int = 4096,
+    iters: int = 8,
+):
+    """Deterministic per-subspace k-means PQ codebooks, shape
+    (num_subq, num_codes, dim/num_subq).
+
+    Same training discipline as :func:`_train_centroids` (hash-ordered
+    bounded sample → driver numpy, farthest-first init, Lloyd
+    iterations) but in plain L2 geometry — PQ quantizes raw subvectors,
+    not directions. Train once offline, pin the artifact (the FAISS
+    index-file workflow); scripts/gen_pq_codebooks.py regenerates
+    operators/pq_codebooks.py after a testdata change."""
+    import numpy as np
+
+    rows = (
+        e.orderBy(F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r.v for r in rows])
+    dim = X.shape[1]
+    if dim % num_subq:
+        raise ValueError(f"dim {dim} not divisible by num_subq {num_subq}")
+    dsub = dim // num_subq
+    books = []
+    for j in range(num_subq):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        k = min(num_codes, len(S))
+        # farthest-first init in L2 (ties -> lowest index)
+        chosen = [0]
+        d = ((S - S[0]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            nxt = int(np.argmax(d))
+            chosen.append(nxt)
+            np.minimum(d, ((S - S[nxt]) ** 2).sum(axis=1), out=d)
+        C = S[chosen].copy()
+        for _ in range(iters):
+            dist = (
+                (S**2).sum(axis=1, keepdims=True)
+                - 2 * (S @ C.T)
+                + (C**2).sum(axis=1)
+            )
+            a = np.argmin(dist, axis=1)
+            for c in range(k):
+                members = S[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _pq_distance_rows(df: DataFrame, id_name: str, books, top_only: bool):
+    """Per-row squared-L2 distances to every PQ code, computed as
+    d = x·x − 2·x·c + c·c (the SAME dot-product formulation an SQL
+    oracle evaluates with ``list_dot_product``, so values agree to
+    float noise far below the 1e-6 rounding grain). One numpy matmul
+    per (Arrow batch × subquantizer).
+
+    ``top_only``: emit only the argmin code per (row, subquantizer)
+    (corpus encoding — ties take the lower code via argmin's
+    first-minimum rule, matching the oracle's ``ORDER BY d, code``);
+    else emit the full distance table (query-side ADC lookup rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = books.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]))
+            ids = pdf[id_name].to_numpy()
+            out = []
+            for j in range(m):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                B = books[j]
+                d = (
+                    np.einsum("ij,ij->i", S, S)[:, None]
+                    - 2 * (S @ B.T)
+                    + np.einsum("ij,ij->i", B, B)[None, :]
+                )
+                if top_only:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                id_name: ids,
+                                "j": np.full(len(pdf), j, dtype="int64"),
+                                "code": d.argmin(axis=1).astype("int64"),
+                            }
+                        )
+                    )
+                else:
+                    idx = np.repeat(np.arange(len(pdf)), ksub)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                id_name: ids[idx],
+                                "j": np.full(len(pdf) * ksub, j, dtype="int64"),
+                                "code": np.tile(
+                                    np.arange(ksub, dtype="int64"), len(pdf)
+                                ),
+                                "d": d.ravel(),
+                            }
+                        )
+                    )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = f"{id_name} long, j long, code long" + ("" if top_only else ", d double")
+    return df.mapInPandas(gen, schema)
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by product quantization with asymmetric
+    distance computation (ADC) — the memory-compression layer of
+    large-scale ANN (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011; what FAISS's IndexPQ does).
+
+    The corpus is encoded ONCE into m 1-byte-ish codes per vector
+    (here m·8 bytes as longs for relational clarity — 64-dim float64
+    → 8 codes is a 64× compression of what the query-time scan
+    touches); each query computes its exact distance table to every
+    codebook entry, and approximate distance = Σ_j table[j][code_j].
+    Output: (query_id, vec_id, adc_dist rounded to 6, rank), ranked
+    ascending with id tie-break — deterministic across engines.
+
+    Scale shape: encoding is a narrow linear scan (codebooks ride the
+    task closure); the scored relation is code rows ONLY — no
+    embedding vectors move after encoding. The query distance tables
+    (q·m·ksub rows) broadcast; the Σ_j is a map-side-combinable
+    aggregation keyed (query_id, vec_id). At 100 TB PQ is the
+    compression dial, composed with IVF cell pruning (IVF-PQ) so the
+    scan touches nprobe/num_cells of the codes.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype="float64")
+    e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
+    )
+    codes = _pq_distance_rows(e, "vec_id", books, top_only=True)
+    qtable = _pq_distance_rows(q, "query_id", books, top_only=False)
+    adc = (
+        codes.join(F.broadcast(qtable), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )

@@ -356,3 +356,123 @@ def chunk_documents(
         F.size("toks").cast("long").alias("n_tokens"),
         F.array_join("toks", " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------- BM25 retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi-BM25 document retrieval for a bag-of-terms query: the k
+    highest-scoring documents with their (rounded) score and the number
+    of distinct query terms they contain.
+
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    Robertson/Sparck-Jones formulation. The score is rounded to 6
+    decimals before the cut and tie-broken by doc id, so the result set
+    is deterministic across engines (cosine-query discipline).
+
+    Scale shape: the corpus scan feeds two map-side-combinable
+    aggregations — doc length (keyed on id) and term frequency (keyed
+    on (id, term), pre-filtered to the query's terms, so its volume is
+    O(matching docs), not O(corpus)). Document frequency and the
+    (N, avgdl) pair are tiny aggregates broadcast to the scorer; the
+    final top-k is a distributed TakeOrdered, never a global sort. At
+    100 TB this is one corpus pass + shuffles proportional to the
+    match set — the same shape a search engine's batch scorer runs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", contrib.alias("contrib"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------- chunk-level (paragraph) dedup
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, tokens_per_chunk: int = 16
+) -> DataFrame:
+    """Cross-document exact dedup at sub-document granularity — the
+    paragraph-dedup pass of a pretraining pipeline (C4/CCNet remove
+    repeated three-sentence spans / frequent paragraphs corpus-wide;
+    this corpus has no sentence boundaries, so the unit is the fixed
+    token window of :func:`chunk_documents`).
+
+    A chunk survives iff it is the FIRST occurrence of its text
+    corpus-wide (ordered by (doc, chunk ordinal) — deterministic).
+    Output: one row per document with its chunk counts and the cleaned
+    text re-joined from surviving chunks in original order (empty
+    string when every chunk was a repeat).
+
+    Scale shape: chunking is narrow (scan speed); the survivor choice
+    is ONE shuffle keyed on the chunk text (min-occurrence aggregation
+    — map-side combinable, and the natural place to swap in the
+    portable 60-bit hash as the key at 100 TB to cut shuffle bytes);
+    reassembly is one shuffle back on the doc id. No windows, no
+    self-joins.
+    """
+    chunks = chunk_documents(df, id_col, text_col, tokens_per_chunk)
+    first = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_id"))).alias("first_occ")
+    )
+    marked = chunks.join(first, "chunk_text").select(
+        F.col(id_col).alias("id"),
+        "chunk_id",
+        "chunk_text",
+        (
+            (F.col("first_occ")[id_col] == F.col(id_col))
+            & (F.col("first_occ.chunk_id") == F.col("chunk_id"))
+        ).alias("keep"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "chunk_text", "keep"))
+    )
+    kept = F.filter(ordered, lambda x: x["keep"])
+    return marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda x: x["chunk_text"]), " "
+        ).alias("cleaned_text"),
+    )

@@ -1006,6 +1006,153 @@ def global_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select("doc_id", "pos")
 
 
+# --- X4 retrieval: Okapi BM25 top-k for a bag-of-terms query — one
+# corpus pass, match-set-proportional shuffles, distributed TakeOrdered
+# cut. Score rounded to 6 before the cut, id tie-break (both engines).
+_BM25_TERMS = ("spark", "window", "merge", "vector")
+
+
+@q(
+    "bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.id,
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+              JOIN dl ON tf.id = dl.id, stats
+    )
+    SELECT id AS doc_id, round(SUM(contrib), 6) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
+    return out.select(
+        F.col("id").alias("doc_id"), "score", "n_terms_hit"
+    )
+
+
+# --- X1/X4 composition: cross-document sub-document (paragraph-window)
+# exact dedup — the C4/CCNet repeated-span scrub at chunk granularity.
+# Survivor = corpus-wide first occurrence by (doc, chunk ordinal); one
+# shuffle on the chunk text, one back on the doc id.
+@q(
+    "chunk_dedup_corpus",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(toks, i*16+1, i*16+16), ' ') AS chunk_text
+      FROM t, UNNEST(range((len(toks) + 15) // 16)) AS u(i)
+    ), marked AS (
+      SELECT doc_id, chunk_id, chunk_text,
+             (ROW_NUMBER() OVER (
+                PARTITION BY chunk_text ORDER BY doc_id, chunk_id)) = 1 AS keep
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+                               ORDER BY chunk_id), '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.chunk_dedup(d, "doc_id", "text", tokens_per_chunk=16)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_chunks", "n_kept", "cleaned_text"
+    )
+
+
+# --- X3: product-quantization ANN (ADC scan) — the PINNED offline-
+# trained codebooks (operators/pq_codebooks.py, regenerated by
+# scripts/gen_pq_codebooks.py) are inlined into the oracle, which
+# replays encoding (argmin over the SAME x·x − 2·x·c + c·c double
+# formulation, ties → lower code) and the table-lookup distance sum.
+def _pq_oracle_sql(k: int) -> str:
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+        PINNED_PQ_DSUB,
+    )
+
+    values = ",\n      ".join(
+        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, book in enumerate(PINNED_PQ_CODEBOOKS)
+        for c, row in enumerate(book)
+    )
+    d = PINNED_PQ_DSUB
+    sub = f"list_slice(e.v, cb.j*{d}+1, cb.j*{d}+{d})"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+      SELECT * FROM (VALUES
+      {values}) AS t(j, code, cv)
+    ), dist AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_dot_product({sub}, {sub})
+             - 2 * list_dot_product({sub}, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS d
+      FROM e CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dist) t
+      WHERE rn = 1
+    ), qd AS (
+      SELECT vec_id AS query_id, j, code, d FROM dist WHERE vec_id < 8
+    ), adc AS (
+      SELECT qd.query_id, c.vec_id, round(SUM(qd.d), 6) AS adc_dist
+      FROM codes c JOIN qd ON c.j = qd.j AND c.code = qd.code
+      WHERE c.vec_id != qd.query_id
+      GROUP BY qd.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) t
+    WHERE rn <= {k}
+    """
+
+
+@q("ann_pq_topk", _pq_oracle_sql(k=5))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = sim_ops.ann_pq_topk(e, queries, PINNED_PQ_CODEBOOKS, k=5)
+    return out.select(
+        "query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --- string scalar family (P9/P10 relatives; SURVEY §2.8).
 @q(
     "string_functions",
@@ -2695,8 +2842,6 @@ _GATE_ORDER = [
     "pack_training_shards",
     # streaming session-window vs independent oracle (round-3 add).
     "session_window_bars",
-    # round-1 red row, fixed in round 2 — stays in-window.
-    "user_sessions",
     # as-of family (range-join operator + window carry-forward).
     "asof_price_lookup",
     "asof_last_purchase",
@@ -2720,15 +2865,20 @@ _GATE_ORDER = [
     "pii_redaction",
     "document_chunks",
     "global_shuffle_order",
-    # reference-family representatives retained in-window.
-    "filter_project_compute",
-    "anti_join_inactive_customers",
+    # newest additions: BM25 retrieval, paragraph-window corpus dedup,
+    # PQ-ADC ANN — first driver evidence.
+    "bm25_search",
+    "chunk_dedup_corpus",
+    "ann_pq_topk",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "user_sessions",
+    "filter_project_compute",
+    "anti_join_inactive_customers",
     "normalize_case_rename",
     "json_extract_agg",
     "daily_rollup",

@@ -92,6 +92,9 @@ HEADLINE = [
     "pii_redaction",
     "document_chunks",
     "global_shuffle_order",
+    "bm25_search",
+    "chunk_dedup_corpus",
+    "ann_pq_topk",
 ]
 
 

@@ -188,3 +188,38 @@ def test_global_shuffle_order_uses_range_partitioning(spark, sf_dir):
     # the distributed path itself (range partition + per-partition
     # numbering + constant-size offsets) is plan-asserted in
     # tests/test_globalorder.py
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered_cut(spark, sf_dir):
+    """BM25: document frequency and (N, avgdl) are broadcast to the
+    scorer; the final top-k is a distributed TakeOrdered, not a global
+    sort materialization."""
+    plan = _plan(QUERIES["bm25_search"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_on_chunk_text_only(spark, sf_dir):
+    """Paragraph-window dedup: the survivor choice and reassembly are
+    key shuffles (chunk_text, then id) — no windows over the corpus, no
+    cartesian, no Python in the plan."""
+    plan = _plan(QUERIES["chunk_dedup_corpus"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the min-first-occurrence aggregate is partial (map-side combinable)
+    assert "partial_min" in plan
+
+
+def test_ann_pq_scores_code_rows_not_vectors(spark, sf_dir):
+    """PQ-ADC: after encoding, only (id, j, code) rows move — the ADC
+    join broadcasts the query distance tables and the Σ_j aggregation
+    is partial; no embedding arrays appear downstream of the join."""
+    plan = _plan(QUERIES["ann_pq_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    # the post-join aggregate/window sees narrow columns only
+    post_join = plan.split("BroadcastHashJoin")[0]
+    assert "array<double>" not in post_join

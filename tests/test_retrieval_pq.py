@@ -1,0 +1,144 @@
+"""Unit tests: BM25 retrieval, chunk-level corpus dedup, and PQ ANN."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import similarity as sim
+from asset_prices_parquet_saver_spark.operators import text as text_ops
+from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+
+# ----------------------------------------------------------------- BM25
+
+def test_bm25_matches_formula(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark spark merge row"),
+            Row(doc_id=1, text="spark table table table"),
+            Row(doc_id=2, text="row table key value"),
+        ]
+    )
+    out = {
+        r.id: (r.score, r.n_terms_hit)
+        for r in text_ops.bm25_topk(
+            docs, "doc_id", "text", ("spark", "merge"), k=10
+        ).collect()
+    }
+    # reference: N=3, avgdl=4; spark df=2, merge df=1
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, df, dl, n=3, avgdl=4.0):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = round(bm25(2, 2, 4) + bm25(1, 1, 4), 6)
+    exp1 = round(bm25(1, 2, 4), 6)
+    assert out[0] == (exp0, 2)
+    assert out[1] == (exp1, 1)
+    assert 2 not in out  # no query terms -> not retrieved
+
+
+def test_bm25_topk_cut_is_deterministic(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    a = text_ops.bm25_topk(d, "doc_id", "text", ("table", "row"), k=5).collect()
+    b = text_ops.bm25_topk(d, "doc_id", "text", ("table", "row"), k=5).collect()
+    assert [r.id for r in a] == [r.id for r in b]
+    assert len(a) == 5
+    scores = [r.score for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ----------------------------------------------------- chunk-level dedup
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    # 4-token chunks; doc 0 owns chunk A; doc 1 repeats A twice around B
+    A = "a b c d"
+    B = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=A),
+            Row(doc_id=1, text=f"{A} {B} {A}"),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in text_ops.chunk_dedup(
+            docs, "doc_id", "text", tokens_per_chunk=4
+        ).collect()
+    }
+    assert (out[0].n_chunks, out[0].n_kept, out[0].cleaned_text) == (1, 1, A)
+    # doc 1: its first A-chunk loses to doc 0's, its second to the first
+    assert (out[1].n_chunks, out[1].n_kept, out[1].cleaned_text) == (3, 1, B)
+
+
+def test_chunk_dedup_tail_chunk_and_empty_survivors(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="x y z"),  # single short chunk
+            Row(doc_id=1, text="x y z"),  # exact repeat -> everything scrubbed
+        ]
+    )
+    out = {
+        r.id: r
+        for r in text_ops.chunk_dedup(
+            docs, "doc_id", "text", tokens_per_chunk=4
+        ).collect()
+    }
+    assert (out[0].n_kept, out[0].cleaned_text) == (1, "x y z")
+    assert (out[1].n_kept, out[1].cleaned_text) == (0, "")
+
+
+# ------------------------------------------------------------------- PQ
+
+def test_pq_codebook_training_shape_and_determinism(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b1 = sim.train_pq_codebooks(e, 4, 8)
+    b2 = sim.train_pq_codebooks(e, 4, 8)
+    assert b1.shape == (4, 8, 16)
+    assert np.array_equal(b1, b2)
+
+
+def test_ann_pq_recall_against_exact_l2(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype="float64")
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    q = e.filter(F.col("vec_id") < 5)
+    books = sim.train_pq_codebooks(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        16,
+        32,
+    )
+    # k = corpus size -> the full ADC distance relation, so the test can
+    # check PQ's actual guarantee (distance approximation), not just the
+    # noisy small-sample recall@5.
+    full = sim.ann_pq_topk(e, q, books, k=len(ids)).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in full:
+        by_q.setdefault(r.query_id, {})[r.vec_id] = r.adc_dist
+
+    hits = total = 0
+    for qid in range(5):
+        qv = V[ids == qid][0]
+        d = ((V - qv) ** 2).sum(axis=1)
+        other = ids != qid
+        adc = np.array([by_q[qid][i] for i in ids[other]])
+        # ADC must track true squared-L2 distance strongly
+        assert np.corrcoef(adc, d[other])[0, 1] >= 0.6
+        exact = set(ids[other][np.argsort(d[other], kind="stable")[:5]].tolist())
+        approx5 = set(
+            ids[other][np.argsort(adc, kind="stable")[:5]].tolist()
+        )
+        hits += len(exact & approx5)
+        total += 5
+    assert hits / total >= 0.3  # far above the 5/499 random baseline

@@ -340,6 +340,35 @@ def semantic_dedup(
     return emb.join(losers, id_col, "left_anti")
 
 
+def _ivf_cells(df: DataFrame, Cn, top: int) -> DataFrame:
+    """Assign each (vec_id, v) row its ``top`` nearest coarse-quantizer
+    cells by cosine (one numpy matmul per Arrow batch; centroids ride
+    the task closure). Stable sort: similarity ties assign to the LOWER
+    cell id on every engine (argsort's default introsort makes tie
+    order an implementation detail)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]))
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cn.T
+            cells = np.argsort(-S, axis=1, kind="stable")[:, :top]
+            idx = np.repeat(np.arange(len(pdf)), top)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "v": pdf["v"].to_numpy()[idx],
+                    "cell": cells.ravel().astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(gen, "vec_id long, v array<double>, cell long")
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -376,35 +405,15 @@ def ann_ivf_topk(
     else:
         Cn = _train_centroids(e, num_cells)
 
-    def assign(top: int):
-        def gen(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.array(list(pdf["v"]))
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                S = Vn @ Cn.T
-                # stable sort: similarity ties assign to the LOWER cell
-                # id on every engine (argsort's default introsort makes
-                # tie order an implementation detail)
-                cells = np.argsort(-S, axis=1, kind="stable")[:, :top]
-                idx = np.repeat(np.arange(len(pdf)), top)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy()[idx],
-                        "v": pdf["v"].to_numpy()[idx],
-                        "cell": cells.ravel().astype("int64"),
-                    }
-                )
-
-        return gen
-
-    corpus = e.mapInPandas(assign(1), "vec_id long, v array<double>, cell long")
+    corpus = _ivf_cells(e, Cn, 1)
     probes = (
-        queries.select(
-            F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
+        _ivf_cells(
+            queries.select(
+                F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")
+            ),
+            Cn,
+            nprobe,
         )
-        .mapInPandas(assign(nprobe), "vec_id long, v array<double>, cell long")
         .select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
         )
@@ -755,6 +764,69 @@ def ann_pq_topk(
     adc = (
         codes.join(F.broadcast(qtable), ["j", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-pruned PQ-ADC top-k — the two pinned artifacts composed the
+    way a production index composes them (FAISS ``IVFx,PQy``): the
+    coarse quantizer prunes the scan to ``nprobe`` cells, PQ codes
+    stand in for the vectors inside the scanned cells, and ranking is
+    by table-lookup ADC distance. (Codes quantize raw vectors, not
+    per-cell residuals — the IVFADC residual refinement changes only
+    the encode/table steps and is orthogonal to the plan shape.)
+
+    Scale shape: both index structures are narrow code/cell relations —
+    vectors never move after the two linear encoding scans. Candidates
+    = cell equi-join with the broadcast probe list; ADC = broadcast
+    table join + map-side-combinable Σ_j keyed (query_id, vec_id),
+    over nprobe/num_cells of the corpus instead of all of it. This is
+    the 100 TB ANN configuration; ann_pq_topk is its full-scan
+    correctness anchor, ann_ivf_topk its uncompressed twin.
+    """
+    import numpy as np
+
+    Cn = np.asarray(centroids, dtype="float64")
+    books = np.asarray(codebooks, dtype="float64")
+    e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
+    )
+    cells = _ivf_cells(e, Cn, 1).select("vec_id", "cell")
+    probes = _ivf_cells(
+        q.select(F.col("query_id").alias("vec_id"), "v"), Cn, nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    # corpus is assigned to exactly ONE cell and probe cells are
+    # distinct, so each (query, candidate) pair arises once — no dedupe.
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = _pq_distance_rows(e, "vec_id", books, top_only=True)
+    qtable = _pq_distance_rows(q, "query_id", books, top_only=False)
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtable), ["query_id", "j", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
     )

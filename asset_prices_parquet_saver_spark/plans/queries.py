@@ -1153,6 +1153,149 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X3: IVF-PQ — the two pinned artifacts composed (FAISS "IVF16,PQ16"
+# shape): coarse cells prune the scan, PQ codes replace the vectors,
+# ADC ranks. The oracle replays BOTH quantizers from inlined constants
+# (cell assignment by argmax dot over unit centroids; encode + ADC as
+# in ann_pq_topk) restricted to the probed cells.
+def _ivfpq_oracle_sql(nprobe: int, k: int) -> str:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+        PINNED_PQ_DSUB,
+    )
+
+    cent_values = ",\n      ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, row in enumerate(PINNED_IVF_CENTROIDS)
+    )
+    cb_values = ",\n      ".join(
+        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, book in enumerate(PINNED_PQ_CODEBOOKS)
+        for c, row in enumerate(book)
+    )
+    d = PINNED_PQ_DSUB
+    sub = f"list_slice(e.v, cb.j*{d}+1, cb.j*{d}+{d})"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT * FROM (VALUES
+      {cent_values}) AS t(cell, cv)
+    ), sims AS (
+      SELECT e.vec_id, cent.cell, list_dot_product(e.v, cent.cv) AS s
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims) t
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims WHERE vec_id < 8) t
+      WHERE rn <= {nprobe}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+                                 AND a.vec_id != p.query_id
+    ), cb AS (
+      SELECT * FROM (VALUES
+      {cb_values}) AS t(j, code, cv)
+    ), dist AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_dot_product({sub}, {sub})
+             - 2 * list_dot_product({sub}, cb.cv)
+             + list_dot_product(cb.cv, cb.cv) AS d
+      FROM e CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dist) t
+      WHERE rn = 1
+    ), qd AS (
+      SELECT vec_id AS query_id, j, code, d FROM dist WHERE vec_id < 8
+    ), adc AS (
+      SELECT cand.query_id, cand.vec_id, round(SUM(qd.d), 6) AS adc_dist
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.vec_id
+      JOIN qd ON qd.query_id = cand.query_id
+             AND qd.j = c.j AND qd.code = c.code
+      GROUP BY cand.query_id, cand.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) t
+    WHERE rn <= {k}
+    """
+
+
+@q("ann_ivfpq_topk", _ivfpq_oracle_sql(nprobe=3, k=5))
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = sim_ops.ann_ivfpq_topk(
+        e, queries, PINNED_IVF_CENTROIDS, PINNED_PQ_CODEBOOKS, k=5, nprobe=3
+    )
+    return out.select(
+        "query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --- X4 retrieval infrastructure: the inverted index itself — term →
+# sorted postings with document frequency and total term frequency.
+# One shuffle keyed on the term; collect_set/array_sort keeps the
+# posting list engine-deterministic.
+@q(
+    "inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(len(list_sort(list(DISTINCT doc_id))) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS total_tf,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM toks GROUP BY term
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text_ops.words(F.col("text"))).alias("term")
+    )
+    # df derives from the postings set (a countDistinct alongside would
+    # force a second expand/exchange pass for no information gain)
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("total_tf"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+        .select(
+            "term",
+            F.size("postings").cast("long").alias("df"),
+            "total_tf",
+            "postings",
+        )
+    )
+
+
 # --- string scalar family (P9/P10 relatives; SURVEY §2.8).
 @q(
     "string_functions",
@@ -2840,11 +2983,9 @@ _GATE_ORDER = [
     "benchmark_contamination",
     "curated_corpus",
     "pack_training_shards",
-    # streaming session-window vs independent oracle (round-3 add).
-    "session_window_bars",
-    # as-of family (range-join operator + window carry-forward).
+    # as-of range-join operator (window carry-forward twin
+    # asof_last_purchase demoted: driver-green r3).
     "asof_price_lookup",
-    "asof_last_purchase",
     # round-1-only evidence: re-validate under the current engine.
     "moving_avg_3",
     "rank_functions",
@@ -2870,6 +3011,8 @@ _GATE_ORDER = [
     "bm25_search",
     "chunk_dedup_corpus",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "inverted_index",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
@@ -2877,6 +3020,8 @@ _GATE_ORDER = [
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "user_sessions",
+    "session_window_bars",
+    "asof_last_purchase",
     "filter_project_compute",
     "anti_join_inactive_customers",
     "normalize_case_rename",

@@ -95,6 +95,8 @@ HEADLINE = [
     "bm25_search",
     "chunk_dedup_corpus",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "inverted_index",
 ]
 
 

@@ -223,3 +223,20 @@ def test_ann_pq_scores_code_rows_not_vectors(spark, sf_dir):
     # the post-join aggregate/window sees narrow columns only
     post_join = plan.split("BroadcastHashJoin")[0]
     assert "array<double>" not in post_join
+
+
+def test_ann_ivfpq_broadcasts_probes_and_tables(spark, sf_dir):
+    """IVF-PQ: probe list and query ADC tables broadcast; the cell
+    candidate join and code join never cartesian; Σ_j is partial."""
+    plan = _plan(QUERIES["ann_ivfpq_topk"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_is_one_term_shuffle(spark, sf_dir):
+    """The inverted index is a single term-keyed aggregation with a
+    map-side partial pass — no joins, no windows."""
+    plan = _plan(QUERIES["inverted_index"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1

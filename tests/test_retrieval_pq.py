@@ -142,3 +142,43 @@ def test_ann_pq_recall_against_exact_l2(spark, sf_dir):
         hits += len(exact & approx5)
         total += 5
     assert hits / total >= 0.3  # far above the 5/499 random baseline
+
+
+def test_ann_ivfpq_is_cell_restricted_pq(spark, sf_dir):
+    """IVF-PQ must score candidates with the SAME ADC distance the
+    full-scan PQ operator assigns — the cell pruning changes which
+    pairs are scored, never their distances — and every returned pair's
+    corpus vector must share a probed cell with the query."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    full = {
+        (r.query_id, r.vec_id): r.adc_dist
+        for r in sim.ann_pq_topk(e, q, PINNED_PQ_CODEBOOKS, k=10**9).collect()
+    }
+    ivfpq = sim.ann_ivfpq_topk(
+        e, q, PINNED_IVF_CENTROIDS, PINNED_PQ_CODEBOOKS, k=5, nprobe=3
+    ).collect()
+    assert len(ivfpq) > 0
+    for r in ivfpq:
+        assert full[(r.query_id, r.vec_id)] == r.adc_dist
+
+    # replay cell membership in numpy
+    C = np.asarray(PINNED_IVF_CENTROIDS)
+    rows = {r.vec_id: np.array(list(r.embedding), dtype="float64") for r in e.collect()}
+
+    def cells(v, top):
+        vn = v / np.linalg.norm(v)
+        return np.argsort(-(C @ vn), kind="stable")[:top]
+
+    for r in ivfpq:
+        probed = set(cells(rows[r.query_id], 3).tolist())
+        assert cells(rows[r.vec_id], 1)[0] in probed

@@ -476,3 +476,89 @@ def chunk_dedup(
             F.transform(kept, lambda x: x["chunk_text"]), " "
         ).alias("cleaned_text"),
     )
+
+
+# ------------------------------------- model-based quality filtering
+
+#: Pinned linear-model weights over the quality_stats feature vector —
+#: the fasttext/CCNet-style learned quality classifier, shipped as an
+#: artifact exactly like the ANN quantizers (train offline, pin, score
+#: in-plan). Feature order: [n_words, n_tokens, stopword_ratio,
+#: avg_word_len, punct_ratio]; bias last.
+QUALITY_WEIGHTS: tuple[float, ...] = (0.02, 0.01, 4.0, 0.5, -6.0)
+QUALITY_BIAS: float = -3.0
+
+
+def quality_classifier(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality scoring: sigmoid(w·features + b) over the
+    :func:`quality_stats` features, with the keep decision at 0.5 —
+    the shape of every learned quality filter in pretraining pipelines
+    (CCNet's fasttext LM filter, Gopher's quality classifier). The
+    logit is rounded to 6 decimals BEFORE the sigmoid/threshold so the
+    score and the keep set are reproducible across engines.
+
+    Scale: a pure narrow map over the stats projection — runs at scan
+    speed, composes with any downstream sampler or dedup stage."""
+    stats = quality_stats(df, id_col, text_col)
+    w = QUALITY_WEIGHTS
+    punct_ratio = F.when(
+        F.col("n_chars_computed") > 0,
+        F.col("n_punct") / F.col("n_chars_computed"),
+    ).otherwise(F.lit(0.0))
+    logit = F.round(
+        F.col("n_words") * w[0]
+        + F.col("n_tokens") * w[1]
+        + F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * w[2]
+        + F.coalesce(F.col("avg_word_len"), F.lit(0.0)) * w[3]
+        + punct_ratio * w[4]
+        + F.lit(QUALITY_BIAS),
+        6,
+    )
+    return stats.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "quality_score"
+        ),
+        (logit > 0).alias("keep"),
+    )
+
+
+# --------------------------------------- unigram LM perplexity proxy
+
+def unigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    OWN unigram language model (add-one smoothed) — the cheap, fully
+    relational stand-in for the KenLM perplexity filter: boilerplate
+    and topic-typical text score low, rare-token noise scores high.
+
+    avg_neg_logp(d) = (1/|d|) Σ_{w∈d} −ln((c(w)+1)/(C+V))
+
+    where c(w) = corpus count, C = corpus token count, V = vocabulary
+    size. Rounded to 6 decimals (engine-reproducible).
+
+    Scale shape: term counts are ONE map-side-combinable shuffle keyed
+    on the term; (C, V) is a 1-row broadcast; the per-doc average is a
+    second doc-keyed combinable aggregation joined to the (usually
+    broadcast-small) term-count relation. Two passes over the token
+    stream, nothing global."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("corpus_tokens"), F.count("*").alias("vocab")
+    )
+    neglogp = -F.log(
+        (F.col("c") + 1).cast("double")
+        / (F.col("corpus_tokens") + F.col("vocab")).cast("double")
+    )
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(neglogp), 6).alias("avg_neg_logp"),
+        )
+    )

@@ -2139,6 +2139,81 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X4 model-based quality filtering: pinned-weights linear
+# classifier over the quality features (the fasttext/CCNet-style
+# learned filter, shipped as an artifact like the ANN quantizers).
+# Logit rounded to 6 BEFORE sigmoid/threshold on both sides.
+@q(
+    "quality_classifier_scores",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS words
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens,
+             coalesce(CASE WHEN len(words) > 0 THEN
+               CAST(len(list_filter(words, t -> lower(t) IN ('a','the','of','and','is'))) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE) END, 0.0) AS stop_r,
+             coalesce(CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE) END, 0.0) AS awl,
+             CASE WHEN length(text) > 0 THEN
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_r
+      FROM w
+    ), scored AS (
+      SELECT doc_id,
+             round(n_words * 0.02 + n_tokens * 0.01 + stop_r * 4.0
+                   + awl * 0.5 + punct_r * (-6.0) + (-3.0), 6) AS logit
+      FROM feats
+    )
+    SELECT doc_id, logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS quality_score,
+           (logit > 0) AS keep
+    FROM scored
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.quality_classifier(d, "doc_id", "text")
+
+
+# --- X4 unigram-LM perplexity proxy (the KenLM-filter stand-in):
+# per-doc average −ln p(w) under the corpus's own add-one-smoothed
+# unigram model. Term counts = one combinable shuffle; (C, V)
+# broadcast.
+@q(
+    "unigram_logppl",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+    ), tot AS (
+      SELECT SUM(c) AS corpus_tokens, COUNT(*) AS vocab FROM counts
+    )
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(-ln(CAST(counts.c + 1 AS DOUBLE)
+                         / CAST(tot.corpus_tokens + tot.vocab AS DOUBLE))), 6)
+             AS avg_neg_logp
+    FROM toks JOIN counts ON toks.term = counts.term, tot
+    GROUP BY id
+    """,
+)
+def unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.unigram_logppl(d, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_neg_logp"
+    )
+
+
 # --- X4 language ID (marker-word heuristic; same CASE chain both sides).
 @q(
     "language_id",
@@ -2964,8 +3039,6 @@ _GATE_ORDER = [
     "document_fingerprints",
     "dedup_exact_documents",
     "fuzzy_dedup_documents",
-    "media_payload_meta",
-    "media_decode_meta",
     "media_frame_sample",
     "media_features",
     "cosine_topk",
@@ -3013,12 +3086,16 @@ _GATE_ORDER = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "inverted_index",
+    "quality_classifier_scores",
+    "unigram_logppl",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "media_payload_meta",
+    "media_decode_meta",
     "user_sessions",
     "session_window_bars",
     "asof_last_purchase",

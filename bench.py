@@ -97,6 +97,8 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "inverted_index",
+    "quality_classifier_scores",
+    "unigram_logppl",
 ]
 
 

@@ -240,3 +240,21 @@ def test_inverted_index_is_one_term_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["inverted_index"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_quality_classifier_is_narrow(spark, sf_dir):
+    """The pinned-weights classifier runs at scan speed — no exchange,
+    no Python."""
+    plan = _plan(QUERIES["quality_classifier_scores"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_unigram_logppl_broadcasts_model(spark, sf_dir):
+    """The unigram-LM scorer: term counts join back via AQE broadcast
+    (the model side is small), the (C, V) pair is a 1-row broadcast,
+    and both aggregations are partial."""
+    plan = _plan(QUERIES["unigram_logppl"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan

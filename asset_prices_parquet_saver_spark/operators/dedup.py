@@ -944,3 +944,40 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_cluster_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Corpus duplication profile: the cluster-size histogram of the
+    near-duplicate graph — (cluster_size, n_clusters), singletons
+    included. The number a curation run reports before/after scrubbing
+    ("N docs in M clusters of size ≥ 2; dedup will drop K rows").
+
+    Same pipeline as :func:`fuzzy_dedup` up to the component labels;
+    the histogram is two further map-side-combinable aggregations
+    (component → size, size → count) over id-width rows — free at any
+    scale next to the pair generation that precedes it."""
+    pairs = minhash_dedup(
+        df, id_col, text_col, n, num_hashes, bands, threshold, hash_family
+    )
+    comp = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(F.coalesce("component", F.col("id")).alias("component"))
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+    )

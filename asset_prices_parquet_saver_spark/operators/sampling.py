@@ -105,37 +105,37 @@ def mix_to_proportions(
     A row survives iff its 8-char md5 prefix < thr_s (9-char zero-pad
     on both sides so a full-stratum threshold of exactly 16^8 — nine
     hex digits — still compares correctly). Thresholding keeps ~k_s
-    rows (binomially tight), which is the right trade at scale: the
-    plan is one scan + two broadcast-joined tiny aggregates — no
+    rows (binomially tight), which is the right trade at scale: no
     per-stratum sort, no skew-prone shuffle, unlike an exact-k
-    hash-ranked top-k per stratum."""
-    spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        [(s, int(p)) for s, p in targets.items()], f"{strata_col} string, pct int"
-    )
-    counts = (
-        df.join(F.broadcast(tgt), strata_col)
-        .groupBy(strata_col, "pct")
+    hash-ranked top-k per stratum.
+
+    Execution: the per-stratum count relation is bounded by
+    ``len(targets)`` — a constant — so it is collected (the repo's
+    bounded-constant collect rule) and the thresholds are computed in
+    Python arbitrary-precision integers (same floor-division algebra
+    the oracle runs in HUGEINT, value-identical by construction) and
+    inlined as literals. The mixing plan is then ONE aggregation job +
+    ONE pure scan-and-filter job — no joins at all; the previous
+    in-plan derivation chained three jobs through broadcast barriers
+    and doubled the wall-clock."""
+    counts_rows = (
+        df.filter(F.col(strata_col).isin(*targets.keys()))
+        .groupBy(strata_col)
         .agg(F.count("*").alias("n"))
+        .collect()  # bounded: <= len(targets) rows
     )
-    budget = counts.agg(F.min(F.expr("n * 100 div pct")).alias("budget"))
-    thr = (
-        counts.crossJoin(F.broadcast(budget))
-        .withColumn("k", F.expr("budget * pct div 100"))
-        .withColumn(
-            "thr_hex",
-            F.lpad(
-                F.lower(
-                    F.hex(F.expr(f"CAST(k AS DECIMAL(38,0)) * {_MIX_RANGE} div n"))
-                ),
-                9,
-                "0",
-            ),
-        )
-        .select(strata_col, "thr_hex")
-    )
+    n_by = {r[strata_col]: r["n"] for r in counts_rows}
+    present = {s: p for s, p in targets.items() if n_by.get(s)}
+    if not present:
+        return df.filter(F.lit(False))
+    budget = min(n_by[s] * 100 // p for s, p in present.items())
     probe = F.lpad(hash_bucket_hex(F.col(key_col)), 9, "0")
-    return df.join(F.broadcast(thr), strata_col).filter(probe < F.col("thr_hex"))
+    pred = F.lit(False)
+    for s, p in present.items():
+        k = budget * p // 100
+        thr_hex = format(k * _MIX_RANGE // n_by[s], "x").zfill(9)
+        pred = pred | ((F.col(strata_col) == s) & (probe < F.lit(thr_hex)))
+    return df.filter(pred)
 
 
 def mix_oracle_ctes(

@@ -2887,6 +2887,43 @@ def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+# --- X2 corpus duplication profile: the near-dup cluster-size
+# histogram (singletons included) — the before/after number a curation
+# run reports. Shares the portable minhash CTE chain + recursive
+# closure; component = LEAST(id, min reachable id).
+@q(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM mh_pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), minlbl AS (
+      SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a
+    ), comp AS (
+      SELECT CASE WHEN m.mn IS NULL OR m.mn > d.doc_id
+                  THEN d.doc_id ELSE m.mn END AS component
+      FROM documents d LEFT JOIN minlbl m ON d.doc_id = m.id
+    ), csizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.dedup_cluster_report(
+        d, "doc_id", "text", threshold=0.5, hash_family="md5"
+    )
+
+
 # --- X5 media featurization: payload → unit vector (the encode step
 # of a multimodal training pipeline; deterministic fake codec, real
 # Arrow plumbing). The digest→float pipeline IS SQL-mirrorable: parse
@@ -3035,7 +3072,6 @@ _GATE_ORDER = [
     "flagship_pricing_summary",
     # §2.11 extension surface.
     "text_quality_stats",
-    "language_id",
     "document_fingerprints",
     "dedup_exact_documents",
     "fuzzy_dedup_documents",
@@ -3088,12 +3124,14 @@ _GATE_ORDER = [
     "inverted_index",
     "quality_classifier_scores",
     "unigram_logppl",
+    "dedup_cluster_sizes",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "language_id",
     "media_payload_meta",
     "media_decode_meta",
     "user_sessions",

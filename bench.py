@@ -99,6 +99,7 @@ HEADLINE = [
     "inverted_index",
     "quality_classifier_scores",
     "unigram_logppl",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -153,13 +153,13 @@ def test_tfidf_broadcasts_corpus_size_and_term_freq(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_corpus_mix_broadcasts_thresholds_no_sort(spark, sf_dir):
-    """The mixing plan is one scan + broadcast-joined tiny aggregates:
-    no sort-merge join, no per-stratum sort anywhere."""
+def test_corpus_mix_is_a_pure_filter(spark, sf_dir):
+    """With the bounded threshold constants inlined, the mixing plan is
+    ONE scan + filter: no joins, no exchanges, no sorts."""
     df = QUERIES["corpus_mix"](spark, sf_dir)
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Sort" not in plan
 
 
 def test_chunking_and_redaction_are_narrow(spark, sf_dir):

@@ -141,6 +141,49 @@ def _cmd_dedup(args) -> int:
     return 0
 
 
+def _cmd_curate(args) -> int:
+    """End-to-end corpus curation (the §2.11 pipeline composed):
+    learned quality filter → PII scrub → fuzzy dedup → deterministic
+    split assignment → partitioned parquet write, with a per-stage
+    attrition report. Every stage is an oracle-checked operator; the
+    composition is what a training-data run actually executes."""
+    from asset_prices_parquet_saver_spark.operators import dedup as dedup_ops
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+    from asset_prices_parquet_saver_spark.operators.sampling import assign_split
+
+    spark = get_spark(app_name="curate")
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+
+    scored = text_ops.quality_classifier(docs, args.id_col, args.text_col)
+    docs = docs.join(
+        scored.filter("keep").select(args.id_col), args.id_col, "left_semi"
+    )
+    n_quality = docs.count()
+
+    docs = docs.withColumn(
+        args.text_col, text_ops.redact_pii(F.col(args.text_col))
+    )
+
+    docs = dedup_ops.fuzzy_dedup(
+        docs, args.id_col, args.text_col, threshold=args.threshold
+    ).localCheckpoint()  # truncate the iterative-CC lineage before the write
+    n_dedup = docs.count()
+
+    splits = []
+    for part in args.splits.split(","):
+        label, frac = part.split(":")
+        splits.append((label, float(frac)))
+    docs = docs.withColumn("split", assign_split(F.col(args.id_col), splits))
+
+    docs.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    print(
+        f"curated {n_in} -> {n_quality} (quality) -> {n_dedup} (dedup); "
+        f"wrote {args.output} partitioned by split"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -190,6 +233,19 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--threshold", type=float, default=0.5)
     dd.set_defaults(fn=_cmd_dedup)
+
+    cu = sub.add_parser("curate", help="end-to-end corpus curation pipeline")
+    cu.add_argument("--docs", required=True, help="parquet of raw documents")
+    cu.add_argument("--output", required=True, help="curated corpus output dir")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--threshold", type=float, default=0.5)
+    cu.add_argument(
+        "--splits",
+        default="train:0.8,val:0.1,test:0.1",
+        help="comma-separated label:fraction list; last label absorbs the rest",
+    )
+    cu.set_defaults(fn=_cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

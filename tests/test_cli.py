@@ -117,3 +117,37 @@ def test_cli_dedup_runs(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "accepted 2/3" in out
+
+
+def test_cli_curate_pipeline(spark, tmp_path, capsys):
+    docs = str(tmp_path / "raw.parquet")
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the green hills where a river is winding of old stone"
+    )
+    spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " extra"),          # near-dup of 1 -> dropped
+            (3, "x"),                       # fails the quality filter
+            (4, "contact me at a@b.com " + good[: len(good) // 2]),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    rc = cli.main(
+        [
+            "curate",
+            "--docs", docs,
+            "--output", str(tmp_path / "curated"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "curated 4 ->" in out
+    curated = spark.read.parquet(str(tmp_path / "curated"))
+    rows = {r.doc_id: r for r in curated.collect()}
+    assert 3 not in rows            # quality-filtered
+    assert 1 in rows and 2 not in rows  # dedup kept the min id
+    assert "split" in curated.columns
+    if 4 in rows:
+        assert "<EMAIL>" in rows[4].text  # PII scrubbed

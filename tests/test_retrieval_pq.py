@@ -182,3 +182,53 @@ def test_ann_ivfpq_is_cell_restricted_pq(spark, sf_dir):
     for r in ivfpq:
         probed = set(cells(rows[r.query_id], 3).tolist())
         assert cells(rows[r.vec_id], 1)[0] in probed
+
+
+# ------------------------------------------------- chunking properties
+
+def test_chunking_partitions_tokens_exactly(spark):
+    """Property (hypothesis-style over a deterministic grid): chunking
+    partitions the token stream — ceil(n/k) chunks, every chunk full
+    except possibly the last, and in-order concatenation reproduces the
+    normalized document."""
+    import math
+
+    from asset_prices_parquet_saver_spark.operators.text import chunk_documents
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n)) for n in (1, 7, 8, 9, 15, 16, 17, 33)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, "doc_id", "text", tokens_per_chunk=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert len(chunks) == math.ceil(n / 8)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        assert all(c.n_tokens == 8 for c in chunks[:-1])
+        assert " ".join(c.chunk_text for c in chunks) == t
+
+
+def test_chunk_dedup_conserves_chunks(spark, sf_dir):
+    """Corpus-wide invariants on real data: Σ n_chunks equals the
+    chunk-table row count, Σ n_kept equals the number of distinct chunk
+    texts, and no document gains chunks."""
+    from asset_prices_parquet_saver_spark.operators.text import (
+        chunk_dedup,
+        chunk_documents,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    out = chunk_dedup(d, "doc_id", "text", tokens_per_chunk=16).collect()
+    chunks = chunk_documents(d, "doc_id", "text", tokens_per_chunk=16)
+    assert sum(r.n_chunks for r in out) == chunks.count()
+    assert (
+        sum(r.n_kept for r in out)
+        == chunks.select("chunk_text").distinct().count()
+    )
+    assert all(0 <= r.n_kept <= r.n_chunks for r in out)

@@ -2887,6 +2887,43 @@ def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+# --- X3 storage compression: per-dimension int8 scalar quantization
+# with an in-pass reconstruction-MSE audit. Pure exact relational
+# arithmetic — codes and the error report are bit-reproducible with no
+# pinned artifact.
+@q(
+    "embedding_int8_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), comp AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS i, v[CAST(i + 1 AS INT)] AS x
+      FROM e, UNNEST(range(len(v))) t(i)
+    ), stats AS (
+      SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY i
+    ), scaled AS (
+      SELECT comp.vec_id, comp.i, comp.x, stats.mn, stats.mx,
+             CAST(CASE WHEN stats.mx > stats.mn
+                  THEN round((comp.x - stats.mn) / (stats.mx - stats.mn) * 255)
+                  ELSE 0.0 END AS BIGINT) AS code
+      FROM comp JOIN stats ON comp.i = stats.i
+    ), per_dim AS (
+      SELECT vec_id, i, code,
+             power(x - (mn + code / 255.0 * (mx - mn)), 2) AS se
+      FROM scaled
+    )
+    SELECT vec_id,
+           list(code ORDER BY i) AS codes,
+           round(AVG(se), 6) AS mse
+    FROM per_dim GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    out = sim_ops.quantize_embeddings_int8(e)
+    return out.select(F.col("id").alias("vec_id"), "codes", "mse")
+
+
 # --- X2 corpus duplication profile: the near-dup cluster-size
 # histogram (singletons included) — the before/after number a curation
 # run reports. Shares the portable minhash CTE chain + recursive
@@ -3072,7 +3109,6 @@ _GATE_ORDER = [
     "flagship_pricing_summary",
     # §2.11 extension surface.
     "text_quality_stats",
-    "document_fingerprints",
     "dedup_exact_documents",
     "fuzzy_dedup_documents",
     "media_frame_sample",
@@ -3125,12 +3161,14 @@ _GATE_ORDER = [
     "quality_classifier_scores",
     "unigram_logppl",
     "dedup_cluster_sizes",
+    "embedding_int8_quantization",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "document_fingerprints",
     "language_id",
     "media_payload_meta",
     "media_decode_meta",

@@ -100,6 +100,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "unigram_logppl",
     "dedup_cluster_sizes",
+    "embedding_int8_quantization",
 ]
 
 

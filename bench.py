@@ -101,6 +101,7 @@ HEADLINE = [
     "unigram_logppl",
     "dedup_cluster_sizes",
     "embedding_int8_quantization",
+    "ann_ivfadc_topk",
 ]
 
 

@@ -234,6 +234,17 @@ def test_ann_ivfpq_broadcasts_probes_and_tables(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_ivfadc_scores_code_rows_only(spark, sf_dir):
+    """IVFADC: the per-cell table join broadcasts the query side, Σ_j
+    is partial, and no embedding arrays move after the encoding scans."""
+    plan = _plan(QUERIES["ann_ivfadc_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    post_join = plan.split("BroadcastHashJoin")[0]
+    assert "array<double>" not in post_join
+
+
 def test_inverted_index_is_one_term_shuffle(spark, sf_dir):
     """The inverted index is a single term-keyed aggregation with a
     map-side partial pass — no joins, no windows."""

@@ -252,3 +252,77 @@ def test_int8_quantization_bounds_and_error(spark, sf_dir):
         assert len(r.codes) == V.shape[1]
         assert all(0 <= c <= 255 for c in r.codes)
         assert 0 <= r.mse <= worst + 1e-9
+
+
+def test_ivfadc_residual_codes_reconstruct_better_on_clustered_data(spark):
+    """The reason IVFADC exists: quantizing residuals x − c_cell spends
+    the code budget on the within-cell distribution. That only pays
+    when cells actually capture structure — so the test uses CLUSTERED
+    synthetic data (tight blobs around unit directions, the shape of
+    real embedding corpora; the driver's isotropic random embeddings
+    genuinely do not reward residuals, which is why the query keeps
+    both variants). Whole pipeline replayed through the public
+    training/encoding helpers."""
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 8, 60
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, v=[float(x) for x in X[i]]) for i in range(len(X))]
+    )
+    C = sim._train_centroids(emb, n_clusters)
+    Vn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cells = np.argsort(-(Vn @ C.T), axis=1, kind="stable")[:, 0]
+
+    res_rows = [
+        Row(vec_id=i, v=[float(x) for x in (X[i] - C[cells[i]])])
+        for i in range(len(X))
+    ]
+    res_emb = spark.createDataFrame(res_rows)
+    raw_books = sim.train_pq_codebooks(emb, 4, 8)
+    res_books = sim.train_pq_codebooks(res_emb, 4, 8)
+
+    def recon_err(Y, books):
+        m, ksub, dsub = books.shape
+        err = 0.0
+        for j in range(m):
+            S = Y[:, j * dsub : (j + 1) * dsub]
+            B = books[j]
+            d = (
+                (S**2).sum(axis=1, keepdims=True) - 2 * (S @ B.T) + (B**2).sum(axis=1)
+            )
+            err += ((S - B[d.argmin(axis=1)]) ** 2).sum()
+        return err / len(Y)
+
+    raw_err = recon_err(X, raw_books)
+    res_err = recon_err(X - C[cells], res_books)
+    assert res_err < raw_err
+
+
+def test_ann_ivfadc_runs_and_ranks(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.operators.pq_res_codebooks import (
+        PINNED_RES_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    out = sim.ann_ivfadc_topk(
+        e, q, PINNED_IVF_CENTROIDS, PINNED_RES_CODEBOOKS, k=5, nprobe=3
+    ).collect()
+    assert len(out) > 0
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))

@@ -988,3 +988,67 @@ def ann_ivfadc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    codebooks,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ code relation as a manifest table — the
+    production ANN layout: the index is BUILT once (one linear encoding
+    scan over the corpus) and queried many times without touching the
+    embedding vectors again. Commits via the snapshot protocol
+    (sources/manifest.py), so rebuilds are atomic and readers of the
+    previous index version are undisturbed."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    books = np.asarray(codebooks, dtype="float64")
+    e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    codes = _pq_distance_rows(e, "vec_id", books, top_only=True)
+    manifest.commit_versioned(codes, table)
+
+
+def ann_pq_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a PERSISTED code index (see
+    :func:`build_pq_index`): only the query-side distance tables are
+    computed at query time; the corpus contributes a narrow scan of
+    its (vec_id, j, code) rows. Same result set as the from-scratch
+    :func:`ann_pq_topk` given the same codebooks (asserted in
+    tests/test_retrieval_pq.py)."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    books = np.asarray(codebooks, dtype="float64")
+    codes = manifest.read_versioned(spark, table)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
+    )
+    qtable = _pq_distance_rows(q, "query_id", books, top_only=False)
+    adc = (
+        codes.join(F.broadcast(qtable), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )

@@ -128,6 +128,9 @@ def _time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
 
 
 def main() -> None:
+    unknown = [n for n in HEADLINE if n not in QUERIES]
+    if unknown:  # fail BEFORE burning minutes of timed queries
+        raise SystemExit(f"bench.py: unknown headline queries: {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
     spark = get_spark(app_name="bench")

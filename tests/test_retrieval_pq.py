@@ -326,3 +326,27 @@ def test_ann_ivfadc_runs_and_ranks(spark, sf_dir):
         dists = [r.adc_dist for r in rows]
         assert dists == sorted(dists)
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_persisted_pq_index_reproduces_from_scratch_results(spark, sf_dir, tmp_path):
+    """build once / query many: the persisted code index must yield
+    exactly the from-scratch ann_pq_topk result set."""
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    table = str(tmp_path / "pq_index")
+    sim.build_pq_index(e, PINNED_PQ_CODEBOOKS, table)
+    fresh = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk(e, q, PINNED_PQ_CODEBOOKS, k=5).collect()
+    }
+    indexed = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk_from_index(
+            spark, table, q, PINNED_PQ_CODEBOOKS, k=5
+        ).collect()
+    }
+    assert indexed == fresh

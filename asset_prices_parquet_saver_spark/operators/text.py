@@ -330,22 +330,35 @@ def pii_oracle_exprs(text_sql: str) -> tuple[str, dict[str, str]]:
 # ------------------------------------------- context-window chunking
 
 def chunk_documents(
-    df: DataFrame, id_col: str, text_col: str, tokens_per_chunk: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_chunk: int = 16,
+    stride: int | None = None,
 ) -> DataFrame:
     """Split each document's whitespace tokens into fixed-size
     context-window chunks: one output row per (doc, chunk) with the
     chunk ordinal, its token count, and the re-joined chunk text.
+
+    ``stride`` (default = ``tokens_per_chunk``, i.e. non-overlapping)
+    gives sliding windows: chunk i starts at token i·stride, so
+    stride < tokens_per_chunk produces the overlapping context windows
+    a RAG embedding pipeline uses (boundary-spanning passages appear
+    whole in some window). One window per start position < n_tokens.
 
     Pure narrow transformation — split / slice / posexplode are all
     JVM-side; no shuffle, so it runs at scan speed and composes with
     any downstream repartitioning (e.g. pack_training_shards for
     token-budgeted shard assignment of the chunks)."""
     k = tokens_per_chunk
+    s = tokens_per_chunk if stride is None else stride
+    if s <= 0 or s > k:
+        raise ValueError(f"stride must be in [1, tokens_per_chunk], got {s}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    n_chunks = F.ceil(F.size(toks) / F.lit(s)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * k + 1, k),
+        lambda i: F.slice(toks, i * s + 1, k),
     )
     return df.select(
         F.col(id_col),

@@ -982,6 +982,30 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.chunk_documents(docs, "doc_id", "text", tokens_per_chunk=16)
 
 
+# --- overlapping (strided) context windows — the RAG embedding-chunk
+# variant: stride 8 under a 16-token window, so boundary-spanning
+# passages appear whole in some window. Same narrow plan.
+@q(
+    "document_chunks_overlap",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, i*8+1, i*8+16)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, i*8+1, i*8+16), ' ') AS chunk_text
+    FROM t, UNNEST(range((len(toks) + 7) // 8)) AS u(i)
+    """,
+)
+def document_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(
+        docs, "doc_id", "text", tokens_per_chunk=16, stride=8
+    )
+
+
 # --- deterministic global training order (the shuffle-before-training
 # pass): position = rank of md5(doc_id) — engine-independent, and the
 # global numbering runs the DISTRIBUTED range-partition + offset path
@@ -3234,7 +3258,6 @@ _GATE_ORDER = [
     # §2.11 extension surface.
     "text_quality_stats",
     "fuzzy_dedup_documents",
-    "media_frame_sample",
     "media_features",
     "cosine_topk",
     "ann_lsh_topk",
@@ -3273,6 +3296,7 @@ _GATE_ORDER = [
     "exact_price_quantiles",
     "pii_redaction",
     "document_chunks",
+    "document_chunks_overlap",
     "global_shuffle_order",
     # newest additions: BM25 retrieval, paragraph-window corpus dedup,
     # PQ-ADC ANN — first driver evidence.
@@ -3292,6 +3316,7 @@ _GATE_ORDER = [
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "media_frame_sample",
     "dedup_exact_documents",
     "document_fingerprints",
     "language_id",

@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "embedding_int8_quantization",
     "ann_ivfadc_topk",
+    "document_chunks_overlap",
 ]
 
 

@@ -350,3 +350,39 @@ def test_persisted_pq_index_reproduces_from_scratch_results(spark, sf_dir, tmp_p
         ).collect()
     }
     assert indexed == fresh
+
+
+def test_strided_chunking_overlap_properties(spark):
+    """Sliding windows: one chunk per stride-start < n, full k-token
+    windows except the tail, and consecutive chunks overlap by k − s
+    tokens so every boundary-spanning passage appears whole somewhere."""
+    from asset_prices_parquet_saver_spark.operators.text import chunk_documents
+
+    n, k, s = 20, 8, 4
+    text = " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, "doc_id", "text", k, stride=s).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert len(rows) == -(-n // s)  # one window per start position
+    toks = text.split()
+    for r in rows:
+        start = r.chunk_id * s
+        expect = toks[start : start + k]
+        assert r.chunk_text.split() == expect
+        assert r.n_tokens == len(expect)
+    # consecutive windows share k - s tokens
+    assert rows[0].chunk_text.split()[s:] == rows[1].chunk_text.split()[: k - s]
+
+
+def test_chunking_rejects_bad_stride(spark):
+    import pytest
+
+    from asset_prices_parquet_saver_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 8, stride=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", 8, stride=9)

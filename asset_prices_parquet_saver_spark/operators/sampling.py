@@ -187,3 +187,31 @@ def sample_oracle_predicate(
                 f"substring(md5(CAST({key_col} AS VARCHAR)), 1, 8) < '{thr}')"
             )
     return " OR ".join(clauses)
+
+
+def exact_k_stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, k: int
+) -> DataFrame:
+    """EXACTLY k rows per stratum (fewer only if the stratum is
+    smaller), chosen as the k smallest md5 buckets — deterministic,
+    engine-independent, and stable in membership-by-rank. The
+    eval-set constructor: hash *thresholding* (stratified_sample /
+    mix_to_proportions) keeps ~fraction·n rows and is the right scale
+    trade for training mixes, but benchmark/eval sets need an exact
+    count.
+
+    Scale: one shuffle keyed on the stratum + a per-stratum rank
+    window. Ranking sorts each stratum's partition — fine for the
+    eval-set use case (strata bounded); for exact-k over a huge
+    stratum, compose a hash-threshold pre-filter at ~2k/n to bound
+    the sorted set first."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket_hex(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

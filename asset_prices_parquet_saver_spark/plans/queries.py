@@ -1976,6 +1976,30 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "user_id")
 
 
+# --- exact-k stratified sample (operators/sampling.
+# exact_k_stratified_sample): EXACTLY k rows per stratum — the
+# eval-set constructor (hash thresholding keeps ~fraction·n; benchmark
+# sets need an exact count). k smallest md5 buckets per stratum,
+# engine-reproducible.
+@q(
+    "exact_k_event_sample",
+    """
+    SELECT event_id, event_type, user_id FROM (
+      SELECT event_id, event_type, user_id, ROW_NUMBER() OVER (
+        PARTITION BY event_type
+        ORDER BY substring(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id
+      ) AS rk
+      FROM events) t
+    WHERE rk <= 20
+    """,
+)
+def exact_k_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return sampling_ops.exact_k_stratified_sample(
+        ev, "event_type", "event_id", k=20
+    ).select("event_id", "event_type", "user_id")
+
+
 # --- deterministic corpus mixing (operators/sampling.mix_to_proportions):
 # downsample each language so output proportions hit integer-percent
 # targets at the largest achievable total. The data-dependent keep-
@@ -3259,7 +3283,6 @@ _GATE_ORDER = [
     "text_quality_stats",
     "fuzzy_dedup_documents",
     "media_features",
-    "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "minhash_lsh_pairs",
@@ -3292,6 +3315,7 @@ _GATE_ORDER = [
     # exact order-statistics quantiles / PII scrub / chunking / global
     # shuffle order — first driver evidence.
     "corpus_mix",
+    "exact_k_event_sample",
     "train_val_test_split",
     "exact_price_quantiles",
     "pii_redaction",
@@ -3316,6 +3340,7 @@ _GATE_ORDER = [
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "cosine_topk",
     "media_frame_sample",
     "dedup_exact_documents",
     "document_fingerprints",

@@ -103,6 +103,7 @@ HEADLINE = [
     "embedding_int8_quantization",
     "ann_ivfadc_topk",
     "document_chunks_overlap",
+    "exact_k_event_sample",
 ]
 
 

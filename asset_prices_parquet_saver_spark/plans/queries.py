@@ -1075,6 +1075,91 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X3/X4 composition: two-stage hybrid retrieval — BM25 candidate
+# generation over the text, dense rerank of the candidates by cosine
+# against a query embedding (vec_id 0's vector). The production
+# retrieval shape: a cheap lexical recall stage bounds the expensive
+# dense scoring to k candidates. Both stages are already-proven
+# operators; the rerank join touches only the candidate ids.
+@q(
+    "hybrid_retrieval",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.id,
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+              JOIN dl ON tf.id = dl.id, stats
+    ), bm25 AS (
+      SELECT id AS doc_id, round(SUM(contrib), 6) AS bm25_score
+      FROM scored GROUP BY id
+      ORDER BY bm25_score DESC, doc_id LIMIT 20
+    ), qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), reranked AS (
+      SELECT b.doc_id, b.bm25_score,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine
+      FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id, qv
+    )
+    SELECT doc_id, bm25_score, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY cosine DESC, doc_id) AS rn
+      FROM reranked) t
+    WHERE rn <= 5
+    """,
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: the BM25 stage bounds the candidate set to
+    20 ids, so the dense stage is a broadcast-joinable candidate list
+    against the embeddings table and ONE query vector (1-row cross
+    join) — the rank window runs over ≤ 20 narrow rows. At 100 TB the
+    lexical stage is the bm25_search plan and the rerank cost stays
+    O(candidates), never O(corpus)."""
+    d = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = text_ops.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=20).select(
+        F.col("id").alias("doc_id"), F.col("score").alias("bm25_score")
+    )
+    from asset_prices_parquet_saver_spark.functions.vectors import to_double_array
+
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(to_double_array("embedding").alias("qv"))
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("doc_id"), to_double_array("embedding").alias("v"))
+        .join(F.broadcast(cand), "doc_id")
+        .crossJoin(F.broadcast(qv))
+    )
+    scored = sim_ops._rowwise_cosine(scored, "v", "qv").select(
+        "doc_id", "bm25_score", F.round("raw_cosine", 6).alias("cosine")
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "bm25_score", "cosine", "rank")
+    )
+
+
 # --- X1/X4 composition: cross-document sub-document (paragraph-window)
 # exact dedup — the C4/CCNet repeated-span scrub at chunk granularity.
 # Survivor = corpus-wide first occurrence by (doc, chunk ordinal); one
@@ -3280,7 +3365,6 @@ _GATE_ORDER = [
     # flagship first: entry() smoke-checks it.
     "flagship_pricing_summary",
     # §2.11 extension surface.
-    "text_quality_stats",
     "fuzzy_dedup_documents",
     "media_features",
     "ann_lsh_topk",
@@ -3325,6 +3409,7 @@ _GATE_ORDER = [
     # newest additions: BM25 retrieval, paragraph-window corpus dedup,
     # PQ-ADC ANN — first driver evidence.
     "bm25_search",
+    "hybrid_retrieval",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",
@@ -3340,6 +3425,7 @@ _GATE_ORDER = [
     "skew_distinct_users",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
+    "text_quality_stats",
     "cosine_topk",
     "media_frame_sample",
     "dedup_exact_documents",

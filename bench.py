@@ -104,6 +104,7 @@ HEADLINE = [
     "ann_ivfadc_topk",
     "document_chunks_overlap",
     "exact_k_event_sample",
+    "hybrid_retrieval",
 ]
 
 

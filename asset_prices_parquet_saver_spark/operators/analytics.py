@@ -1,0 +1,212 @@
+"""Event/board analytics operators: strict-order funnel conversion,
+weekly cohort retention, running-peak drawdown, column profiling, and
+fixed-bound histograms.
+
+These are the product-analytics queries a tick/event store grows once
+it exists (the reference repo stops at saving bars; an engine that
+replaces it needs the read side too). Every operator is a composition
+of built-in window/agg functions — no UDFs — and every shuffle is
+keyed on the natural entity key (user) so the plans hold at 100 TB:
+
+- funnel: ONE shuffle on the user key; the strict step ordering is two
+  chained WindowExec passes over the same (user, ts) sort — the second
+  window consumes the first's output without re-sorting or
+  re-exchanging (same partitioning + ordering).
+- cohort: first-event week per user (map-side-combinable min), an
+  equi-join back on the user key (co-partitioned with the agg, AQE
+  merges the exchanges), then a distinct + count on the small
+  (cohort, offset) grid.
+- drawdown: per-user running max — user-keyed window, never a global
+  sort; the final reduce is a map-side-combinable max per user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Strict-sequential funnel: a user reaches step k iff an event of
+    type steps[k] occurs STRICTLY AFTER some event chain that reaches
+    step k-1. Returns one row per step: (step_idx, step_name, users).
+
+    Classic iterative formulations re-shuffle once per step; this one
+    chains per-step qualification flags through windows over a single
+    (user, ts, id) sort, so the whole funnel costs one exchange
+    regardless of step count.
+    """
+    w_prec = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events
+    qual_cols: list[str] = []
+    prev_qual: Column | None = None
+    for i, step in enumerate(steps):
+        is_step = F.col(type_col) == F.lit(step)
+        if prev_qual is None:
+            q = is_step
+        else:
+            seen_prev = F.coalesce(
+                F.max(prev_qual.cast("int")).over(w_prec) == 1, F.lit(False)
+            )
+            q = is_step & seen_prev
+        colname = f"_q{i}"
+        df = df.withColumn(colname, q)
+        qual_cols.append(colname)
+        prev_qual = F.col(colname)
+
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(F.col(c).cast("int")).alias(c) for c in qual_cols]
+    )
+    reached = per_user.agg(
+        *[F.sum(F.col(c)).cast("long").alias(c) for c in qual_cols]
+    )
+    # Tiny pivot of the 1-row aggregate into one row per step.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step_name"),
+                F.col(qual_cols[i]).alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        reached.select(F.explode(pairs).alias("r"))
+        .select("r.step_idx", "r.step_name", "r.users")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of the user's first
+    event; a user is retained at offset k if they have any event in
+    cohort_week + k weeks. Returns (cohort_week DATE, week_offset,
+    users, retention) where retention = users / cohort size (offset 0).
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
+    first = first.withColumn(
+        "cohort_week", F.date_trunc("week", F.col("_first_ts")).cast("date")
+    ).drop("_first_ts")
+    acts = (
+        events.select(user_col, F.date_trunc("week", F.col(ts_col)).cast("date").alias("_wk"))
+        .join(first, user_col)
+        .select(
+            user_col,
+            "cohort_week",
+            (F.datediff(F.col("_wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    grid = acts.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("users")
+    )
+    w0 = Window.partitionBy("cohort_week")
+    return grid.withColumn(
+        "retention",
+        F.round(
+            F.col("users")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("users"))).over(w0),
+            6,
+        ),
+    )
+
+
+def max_drawdown(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key peak-to-trough drawdown over the tick sequence: running
+    peak via a per-key ordered window, drawdown = peak - price, then a
+    map-side-combinable max per key. Returns (key, n_ticks,
+    peak_value, max_drawdown)."""
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_peak = ticks.withColumn("_peak", F.max(price_col).over(w_run))
+    return with_peak.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_ticks"),
+        F.round(F.max(price_col), 6).alias("peak_value"),
+        F.round(F.max(F.col("_peak") - F.col(price_col)), 6).alias("max_drawdown"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profile (the ANALYZE TABLE summary a cost-based planner
+    wants): one row per column with null count, exact distinct count,
+    and min/max cast to double. Single scan — Spark plans the multi-
+    column distinct via one Expand (rows × |cols|), every aggregate
+    map-side combinable."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_n_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_n_{c}").alias("n_nulls"),
+                F.col(f"_d_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_val"),
+                F.col(f"_max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_val", "r.max_val"
+    )
+
+
+def fixed_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-width histogram with FIXED bounds (one pass, no min/max
+    pre-scan): bucket = clamp(floor((x - lo) / width), 0, n-1).
+    Returns (bucket, bucket_lo, bucket_hi, n, total). Integer bucket
+    math keeps the groupBy key exact across engines."""
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0).cast("long")), F.lit(n_buckets - 1).cast("long"))
+    return (
+        df.withColumn("bucket", b)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total"
+            ),
+        )
+        .withColumn("bucket_lo", (F.lit(lo) + F.col("bucket") * F.lit(width)))
+        .withColumn("bucket_hi", (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)))
+        .select("bucket", "bucket_lo", "bucket_hi", "n", "total")
+    )

@@ -3342,6 +3342,342 @@ def skew_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_ops.two_phase_distinct_count(e, ["event_type"], "user_id")
 
 
+# =====================================================================
+# Event / board analytics (the read-side queries a tick store grows):
+# strict-order funnel, weekly cohort retention, running-peak drawdown,
+# column profiling, fixed-bound histograms — operators/analytics.py.
+# =====================================================================
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH l0 AS (
+      SELECT user_id, ts, event_id, event_type,
+             (event_type = 'signup') AS q0
+      FROM events
+    ), l1 AS (
+      SELECT *,
+             (event_type = 'click') AND COALESCE(
+               MAX(CASE WHEN q0 THEN 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = 1,
+               FALSE) AS q1
+      FROM l0
+    ), l2 AS (
+      SELECT *,
+             (event_type = 'purchase') AND COALESCE(
+               MAX(CASE WHEN q1 THEN 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = 1,
+               FALSE) AS q2
+      FROM l1
+    ), per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN q0 THEN 1 ELSE 0 END) AS m0,
+             MAX(CASE WHEN q1 THEN 1 ELSE 0 END) AS m1,
+             MAX(CASE WHEN q2 THEN 1 ELSE 0 END) AS m2
+      FROM l2 GROUP BY user_id
+    ), totals AS (
+      SELECT CAST(SUM(m0) AS BIGINT) AS u0,
+             CAST(SUM(m1) AS BIGINT) AS u1,
+             CAST(SUM(m2) AS BIGINT) AS u2
+      FROM per_user
+    )
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step_name, u0 AS users FROM totals
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click', u1 FROM totals
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', u2 FROM totals
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequential funnel signup -> click -> purchase: a user
+    reaches step k only via an event strictly after a chain reaching
+    step k-1. ONE user-keyed exchange; the per-step qualification
+    flags chain through WindowExecs over the same (user, ts, id) sort
+    (no re-shuffle per step, unlike the iterative join formulation)."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.funnel_counts(e, ["signup", "click", "purchase"])
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), acts AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    ), grid AS (
+      SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS users
+      FROM acts GROUP BY cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset, users,
+           round(users * 1.0 / MAX(CASE WHEN week_offset = 0 THEN users END)
+                 OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM grid
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid. First-event week per user is a
+    map-side-combinable min; the join back to events is co-partitioned
+    on the user key with that agg; the final window runs over the tiny
+    (cohort, offset) grid, never over raw events."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.cohort_retention(e)
+
+
+@q(
+    "max_drawdown",
+    """
+    WITH p AS (
+      SELECT user_id, value, ts, event_id,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           round(MAX(value), 6) AS peak_value,
+           round(MAX(peak - value), 6) AS max_drawdown
+    FROM p GROUP BY user_id
+    """,
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drawdown per tick stream (events.value as the
+    price series; semantics match a per-symbol drawdown over the
+    reference's bar tables). Per-key running max — the window
+    partitions on the entity key, so no global sort — then a
+    map-side-combinable max per key."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.max_drawdown(e)
+
+
+@q(
+    "table_profile",
+    """
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS d0,
+        CAST(MIN(l_quantity) AS DOUBLE) AS mn0, CAST(MAX(l_quantity) AS DOUBLE) AS mx0,
+        CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS d1,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS mn1, CAST(MAX(l_extendedprice) AS DOUBLE) AS mx1,
+        CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS d2,
+        CAST(MIN(l_discount) AS DOUBLE) AS mn2, CAST(MAX(l_discount) AS DOUBLE) AS mx2
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name, n0 AS n_nulls, d0 AS n_distinct,
+           mn0 AS min_val, mx0 AS max_val FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', n1, d1, mn1, mx1 FROM s
+    UNION ALL
+    SELECT 'l_discount', n2, d2, mn2, mx2 FROM s
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE TABLE summary a cost-based planner wants: per-column
+    null count, EXACT distinct count, min/max — one scan; Spark plans
+    the multi-column distinct via a single Expand with map-side
+    partials, so the shuffle carries pre-deduped (col, value) rows."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return an_ops.profile_columns(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@q(
+    "price_histogram",
+    """
+    SELECT bucket,
+           CAST(bucket * 10000.0 AS DOUBLE) AS bucket_lo,
+           CAST((bucket + 1) * 10000.0 AS DOUBLE) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM (
+      SELECT l_extendedprice,
+             least(greatest(CAST(floor((l_extendedprice - 0.0) / 10000.0) AS BIGINT),
+                            CAST(0 AS BIGINT)),
+                   CAST(10 AS BIGINT)) AS bucket
+      FROM lineitem) t
+    GROUP BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with FIXED bounds — one pass, no min/max
+    pre-scan, 11 clamp buckets; the groupBy key is exact integer math
+    so the bucketing is engine-independent. Decimal staging keeps the
+    per-bucket revenue sums hashable."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return an_ops.fixed_histogram(li, "l_extendedprice", lo=0.0, width=10000.0, n_buckets=11)
+
+
+@q(
+    "rrf_fusion",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'window', 'merge', 'vector')
+      GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.id,
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * (1.2 + 1))
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+              JOIN dl ON tf.id = dl.id, stats
+    ), lex AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        SELECT id AS doc_id, round(SUM(contrib), 6) AS bm25_score,
+               ROW_NUMBER() OVER (ORDER BY round(SUM(contrib), 6) DESC, id) AS rn
+        FROM scored GROUP BY id) t
+      WHERE rn <= 20
+    ), qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(qv.v, qv.v))), 6) DESC,
+                 e.vec_id) AS rn
+        FROM embeddings e, qv WHERE e.vec_id != 0) t
+      WHERE rn <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                   + COALESCE(1.0 / (60 + d.dense_rank), 0.0), 6) AS rrf_score
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused) t
+    WHERE rn <= 10
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and dense (cosine)
+    top-20 lists: score = sum over lists of 1/(60 + rank) — the
+    standard hybrid-search fusion needing no score calibration. Both
+    candidate lists are k-bounded, so the outer join and final rank
+    window run over <= 40 narrow rows; the corpus-side costs are the
+    proven bm25_search plan and a distributed TakeOrdered."""
+    from asset_prices_parquet_saver_spark.functions.vectors import to_double_array
+
+    d = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex20 = text_ops.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=20)
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    lex = lex20.select(
+        F.col("id").alias("doc_id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(to_double_array("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), to_double_array("embedding").alias("v"))
+        .crossJoin(F.broadcast(qv))
+    )
+    scored = sim_ops._rowwise_cosine(scored, "v", "qv").select(
+        "doc_id", F.round("raw_cosine", 6).alias("cosine")
+    )
+    # Distributed TakeOrdered cut, then ranks assigned over the 20 rows.
+    top20 = scored.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()).limit(20)
+    w_dense = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    dense = top20.select(
+        "doc_id", F.row_number().over(w_dense).cast("long").alias("dense_rank")
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w_f = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf_score")
+    )
+
+
+def _zorder_locality_oracle() -> str:
+    from asset_prices_parquet_saver_spark.operators.layout import zorder_sql
+
+    zexpr = zorder_sql("user_id", "CAST(floor(value) AS BIGINT)", bits=8)
+    return f"""
+    WITH z AS (
+      SELECT (user_id & 255) AS a,
+             (CAST(floor(value) AS BIGINT) & 255) AS b,
+             {zexpr} AS zv
+      FROM events
+    )
+    SELECT CAST(zv >> 8 AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(a) AS a_min, MAX(a) AS a_max,
+           MIN(b) AS b_min, MAX(b) AS b_max
+    FROM z GROUP BY block
+    """
+
+
+@q("zorder_locality", _zorder_locality_oracle())
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve (Z-order) clustering report over events keyed on
+    (user_id, floor(value)): rows bucketed by the high 8 bits of the
+    interleaved key, each block reporting its (a, b) bounding box —
+    with 8-bit keys every 256-key block is an aligned 16x16 tile, so
+    both ranges are bounded by 15. This is the data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER) as a hash-checkable query; the
+    writer twin is operators/layout.write_zordered, whose per-file
+    footer min/max bounds are asserted in tests/test_layout.py. Pure
+    JVM bit math (codegen), one combinable shuffle on the block id."""
+    from asset_prices_parquet_saver_spark.operators import layout as layout_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return layout_ops.zorder_locality(
+        e.select("user_id", F.floor(F.col("value")).cast("long").alias("fv")),
+        "user_id",
+        "fv",
+        bits=8,
+        block_shift=8,
+    )
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -3384,17 +3720,12 @@ _GATE_ORDER = [
     # as-of range-join operator (window carry-forward twin
     # asof_last_purchase demoted: driver-green r3).
     "asof_price_lookup",
-    # round-1-only evidence: re-validate under the current engine.
-    "moving_avg_3",
-    "rank_functions",
-    "cube_order_stats",
-    "grouping_sets_order_stats",
-    "except_nations",
-    "intersect_nations",
+    # round-1-only evidence: re-validate under the current engine
+    # (the other seven r1-only queries yielded their slots to the new
+    # analytics + layout surface below; they rotate back next round).
     "topk_orders_per_customer",
     "nation_market_share",
     "product_profit_by_nation",
-    "conditional_agg",
     # new this round: deterministic corpus mixing / split assignment /
     # exact order-statistics quantiles / PII scrub / chunking / global
     # shuffle order — first driver evidence.
@@ -3423,6 +3754,14 @@ _GATE_ORDER = [
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
+    # analytics surface, new this session — first driver evidence.
+    "funnel_conversion",
+    "cohort_retention",
+    "max_drawdown",
+    "table_profile",
+    "price_histogram",
+    "rrf_fusion",
+    "zorder_locality",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -3465,6 +3804,15 @@ _GATE_ORDER = [
     "ntile_price_bands",
     "zscore_per_segment",
     "weighted_avg_price",
+    # Demoted this session to admit the analytics + layout surface
+    # (all have r1 driver-green evidence; rotate back in next round):
+    "rank_functions",
+    "moving_avg_3",
+    "cube_order_stats",
+    "grouping_sets_order_stats",
+    "except_nations",
+    "intersect_nations",
+    "conditional_agg",
     # Demoted in earlier rounds (driver-green r1 and/or r2):
     "approx_user_stats",
     "embedding_near_pairs",

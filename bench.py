@@ -105,6 +105,12 @@ HEADLINE = [
     "document_chunks_overlap",
     "exact_k_event_sample",
     "hybrid_retrieval",
+    "funnel_conversion",
+    "cohort_retention",
+    "max_drawdown",
+    "table_profile",
+    "price_histogram",
+    "rrf_fusion",
 ]
 
 

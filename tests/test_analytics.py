@@ -1,0 +1,133 @@
+"""Semantic + plan tests for operators/analytics.py (funnel, cohort
+retention, drawdown, profiling, histograms)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import analytics as an
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1: full ordered chain a -> b -> c
+        (1, _t(1), 1, "a", 0.0),
+        (2, _t(2), 1, "b", 0.0),
+        (3, _t(3), 1, "c", 0.0),
+        # u2: b before a — b never qualifies, c can't either
+        (4, _t(1), 2, "b", 0.0),
+        (5, _t(2), 2, "a", 0.0),
+        (6, _t(3), 2, "c", 0.0),
+        # u3: a then c (skips b) — only step 0 reached
+        (7, _t(1), 3, "a", 0.0),
+        (8, _t(2), 3, "c", 0.0),
+        # u4: a, c, b, c — the SECOND c comes after a qualified b
+        (9, _t(1), 4, "a", 0.0),
+        (10, _t(2), 4, "c", 0.0),
+        (11, _t(3), 4, "b", 0.0),
+        (12, _t(4), 4, "c", 0.0),
+    ]
+    out = an.funnel_counts(_ev(spark, rows), ["a", "b", "c"])
+    got = {r["step_name"]: r["users"] for r in out.collect()}
+    assert got == {"a": 4, "b": 2, "c": 2}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strictly-after semantics: a and b at the identical (ts, later id)
+    # DOES count via id tie-break, but b before a's id does not.
+    rows = [
+        (1, _t(1), 1, "a", 0.0),
+        (2, _t(1), 1, "b", 0.0),  # same ts, higher id → after a
+        (4, _t(1), 2, "b", 0.0),  # same ts, lower id than a
+        (5, _t(1), 2, "a", 0.0),
+    ]
+    out = an.funnel_counts(_ev(spark, rows), ["a", "b"])
+    got = {r["step_name"]: r["users"] for r in out.collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_funnel_single_user_shuffle(spark):
+    df = _ev(spark, [(1, _t(1), 1, "a", 0.0), (2, _t(2), 1, "b", 0.0)])
+    out = an.funnel_counts(df, ["a", "b", "c"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one user-keyed exchange feeds both chained windows and the
+    # per-user aggregate; only the final 1-row fold repartitions again
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_cohort_retention_grid(spark):
+    d0 = dt.datetime(2024, 1, 1, 12)   # week of Jan 1 (Monday)
+    d1 = dt.datetime(2024, 1, 9, 12)   # next week
+    d2 = dt.datetime(2024, 1, 16, 12)  # +2 weeks
+    rows = [
+        (1, d0, 1, "x", 0.0),
+        (2, d1, 1, "x", 0.0),   # u1 retained at offset 1
+        (3, d0, 2, "x", 0.0),   # u2 only at offset 0
+        (4, d1, 3, "x", 0.0),   # u3 cohort = week 2
+        (5, d2, 3, "x", 0.0),   # retained at offset 1
+    ]
+    out = an.cohort_retention(_ev(spark, rows))
+    got = {(str(r["cohort_week"]), r["week_offset"]): (r["users"], r["retention"]) for r in out.collect()}
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert got[("2024-01-08", 1)] == (1, 1.0)
+
+
+def test_max_drawdown_known_series(spark):
+    rows = [
+        (1, _t(1), 1, "x", 100.0),
+        (2, _t(2), 1, "x", 80.0),   # dd 20
+        (3, _t(3), 1, "x", 120.0),  # new peak
+        (4, _t(4), 1, "x", 70.0),   # dd 50 ← max
+        (5, _t(5), 1, "x", 110.0),
+        (6, _t(1), 2, "x", 50.0),   # monotone up: dd 0
+        (7, _t(2), 2, "x", 60.0),
+    ]
+    out = {r["user_id"]: r for r in an.max_drawdown(_ev(spark, rows)).collect()}
+    assert out[1]["max_drawdown"] == 50.0 and out[1]["peak_value"] == 120.0
+    assert out[2]["max_drawdown"] == 0.0 and out[2]["n_ticks"] == 2
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (2.0, 5.0)], "a double, b double"
+    )
+    got = {r["col_name"]: r for r in an.profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"]["n_nulls"] == 0 and got["a"]["n_distinct"] == 2
+    assert got["a"]["min_val"] == 1.0 and got["a"]["max_val"] == 2.0
+    assert got["b"]["n_nulls"] == 1 and got["b"]["n_distinct"] == 1
+
+
+def test_fixed_histogram_clamps_and_counts(spark):
+    df = spark.createDataFrame([(x,) for x in [-5.0, 0.0, 9.9, 10.0, 25.0, 99.0]], "v double")
+    out = {r["bucket"]: r for r in an.fixed_histogram(df, "v", 0.0, 10.0, 5).collect()}
+    assert out[0]["n"] == 3          # -5 clamped up, 0.0, 9.9
+    assert out[1]["n"] == 1          # 10.0
+    assert out[2]["n"] == 1          # 25.0
+    assert out[4]["n"] == 1          # 99 clamped into the last bucket
+    assert out[2]["bucket_lo"] == 20.0 and out[2]["bucket_hi"] == 30.0
+
+
+def test_histogram_single_shuffle(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = an.fixed_histogram(li, "l_extendedprice", 0.0, 10000.0, 11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial + final HashAggregate around one exchange — no pre-scan
+    # for min/max (fixed bounds), so the histogram is a single pass
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1

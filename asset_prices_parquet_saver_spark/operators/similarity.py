@@ -1052,3 +1052,85 @@ def ann_pq_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    id_col: str = "id",
+    rel_col: str = "rel",
+    vec_col: str = "v",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification of a BOUNDED
+    candidate set: greedily pick k items maximizing
+
+        lam * rel(i) - (1 - lam) * max_{s in selected} cos(i, s)
+
+    (Carbonell & Goldstein '98) — the standard post-retrieval
+    de-redundancy stage. ``cand`` must already be a k-bounded
+    candidate list (e.g. a cosine/BM25 top-20): the greedy loop is
+    inherently sequential, so it runs as ``k`` unrolled stages of
+    tiny-DataFrame joins — every stage touches at most |cand| narrow
+    rows and |cand|^2 pair similarities, never the corpus. At 100 TB
+    the corpus-side cost is whatever produced the candidates
+    (TakeOrdered / ANN); this operator's cost is O(k * |cand|^2) on
+    <= 400-row relations.
+
+    Scores and similarities are rounded to 6 decimals BEFORE each
+    argmax (ties broken by ascending id) so the selection is
+    engine-reproducible — the SQL oracle replays the same unrolled
+    greedy. Returns (id, mmr_rank, relevance, mmr_score)."""
+    c = cand.select(
+        F.col(id_col).alias("id"),
+        F.col(rel_col).alias("rel"),
+        F.col(vec_col).alias("v"),
+    ).localCheckpoint()  # bounded (<= |cand| rows); cuts the self-join lineage
+
+    pairs = c.select(F.col("id").alias("i"), F.col("v").alias("va")).join(
+        c.select(F.col("id").alias("j"), F.col("v").alias("vb")),
+        F.col("i") != F.col("j"),
+    )
+    sims = _rowwise_cosine(pairs, "va", "vb").select(
+        "i", "j", F.round("raw_cosine", 6).alias("sim")
+    ).localCheckpoint()
+
+    lam_c = F.lit(lam)
+    one_m = F.lit(1.0 - lam)
+
+    stage1 = (
+        c.select(
+            "id",
+            "rel",
+            F.round(lam_c * F.col("rel"), 6).alias("mmr_score"),
+        )
+        .orderBy(F.col("mmr_score").desc(), F.col("id").asc())
+        .limit(1)
+        .withColumn("mmr_rank", F.lit(1).cast("long"))
+    )
+    selected = stage1
+    for t in range(2, k + 1):
+        sel_ids = selected.select(F.col("id").alias("j"))
+        pen = (
+            sims.join(F.broadcast(sel_ids), "j")
+            .groupBy("i")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            c.join(F.broadcast(selected.select("id")), "id", "left_anti")
+            .join(pen.withColumnRenamed("i", "id"), "id")
+            .select(
+                "id",
+                "rel",
+                F.round(lam_c * F.col("rel") - one_m * F.col("max_sim"), 6).alias(
+                    "mmr_score"
+                ),
+            )
+            .orderBy(F.col("mmr_score").desc(), F.col("id").asc())
+            .limit(1)
+            .withColumn("mmr_rank", F.lit(t).cast("long"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "id", "mmr_rank", F.col("rel").alias("relevance"), "mmr_score"
+    )

@@ -575,3 +575,57 @@ def unigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg(neglogp), 6).alias("avg_neg_logp"),
         )
     )
+
+
+def bigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document average negative log-probability under the
+    corpus's OWN add-one-smoothed BIGRAM model — one rung up the
+    KenLM-filter ladder from ``unigram_logppl``: repeated boilerplate
+    scores even lower (its transitions are memorized), shuffled or
+    noisy text scores higher (unseen transitions hit the smoothing
+    floor).
+
+        avg_neg_logp(d) = (1/(|d|-1)) Σ_t −ln((c(w_{t-1} w_t)+1) /
+                                              (c(w_{t-1})+V))
+
+    with c(·) corpus counts and V the unigram vocabulary size.
+    Single-word documents drop out (no transitions).
+
+    Scale shape: bigrams are formed INSIDE each document row with
+    array ops (zip of the token array against itself shifted — no
+    positional self-join over the corpus); transition counts and
+    conditioning counts are two map-side-combinable shuffles; V is a
+    1-row broadcast; the per-doc average is a doc-keyed combinable
+    aggregation."""
+    toks = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, n - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = df.select(F.explode(words(F.col(text_col))).alias("term"))
+    c1 = uni.groupBy("term").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.count("*").alias("vocab"))
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+
+    neglogp = -F.log(
+        (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vocab")).cast("double")
+    )
+    return (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(neglogp), 6).alias("avg_neg_logp"),
+        )
+    )

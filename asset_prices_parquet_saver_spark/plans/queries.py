@@ -3678,6 +3678,151 @@ def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "mmr_rerank",
+    r"""
+    WITH qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ), base AS (
+      SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(qv.v, qv.v))), 6) AS rel
+      FROM embeddings e, qv WHERE e.vec_id != 0
+    ), cand AS (
+      SELECT id, v, rel FROM base ORDER BY rel DESC, id LIMIT 20
+    ), sims AS (
+      SELECT a.id AS i, b.id AS j,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM cand a JOIN cand b ON a.id != b.id
+    ), s1 AS (
+      SELECT id, rel, round(CAST(0.7 AS DOUBLE) * rel, 6) AS mmr_score
+      FROM cand ORDER BY mmr_score DESC, id LIMIT 1
+    ), r1 AS (SELECT id FROM s1
+    ), s2 AS (
+      SELECT c.id, c.rel,
+             round(CAST(0.7 AS DOUBLE) * c.rel
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                     (SELECT MAX(s.sim) FROM sims s
+                      WHERE s.i = c.id AND s.j IN (SELECT id FROM r1)), 6) AS mmr_score
+      FROM cand c WHERE c.id NOT IN (SELECT id FROM r1)
+      ORDER BY mmr_score DESC, c.id LIMIT 1
+    ), r2 AS (SELECT id FROM r1 UNION ALL SELECT id FROM s2
+    ), s3 AS (
+      SELECT c.id, c.rel,
+             round(CAST(0.7 AS DOUBLE) * c.rel
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                     (SELECT MAX(s.sim) FROM sims s
+                      WHERE s.i = c.id AND s.j IN (SELECT id FROM r2)), 6) AS mmr_score
+      FROM cand c WHERE c.id NOT IN (SELECT id FROM r2)
+      ORDER BY mmr_score DESC, c.id LIMIT 1
+    ), r3 AS (SELECT id FROM r2 UNION ALL SELECT id FROM s3
+    ), s4 AS (
+      SELECT c.id, c.rel,
+             round(CAST(0.7 AS DOUBLE) * c.rel
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                     (SELECT MAX(s.sim) FROM sims s
+                      WHERE s.i = c.id AND s.j IN (SELECT id FROM r3)), 6) AS mmr_score
+      FROM cand c WHERE c.id NOT IN (SELECT id FROM r3)
+      ORDER BY mmr_score DESC, c.id LIMIT 1
+    ), r4 AS (SELECT id FROM r3 UNION ALL SELECT id FROM s4
+    ), s5 AS (
+      SELECT c.id, c.rel,
+             round(CAST(0.7 AS DOUBLE) * c.rel
+                   - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                     (SELECT MAX(s.sim) FROM sims s
+                      WHERE s.i = c.id AND s.j IN (SELECT id FROM r4)), 6) AS mmr_score
+      FROM cand c WHERE c.id NOT IN (SELECT id FROM r4)
+      ORDER BY mmr_score DESC, c.id LIMIT 1
+    )
+    SELECT id AS vec_id, CAST(1 AS BIGINT) AS mmr_rank, rel AS relevance, mmr_score FROM s1
+    UNION ALL
+    SELECT id, CAST(2 AS BIGINT), rel, mmr_score FROM s2
+    UNION ALL
+    SELECT id, CAST(3 AS BIGINT), rel, mmr_score FROM s3
+    UNION ALL
+    SELECT id, CAST(4 AS BIGINT), rel, mmr_score FROM s4
+    UNION ALL
+    SELECT id, CAST(5 AS BIGINT), rel, mmr_score FROM s5
+    """,
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification of the dense top-20
+    for one query vector: greedy picks maximizing 0.7*rel - 0.3*max
+    cosine to the already-selected set — the standard post-retrieval
+    de-redundancy stage. The greedy loop is sequential by nature, so
+    it runs unrolled over the BOUNDED candidate relation (<= 20 rows,
+    <= 400 pair sims); the only corpus-scale cost is the TakeOrdered
+    that produced the candidates. Scores round to 6 decimals before
+    every argmax (ties by id) so the oracle replays the identical
+    selection."""
+    from asset_prices_parquet_saver_spark.functions.vectors import to_double_array
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(to_double_array("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("id"),
+            to_double_array("embedding").alias("v"),
+            to_double_array("embedding").alias("v2"),
+        )
+        .crossJoin(F.broadcast(qv))
+    )
+    scored = sim_ops._rowwise_cosine(scored, "v2", "qv").select(
+        "id", "v", F.round("raw_cosine", 6).alias("rel")
+    )
+    cand = scored.orderBy(F.col("rel").desc(), F.col("id").asc()).limit(20)
+    out = sim_ops.mmr_rerank(cand, "id", "rel", "v", k=5, lam=0.7)
+    return out.select(F.col("id").alias("vec_id"), "mmr_rank", "relevance", "mmr_score")
+
+
+@q(
+    "bigram_logppl",
+    r"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ), toks AS (
+      SELECT id, unnest(toks) AS term FROM t
+    ), bigrams AS (
+      SELECT id,
+             toks[CAST(i AS INT) + 1] AS w1,
+             toks[CAST(i AS INT) + 2] AS w2
+      FROM t, UNNEST(range(len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ), c1 AS (
+      SELECT term, COUNT(*) AS c1 FROM toks GROUP BY term
+    ), v AS (
+      SELECT COUNT(*) AS vocab FROM c1
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    )
+    SELECT bg.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(-ln(CAST(c12.c12 + 1 AS DOUBLE)
+                         / CAST(c1.c1 + v.vocab AS DOUBLE))), 6) AS avg_neg_logp
+    FROM bigrams bg
+    JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+    JOIN c1 ON bg.w1 = c1.term, v
+    GROUP BY bg.id
+    """,
+)
+def bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram perplexity proxy (one rung above unigram_logppl
+    on the KenLM-filter ladder): avg -ln((c(w1 w2)+1)/(c(w1)+V)) per
+    document. Bigrams form INSIDE each row via array-zip — no
+    positional self-join over the corpus; counts are two combinable
+    shuffles; V broadcasts."""
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.bigram_logppl(d, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "n_bigrams", "avg_neg_logp")
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -3721,10 +3866,9 @@ _GATE_ORDER = [
     # asof_last_purchase demoted: driver-green r3).
     "asof_price_lookup",
     # round-1-only evidence: re-validate under the current engine
-    # (the other seven r1-only queries yielded their slots to the new
-    # analytics + layout surface below; they rotate back next round).
-    "topk_orders_per_customer",
-    "nation_market_share",
+    # (the other nine r1-only queries yielded their slots to the new
+    # analytics / layout / retrieval surface below; they rotate back
+    # next round).
     "product_profit_by_nation",
     # new this round: deterministic corpus mixing / split assignment /
     # exact order-statistics quantiles / PII scrub / chunking / global
@@ -3762,6 +3906,8 @@ _GATE_ORDER = [
     "price_histogram",
     "rrf_fusion",
     "zorder_locality",
+    "mmr_rerank",
+    "bigram_logppl",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -3804,8 +3950,11 @@ _GATE_ORDER = [
     "ntile_price_bands",
     "zscore_per_segment",
     "weighted_avg_price",
-    # Demoted this session to admit the analytics + layout surface
-    # (all have r1 driver-green evidence; rotate back in next round):
+    # Demoted this session to admit the analytics / layout / retrieval
+    # surface (all have r1 driver-green evidence; rotate back next
+    # round):
+    "topk_orders_per_customer",
+    "nation_market_share",
     "rank_functions",
     "moving_avg_3",
     "cube_order_stats",

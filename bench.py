@@ -111,6 +111,9 @@ HEADLINE = [
     "table_profile",
     "price_histogram",
     "rrf_fusion",
+    "zorder_locality",
+    "mmr_rerank",
+    "bigram_logppl",
 ]
 
 

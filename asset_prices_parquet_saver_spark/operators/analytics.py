@@ -210,3 +210,67 @@ def fixed_histogram(
         .withColumn("bucket_hi", (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)))
         .select("bucket", "bucket_lo", "bucket_hi", "n", "total")
     )
+
+
+def ohlc_bars(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Daily OHLC bar resampling — the reference domain's core rollup
+    (tick stream -> bar table). open/close are the prices at the
+    first/last (ts, id) of the day, selected via min/max over a
+    (ts, id, price) struct: unlike the rank-window formulation this is
+    a PLAIN combinable aggregate — partials form map-side, so the one
+    (key, day) shuffle moves per-bar partial states, never raw ticks.
+    (Struct min/max plans as SortAggregate; that sort is on the group
+    keys only, per-partition, not an ordering of the tick stream.)
+    The id tie-break makes same-timestamp ticks deterministic."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
+    return (
+        ticks.select(F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col))
+        .groupBy(key_col, "day")
+        .agg(
+            F.min(sel).getField("p").alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max(sel).getField("p").alias("close"),
+            F.count("*").cast("long").alias("n_ticks"),
+        )
+    )
+
+
+def twap(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average price per (key, day): each tick's price
+    is weighted by its holding duration (microseconds until the next
+    tick of the same key+day; the day's last tick carries no weight).
+    The lead() runs in a per-(key, day) window — entity-keyed, never
+    global — and the weighted sums stage through exact decimal *
+    integer-microsecond products, so the quotient is engine-
+    reproducible at 6 decimals."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    w = (
+        Window.partitionBy(key_col, "day")
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    )
+    t = (
+        ticks.select(F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col))
+        .withColumn("_dt", F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)))
+        .filter(F.col("_dt").isNotNull())
+    )
+    num = F.sum(F.col(price_col).cast("decimal(18,2)") * F.col("_dt"))
+    den = F.sum(F.col("_dt"))
+    return t.groupBy(key_col, "day").agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("twap"),
+        den.cast("long").alias("span_micros"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )

@@ -3823,6 +3823,75 @@ def bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_bigrams", "avg_neg_logp")
 
 
+@q(
+    "ohlc_bars",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events
+    ), w AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM t
+    )
+    SELECT user_id, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM w GROUP BY user_id, day
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bar resampling: tick stream -> the open/high/low/
+    close bar shape the reference persists pre-aggregated from its
+    vendors (download_historical_price.py:413-414 bars.df) — here
+    derived from raw ticks, so the engine can build the bar table the
+    reference only downloads.
+    open/close select via min/max over a (ts, id, price) struct — a
+    PLAIN combinable aggregate, one (key, day) shuffle, NO per-key
+    sort; the oracle states the same thing with rank windows."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.ohlc_bars(e)
+
+
+@q(
+    "twap_daily",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT user_id, day,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+           CAST(SUM(dt) AS BIGINT) AS span_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM t WHERE dt IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (key, day): prices weighted by
+    integer-microsecond holding durations (lead over an entity-keyed
+    window — never a global sort), staged through exact decimal
+    products so the quotient hashes across engines."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.twap(e)
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -3862,14 +3931,10 @@ _GATE_ORDER = [
     "benchmark_contamination",
     "curated_corpus",
     "pack_training_shards",
-    # as-of range-join operator (window carry-forward twin
-    # asof_last_purchase demoted: driver-green r3).
-    "asof_price_lookup",
-    # round-1-only evidence: re-validate under the current engine
-    # (the other nine r1-only queries yielded their slots to the new
-    # analytics / layout / retrieval surface below; they rotate back
-    # next round).
-    "product_profit_by_nation",
+    # (asof_price_lookup and product_profit_by_nation — driver-green
+    # r3 / r1 — yielded their slots to ohlc_bars/twap_daily, and the
+    # other nine r1-only queries to the analytics / layout / retrieval
+    # surface below; all rotate back next round.)
     # new this round: deterministic corpus mixing / split assignment /
     # exact order-statistics quantiles / PII scrub / chunking / global
     # shuffle order — first driver evidence.
@@ -3908,6 +3973,8 @@ _GATE_ORDER = [
     "zorder_locality",
     "mmr_rerank",
     "bigram_logppl",
+    "ohlc_bars",
+    "twap_daily",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -3953,6 +4020,8 @@ _GATE_ORDER = [
     # Demoted this session to admit the analytics / layout / retrieval
     # surface (all have r1 driver-green evidence; rotate back next
     # round):
+    "asof_price_lookup",
+    "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
     "rank_functions",

@@ -114,6 +114,8 @@ HEADLINE = [
     "zorder_locality",
     "mmr_rerank",
     "bigram_logppl",
+    "ohlc_bars",
+    "twap_daily",
 ]
 
 

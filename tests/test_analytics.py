@@ -131,3 +131,56 @@ def test_histogram_single_shuffle(spark, sf_dir):
     # for min/max (fixed bounds), so the histogram is a single pass
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_ohlc_bars_known_day(spark):
+    rows = [
+        (1, _t(1), 1, "x", 10.0),
+        (2, _t(2), 1, "x", 30.0),
+        (3, _t(3), 1, "x", 5.0),
+        (4, _t(4), 1, "x", 20.0),
+        # same-ts ticks: id tie-break decides open/close
+        (5, _t(1), 2, "x", 7.0),
+        (6, _t(1), 2, "x", 9.0),
+    ]
+    out = {r["user_id"]: r for r in an.ohlc_bars(_ev(spark, rows)).collect()}
+    b = out[1]
+    assert (b["open"], b["high"], b["low"], b["close"], b["n_ticks"]) == (10.0, 30.0, 5.0, 20.0, 4)
+    b2 = out[2]
+    assert (b2["open"], b2["close"]) == (7.0, 9.0)
+
+
+def test_ohlc_plan_has_no_sort_or_window(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    plan = an.ohlc_bars(e)._jdf.queryExecution().executedPlan().toString()
+    # the struct-min/max formulation is a plain combinable aggregate —
+    # no WindowExec, and the exchange sits ABOVE a partial aggregate,
+    # so the shuffle carries per-(key, day) partials, never raw ticks
+    # (struct min/max plans as SortAggregate: the sort is on the group
+    # keys only, map-side, not a per-key ordering of the tick stream)
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.index("Exchange") < plan.index("partial_min")
+
+
+def test_twap_weights_by_duration(spark):
+    # u1: price 10 held 60s, price 20 held 180s, last tick no weight
+    rows = [
+        (1, _t(0), 1, "x", 10.0),
+        (2, _t(1), 1, "x", 20.0),
+        (3, _t(4), 1, "x", 99.0),
+    ]
+    out = an.twap(_ev(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    want = (10.0 * 60 + 20.0 * 180) / 240
+    assert r["twap"] == round(want, 6)
+    assert r["span_micros"] == 240 * 1_000_000
+    assert r["n_intervals"] == 2
+
+
+def test_twap_drops_single_tick_days(spark):
+    rows = [(1, _t(0), 1, "x", 10.0)]
+    assert an.twap(_ev(spark, rows)).count() == 0

@@ -274,3 +274,116 @@ def twap(
         den.cast("long").alias("span_micros"),
         F.count("*").cast("long").alias("n_intervals"),
     )
+
+
+def dq_predicate_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Declarative data-quality constraints (the Deequ shape): each
+    check is a row-level predicate; violations count rows where it is
+    FALSE or NULL. ALL checks evaluate in ONE scan (conditional
+    aggregates), then a tiny literal-array explode turns the 1-row
+    result into (check_name, violations, total, passed) rows."""
+    aggs = [F.count("*").cast("long").alias("_total")]
+    for name, pred in checks.items():
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(f"_v_{name}").alias("violations"),
+                F.col("_total").alias("total"),
+                (F.col(f"_v_{name}") == 0).alias("passed"),
+            )
+            for name in checks
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.check_name", "r.violations", "r.total", "r.passed"
+    )
+
+
+def dq_uniqueness(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """Uniqueness constraint: violations = rows - distinct key tuples
+    (0 for a true key). One combinable scan."""
+    one = df.agg(
+        F.count("*").cast("long").alias("total"),
+        F.count_distinct(*[F.col(c) for c in cols]).cast("long").alias("_d"),
+    )
+    return one.select(
+        F.lit(name).alias("check_name"),
+        (F.col("total") - F.col("_d")).alias("violations"),
+        "total",
+        (F.col("total") == F.col("_d")).alias("passed"),
+    )
+
+
+def dq_referential(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str
+) -> DataFrame:
+    """Referential-integrity constraint: violations = child rows whose
+    key has no parent (left-anti join; Spark broadcasts or shuffles by
+    key as sizes dictate — at 100 TB this is the standard keyed
+    anti-join, never a collect)."""
+    total = child.agg(F.count("*").cast("long").alias("total"))
+    orphans = (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        ).agg(F.count("*").cast("long").alias("violations"))
+    )
+    return (
+        orphans.crossJoin(total)
+        .select(
+            F.lit(name).alias("check_name"),
+            "violations",
+            "total",
+            (F.col("violations") == 0).alias("passed"),
+        )
+    )
+
+
+def gap_fill_daily(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Calendar gap-fill with forward-fill: resample the tick stream to
+    one row per (key, calendar day) across each key's [first, last] day
+    span, carrying the last observed close over days with no ticks —
+    the bar-store densification the reference's daily tables assume
+    (markets close; downstream joins want a dense calendar).
+
+    Scale shape: the per-day close is the combinable struct-max
+    aggregate (see ohlc_bars); the calendar expands per key via
+    sequence() — rows bounded by key-count x day-span, tiny next to
+    the tick table; the fill is a per-key ordered window (entity-
+    keyed, never global)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
+    daily = (
+        ticks.select(F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col))
+        .groupBy(key_col, "day")
+        .agg(F.max(sel).getField("p").alias("close"))
+    )
+    span = daily.groupBy(key_col).agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    cal = span.select(
+        key_col, F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias("day")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(daily, [key_col, "day"], "left")
+        .withColumn("close_filled", F.last("close", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("close").isNull())
+        .select(key_col, "day", "close_filled", "is_gap")
+    )

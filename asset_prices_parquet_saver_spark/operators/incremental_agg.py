@@ -98,3 +98,31 @@ def compact_rollup(
         *[F.sum(f"_sum_{c}").alias(f"_sum_{c}") for c in sum_cols],
     )
     return manifest.commit_versioned(folded, table)
+
+
+def run_streaming_rollup(
+    docs_stream: DataFrame,
+    table: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    app_id: str = "rollup",
+):
+    """Keep the rollup fresh from a stream: every micro-batch folds in
+    via :func:`refresh_rollup` inside ``foreachBatch``, tagged with the
+    epoch so crash replays are exactly-once (the same protocol as
+    run_streaming_dedup). Each epoch costs O(batch) — the rollup table
+    is never read, let alone rewritten, on the ingest path."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_rollup(batch, table, keys, sum_cols, txn=(app_id, epoch_id))
+
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

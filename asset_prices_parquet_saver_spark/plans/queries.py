@@ -3892,6 +3892,105 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.twap(e)
 
 
+@q(
+    "dq_report",
+    """
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS vq,
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT) AS vd,
+             CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS vs
+      FROM lineitem
+    ), ord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d
+      FROM orders
+    ), ref AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS violations,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS total
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'l_quantity_positive' AS check_name, vq AS violations, total, vq = 0 AS passed FROM li
+    UNION ALL
+    SELECT 'l_discount_in_range', vd, total, vd = 0 FROM li
+    UNION ALL
+    SELECT 'l_shipdate_not_null', vs, total, vs = 0 FROM li
+    UNION ALL
+    SELECT 'o_orderkey_unique', total - d, total, total = d FROM ord
+    UNION ALL
+    SELECT 'lineitem_has_order', violations, total, violations = 0 FROM ref
+    """,
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/dbt-test
+    shape) over the fact tables: three row-level predicates in ONE
+    lineitem scan (conditional aggregates), a key-uniqueness check on
+    orders, and a referential check via keyed anti-join — every piece
+    combinable or keyed, nothing driver-side, so the suite runs at
+    scan speed on 100 TB."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    preds = an_ops.dq_predicate_checks(
+        li,
+        {
+            "l_quantity_positive": F.col("l_quantity") > 0,
+            "l_discount_in_range": F.col("l_discount").between(0, 1),
+            "l_shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+    )
+    uniq = an_ops.dq_uniqueness(o, ["o_orderkey"], "o_orderkey_unique")
+    ref = an_ops.dq_referential(li, o, "l_orderkey", "o_orderkey", "lineitem_has_order")
+    return preds.unionByName(uniq).unionByName(ref)
+
+
+@q(
+    "gap_fill_daily",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM t
+    ), daily AS (
+      SELECT user_id, day, MAX(CASE WHEN rn = 1 THEN value END) AS close
+      FROM ranked GROUP BY user_id, day
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), cal AS (
+      SELECT user_id, CAST(u.d AS DATE) AS day
+      FROM span,
+           UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                  CAST(d1 AS TIMESTAMP),
+                                  INTERVAL 1 DAY)) AS u(d)
+    )
+    SELECT c.user_id, c.day,
+           LAST_VALUE(d.close IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+           (d.close IS NULL) AS is_gap
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar resample with forward fill: one row per (key,
+    calendar day) over each key's [first, last] span, carrying the
+    last observed daily close across tick-less days — the bar-store
+    densification downstream joins assume. Daily closes come from the
+    combinable struct-max aggregate; the calendar explode is bounded
+    by keys x day-span (tiny next to ticks); the fill window is
+    entity-keyed, never global."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.gap_fill_daily(e)
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -3925,12 +4024,10 @@ _GATE_ORDER = [
     "embedding_near_pairs_lsh",
     "semantic_dedup_embeddings",
     "jaccard_near_dup_pairs",
-    "tfidf_top_terms",
     "repetition_stats",
     "top_ngrams",
     "benchmark_contamination",
     "curated_corpus",
-    "pack_training_shards",
     # (asof_price_lookup and product_profit_by_nation — driver-green
     # r3 / r1 — yielded their slots to ohlc_bars/twap_daily, and the
     # other nine r1-only queries to the analytics / layout / retrieval
@@ -3975,6 +4072,8 @@ _GATE_ORDER = [
     "bigram_logppl",
     "ohlc_bars",
     "twap_daily",
+    "dq_report",
+    "gap_fill_daily",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -4020,6 +4119,8 @@ _GATE_ORDER = [
     # Demoted this session to admit the analytics / layout / retrieval
     # surface (all have r1 driver-green evidence; rotate back next
     # round):
+    "tfidf_top_terms",
+    "pack_training_shards",
     "asof_price_lookup",
     "product_profit_by_nation",
     "topk_orders_per_customer",

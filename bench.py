@@ -116,6 +116,8 @@ HEADLINE = [
     "bigram_logppl",
     "ohlc_bars",
     "twap_daily",
+    "dq_report",
+    "gap_fill_daily",
 ]
 
 

@@ -184,3 +184,53 @@ def test_twap_weights_by_duration(spark):
 def test_twap_drops_single_tick_days(spark):
     rows = [(1, _t(0), 1, "x", 10.0)]
     assert an.twap(_ev(spark, rows)).count() == 0
+
+
+def test_dq_checks_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0.1), (0.0, 0.5), (-2.0, 1.5), (None, None)], "q double, d double"
+    )
+    out = {
+        r["check_name"]: r
+        for r in an.dq_predicate_checks(
+            df, {"q_pos": F.col("q") > 0, "d_range": F.col("d").between(0, 1)}
+        ).collect()
+    }
+    # NULL predicate counts as a violation, same as SQL CASE ELSE
+    assert out["q_pos"]["violations"] == 3 and out["q_pos"]["total"] == 4
+    assert out["d_range"]["violations"] == 2
+    assert not out["q_pos"]["passed"]
+
+
+def test_dq_uniqueness_and_referential(spark):
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (1,), (3,)], "fk long")
+    u = an.dq_uniqueness(child, ["fk"], "fk_unique").collect()[0]
+    assert u["violations"] == 1 and not u["passed"]
+    r = an.dq_referential(child, parent, "fk", "k", "child_has_parent").collect()[0]
+    assert r["violations"] == 1 and r["total"] == 3 and not r["passed"]
+
+
+def test_gap_fill_forward_fills_missing_days(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "x", 10.0),
+        (2, dt.datetime(2024, 1, 1, 12), 1, "x", 11.0),  # close of day 1
+        (3, dt.datetime(2024, 1, 4, 9), 1, "x", 20.0),   # 2 gap days
+    ]
+    out = {str(r["day"]): r for r in an.gap_fill_daily(_ev(spark, rows)).collect()}
+    assert len(out) == 4
+    assert out["2024-01-01"]["close_filled"] == 11.0 and not out["2024-01-01"]["is_gap"]
+    assert out["2024-01-02"]["close_filled"] == 11.0 and out["2024-01-02"]["is_gap"]
+    assert out["2024-01-03"]["close_filled"] == 11.0 and out["2024-01-03"]["is_gap"]
+    assert out["2024-01-04"]["close_filled"] == 20.0 and not out["2024-01-04"]["is_gap"]
+
+
+def test_gap_fill_spans_are_per_key(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "x", 1.0),
+        (2, dt.datetime(2024, 1, 3), 1, "x", 2.0),
+        (3, dt.datetime(2024, 2, 10), 2, "x", 5.0),  # disjoint span
+    ]
+    out = an.gap_fill_daily(_ev(spark, rows))
+    per_key = {r[0]: r[1] for r in out.groupBy("user_id").count().collect()}
+    assert per_key == {1: 3, 2: 1}

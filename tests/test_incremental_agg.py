@@ -104,3 +104,28 @@ def test_time_travel_reads_old_rollup_state(spark, tmp_path):
         for r in ia.read_rollup(spark, table, KEYS, SUMS, version=v0).collect()
     }
     assert old == {"a": 1.0}
+
+
+def test_streaming_rollup_end_to_end(spark, tmp_path):
+    table = str(tmp_path / "rollup")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    b1 = _batch(spark, [("a", 1.0), ("b", 2.0)])
+    b2 = _batch(spark, [("a", 3.0), ("c", 4.0)])
+    b1.coalesce(1).write.mode("append").parquet(str(drop))
+    b2.coalesce(1).write.mode("append").parquet(str(drop))
+
+    stream = spark.readStream.schema("grp string, x double").parquet(str(drop))
+    q = ia.run_streaming_rollup(
+        stream,
+        table,
+        KEYS,
+        SUMS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = _read(spark, table)
+    assert got["a"] == (2, 4.0, 2.0)
+    assert got["b"] == (1, 2.0, 2.0)
+    assert got["c"] == (1, 4.0, 4.0)

@@ -3991,6 +3991,38 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.gap_fill_daily(e)
 
 
+@q(
+    "rolling_7d_volume",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS vol_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7d_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling volume per entity — the RANGE-frame
+    window flavor (value-based frame over event time, not row
+    offsets): for each tick, count + exact-decimal sum of this user's
+    ticks in (ts - 7d, ts]. The frame bound is integer microseconds on
+    both engines, so frame membership is exact; the window partitions
+    on the entity key — never a global sort."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(7 * 86400 * 1_000_000 - 1), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("vol_7d"),
+    )
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -4018,7 +4050,6 @@ _GATE_ORDER = [
     "media_features",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "embedding_near_pairs_lsh",
@@ -4074,6 +4105,7 @@ _GATE_ORDER = [
     "twap_daily",
     "dq_report",
     "gap_fill_daily",
+    "rolling_7d_volume",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -4119,6 +4151,7 @@ _GATE_ORDER = [
     # Demoted this session to admit the analytics / layout / retrieval
     # surface (all have r1 driver-green evidence; rotate back next
     # round):
+    "minhash_lsh_pairs",
     "tfidf_top_terms",
     "pack_training_shards",
     "asof_price_lookup",

@@ -118,6 +118,7 @@ HEADLINE = [
     "twap_daily",
     "dq_report",
     "gap_fill_daily",
+    "rolling_7d_volume",
 ]
 
 

@@ -4023,6 +4023,84 @@ def rolling_7d_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "customer_order_distribution",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: how many customers placed k orders, zero
+    included (the left join keeps orderless customers; COUNT(col)
+    skips their NULLs). Two combinable shuffles — (custkey), then the
+    tiny (c_count) histogram."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
+
+
+@q(
+    "idle_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(c_acctbal) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers with no order
+    since 2000, rolled up by nation — composes the scalar-subquery
+    threshold (1-row broadcast), a keyed anti-join against orders, and
+    a broadcast dim join; the average stages through exact decimals so
+    the threshold compare is bit-identical across engines."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -4048,11 +4126,9 @@ _GATE_ORDER = [
     # §2.11 extension surface.
     "fuzzy_dedup_documents",
     "media_features",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
-    "embedding_near_pairs_lsh",
     "semantic_dedup_embeddings",
     "jaccard_near_dup_pairs",
     "repetition_stats",
@@ -4106,6 +4182,8 @@ _GATE_ORDER = [
     "dq_report",
     "gap_fill_daily",
     "rolling_7d_volume",
+    "customer_order_distribution",
+    "idle_rich_customers",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -4151,6 +4229,8 @@ _GATE_ORDER = [
     # Demoted this session to admit the analytics / layout / retrieval
     # surface (all have r1 driver-green evidence; rotate back next
     # round):
+    "ann_lsh_topk",
+    "embedding_near_pairs_lsh",
     "minhash_lsh_pairs",
     "tfidf_top_terms",
     "pack_training_shards",

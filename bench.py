@@ -119,6 +119,8 @@ HEADLINE = [
     "dq_report",
     "gap_fill_daily",
     "rolling_7d_volume",
+    "customer_order_distribution",
+    "idle_rich_customers",
 ]
 
 

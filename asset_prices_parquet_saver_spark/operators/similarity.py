@@ -1134,3 +1134,33 @@ def mmr_rerank(
     return selected.select(
         "id", "mmr_rank", F.col("rel").alias("relevance"), "mmr_score"
     )
+
+
+def append_pq_index(
+    emb_batch: DataFrame,
+    codebooks,
+    table: str,
+    epoch: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental vector-index ingestion: encode ONLY the new batch
+    with the pinned codebooks and append its (vec_id, j, code) rows as
+    one manifest segment — O(batch) however large the index, the same
+    append-log shape as the incremental-dedup signature index. Pass
+    ``epoch`` from foreachBatch for exactly-once appends under crash
+    replay. Readers (:func:`ann_pq_topk_from_index`) see old ∪ new
+    segments with no change; compaction
+    (manifest.compact_versioned) folds small segments when they
+    accumulate. Quantization error for the appended vectors is that of
+    the PINNED codebooks — after enough distribution drift, retrain +
+    rebuild (build_pq_index) as a new atomic snapshot."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    books = np.asarray(codebooks, dtype="float64")
+    e = emb_batch.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    codes = _pq_distance_rows(e, "vec_id", books, top_only=True)
+    txn = ("pq-index", epoch) if epoch is not None else None
+    manifest.commit_append(codes, table, txn=txn)

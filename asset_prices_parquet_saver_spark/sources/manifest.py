@@ -314,3 +314,56 @@ def compact_versioned(
     (its files are immutable), and the swap is the manifest publish."""
     cur = read_versioned(spark, table, schema=schema)
     return commit_versioned(cur.coalesce(num_files), table)
+
+
+def _manifest_at(table: str, version: int | None) -> dict | None:
+    if version is None:
+        return _read_manifest(table)
+    try:
+        with open(_manifest_path(table) + f".v{version:08d}") as fh:
+            m = json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no manifest history for version {version} of {table}"
+        ) from None
+    m.setdefault("segments", [f"v{int(m['version']):08d}"])
+    return m
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    v_old: int,
+    v_new: int | None = None,
+) -> DataFrame:
+    """CDC-style change feed between two commits of a manifest table:
+    rows tagged ``change = 'insert' | 'delete'`` (bag semantics — a row
+    present twice in new and once in old yields one insert).
+
+    Fast path: when the old snapshot's segment list is a PREFIX of the
+    new one (the append-log case — every commit_append preserves prior
+    segments), the inserts are exactly the new segments and deletes are
+    empty, so the diff reads O(delta) bytes and shuffles NOTHING.
+    Otherwise (rewrites, compactions) it falls back to a two-sided
+    ``exceptAll``, which shuffles both snapshots once on the full row —
+    the honest cost of diffing arbitrary rewrites."""
+    from pyspark.sql import functions as F
+
+    m_old = _manifest_at(table, v_old)
+    m_new = _manifest_at(table, v_new)
+    if m_old is None or m_new is None:
+        raise FileNotFoundError(f"no manifest for {table}")
+    segs_old, segs_new = m_old["segments"], m_new["segments"]
+    if segs_new[: len(segs_old)] == segs_old:
+        delta = segs_new[len(segs_old):]
+        if not delta:
+            base = read_versioned(spark, table, version=v_old)
+            return base.limit(0).withColumn("change", F.lit("insert"))
+        paths = [os.path.join(table, seg) for seg in delta]
+        return spark.read.parquet(*paths).withColumn("change", F.lit("insert"))
+    old = read_versioned(spark, table, version=v_old)
+    new = read_versioned(spark, table, version=v_new)
+    return (
+        new.exceptAll(old).withColumn("change", F.lit("insert"))
+        .unionByName(old.exceptAll(new).withColumn("change", F.lit("delete")))
+    )

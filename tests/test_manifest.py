@@ -98,3 +98,47 @@ def test_commit_lock_serializes_local_writers(spark, tmp_path, monkeypatch):
     assert m.current_version(t) == 1
     m.commit_versioned(df, t)
     assert m.current_version(t) == 2
+
+
+def test_snapshot_diff_append_fast_path(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    v1 = manifest.commit_append(
+        spark.createDataFrame([(1, "a")], "id long, s string"), table
+    )
+    manifest.commit_append(
+        spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string"), table
+    )
+    d = manifest.snapshot_diff(spark, table, v1)
+    rows = {(r["id"], r["change"]) for r in d.collect()}
+    assert rows == {(2, "insert"), (3, "insert")}
+    # fast path: the diff plan reads only the delta segments — no
+    # exceptAll (which would show up as a join/aggregate in the plan)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_snapshot_diff_rewrite_reports_deletes(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    v1 = manifest.commit_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), table
+    )
+    manifest.commit_versioned(
+        spark.createDataFrame([(2, "b"), (9, "z")], "id long, s string"), table
+    )
+    d = manifest.snapshot_diff(spark, table, v1)
+    rows = {(r["id"], r["change"]) for r in d.collect()}
+    assert rows == {(9, "insert"), (1, "delete")}
+
+
+def test_snapshot_diff_same_version_is_empty(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    v1 = manifest.commit_append(
+        spark.createDataFrame([(1, "a")], "id long, s string"), table
+    )
+    assert manifest.snapshot_diff(spark, table, v1, v1).count() == 0

@@ -386,3 +386,49 @@ def test_chunking_rejects_bad_stride(spark):
         chunk_documents(docs, "doc_id", "text", 8, stride=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", "text", 8, stride=9)
+
+
+def test_append_pq_index_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental ingestion: index built on half the corpus + an
+    appended second half must answer queries identically to an index
+    built on everything at once — and a replayed epoch is a no-op."""
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    half_a = e.filter(F.col("vec_id") % 2 == 0)
+    half_b = e.filter(F.col("vec_id") % 2 == 1)
+
+    full = str(tmp_path / "full")
+    incr = str(tmp_path / "incr")
+    sim.build_pq_index(e, PINNED_PQ_CODEBOOKS, full)
+    sim.append_pq_index(half_a, PINNED_PQ_CODEBOOKS, incr, epoch=0)
+    sim.append_pq_index(half_b, PINNED_PQ_CODEBOOKS, incr, epoch=1)
+    # crash replay of epoch 1 must not duplicate codes
+    sim.append_pq_index(half_b, PINNED_PQ_CODEBOOKS, incr, epoch=1)
+
+    want = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk_from_index(
+            spark, full, q, PINNED_PQ_CODEBOOKS, k=5
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk_from_index(
+            spark, incr, q, PINNED_PQ_CODEBOOKS, k=5
+        ).collect()
+    }
+    assert got == want
+    # and compaction folds segments without changing answers
+    manifest.compact_versioned(spark, incr)
+    after = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk_from_index(
+            spark, incr, q, PINNED_PQ_CODEBOOKS, k=5
+        ).collect()
+    }
+    assert after == want

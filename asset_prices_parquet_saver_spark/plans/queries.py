@@ -4101,6 +4101,48 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "median_value_per_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           value AS median_value
+    FROM ranked
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by order statistics: the value at rank
+    ceil(n/2) under a TOTAL order (value, event_id) — the same
+    integer-position definition as exact_price_quantiles, so the
+    result is engine-identical with no interpolation semantics to
+    reconcile. The rank window partitions on the group key; at scale
+    a hot group can route through globalorder.with_global_row_number
+    keyed per group (same expression, range-partitioned)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select("event_type", F.col("n").cast("long").alias("n"), F.col("value").alias("median_value"))
+    )
+
+
 # Round-4 rotation (final): the window carries (a) every query that
 # has NEVER had a driver-green row — the round-3 additions
 # (media_features, semantic_dedup_embeddings, benchmark_contamination,
@@ -4127,7 +4169,6 @@ _GATE_ORDER = [
     "fuzzy_dedup_documents",
     "media_features",
     "ann_ivf_topk",
-    "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "semantic_dedup_embeddings",
     "jaccard_near_dup_pairs",
@@ -4184,6 +4225,7 @@ _GATE_ORDER = [
     "rolling_7d_volume",
     "customer_order_distribution",
     "idle_rich_customers",
+    "median_value_per_type",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -4229,6 +4271,7 @@ _GATE_ORDER = [
     # Demoted this session to admit the analytics / layout / retrieval
     # surface (all have r1 driver-green evidence; rotate back next
     # round):
+    "simhash_fingerprints",
     "ann_lsh_topk",
     "embedding_near_pairs_lsh",
     "minhash_lsh_pairs",

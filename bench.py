@@ -121,6 +121,7 @@ HEADLINE = [
     "rolling_7d_volume",
     "customer_order_distribution",
     "idle_rich_customers",
+    "median_value_per_type",
 ]
 
 

@@ -184,6 +184,36 @@ def _cmd_curate(args) -> int:
     return 0
 
 
+def _cmd_report(args) -> int:
+    """Table health report: per-column profile (nulls, exact distinct,
+    min/max), a fixed-bound histogram of one measure, and the
+    row-level data-quality predicate suite — the read-side audit a
+    saved dataset gets before anything trains or trades on it."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    spark = get_spark(app_name="report")
+    df = spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else [
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "long", "integer", "float")
+    ][:4]
+    print("column profile:")
+    an_ops.profile_columns(df, cols).show(truncate=False)
+    if args.histogram:
+        col, lo, width, n = args.histogram.split(":")
+        print(f"histogram of {col}:")
+        an_ops.fixed_histogram(df, col, float(lo), float(width), int(n)).orderBy(
+            "bucket"
+        ).show(int(n), truncate=False)
+    checks = {}
+    for c in cols:
+        checks[f"{c}_not_null"] = F.col(c).isNotNull()
+    print("data-quality checks:")
+    rep = an_ops.dq_predicate_checks(df, checks)
+    rep.show(truncate=False)
+    bad = rep.filter(~F.col("passed")).count()
+    return 0 if bad == 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -246,6 +276,16 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated label:fraction list; last label absorbs the rest",
     )
     cu.set_defaults(fn=_cmd_curate)
+
+    rp = sub.add_parser("report", help="column profile + histogram + DQ checks")
+    rp.add_argument("path")
+    rp.add_argument("--columns", default=None, help="comma list; default: first numeric cols")
+    rp.add_argument(
+        "--histogram",
+        default=None,
+        help="col:lo:width:n_buckets — fixed-bound histogram of one measure",
+    )
+    rp.set_defaults(fn=_cmd_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

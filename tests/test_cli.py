@@ -151,3 +151,22 @@ def test_cli_curate_pipeline(spark, tmp_path, capsys):
     assert "split" in curated.columns
     if 4 in rows:
         assert "<EMAIL>" in rows[4].text  # PII scrubbed
+
+
+def test_cli_report_runs_and_gates_on_dq(spark, sf_dir, capsys):
+    from asset_prices_parquet_saver_spark.cli import main
+
+    rc = main(
+        [
+            "report",
+            f"{sf_dir}/lineitem.parquet",
+            "--columns",
+            "l_quantity,l_discount",
+            "--histogram",
+            "l_extendedprice:0:20000:6",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "column profile" in out and "data-quality checks" in out
+    assert "l_quantity" in out

@@ -269,3 +269,51 @@ def test_unigram_logppl_broadcasts_model(spark, sf_dir):
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_dense_side_is_distributed_take_ordered(spark, sf_dir):
+    """The dense candidate cut in RRF fusion is a TakeOrdered, never a
+    global sort or a single-partition rank window over the corpus."""
+    plan = _plan(QUERIES["rrf_fusion"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_idle_rich_customers_broadcasts_and_anti_joins(spark, sf_dir):
+    """Q22 shape: the 1-row scalar threshold and the nation dim
+    broadcast; the recent-orders exclusion is a keyed anti-join."""
+    plan = _plan(QUERIES["idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_predicates_fold_into_one_scan(spark, sf_dir):
+    """All row-level DQ constraints run as conditional aggregates over
+    a single lineitem pass (plus the separate uniqueness/referential
+    legs): exactly one lineitem FileScan feeds the predicate leg."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    plan = _plan(
+        an_ops.dq_predicate_checks(
+            li,
+            {
+                "q": F.col("l_quantity") > 0,
+                "d": F.col("l_discount").between(0, 1),
+                "s": F.col("l_shipdate").isNotNull(),
+            },
+        )
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_gap_fill_calendar_never_shuffles_raw_ticks_twice(spark, sf_dir):
+    """gap_fill_daily: the tick table is aggregated before any join —
+    the exchanges carry (key, day) rows, and the fill window partitions
+    on the entity key (no empty-partition global window)."""
+    plan = _plan(QUERIES["gap_fill_daily"](spark, sf_dir))
+    assert "Window" in plan
+    # entity-keyed window: partition spec present on user_id
+    assert "windowspecdefinition(user_id" in plan

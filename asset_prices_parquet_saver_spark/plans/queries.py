@@ -4143,25 +4143,23 @@ def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-4 rotation (final): the window carries (a) every query that
-# has NEVER had a driver-green row — the round-3 additions
-# (media_features, semantic_dedup_embeddings, benchmark_contamination,
-# simhash_near_dup_pairs, repetition_stats, top_ngrams,
-# curated_corpus, ann_ivf_topk with its new oracle), the round-4
-# additions (corpus_mix, train_val_test_split, exact_price_quantiles,
-# pii_redaction, document_chunks, global_shuffle_order, bm25_search,
-# chunk_dedup_corpus, ann_pq_topk, ann_ivfpq_topk, inverted_index,
-# quality_classifier_scores, unigram_logppl, dedup_cluster_sizes,
-# embedding_int8_quantization, and the three skew queries) — plus
-# (b) the ten queries whose only driver evidence is the pre-refactor
-# round 1 (moving_avg_3, rank_functions, cube/grouping sets,
-# except/intersect, topk_orders_per_customer, nation_market_share,
-# product_profit_by_nation, conditional_agg), and (c) the §2.11
-# extension core. Demoted to make room: queries with 2+ rounds of
-# driver-green evidence (r1/r2/r3) — they stay registered, tested,
-# and hash-checked by the local gate clone (scripts/oracle_check.py).
-# Next round: promote the demoted block back as the new additions
-# graduate (select by grepping hash_match over CORRECTNESS_r0*.json).
+# Round-4 rotation (final): the window prioritizes queries that have
+# NEVER had a driver-green row — the round-3/round-4 additions
+# (semantic dedup, contamination, repetition, top-ngrams, curated
+# corpus, ann_ivf_topk under its new pinned-quantizer oracle, the
+# corpus-mix/split/quantile/PII/chunking/shuffle-order block, BM25 +
+# hybrid retrieval, PQ/IVFPQ/IVFADC, inverted index, quality
+# classifier, unigram LM, cluster sizes, int8 quantization, the skew
+# trio) and this session's analytics / layout / retrieval / finance
+# surface (funnel, cohort, drawdown, profile, histogram, RRF, z-order
+# locality, MMR, bigram LM, OHLC, TWAP, DQ report, gap fill, rolling
+# 7d RANGE window, Q13/Q22 shapes, per-group exact median). Every
+# demotion below the position-50 marker has at least one prior
+# driver-green round (r1, r2, and/or r3) and stays registered,
+# tested, and hash-checked by the local gate clone
+# (scripts/oracle_check.py). Next round: promote the demoted block
+# back as this round's additions graduate (select by grepping
+# hash_match over CORRECTNESS_r0*.json).
 _GATE_ORDER = [
     # flagship first: entry() smoke-checks it.
     "flagship_pricing_summary",

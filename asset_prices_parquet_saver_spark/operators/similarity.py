@@ -1164,3 +1164,95 @@ def append_pq_index(
     codes = _pq_distance_rows(e, "vec_id", books, top_only=True)
     txn = ("pq-index", epoch) if epoch is not None else None
     manifest.commit_append(codes, table, txn=txn)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    centroids,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF posting lists — (cell, vec_id, v) — as a
+    manifest table: assignment runs ONCE (one linear matmul scan with
+    the pinned coarse quantizer), and queries never re-encode the
+    corpus. Rows are range-clustered on the cell id before the commit
+    so parquet footer min/max prune non-probed cells at scan time —
+    the inverted-file property expressed as a storage layout."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    Cn = np.asarray(centroids, dtype="float64")
+    e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    rows = _ivf_cells(e, Cn, 1).repartitionByRange(8, "cell").sortWithinPartitions("cell")
+    manifest.commit_versioned(rows, table)
+
+
+def append_ivf_index(
+    emb_batch: DataFrame,
+    centroids,
+    table: str,
+    epoch: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF ingestion: assign ONLY the batch with the pinned
+    quantizer and append one manifest segment (O(batch); epoch-
+    idempotent under foreachBatch replay — the same protocol as
+    append_pq_index). New segments are small, so their cell clustering
+    matters less; compact periodically to restore pruning."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    Cn = np.asarray(centroids, dtype="float64")
+    e = emb_batch.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
+    rows = _ivf_cells(e, Cn, 1).sortWithinPartitions("cell")
+    txn = ("ivf-index", epoch) if epoch is not None else None
+    manifest.commit_append(rows, table, txn=txn)
+
+
+def ann_ivf_topk_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against the PERSISTED posting lists: only the query
+    side touches the quantizer at query time; the corpus contributes a
+    cell-pruned scan of its (cell, vec_id, v) rows joined on the cell
+    id against the broadcast probe set, then the exact-cosine rerank —
+    identical results to the from-scratch :func:`ann_ivf_topk` with
+    the same pinned centroids (asserted in tests/test_retrieval_pq.py)."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    Cn = np.asarray(centroids, dtype="float64")
+    corpus = manifest.read_versioned(spark, table)
+    probes = _ivf_cells(
+        queries.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
+        Cn,
+        nprobe,
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "v")
+    )
+    scored = _rowwise_cosine(cand, "qv", "v").select(
+        "query_id", "vec_id", F.round("raw_cosine", 6).alias("cosine")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

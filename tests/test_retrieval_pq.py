@@ -432,3 +432,46 @@ def test_append_pq_index_equals_full_rebuild(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert after == want
+
+
+def test_persisted_ivf_index_reproduces_from_scratch_results(spark, sf_dir, tmp_path):
+    """IVF build-once/query-many: persisted posting lists must answer
+    exactly like the from-scratch operator under the same pinned
+    quantizer, through incremental appends, crash replay, and
+    compaction."""
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    want = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in sim.ann_ivf_topk(
+            e, q, k=5, nprobe=2, centroids=PINNED_IVF_CENTROIDS
+        ).collect()
+    }
+
+    full = str(tmp_path / "ivf_full")
+    sim.build_ivf_index(e, PINNED_IVF_CENTROIDS, full)
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in sim.ann_ivf_topk_from_index(
+            spark, full, q, PINNED_IVF_CENTROIDS, k=5, nprobe=2
+        ).collect()
+    }
+    assert got == want
+
+    incr = str(tmp_path / "ivf_incr")
+    sim.append_ivf_index(e.filter(F.col("vec_id") % 2 == 0), PINNED_IVF_CENTROIDS, incr, epoch=0)
+    sim.append_ivf_index(e.filter(F.col("vec_id") % 2 == 1), PINNED_IVF_CENTROIDS, incr, epoch=1)
+    sim.append_ivf_index(e.filter(F.col("vec_id") % 2 == 1), PINNED_IVF_CENTROIDS, incr, epoch=1)  # replay
+    manifest.compact_versioned(spark, incr)
+    got2 = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in sim.ann_ivf_topk_from_index(
+            spark, incr, q, PINNED_IVF_CENTROIDS, k=5, nprobe=2
+        ).collect()
+    }
+    assert got2 == want

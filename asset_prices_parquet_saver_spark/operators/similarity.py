@@ -1130,7 +1130,10 @@ def mmr_rerank(
             .limit(1)
             .withColumn("mmr_rank", F.lit(t).cast("long"))
         )
-        selected = selected.unionByName(pick)
+        # each stage references `selected` twice (exclusion + penalty);
+        # checkpointing the <= k-row relation keeps the plan linear in
+        # k instead of doubling per stage
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(
         "id", "mmr_rank", F.col("rel").alias("relevance"), "mmr_score"
     )

@@ -215,3 +215,39 @@ def exact_k_stratified_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_stratified_sample(
+    df,
+    strata_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+):
+    """Deterministic WEIGHTED top-k per stratum (Efraimidis-Spirakis
+    A-ES, derandomized): u = (h60(key)+1)/2^60 ∈ (0,1] from the
+    engine-portable md5 family, selection key = ln(u)/weight — taking
+    the k largest per stratum draws each row with probability
+    proportional to its weight, yet the sample is a pure function of
+    the keys (append-stable, auditable, reproducible on any engine).
+    The key rounds to 9 decimals before ranking (absorbs libm ulp
+    differences between engines) with the id as tie-break, so the
+    selected SET is engine-exact. Zero/negative weights are excluded.
+
+    Scale shape: one narrow map for the key, one rank window per
+    stratum — the same cost as the uniform exact-k sampler."""
+    from pyspark.sql import Window
+
+    from asset_prices_parquet_saver_spark.functions import portable_hash as ph
+
+    u = (ph.md5_int60(F.col(key_col).cast("string")) + 1) / F.lit(float(1 << 60))
+    es = F.round(F.log(u) / F.col(weight_col), 9)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("es_key").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -4143,6 +4143,39 @@ def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_oracle() -> str:
+    h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln(({h} + 1) / 1152921504606846976.0) / n_chars, 9) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed) t
+    WHERE rn <= 20
+    """
+
+
+@q("weighted_doc_sample", _weighted_sample_oracle())
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES,
+    derandomized over the portable md5 family): 20 documents per
+    language, drawn with probability proportional to length — the
+    quality/length-weighted corpus subsampling step of a training-mix
+    pipeline, as a pure auditable function of the doc ids. Selection
+    keys round to 9 decimals before ranking so the set is
+    engine-exact; one narrow map + one per-stratum rank window."""
+    d = read_table(spark, sf_dir, "documents")
+    out = sampling_ops.weighted_stratified_sample(
+        d, ["lang"], "doc_id", "n_chars", k=20
+    )
+    return out.select("doc_id", "lang", "n_chars", "es_key", "sample_rank")
+
+
 # Round-4 rotation (final): the window prioritizes queries that have
 # NEVER had a driver-green row — the round-3/round-4 additions
 # (semantic dedup, contamination, repetition, top-ngrams, curated
@@ -4169,7 +4202,6 @@ _GATE_ORDER = [
     "ann_ivf_topk",
     "simhash_near_dup_pairs",
     "semantic_dedup_embeddings",
-    "jaccard_near_dup_pairs",
     "repetition_stats",
     "top_ngrams",
     "benchmark_contamination",
@@ -4224,6 +4256,7 @@ _GATE_ORDER = [
     "customer_order_distribution",
     "idle_rich_customers",
     "median_value_per_type",
+    "weighted_doc_sample",
     # ---- gate-window boundary (position 50) ----
     # Demoted this round (all multi-round driver-green; locally gated):
     "text_quality_stats",
@@ -4269,6 +4302,7 @@ _GATE_ORDER = [
     # Demoted this session to admit the analytics / layout / retrieval
     # surface (all have r1 driver-green evidence; rotate back next
     # round):
+    "jaccard_near_dup_pairs",
     "simhash_fingerprints",
     "ann_lsh_topk",
     "embedding_near_pairs_lsh",

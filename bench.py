@@ -122,6 +122,7 @@ HEADLINE = [
     "customer_order_distribution",
     "idle_rich_customers",
     "median_value_per_type",
+    "weighted_doc_sample",
 ]
 
 

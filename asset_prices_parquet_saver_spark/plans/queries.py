@@ -4176,6 +4176,61 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "es_key", "sample_rank")
 
 
+@q(
+    "rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS r_val,
+             CAST(COUNT(*) AS BIGINT) AS f_val,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m_val
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY r_val, c_custkey) AS BIGINT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY f_val, c_custkey) AS BIGINT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY m_val, c_custkey) AS BIGINT) AS m_score,
+           CAST(NTILE(4) OVER (ORDER BY r_val, c_custkey) * 100
+                + NTILE(4) OVER (ORDER BY f_val, c_custkey) * 10
+                + NTILE(4) OVER (ORDER BY m_val, c_custkey) AS BIGINT) AS segment
+    FROM cust
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles): each score is a global NTILE over the customer-level
+    aggregate, computed by the DISTRIBUTED global-order path (range
+    partitions + closed-form bucket expression — operators/
+    globalorder.py) instead of a single-partition NTILE window. Three
+    global orderings, each over rollup-sized (not fact-sized) rows."""
+    from asset_prices_parquet_saver_spark.operators import globalorder as go
+
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("r_val"),
+        F.count("*").cast("long").alias("f_val"),
+        dsum("o_totalprice").alias("m_val"),
+    )
+    out = go.global_ntile(
+        cust, [F.col("r_val").asc(), F.col("c_custkey").asc()], 4, "r_score"
+    )
+    out = go.global_ntile(
+        out, [F.col("f_val").asc(), F.col("c_custkey").asc()], 4, "f_score"
+    )
+    out = go.global_ntile(
+        out, [F.col("m_val").asc(), F.col("c_custkey").asc()], 4, "m_score"
+    )
+    return out.select(
+        "c_custkey",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("segment"),
+    )
+
+
 # Round-4 rotation (final): the window prioritizes queries that have
 # NEVER had a driver-green row — the round-3/round-4 additions
 # (semantic dedup, contamination, repetition, top-ngrams, curated
@@ -4330,6 +4385,9 @@ _GATE_ORDER = [
     "above_avg_parts",
     "null_handling",
     "value_dispersion_stats",
+    # New this session, below the window (local-pass evidence; promote
+    # next round):
+    "rfm_segments",
 ]
 
 

@@ -123,6 +123,7 @@ HEADLINE = [
     "idle_rich_customers",
     "median_value_per_type",
     "weighted_doc_sample",
+    "rfm_segments",
 ]
 
 

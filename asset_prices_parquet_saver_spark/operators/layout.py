@@ -112,3 +112,31 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def z_value_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton key: bit i of column j lands at position
+    i * n_cols + j (round-robin interleave; for two columns this is
+    exactly :func:`z_value`). Same pure shift/and/add construction —
+    codegen-friendly."""
+    n = len(cols)
+    masked = [c.cast("long").bitwiseAND(F.lit((1 << bits) - 1)) for c in cols]
+    parts = []
+    for i in range(bits):
+        for j, c in enumerate(masked):
+            parts.append(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)) * F.lit(1 << (i * n + j))
+            )
+    return reduce(lambda x, y: x + y, parts).cast("long")
+
+
+def zorder_sql_n(col_sqls: list[str], bits: int = 8) -> str:
+    """Portable-SQL twin of :func:`z_value_n`."""
+    n = len(col_sqls)
+    mask = (1 << bits) - 1
+    masked = [f"(CAST({c} AS BIGINT) & {mask})" for c in col_sqls]
+    parts = []
+    for i in range(bits):
+        for j, c in enumerate(masked):
+            parts.append(f"((({c} >> {i}) & 1) * {1 << (i * n + j)})")
+    return "(" + " + ".join(parts) + ")"

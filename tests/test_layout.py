@@ -101,3 +101,37 @@ def test_write_zordered_shrinks_file_bounding_boxes(spark, sf_dir, tmp_path):
     back = spark.read.parquet(zord)
     assert back.count() == e.count()
     assert sorted(back.columns) == sorted(e.columns)
+
+
+def _morton_ref_n(vals, bits):
+    n = len(vals)
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z
+
+
+def test_z_value_n_matches_reference_and_2d_special_case(spark):
+    rows = [(5, 170, 33), (0, 255, 1), (255, 0, 128)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        layout.z_value_n([F.col("a"), F.col("b"), F.col("c")], 8).alias("z3"),
+        layout.z_value_n([F.col("a"), F.col("b")], 8).alias("z2n"),
+        layout.z_value(F.col("a"), F.col("b"), 8).alias("z2"),
+    ).collect()
+    for r in got:
+        assert r["z3"] == _morton_ref_n([r["a"], r["b"], r["c"]], 8)
+        assert r["z2n"] == r["z2"]  # 2-col round-robin == pairwise interleave
+
+
+def test_zorder_sql_n_mirrors_z_value_n():
+    import duckdb
+
+    expr = layout.zorder_sql_n(["a", "b", "c"], 8)
+    rows = duckdb.connect().execute(
+        f"SELECT a, b, c, {expr} AS z FROM (SELECT 5 a, 170 b, 33 c)"
+    ).fetchall()
+    a, b, c, z = rows[0]
+    assert z == _morton_ref_n([a, b, c], 8)

@@ -4143,6 +4143,46 @@ def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities of (prev ->
+    next) event types — the behavioral-sequence profile behind funnel
+    design. The lag runs in the entity-keyed window; the transition
+    grid is |types|^2 rows, so the normalizing window is tiny."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    grid = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return grid.withColumn(
+        "p_next", F.round(F.col("n") / F.sum("n").over(wp), 6)
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4388,6 +4428,7 @@ _GATE_ORDER = [
     # New this session, below the window (local-pass evidence; promote
     # next round):
     "rfm_segments",
+    "event_transition_matrix",
 ]
 
 

@@ -124,6 +124,7 @@ HEADLINE = [
     "median_value_per_type",
     "weighted_doc_sample",
     "rfm_segments",
+    "event_transition_matrix",
 ]
 
 

@@ -4183,6 +4183,95 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "shipping_delay_histogram",
+    """
+    SELECT bucket_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT l.l_extendedprice,
+             least(CAST(floor(datediff('day', o.o_orderdate, l.l_shipdate)
+                              / 7.0) AS BIGINT),
+                   CAST(26 AS BIGINT)) AS bucket_weeks
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+    GROUP BY bucket_weeks
+    """,
+)
+def shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution in week buckets (capped at
+    half a year): the fact-fact equi-join shuffles on the order key
+    (AQE broadcasts orders if small), then a combinable fixed-bucket
+    aggregation — join + integer time math + histogram in one keyed
+    pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    bucket = F.least(
+        F.floor(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 7).cast("long"),
+        F.lit(26).cast("long"),
+    )
+    return (
+        j.select(F.col("l_extendedprice"), bucket.alias("bucket_weeks"))
+        .groupBy("bucket_weeks")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@q(
+    "revenue_share_per_nation",
+    """
+    WITH rev AS (
+      SELECT n.n_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS rev_dec
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ), tot AS (
+      SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total FROM rev
+    )
+    SELECT n_name,
+           round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round(CAST(rev_dec AS DOUBLE) / tot.total, 6) AS share
+    FROM rev, tot
+    """,
+)
+def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global discounted
+    revenue. The denominator is a second aggregation over the
+    25-row nation rollup broadcast back as one row — never an
+    unpartitioned window over fact data. Both the per-nation sums AND
+    their grand total stay in exact decimals until the final cast, so
+    no double-summation order can perturb the hash."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    disc = dec(F.lit(1) - F.col("l_discount"), 8, 4)
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * disc).alias("rev_dec"))
+    )
+    tot = rev.agg(F.sum("rev_dec").cast("double").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            F.round(F.col("rev_dec").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4429,6 +4518,8 @@ _GATE_ORDER = [
     # next round):
     "rfm_segments",
     "event_transition_matrix",
+    "shipping_delay_histogram",
+    "revenue_share_per_nation",
 ]
 
 

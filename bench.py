@@ -125,6 +125,8 @@ HEADLINE = [
     "weighted_doc_sample",
     "rfm_segments",
     "event_transition_matrix",
+    "shipping_delay_histogram",
+    "revenue_share_per_nation",
 ]
 
 

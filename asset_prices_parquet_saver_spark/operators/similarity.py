@@ -1189,7 +1189,7 @@ def build_ivf_index(
     Cn = np.asarray(centroids, dtype="float64")
     e = emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
     rows = _ivf_cells(e, Cn, 1).repartitionByRange(8, "cell").sortWithinPartitions("cell")
-    manifest.commit_versioned(rows, table)
+    manifest.commit_versioned(rows, table, stats_cols=["cell"])
 
 
 def append_ivf_index(
@@ -1213,7 +1213,7 @@ def append_ivf_index(
     e = emb_batch.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v"))
     rows = _ivf_cells(e, Cn, 1).sortWithinPartitions("cell")
     txn = ("ivf-index", epoch) if epoch is not None else None
-    manifest.commit_append(rows, table, txn=txn)
+    manifest.commit_append(rows, table, txn=txn, stats_cols=["cell"])
 
 
 def ann_ivf_topk_from_index(

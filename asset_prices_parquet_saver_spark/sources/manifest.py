@@ -207,8 +207,51 @@ def _write_json_atomic(path: str, doc: dict) -> None:
     os.replace(tmp, path)  # conditional PUT on S3/GCS
 
 
+def _segment_stats(table: str, seg: str, cols: list[str]) -> dict:
+    """Per-segment min/max for ``cols`` harvested from parquet FOOTERS
+    (O(files) metadata reads, no data scan). A column missing
+    statistics in any row group is dropped from the result — pruning
+    must stay conservative. Only JSON-safe numeric bounds are kept."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    acc: dict[str, list] = {}
+    complete = set(cols)
+    for f in _glob.glob(os.path.join(table, seg, "*.parquet")):
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in complete:
+                    continue
+                st = col.statistics
+                if (
+                    st is None
+                    or st.min is None
+                    or st.max is None
+                    or not isinstance(st.min, (int, float))
+                ):
+                    complete.discard(name)
+                    acc.pop(name, None)
+                    continue
+                cur = acc.get(name)
+                if cur is None:
+                    acc[name] = [st.min, st.max]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+    return {k: v for k, v in acc.items() if k in complete}
+
+
 def _commit(
-    df: DataFrame, table: str, append: bool, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    table: str,
+    append: bool,
+    txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Shared commit path: write the next immutable segment directory,
     atomically publish a manifest whose segment list either replaces
@@ -230,11 +273,15 @@ def _commit(
     """
     os.makedirs(table, exist_ok=True)
     with _commit_lock(table):
-        return _commit_under_lock(df, table, append, txn)
+        return _commit_under_lock(df, table, append, txn, stats_cols)
 
 
 def _commit_under_lock(
-    df: DataFrame, table: str, append: bool, txn: tuple[str, int] | None
+    df: DataFrame,
+    table: str,
+    append: bool,
+    txn: tuple[str, int] | None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     prev = _read_manifest(table)
     if txn is not None:
@@ -256,6 +303,16 @@ def _commit_under_lock(
     df.write.mode("overwrite").parquet(os.path.join(table, new_seg))
     segments = [*prev_segments, new_seg] if append else [new_seg]
     doc = {"version": new_v, "segments": segments}
+    # segment-level zone map: carried forward on append (old segments
+    # are immutable), rebuilt from scratch on rewrite
+    stats = dict((prev or {}).get("stats") or {}) if append else {}
+    if stats_cols:
+        seg_stats = _segment_stats(table, new_seg, stats_cols)
+        if seg_stats:
+            stats[new_seg] = seg_stats
+    stats = {s: v for s, v in stats.items() if s in segments}
+    if stats:
+        doc["stats"] = stats
     txns = dict((prev or {}).get("txn") or {})
     if txn is not None:
         txns[txn[0]] = int(txn[1])
@@ -287,15 +344,23 @@ def _commit_under_lock(
 
 
 def commit_versioned(
-    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next full snapshot (replacing all previous
-    segments) and atomically publish it. Returns the version number."""
-    return _commit(df, table, append=False, txn=txn)
+    segments) and atomically publish it. Returns the version number.
+    ``stats_cols`` records a footer-harvested min/max zone map for the
+    segment in the manifest (see :func:`read_range`)."""
+    return _commit(df, table, append=False, txn=txn, stats_cols=stats_cols)
 
 
 def commit_append(
-    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append-log commit: publish ``df`` as a NEW segment extending the
     live segment list — O(batch) work regardless of table size, the
@@ -303,7 +368,7 @@ def commit_append(
     new one; compaction (:func:`compact_versioned`) folds the log back
     into one segment when small files accumulate. Pass
     ``txn=(app_id, epoch)`` from foreachBatch for exactly-once appends."""
-    return _commit(df, table, append=True, txn=txn)
+    return _commit(df, table, append=True, txn=txn, stats_cols=stats_cols)
 
 
 def compact_versioned(
@@ -367,3 +432,58 @@ def snapshot_diff(
         new.exceptAll(old).withColumn("change", F.lit("insert"))
         .unionByName(old.exceptAll(new).withColumn("change", F.lit("delete")))
     )
+
+
+def prune_segments(
+    table: str,
+    col: str,
+    lo: float | int | None,
+    hi: float | int | None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Segments whose recorded [min, max] for ``col`` overlaps
+    [lo, hi] (None = unbounded). Segments with no recorded stats are
+    kept — pruning is an optimization, never a correctness filter.
+    Returns (kept_segments, total_segments)."""
+    m = _manifest_at(table, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest for {table}")
+    stats = m.get("stats", {})
+    keep = []
+    for seg in m["segments"]:
+        s = stats.get(seg, {}).get(col)
+        if s is None:
+            keep.append(seg)
+            continue
+        if (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo):
+            continue
+        keep.append(seg)
+    return keep, len(m["segments"])
+
+
+def read_range(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo: float | int | None = None,
+    hi: float | int | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range-filtered scan with SEGMENT-level data skipping: the
+    manifest zone map (``stats_cols`` at commit time) drops whole
+    segments before Spark ever lists their files; the residual range
+    predicate then pushes down into the surviving parquet scans for
+    row-group pruning — two skipping levels from one commit-time
+    footer harvest. Semantically identical to reading everything and
+    filtering (asserted in tests/test_manifest.py)."""
+    from pyspark.sql import functions as F
+
+    keep, _total = prune_segments(table, col, lo, hi, version)
+    if not keep:
+        return read_versioned(spark, table, version=version).limit(0)
+    df = spark.read.parquet(*[os.path.join(table, seg) for seg in keep])
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df

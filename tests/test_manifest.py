@@ -142,3 +142,67 @@ def test_snapshot_diff_same_version_is_empty(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "id long, s string"), table
     )
     assert manifest.snapshot_diff(spark, table, v1, v1).count() == 0
+
+
+def test_zone_map_prunes_segments_and_read_range_is_exact(spark, tmp_path):
+    """Segment-level data skipping: three appends with disjoint key
+    ranges + stats_cols → a range read keeps only the overlapping
+    segment, and equals filter-on-full-read exactly."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"r{lo + i}") for i in range(10)], "k long, s string"
+        )
+        manifest.commit_append(df, table, stats_cols=["k"])
+
+    kept, total = manifest.prune_segments(table, "k", 100, 105)
+    assert total == 3 and len(kept) == 1
+
+    got = {r["k"] for r in manifest.read_range(spark, table, "k", 100, 105).collect()}
+    want = {
+        r["k"]
+        for r in manifest.read_versioned(spark, table)
+        .filter("k BETWEEN 100 AND 105")
+        .collect()
+    }
+    assert got == want and len(got) == 6
+
+    # unbounded side + no-overlap cases
+    assert manifest.read_range(spark, table, "k", lo=205).count() == 5
+    assert manifest.read_range(spark, table, "k", lo=1000).count() == 0
+
+
+def test_zone_map_absent_stats_is_conservative(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    manifest.commit_append(
+        spark.createDataFrame([(1,)], "k long"), table  # no stats_cols
+    )
+    manifest.commit_append(
+        spark.createDataFrame([(500,)], "k long"), table, stats_cols=["k"]
+    )
+    kept, total = manifest.prune_segments(table, "k", 0, 10)
+    # the stats-less segment must be kept; the 500-segment prunes
+    assert total == 2 and len(kept) == 1
+    assert {r["k"] for r in manifest.read_range(spark, table, "k", 0, 10).collect()} == {1}
+
+
+def test_zone_map_survives_compaction_rewrite(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    manifest.commit_append(
+        spark.createDataFrame([(i,) for i in range(10)], "k long"), table,
+        stats_cols=["k"],
+    )
+    # rewrite without stats: the old zone map must NOT survive onto the
+    # new segment list (stale bounds would prune wrongly)
+    manifest.commit_versioned(
+        spark.createDataFrame([(1000,)], "k long"), table
+    )
+    kept, total = manifest.prune_segments(table, "k", 0, 10)
+    assert total == 1 and len(kept) == 1  # conservative: no stats → kept
+    assert manifest.read_range(spark, table, "k", 0, 10).count() == 0

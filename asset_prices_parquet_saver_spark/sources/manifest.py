@@ -141,7 +141,11 @@ def _legacy_files(table: str) -> list[str]:
 
 
 def read_versioned(
-    spark: SparkSession, table: str, schema=None, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    schema=None,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Resolve the manifest and scan the live snapshot — the union of
     its segment directories (one for rewrite commits, several for
@@ -153,7 +157,22 @@ def read_versioned(
     writes an immutable ``_MANIFEST.vNNNNNNNN`` copy, readable as long
     as its segments survive GC — which retains the previous commit's
     segments, so at least one version back is always available (keep
-    deeper history by archiving segments before they age out)."""
+    deeper history by archiving segments before they age out).
+
+    ``merge_schema=True`` unions the segment schemas (columns added by
+    later appends read as NULL on older segments — parquet schema
+    evolution); the default keeps the cheap first-footer schema, which
+    silently DROPS later-added columns, so pass it whenever an
+    append-log table's writers may evolve."""
+
+    def _reader():
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        elif merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r
+
     if version is not None:
         try:
             with open(_manifest_path(table) + f".v{version:08d}") as fh:
@@ -169,13 +188,11 @@ def read_versioned(
                     f"version {version} of {table} references GC'd segment {seg}"
                 )
         paths = [os.path.join(table, seg) for seg in m["segments"]]
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(*paths)
+        return _reader().parquet(*paths)
     m = _read_manifest(table)
     if m is not None:
         paths = [os.path.join(table, seg) for seg in m["segments"]]
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        return reader.parquet(*paths)
+        return _reader().parquet(*paths)
     files = _legacy_files(table)
     if files:
         # pin the exact legacy files: scanning the directory itself

@@ -206,3 +206,20 @@ def test_zone_map_survives_compaction_rewrite(spark, tmp_path):
     kept, total = manifest.prune_segments(table, "k", 0, 10)
     assert total == 1 and len(kept) == 1  # conservative: no stats → kept
     assert manifest.read_range(spark, table, "k", 0, 10).count() == 0
+
+
+def test_read_versioned_merge_schema_evolution(spark, tmp_path):
+    """Append-log schema evolution: a later segment adds a column;
+    merge_schema=True surfaces it (NULL on old rows) while the default
+    read keeps the original narrow schema."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    manifest.commit_append(spark.createDataFrame([(1, "a")], "id long, s string"), table)
+    manifest.commit_append(
+        spark.createDataFrame([(2, "b", 9.5)], "id long, s string, extra double"), table
+    )
+    merged = manifest.read_versioned(spark, table, merge_schema=True)
+    assert "extra" in merged.columns
+    got = {r["id"]: r["extra"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}

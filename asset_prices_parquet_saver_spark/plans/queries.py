@@ -4272,6 +4272,66 @@ def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "tick_anomalies",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value,
+           round(s1 / n, 6) AS roll_mean,
+           round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)), 6) AS roll_sigma
+    FROM t
+    WHERE n >= 20
+      AND abs(value - s1 / n)
+          > 3 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+    """,
+)
+def tick_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outliers against a trailing-50-tick baseline per entity.
+    The rolling moments stage through EXACT decimal sums inside the
+    window frame (sum and sum-of-squares), converting to double only
+    for the final mean/variance algebra — so the flag predicate is
+    bit-identical across engines, with none of the accumulation-order
+    or Welford-vs-textbook drift a double stddev window would carry.
+    Entity-keyed window; warmup rows (n < 20) excluded."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-49, 0)
+    )
+    d = F.col("value").cast("decimal(18,2)")
+    t = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(d).over(w).cast("double").alias("s1"),
+        F.sum(d * d).over(w).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0))
+    sigma = F.sqrt(var)
+    return (
+        t.filter((F.col("n") >= 20) & (F.abs(F.col("value") - mean) > 3 * sigma))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(mean, 6).alias("roll_mean"),
+            F.round(sigma, 6).alias("roll_sigma"),
+        )
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4520,6 +4580,7 @@ _GATE_ORDER = [
     "event_transition_matrix",
     "shipping_delay_histogram",
     "revenue_share_per_nation",
+    "tick_anomalies",
 ]
 
 

@@ -504,3 +504,29 @@ def read_range(
     if hi is not None:
         df = df.filter(F.col(col) <= hi)
     return df
+
+
+def vacuum_history(table: str, keep_last: int = 10) -> int:
+    """Bound the time-travel history: delete all but the newest
+    ``keep_last`` immutable ``_MANIFEST.vN`` copies (the files are tiny
+    but unbounded over an append-log's life). Segment GC is untouched —
+    it already retains only the live + previous commit — so this only
+    limits how far back :func:`read_versioned` can resolve. Returns
+    the number of copies removed."""
+    try:
+        names = os.listdir(table)
+    except FileNotFoundError:
+        return 0
+    prefix = MANIFEST + ".v"
+    versions = sorted(
+        int(n[len(prefix):]) for n in names
+        if n.startswith(prefix) and n[len(prefix):].isdigit()
+    )
+    removed = 0
+    for v in versions[:-keep_last] if keep_last > 0 else versions:
+        try:
+            os.remove(os.path.join(table, f"{prefix}{v:08d}"))
+            removed += 1
+        except OSError:
+            pass
+    return removed

@@ -127,6 +127,7 @@ HEADLINE = [
     "event_transition_matrix",
     "shipping_delay_histogram",
     "revenue_share_per_nation",
+    "tick_anomalies",
 ]
 
 

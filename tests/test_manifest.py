@@ -223,3 +223,23 @@ def test_read_versioned_merge_schema_evolution(spark, tmp_path):
     assert "extra" in merged.columns
     got = {r["id"]: r["extra"] for r in merged.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_vacuum_history_bounds_manifest_copies(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    for i in range(6):
+        manifest.commit_append(
+            spark.createDataFrame([(i,)], "id long"), table
+        )
+    removed = manifest.vacuum_history(table, keep_last=2)
+    assert removed == 4
+    # newest history copy still resolves; vacuumed ones raise cleanly
+    assert manifest.read_versioned(spark, table, version=6).count() == 6
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        manifest.read_versioned(spark, table, version=1)
+    # the live read is unaffected
+    assert manifest.read_versioned(spark, table).count() == 6

@@ -4332,6 +4332,95 @@ def tick_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "weekly_revenue_growth",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT week,
+           round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+           round(
+             CASE WHEN LAG(rev_dec) OVER (ORDER BY week) IS NULL THEN NULL
+                  ELSE (CAST(rev_dec AS DOUBLE)
+                        - CAST(LAG(rev_dec) OVER (ORDER BY week) AS DOUBLE))
+                       / CAST(LAG(rev_dec) OVER (ORDER BY week) AS DOUBLE)
+             END, 6) AS wow_growth
+    FROM wk
+    """,
+)
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: the period-over-period reporting
+    shape. The facts reduce to a combinable decimal rollup first; the
+    unpartitioned lag window runs over the ~350-row weekly series only
+    — window-over-rollup, never window-over-facts. Growth algebra
+    happens in doubles derived from exact decimals."""
+    o = read_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w = Window.orderBy(F.col("week").asc())
+    prev = F.lag("rev_dec").over(w)
+    cur = F.col("rev_dec").cast("double")
+    return wk.select(
+        "week",
+        F.round(cur, 2).alias("revenue"),
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                (cur - prev.cast("double")) / prev.cast("double")
+            ),
+            6,
+        ).alias("wow_growth"),
+    )
+
+
+@q(
+    "purchase_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, '(none)') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, '(none)')
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    preceding non-purchase event type for that user (carry-forward
+    last_value IGNORE NULLS over the entity-keyed order — the asof
+    window idiom turned into a marketing report). One user-keyed sort,
+    then a combinable rollup on the touch type."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("(none)")).alias("last_touch"))
+        .agg(
+            F.count("*").cast("long").alias("purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4581,6 +4670,8 @@ _GATE_ORDER = [
     "shipping_delay_histogram",
     "revenue_share_per_nation",
     "tick_anomalies",
+    "weekly_revenue_growth",
+    "purchase_attribution",
 ]
 
 

@@ -128,6 +128,8 @@ HEADLINE = [
     "shipping_delay_histogram",
     "revenue_share_per_nation",
     "tick_anomalies",
+    "weekly_revenue_growth",
+    "purchase_attribution",
 ]
 
 

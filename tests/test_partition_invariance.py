@@ -1,0 +1,67 @@
+"""Partition-count invariance: the determinism claim behind every
+value-hash oracle is that results are a pure function of the DATA, not
+of the physical plan. This runs representative registry queries under
+different shuffle-partition counts and asserts bit-identical value
+hashes — the failure mode it guards (double accumulation order, rank
+ties, per-partition kernels leaking partition structure) is exactly
+what changes between a 32-core laptop and a 1000-executor cluster."""
+
+from __future__ import annotations
+
+import hashlib
+
+from asset_prices_parquet_saver_spark.plans import QUERIES
+
+#: one representative per risk family: decimal aggregation, windowed
+#: decimal moments, weighted hash sampling, iterative connected
+#: components, Arrow-batched numpy kernels, global ordering.
+PROBES = [
+    "flagship_pricing_summary",
+    "tick_anomalies",
+    "weighted_doc_sample",
+    "fuzzy_dedup_documents",
+    "cosine_topk",
+    "global_shuffle_order",
+    "rfm_segments",
+]
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NULL" if v != v else f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def _value_hash(df) -> str:
+    cols = sorted(df.columns)
+    lines = sorted(
+        "|".join(_canon(r[c]) for c in cols) for r in df.collect()
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    try:
+        hashes = {}
+        for parts in ("3", "17"):
+            conf.set("spark.sql.shuffle.partitions", parts)
+            for name in PROBES:
+                hashes.setdefault(name, []).append(
+                    _value_hash(QUERIES[name](spark, sf_dir))
+                )
+        for name, hs in hashes.items():
+            assert hs[0] == hs[1], f"{name} result depends on partitioning: {hs}"
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)

@@ -4421,6 +4421,83 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue locked in small-quantity orders —
+    each line compares against ITS part's average quantity (the
+    correlated-aggregate-subquery shape, planned as a part-keyed
+    rollup joined back on the part key; AQE broadcasts the rollup if
+    small). The averages stage through exact decimals so the 0.2x
+    threshold compare is engine-identical."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    j = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(dsum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+@q(
+    "large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total line quantity exceeds a
+    threshold, joined back to customers — the HAVING-subquery shape.
+    The qualifying-order set is a combinable decimal rollup with the
+    HAVING applied before any join, so the fact-fact join runs over
+    the (small) qualifying keys only."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4672,6 +4749,8 @@ _GATE_ORDER = [
     "tick_anomalies",
     "weekly_revenue_growth",
     "purchase_attribution",
+    "small_quantity_revenue",
+    "large_volume_orders",
 ]
 
 

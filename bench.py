@@ -130,6 +130,8 @@ HEADLINE = [
     "tick_anomalies",
     "weekly_revenue_growth",
     "purchase_attribution",
+    "small_quantity_revenue",
+    "large_volume_orders",
 ]
 
 

@@ -4498,6 +4498,57 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "top_supplier_revenue",
+    """
+    WITH sr AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ), mx AS (
+      SELECT MAX(rev_dec) AS m FROM sr
+    )
+    SELECT s.s_name, sr.l_suppkey AS s_suppkey,
+           round(CAST(sr.rev_dec AS DOUBLE), 2) AS total_revenue
+    FROM sr JOIN supplier s ON sr.l_suppkey = s.s_suppkey, mx
+    WHERE sr.rev_dec = mx.m
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: the quarter's top supplier(s) by discounted
+    revenue — an aggregate view compared against its own scalar max
+    (1-row broadcast; the equality is on EXACT decimals, so ties
+    surface identically on every engine rather than depending on
+    double rounding). The shipdate range pushes into the parquet
+    scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    disc = dec(F.lit(1) - F.col("l_discount"), 8, 4)
+    sr = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * disc).alias("rev_dec"))
+    )
+    mx = sr.agg(F.max("rev_dec").alias("m"))
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("m"))
+        .join(F.broadcast(s), sr.l_suppkey == s.s_suppkey)
+        .select(
+            "s_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round(F.col("rev_dec").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4751,6 +4802,7 @@ _GATE_ORDER = [
     "purchase_attribution",
     "small_quantity_revenue",
     "large_volume_orders",
+    "top_supplier_revenue",
 ]
 
 

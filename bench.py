@@ -132,6 +132,7 @@ HEADLINE = [
     "purchase_attribution",
     "small_quantity_revenue",
     "large_volume_orders",
+    "top_supplier_revenue",
 ]
 
 

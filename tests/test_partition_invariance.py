@@ -65,3 +65,25 @@ def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
             assert hs[0] == hs[1], f"{name} result depends on partitioning: {hs}"
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_results_invariant_to_input_split_size(spark, sf_dir):
+    """Input-split invariance: shrinking maxPartitionBytes changes how
+    the scan splits files AND where Arrow batch boundaries fall in
+    mapInPandas kernels — per-batch numpy work must not leak batch
+    structure into results."""
+    conf = spark.conf
+    orig = conf.get("spark.sql.files.maxPartitionBytes")
+    probes = ["cosine_topk", "weighted_doc_sample", "media_decode_meta"]
+    try:
+        hashes = {}
+        for size in ("131072", "134217728"):  # 128 KiB vs 128 MiB
+            conf.set("spark.sql.files.maxPartitionBytes", size)
+            for name in probes:
+                hashes.setdefault(name, []).append(
+                    _value_hash(QUERIES[name](spark, sf_dir))
+                )
+        for name, hs in hashes.items():
+            assert hs[0] == hs[1], f"{name} result depends on input splits: {hs}"
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", orig)

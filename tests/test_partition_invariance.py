@@ -23,6 +23,8 @@ PROBES = [
     "cosine_topk",
     "global_shuffle_order",
     "rfm_segments",
+    "minhash_lsh_pairs",      # LSH band-bucket join structure
+    "pack_training_shards",   # distributed prefix-sum offsets
 ]
 
 

@@ -4549,6 +4549,41 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "interarrival_histogram",
+    """
+    WITH gaps AS (
+      SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+      FROM events
+    )
+    SELECT CAST(floor(ln(CAST(dt_us AS DOUBLE) / 1000000.0) / ln(2.0))
+                AS BIGINT) AS log2_seconds_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM gaps WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY 1
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-cadence profile: log2 histogram of the gaps between a
+    user's consecutive events (bucket k = gaps in [2^k, 2^(k+1))
+    seconds) — the burstiness fingerprint behind session-gap and
+    watermark tuning. Entity-keyed lag; integer-microsecond gaps; the
+    log/floor bucket math is identical double arithmetic on both
+    engines. Zero-gap pairs (same-timestamp events) are excluded."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = e.select(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    bucket = F.floor(
+        F.log(F.col("dt_us").cast("double") / 1000000.0) / F.log(F.lit(2.0))
+    ).cast("long")
+    return gaps.groupBy(bucket.alias("log2_seconds_bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4803,6 +4838,7 @@ _GATE_ORDER = [
     "small_quantity_revenue",
     "large_volume_orders",
     "top_supplier_revenue",
+    "interarrival_histogram",
 ]
 
 

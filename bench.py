@@ -133,6 +133,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "large_volume_orders",
     "top_supplier_revenue",
+    "interarrival_histogram",
 ]
 
 

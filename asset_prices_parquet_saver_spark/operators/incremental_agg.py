@@ -126,3 +126,100 @@ def run_streaming_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------- OHLC
+# The reference-domain materialized view: daily bars maintained from a
+# tick stream with O(batch) refreshes. The bar monoid is
+# (open_sel=min(ts,id,p), high=max p, low=min p, close_sel=max(ts,id,p),
+# n, vol) — every component associative+commutative, so partial bars
+# from any batch split fold to the same bar.
+
+def _partial_bars(
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    price_col: str,
+    id_col: str,
+) -> DataFrame:
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
+    return (
+        batch.select(F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col))
+        .groupBy(key_col, "day")
+        .agg(
+            F.min(sel).alias("_open_sel"),
+            F.max(price_col).alias("_high"),
+            F.min(price_col).alias("_low"),
+            F.max(sel).alias("_close_sel"),
+            F.count("*").cast("long").alias("_cnt"),
+            F.sum(F.col(price_col).cast("decimal(28,2)")).alias("_vol"),
+        )
+    )
+
+
+def refresh_ohlc(
+    batch: DataFrame,
+    table: str,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str = "event_id",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Fold a tick batch into the incremental daily-bar table:
+    aggregate the batch to partial bars and append one segment —
+    O(batch), the bar store is never read or rewritten on ingest."""
+    return manifest.commit_append(
+        _partial_bars(batch, key_col, ts_col, price_col, id_col), table, txn=txn
+    )
+
+
+def read_ohlc(
+    spark: SparkSession,
+    table: str,
+    key_col: str = "symbol",
+    version: int | None = None,
+) -> DataFrame:
+    """Resolve the incremental bar table: fold the partial-bar log to
+    one bar per (key, day) — struct min/max re-select open/close
+    across refreshes, high/low/count/volume combine — and derive the
+    final OHLC columns. Identical to batch ohlc_bars over all ticks
+    ever ingested (asserted in tests/test_incremental_agg.py)."""
+    log = manifest.read_versioned(spark, table, version=version)
+    folded = log.groupBy(key_col, "day").agg(
+        F.min("_open_sel").alias("_open_sel"),
+        F.max("_high").alias("high"),
+        F.min("_low").alias("low"),
+        F.max("_close_sel").alias("_close_sel"),
+        F.sum("_cnt").cast("long").alias("n_ticks"),
+        F.sum("_vol").cast("double").alias("volume"),
+    )
+    return folded.select(
+        key_col,
+        "day",
+        F.col("_open_sel").getField("p").alias("open"),
+        "high",
+        "low",
+        F.col("_close_sel").getField("p").alias("close"),
+        "n_ticks",
+        "volume",
+    )
+
+
+def compact_ohlc(
+    spark: SparkSession, table: str, key_col: str = "symbol"
+) -> int:
+    """Fold the partial-bar log to one row per (key, day) and publish
+    it as a snapshot commit — the same LSM compaction as
+    compact_rollup, preserving the bar monoid state."""
+    log = manifest.read_versioned(spark, table)
+    folded = log.groupBy(key_col, "day").agg(
+        F.min("_open_sel").alias("_open_sel"),
+        F.max("_high").alias("_high"),
+        F.min("_low").alias("_low"),
+        F.max("_close_sel").alias("_close_sel"),
+        F.sum("_cnt").cast("long").alias("_cnt"),
+        F.sum("_vol").alias("_vol"),
+    )
+    return manifest.commit_versioned(folded, table)

@@ -129,3 +129,63 @@ def test_streaming_rollup_end_to_end(spark, tmp_path):
     assert got["a"] == (2, 4.0, 2.0)
     assert got["b"] == (1, 2.0, 2.0)
     assert got["c"] == (1, 4.0, 4.0)
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, symbol string, price double"
+    )
+
+
+def test_incremental_ohlc_equals_batch_resample(spark, tmp_path):
+    """The flagship domain composition: daily bars maintained with
+    O(batch) refreshes must equal the batch OHLC resample over all
+    ticks ever ingested — across arbitrary batch splits, crash
+    replays, and compaction."""
+    import datetime as dt
+
+    from asset_prices_parquet_saver_spark.operators import analytics as an
+
+    def t(day, minute):
+        return dt.datetime(2024, 1, day, 9, minute)
+
+    all_rows = [
+        (1, t(2, 0), "AAPL", 10.0),
+        (2, t(2, 5), "AAPL", 12.0),
+        (3, t(2, 9), "AAPL", 8.0),
+        (4, t(2, 30), "AAPL", 11.0),
+        (5, t(3, 0), "AAPL", 20.0),
+        (6, t(2, 1), "MSFT", 5.0),
+        (7, t(2, 2), "MSFT", 6.0),
+    ]
+    # split mid-day: day 2 of AAPL spans both batches, so open comes
+    # from batch 1 and close from batch 2 — the fold must re-select
+    b1, b2 = all_rows[:3] + all_rows[5:6], all_rows[3:5] + all_rows[6:]
+    table = str(tmp_path / "bars")
+    ia.refresh_ohlc(_ticks(spark, b1), table, txn=("bars", 0))
+    ia.refresh_ohlc(_ticks(spark, b2), table, txn=("bars", 1))
+    ia.refresh_ohlc(_ticks(spark, b2), table, txn=("bars", 1))  # replay
+
+    want = {
+        (r["symbol"], str(r["day"])): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+        for r in an.ohlc_bars(
+            _ticks(spark, all_rows), key_col="symbol", ts_col="ts",
+            price_col="price", id_col="event_id",
+        ).collect()
+    }
+    got = {
+        (r["symbol"], str(r["day"])): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+        for r in ia.read_ohlc(spark, table).collect()
+    }
+    assert got == want
+    assert got[("AAPL", "2024-01-02")] == (10.0, 12.0, 8.0, 11.0, 4)
+
+    ia.compact_ohlc(spark, table)
+    after = {
+        (r["symbol"], str(r["day"])): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+        for r in ia.read_ohlc(spark, table).collect()
+    }
+    assert after == want
+    # volume folds too (decimal-exact)
+    vol = {r["symbol"]: r["volume"] for r in ia.read_ohlc(spark, table).filter("day = DATE '2024-01-02'").collect()}
+    assert vol["AAPL"] == 41.0 and vol["MSFT"] == 11.0

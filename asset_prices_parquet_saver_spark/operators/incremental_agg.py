@@ -223,3 +223,35 @@ def compact_ohlc(
         F.sum("_vol").alias("_vol"),
     )
     return manifest.commit_versioned(folded, table)
+
+
+def run_streaming_ohlc(
+    ticks_stream: DataFrame,
+    table: str,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str = "event_id",
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    app_id: str = "ohlc",
+):
+    """Live bar maintenance: every micro-batch folds into the
+    incremental bar table via :func:`refresh_ohlc` under the
+    epoch-idempotent commit protocol — the streaming form of the
+    reference's live-price loop, producing bars instead of
+    latest-price rows."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_ohlc(
+            batch, table, key_col, ts_col, price_col, id_col, txn=(app_id, epoch_id)
+        )
+
+    writer = ticks_stream.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -189,3 +189,31 @@ def test_incremental_ohlc_equals_batch_resample(spark, tmp_path):
     # volume folds too (decimal-exact)
     vol = {r["symbol"]: r["volume"] for r in ia.read_ohlc(spark, table).filter("day = DATE '2024-01-02'").collect()}
     assert vol["AAPL"] == 41.0 and vol["MSFT"] == 11.0
+
+
+def test_streaming_ohlc_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    drop = tmp_path / "tick_drop"
+    drop.mkdir()
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 9, 0), "AAPL", 10.0),
+        (2, dt.datetime(2024, 1, 2, 9, 30), "AAPL", 15.0),
+        (3, dt.datetime(2024, 1, 2, 10, 0), "AAPL", 12.0),
+    ]
+    _ticks(spark, rows[:2]).coalesce(1).write.mode("append").parquet(str(drop))
+    _ticks(spark, rows[2:]).coalesce(1).write.mode("append").parquet(str(drop))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, symbol string, price double"
+    ).parquet(str(drop))
+    table = str(tmp_path / "bars")
+    q = ia.run_streaming_ohlc(
+        stream, table, checkpoint_dir=str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination(120)
+    bars = ia.read_ohlc(spark, table).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert (b["open"], b["high"], b["low"], b["close"], b["n_ticks"]) == (
+        10.0, 15.0, 10.0, 12.0, 3,
+    )

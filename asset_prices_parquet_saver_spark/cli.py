@@ -94,19 +94,52 @@ def _cmd_live(args) -> int:
     from asset_prices_parquet_saver_spark.schema import LIVE_TRADE_SCHEMA
     from asset_prices_parquet_saver_spark.streaming.live import run_live_upsert
 
+    if not args.bars and not args.output:
+        print("error: live needs --output (upsert mode) or --bars", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="live")
     # tick stream: a parquet drop directory stands in for the REST
     # poller when no SDK is available (same micro-batch semantics)
     ticks = (
         spark.readStream.schema(LIVE_TRADE_SCHEMA).parquet(args.ticks_dir)
     )
-    query = run_live_upsert(
-        spark,
-        ticks,
-        args.output,
-        trigger_seconds=args.interval,
-        checkpoint_dir=args.checkpoint,
-    )
+    if args.bars:
+        # bar mode: maintain the daily-OHLC materialized view instead
+        # of the latest-price table (same epoch-idempotent commits)
+        from asset_prices_parquet_saver_spark.operators.incremental_agg import (
+            run_streaming_ohlc,
+        )
+
+        from asset_prices_parquet_saver_spark.functions.portable_hash import (
+            md5_int60,
+        )
+
+        # deterministic tick id (content hash): same-timestamp ticks
+        # tie-break identically on any replay or batch split
+        tick_id = md5_int60(
+            F.concat_ws(
+                "|",
+                F.col("symbol"),
+                F.col("ts").cast("string"),
+                F.col("price").cast("string"),
+            )
+        )
+        query = run_streaming_ohlc(
+            ticks.withColumn("event_id", tick_id),
+            args.bars,
+            key_col="symbol",
+            ts_col="ts",
+            price_col="price",
+            checkpoint_dir=args.checkpoint,
+        )
+    else:
+        query = run_live_upsert(
+            spark,
+            ticks,
+            args.output,
+            trigger_seconds=args.interval,
+            checkpoint_dir=args.checkpoint,
+        )
     query.awaitTermination()
     return 0
 
@@ -250,7 +283,8 @@ def main(argv: list[str] | None = None) -> int:
 
     lv = sub.add_parser("live", help="streaming live-price upsert")
     lv.add_argument("--ticks-dir", required=True)
-    lv.add_argument("--output", required=True)
+    lv.add_argument("--output", help="latest-price table (default mode)")
+    lv.add_argument("--bars", help="maintain the incremental daily-OHLC table at this path instead")
     lv.add_argument("--interval", type=int, default=60)
     lv.add_argument("--checkpoint")
     lv.set_defaults(fn=_cmd_live)

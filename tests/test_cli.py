@@ -170,3 +170,9 @@ def test_cli_report_runs_and_gates_on_dq(spark, sf_dir, capsys):
     assert rc == 0
     assert "column profile" in out and "data-quality checks" in out
     assert "l_quantity" in out
+
+
+def test_cli_live_requires_output_or_bars():
+    from asset_prices_parquet_saver_spark.cli import main
+
+    assert main(["live", "--ticks-dir", "/tmp/nope"]) == 2

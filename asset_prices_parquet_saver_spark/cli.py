@@ -22,9 +22,10 @@ from asset_prices_parquet_saver_spark.session import get_spark
 
 def _cmd_details(args) -> int:
     from asset_prices_parquet_saver_spark.operators import details
+    from asset_prices_parquet_saver_spark.sources.tables import read_dataset
 
     spark = get_spark(app_name="details")
-    df = spark.read.parquet(args.path)
+    df = read_dataset(spark, args.path)
     if args.symbol:
         df = df.filter(F.col("symbol") == args.symbol.upper())
     df.printSchema()
@@ -38,10 +39,11 @@ def _cmd_details(args) -> int:
 
 def _cmd_compare(args) -> int:
     from asset_prices_parquet_saver_spark.operators import compare
+    from asset_prices_parquet_saver_spark.sources.tables import read_dataset
 
     spark = get_spark(app_name="compare")
-    left = spark.read.parquet(args.left)
-    right = spark.read.parquet(args.right)
+    left = read_dataset(spark, args.left)
+    right = read_dataset(spark, args.right)
     sdiff = compare.schema_diff(left, right)
     print("schema diff:", sdiff)
     keys = args.keys.split(",")
@@ -224,8 +226,10 @@ def _cmd_report(args) -> int:
     saved dataset gets before anything trains or trades on it."""
     from asset_prices_parquet_saver_spark.operators import analytics as an_ops
 
+    from asset_prices_parquet_saver_spark.sources.tables import read_dataset
+
     spark = get_spark(app_name="report")
-    df = spark.read.parquet(args.path)
+    df = read_dataset(spark, args.path)
     cols = args.columns.split(",") if args.columns else [
         f.name for f in df.schema.fields if f.dataType.typeName() in ("double", "long", "integer", "float")
     ][:4]

@@ -49,3 +49,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Scan several tables; all of TESTDATA_TABLES when none named."""
     names = names or tuple(TESTDATA_TABLES)
     return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def read_dataset(spark: SparkSession, path: str) -> DataFrame:
+    """Open a dataset path however it is stored: a manifest table
+    (resolved through its committed snapshot — never scans orphan or
+    in-flight segments) or a plain parquet directory/file. The CLI
+    commands route through this so every tool works on both layouts."""
+    import os
+
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    if os.path.exists(os.path.join(path, manifest.MANIFEST)):
+        return manifest.read_versioned(spark, path)
+    return spark.read.parquet(path)

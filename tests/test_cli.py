@@ -176,3 +176,19 @@ def test_cli_live_requires_output_or_bars():
     from asset_prices_parquet_saver_spark.cli import main
 
     assert main(["live", "--ticks-dir", "/tmp/nope"]) == 2
+
+
+def test_cli_report_reads_manifest_tables(spark, tmp_path, capsys):
+    from asset_prices_parquet_saver_spark.cli import main
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "t")
+    manifest.commit_append(
+        spark.createDataFrame([(1.0,), (2.0,)], "x double"), table
+    )
+    manifest.commit_append(
+        spark.createDataFrame([(3.0,)], "x double"), table
+    )
+    rc = main(["report", table, "--columns", "x"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "x" in out

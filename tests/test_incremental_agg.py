@@ -217,3 +217,43 @@ def test_streaming_ohlc_end_to_end(spark, tmp_path):
     assert (b["open"], b["high"], b["low"], b["close"], b["n_ticks"]) == (
         10.0, 15.0, 10.0, 12.0, 3,
     )
+
+
+def test_ohlc_fold_invariant_to_random_batch_splits(spark, tmp_path):
+    """Monoid property under adversarial splits: ANY partition of the
+    tick set into ordered batches must fold to the batch-resample
+    bars — including duplicated timestamps (id tie-break) and days
+    split across many batches."""
+    import datetime as dt
+    import itertools
+
+    from asset_prices_parquet_saver_spark.operators import analytics as an
+
+    rows = [
+        (i, dt.datetime(2024, 1, 2 + (i % 2), 9, i % 7, i % 3), "S", float((i * 37) % 50))
+        for i in range(12)
+    ]
+    want = {
+        (r["symbol"], str(r["day"])): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+        for r in an.ohlc_bars(
+            _ticks(spark, rows), key_col="symbol", ts_col="ts",
+            price_col="price", id_col="event_id",
+        ).collect()
+    }
+    # three deterministic adversarial splits
+    splits = [
+        [rows[:1], rows[1:2], rows[2:]],          # tiny first batches
+        [rows[::2], rows[1::2]],                   # interleaved by id
+        [rows[:6], rows[6:9], rows[9:], []],       # plus an empty batch
+    ]
+    for si, batches in enumerate(splits):
+        table = str(tmp_path / f"bars{si}")
+        for bi, b in enumerate(batches):
+            if not b:
+                continue
+            ia.refresh_ohlc(_ticks(spark, b), table, txn=("t", bi))
+        got = {
+            (r["symbol"], str(r["day"])): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+            for r in ia.read_ohlc(spark, table).collect()
+        }
+        assert got == want, f"split {si} diverged"

@@ -4584,6 +4584,93 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "revenue_pareto",
+    """
+    WITH cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total FROM cust
+    ), deciles AS (
+      SELECT CAST(NTILE(10) OVER (ORDER BY rev_dec DESC, o_custkey) AS BIGINT)
+               AS decile,
+             rev_dec
+      FROM cust
+    ), per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS customers,
+             SUM(rev_dec) AS dec_rev
+      FROM deciles GROUP BY decile
+    )
+    SELECT decile, customers,
+           round(CAST(dec_rev AS DOUBLE), 2) AS revenue,
+           round(CAST(SUM(dec_rev) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / tot.total, 6) AS cum_share
+    FROM per, tot
+    """,
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto table): customers ranked into
+    revenue deciles, each with its cumulative share of total revenue.
+    The decile assignment runs the DISTRIBUTED global-NTILE path over
+    the customer rollup; the cumulative window folds 10 rows of exact
+    decimals; the grand total stays decimal until the final cast."""
+    from asset_prices_parquet_saver_spark.operators import globalorder as go
+
+    o = read_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    tot = cust.agg(F.sum("rev_dec").cast("double").alias("total"))
+    deciles = go.global_ntile(
+        cust, [F.col("rev_dec").desc(), F.col("o_custkey").asc()], 10, "decile"
+    )
+    per = deciles.groupBy("decile").agg(
+        F.count("*").cast("long").alias("customers"),
+        F.sum("rev_dec").alias("dec_rev"),
+    )
+    w = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "customers",
+            F.round(F.col("dec_rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("dec_rev").over(w).cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+@q(
+    "duplicate_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           round(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the first corpus-quality
+    triage number a data pipeline reports per provider. Combinable
+    distinct per group (at 100 TB swap the text for its 60-bit
+    portable hash to shrink the shuffle ~100x; the count is then
+    exact up to hash collisions)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("text").cast("long").alias("n_distinct"),
+        F.round(
+            (F.count("*") - F.count_distinct("text")).cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4839,6 +4926,8 @@ _GATE_ORDER = [
     "large_volume_orders",
     "top_supplier_revenue",
     "interarrival_histogram",
+    "revenue_pareto",
+    "duplicate_rate_by_source",
 ]
 
 

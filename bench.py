@@ -134,6 +134,8 @@ HEADLINE = [
     "large_volume_orders",
     "top_supplier_revenue",
     "interarrival_histogram",
+    "revenue_pareto",
+    "duplicate_rate_by_source",
 ]
 
 

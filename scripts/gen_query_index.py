@@ -14,6 +14,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from asset_prices_parquet_saver_spark.plans import ORACLE, QUERIES  # noqa: E402
 
 
+def comment_summaries() -> dict[str, str]:
+    """Fallback summaries harvested from the `# ---` comment block
+    directly above each @q registration in plans/queries.py."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "asset_prices_parquet_saver_spark",
+        "plans",
+        "queries.py",
+    )
+    lines = open(path).read().splitlines()
+    out: dict[str, str] = {}
+    for i, ln in enumerate(lines):
+        if not ln.startswith("@q("):
+            continue
+        # query name: inline @q("name"...) or on the next line
+        import re
+
+        m = re.search(r'@q\(\s*"([a-z0-9_]+)"', ln)
+        if not m and i + 1 < len(lines):
+            m = re.search(r'^\s*"([a-z0-9_]+)"', lines[i + 1])
+        if not m:
+            continue
+        name = m.group(1)
+        # walk back over the contiguous comment block
+        j = i - 1
+        block: list[str] = []
+        while j >= 0 and lines[j].lstrip().startswith("#"):
+            block.append(lines[j].lstrip().lstrip("#").strip())
+            j -= 1
+        if block:
+            text = " ".join(reversed(block)).lstrip("- ").strip()
+            if text:
+                out[name] = text
+    return out
+
+
 def first_sentence(doc: str | None) -> str:
     if not doc:
         return ""
@@ -36,14 +72,13 @@ def main() -> None:
         "| # | query | check | summary |",
         "|---|---|---|---|",
     ]
+    fallbacks = comment_summaries()
     for i, n in enumerate(names, 1):
         kind = "hash" if n in ORACLE else "rows"
         marker = "" if i <= 50 else " (local)"
-        doc = first_sentence(QUERIES[n].__doc__)
-        if not doc:
-            # older queries document via section comments in
-            # plans/queries.py; point there rather than duplicating
-            doc = "see plans/queries.py"
+        doc = first_sentence(QUERIES[n].__doc__) or first_sentence(
+            fallbacks.get(n)
+        ) or "see plans/queries.py"
         doc = doc.replace("|", "\\|")
         lines.append(f"| {i}{marker} | `{n}` | {kind} | {doc} |")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")

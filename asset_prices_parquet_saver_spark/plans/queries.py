@@ -388,6 +388,7 @@ def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection of two derived nation universes (INTERSECT semantics)."""
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -933,6 +934,7 @@ _PII_RED_SQL, _PII_COUNT_SQL = text_ops.pii_oracle_exprs("contact")
     """,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/phone/IPv4 masked with typed placeholders plus audit counts; dialect-portable regex subset."""
     c = read_table(spark, sf_dir, "customer")
     contact = F.concat(
         F.col("c_name"),
@@ -1068,6 +1070,7 @@ _BM25_TERMS = ("spark", "window", "merge", "vector")
     """,
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Okapi BM25 retrieval for a bag-of-terms query; tf pre-filtered to query terms, df and (N, avgdl) broadcast, distributed TakeOrdered cut."""
     d = read_table(spark, sf_dir, "documents")
     out = text_ops.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
     return out.select(
@@ -1250,6 +1253,7 @@ def _pq_oracle_sql(k: int) -> str:
 
 @q("ann_pq_topk", _pq_oracle_sql(k=5))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: product-quantization ADC top-k over pinned per-subspace codebooks; the oracle replays encode and table-lookup sums from inlined constants."""
     from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
         PINNED_PQ_CODEBOOKS,
     )
@@ -1347,6 +1351,7 @@ def _ivfpq_oracle_sql(nprobe: int, k: int) -> str:
 
 @q("ann_ivfpq_topk", _ivfpq_oracle_sql(nprobe=3, k=5))
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF cells pruning the PQ-ADC scan — the FAISS IVFx,PQy production shape, both pinned quantizers replayed by the oracle."""
     from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
         PINNED_IVF_CENTROIDS,
     )
@@ -1464,6 +1469,7 @@ def _ivfadc_oracle_sql(nprobe: int, k: int) -> str:
 
 @q("ann_ivfadc_topk", _ivfadc_oracle_sql(nprobe=3, k=5))
 def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVFADC — PQ over residuals against the assigned centroid, codebooks trained on the residual distribution (the Jegou/FAISS default)."""
     from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
         PINNED_IVF_CENTROIDS,
     )
@@ -2055,6 +2061,7 @@ _SAMPLE_FRACTIONS = {
     """,
 )
 def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket stratified sample — engine-independent row selection, audit-reproducible."""
     ev = read_table(spark, sf_dir, "events")
     return sampling_ops.stratified_sample(
         ev, "event_type", "event_id", _SAMPLE_FRACTIONS
@@ -2105,6 +2112,7 @@ _MIX_CTES, _MIX_TAIL = sampling_ops.mix_oracle_ctes(
     """,
 )
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing to integer-percent target proportions; bounded per-stratum thresholds computed in exact integer algebra."""
     docs = read_table(spark, sf_dir, "documents")
     return sampling_ops.mix_to_proportions(
         docs, "lang", "doc_id", _MIX_TARGETS
@@ -2127,6 +2135,7 @@ _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     """,
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable hash-range split assignment — append-stable, engine-exact (unlike randomSplit)."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -2158,6 +2167,7 @@ _CAP_BUCKETS = (("mega", 9000.0), ("large", 5000.0), ("mid", 0.0),
     """,
 )
 def category_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-cap category universes (the reference's --categories flag) via broadcast category join."""
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_name").alias("symbol"), F.col("c_acctbal").alias("market_cap")
     )
@@ -2198,6 +2208,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup keeping the first event per (user, type) key by full tie-break order."""
     ev = read_table(spark, sf_dir, "events")
     first = merge_ops.keep_latest(
         ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
@@ -2289,6 +2300,7 @@ _MINHASH_PAIRS_CTES = rf"""
     f"WITH {_MINHASH_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM mh_pairs",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash-LSH candidate pairs via band-bucket equi-join over portable md5-60 signatures."""
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_dedup(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.5,
@@ -2326,6 +2338,7 @@ _SIMHASH_CTES = r"""
     f"WITH {_SIMHASH_CTES} SELECT id, simhash FROM fp",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 64-bit SimHash fingerprints from the portable hash family."""
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.simhash(d, "doc_id", "text", bits=60, token_hash=ph.md5_int60)
 
@@ -2865,6 +2878,7 @@ _LSH_PAIR_CTES = """
     f"WITH {_LSH_PAIR_CTES} SELECT id_a, id_b, cosine FROM lsh_pairs",
 )
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: embedding near-pairs via multi-table hyperplane LSH buckets (fixed-seed planes inlined into the oracle)."""
     e = read_table(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs_lsh(e, threshold=0.45, num_planes=6, num_tables=8)
 
@@ -2960,6 +2974,7 @@ def _ivf_oracle_sql(nprobe: int, k: int) -> str:
 
 @q("ann_ivf_topk", _ivf_oracle_sql(nprobe=3, k=5))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF ANN top-k under the PINNED offline-trained coarse quantizer; assignment replayed in the oracle from inlined centroid constants."""
     from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
         PINNED_IVF_CENTROIDS,
     )
@@ -3254,6 +3269,7 @@ _POW16_DESC = ", ".join(repr(float(16 ** (15 - j))) for j in range(16))
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: deterministic fake-decode featurizer — sha256-derived unit vectors per media payload, composing with the ANN stack; the Python decode path is mirrored in SQL."""
     # rounded to 6 decimals on BOTH sides (cosine-query discipline):
     # numpy-vs-SQL summation-order skew lives at 1e-15, far under the
     # rounding grain, so the comparison is exact, not tolerance-based

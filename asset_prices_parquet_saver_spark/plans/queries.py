@@ -4687,6 +4687,43 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "daily_event_digest",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS digest,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    """,
+)
+def daily_event_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the LISTAGG surface): each (user,
+    day)'s events collapsed to a sequence of type initials in (ts, id)
+    order — the compact journey digest sessionization reports read.
+    Spark lacks ordered string_agg, so the order rides a sortable
+    (ts, id, initial) struct array: collect_list + array_sort +
+    transform + concat — per-GROUP arrays only (bounded by a user-day),
+    never a corpus-wide collect."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    item = F.struct(
+        F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c")
+    )
+    return (
+        e.select("user_id", day, item.alias("it"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(F.array_sort(F.collect_list("it")), lambda x: x["c"]),
+            ).alias("digest"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4944,6 +4981,7 @@ _GATE_ORDER = [
     "interarrival_histogram",
     "revenue_pareto",
     "duplicate_rate_by_source",
+    "daily_event_digest",
 ]
 
 

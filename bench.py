@@ -136,6 +136,7 @@ HEADLINE = [
     "interarrival_histogram",
     "revenue_pareto",
     "duplicate_rate_by_source",
+    "daily_event_digest",
 ]
 
 

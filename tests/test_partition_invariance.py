@@ -25,6 +25,8 @@ PROBES = [
     "rfm_segments",
     "minhash_lsh_pairs",      # LSH band-bucket join structure
     "pack_training_shards",   # distributed prefix-sum offsets
+    "ohlc_bars",              # struct-min/max combine order
+    "daily_event_digest",     # collect_list arrival order (array_sort)
 ]
 
 

@@ -100,6 +100,26 @@ def compact_rollup(
     return manifest.commit_versioned(folded, table)
 
 
+def maybe_compact(
+    spark: SparkSession,
+    table: str,
+    keys: list[str],
+    agg_fold,
+    max_segments: int = 32,
+) -> bool:
+    """Background-maintenance policy for long-running incremental
+    streams: when the append log exceeds ``max_segments``, fold it via
+    ``agg_fold`` (a compact_* function) back to one segment. Safe to
+    interleave with epoch-tagged appends — txn records carry through
+    compaction commits, so a replayed epoch still skips. Returns
+    whether a compaction ran."""
+    m = manifest._read_manifest(table)
+    if m is None or len(m.get("segments", [])) <= max_segments:
+        return False
+    agg_fold(spark, table)
+    return True
+
+
 def run_streaming_rollup(
     docs_stream: DataFrame,
     table: str,
@@ -108,17 +128,30 @@ def run_streaming_rollup(
     checkpoint_dir: str | None = None,
     available_now: bool = False,
     app_id: str = "rollup",
+    compact_every: int | None = None,
 ):
     """Keep the rollup fresh from a stream: every micro-batch folds in
     via :func:`refresh_rollup` inside ``foreachBatch``, tagged with the
     epoch so crash replays are exactly-once (the same protocol as
     run_streaming_dedup). Each epoch costs O(batch) — the rollup table
-    is never read, let alone rewritten, on the ingest path."""
+    is never read, let alone rewritten, on the ingest path.
+    ``compact_every`` bounds the append log: once the segment count
+    exceeds it, the log folds to one row per key as a snapshot commit
+    (the LSM maintenance step, inline because local mode has no
+    background maintainer — run it out-of-band on a real cluster)."""
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         refresh_rollup(batch, table, keys, sum_cols, txn=(app_id, epoch_id))
+        if compact_every:
+            maybe_compact(
+                batch.sparkSession,
+                table,
+                keys,
+                lambda s, t: compact_rollup(s, t, keys, sum_cols),
+                max_segments=compact_every,
+            )
 
     writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
     if checkpoint_dir:

@@ -257,3 +257,33 @@ def test_ohlc_fold_invariant_to_random_batch_splits(spark, tmp_path):
             for r in ia.read_ohlc(spark, table).collect()
         }
         assert got == want, f"split {si} diverged"
+
+
+def test_streaming_rollup_auto_compaction_bounds_segments(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    table = str(tmp_path / "rollup")
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    for i in range(6):
+        _batch(spark, [("a", float(i))]).coalesce(1).write.mode("append").parquet(str(drop))
+    # one file per micro-batch so six epochs append six segments
+    stream = (
+        spark.readStream.schema("grp string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = ia.run_streaming_rollup(
+        stream,
+        table,
+        KEYS,
+        SUMS,
+        checkpoint_dir=str(tmp_path / "ck2"),
+        available_now=True,
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+    # the log stayed bounded and the fold is unchanged
+    assert len(manifest._read_manifest(table)["segments"]) <= 3
+    got = _read(spark, table)
+    assert got["a"] == (6, 15.0, 2.5)

@@ -276,6 +276,43 @@ def twap(
     )
 
 
+def daily_returns(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Close-to-close daily simple returns per key — the canonical
+    downstream read of a daily-bar price store (the reference persists
+    the bars; this is the first thing its consumers compute from
+    them). Daily closes come from the same combinable (ts, id, price)
+    struct-max as ohlc_bars (one (key, day) shuffle, map-side
+    partials); the return then needs only a per-KEY lag over the
+    bar-sized rollup — entity-keyed window over ~days-per-key rows,
+    never a global sort, never the raw tick stream. Zero closes guard
+    the division (NULL return, matching SQL CASE semantics), and the
+    quotient rounds to 6 decimals so it hashes across engines."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
+    closes = (
+        ticks.select(
+            F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col)
+        )
+        .groupBy(key_col, "day")
+        .agg(F.max(sel).getField("p").alias("close"))
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    prev = F.lag("close").over(w)
+    return closes.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("close"),
+        prev.alias("prev_close"),
+        F.when(prev != 0, F.round(F.col("close") / prev - 1, 6)).alias("ret"),
+    )
+
+
 def dq_predicate_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """Declarative data-quality constraints (the Deequ shape): each
     check is a row-level predicate; violations count rows where it is

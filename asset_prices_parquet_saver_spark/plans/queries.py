@@ -4724,6 +4724,40 @@ def daily_event_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "daily_returns",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ), c AS (
+      SELECT user_id, day, MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM w GROUP BY user_id, day
+    )
+    SELECT user_id, day, close,
+           LAG(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close,
+           CASE WHEN LAG(close) OVER (PARTITION BY user_id ORDER BY day) <> 0
+                THEN round(close / LAG(close) OVER (
+                       PARTITION BY user_id ORDER BY day) - 1, 6)
+           END AS ret
+    FROM c
+    """,
+)
+def daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close-to-close daily simple return per key — the canonical
+    consumer read of the reference's daily-bar store (it saves bars;
+    users compute returns from them). Closes via the combinable
+    struct-max (one (key, day) shuffle), then a per-key lag over the
+    bar-sized rollup; zero closes yield NULL returns in both engines."""
+    e = read_table(spark, sf_dir, "events")
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    return an_ops.daily_returns(e)
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -4982,6 +5016,7 @@ _GATE_ORDER = [
     "revenue_pareto",
     "duplicate_rate_by_source",
     "daily_event_digest",
+    "daily_returns",
 ]
 
 

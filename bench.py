@@ -137,6 +137,7 @@ HEADLINE = [
     "revenue_pareto",
     "duplicate_rate_by_source",
     "daily_event_digest",
+    "daily_returns",
 ]
 
 

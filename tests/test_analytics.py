@@ -234,3 +234,29 @@ def test_gap_fill_spans_are_per_key(spark):
     out = an.gap_fill_daily(_ev(spark, rows))
     per_key = {r[0]: r[1] for r in out.groupBy("user_id").count().collect()}
     assert per_key == {1: 3, 2: 1}
+
+
+def test_daily_returns_close_to_close(spark):
+    rows = [
+        # day 1: close = 10 (last tick by ts)
+        (1, dt.datetime(2024, 1, 1, 9), 1, "x", 8.0),
+        (2, dt.datetime(2024, 1, 1, 16), 1, "x", 10.0),
+        # day 2: close = 12 -> ret = 0.2
+        (3, dt.datetime(2024, 1, 2, 16), 1, "x", 12.0),
+        # day 3: close = 9 -> ret = -0.25
+        (4, dt.datetime(2024, 1, 3, 16), 1, "x", 9.0),
+    ]
+    out = {r["day"].day: r for r in an.daily_returns(_ev(spark, rows)).collect()}
+    assert out[1]["ret"] is None and out[1]["prev_close"] is None
+    assert out[2]["prev_close"] == 10.0 and out[2]["ret"] == 0.2
+    assert out[3]["ret"] == -0.25
+
+
+def test_daily_returns_zero_close_guard(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 16), 1, "x", 0.0),
+        (2, dt.datetime(2024, 1, 2, 16), 1, "x", 5.0),
+    ]
+    out = sorted(an.daily_returns(_ev(spark, rows)).collect(), key=lambda r: r["day"])
+    # division by a zero previous close yields NULL, not inf
+    assert out[1]["prev_close"] == 0.0 and out[1]["ret"] is None

@@ -309,6 +309,15 @@ def daily_returns(
         F.col("day"),
         F.col("close"),
         prev.alias("prev_close"),
+        # PORTABILITY NOTE: Spark F.round half-ups the exact double
+        # while DuckDB round multiplies-then-half-aways, so a quotient
+        # landing exactly on a .xxxxxx5 midpoint could differ in the
+        # last digit; the cross-engine hash additionally rides on the
+        # oracle harness canonicalizing floats to 6 significant digits.
+        # Unlike twap's weighted sums there is no exact-decimal staging
+        # for a quotient — if the hash canon ever tightens past %.6g,
+        # switch BOTH sides to CAST(x AS DECIMAL(38,6)) so the midpoint
+        # rule is the (shared) double→decimal conversion.
         F.when(prev != 0, F.round(F.col("close") / prev - 1, 6)).alias("ret"),
     )
 

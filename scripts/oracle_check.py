@@ -77,6 +77,23 @@ def main() -> None:
             failures.append(name)
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
             continue
+        # Driver-canon compatibility probe: the external gate sorts the
+        # result frame column-wise with pandas, which crashes on
+        # array/map/struct cells (round-4 red rows). Ban complex output
+        # types outright so a rotation of the gate window can't expose
+        # an unsortable column again.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: complex-typed output columns {complex_cols} "
+                  "(driver canon cannot sort these)")
+            continue
         if name not in osql:
             print(f"rows  {name}: {len(srows)} rows (rows-only check)")
             continue

@@ -1,0 +1,129 @@
+"""Slowly-changing-dimension (type 2) maintenance.
+
+The reference persists one-row-per-(symbol, day) price history and
+point-updates a "latest" row in place (update_live_price.py:227 —
+read-modify-write per tick), i.e. SCD type 1: history of the *price*
+is kept but history of mutable symbol *attributes* is overwritten.
+This module supplies the type-2 counterpart a warehouse needs for any
+mutable dimension (symbol status, listing exchange, user segment):
+every attribute change opens a dated version row, so every fact can be
+joined to the attribute value that was true at its timestamp.
+
+Spark-first shape: the whole build is two window passes over the same
+``(key) PARTITION BY`` ordering — one hash shuffle on the key, the
+second window reuses the first's exchange (Catalyst sees compatible
+partitioning), no global sort anywhere. The incremental apply touches
+only the keys present in the batch (semi/anti-join split), so a
+steady-state trickle of changes re-versions a vanishing fraction of a
+100 TB dimension instead of rewriting it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _attr_struct(attr_cols: list[str]) -> Column:
+    return F.struct(*[F.col(c) for c in attr_cols])
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an observation log into SCD2 version rows.
+
+    Input: one row per observation ``(key, ts, attrs..., tiebreak)``;
+    repeated observations of the same attribute values do NOT open a
+    new version (run-collapse via a null-safe lag comparison — plain
+    ``!=`` would silently drop NULL-attribute transitions). Output: one
+    row per version with ``valid_from`` / ``valid_to`` (NULL = open),
+    ``version`` (1-based per key), ``is_current``.
+
+    Total order within a key is ``(ts, tiebreak)`` so same-timestamp
+    observations resolve deterministically on every engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    cur = _attr_struct(attr_cols)
+    starts = (
+        changes.select(key_col, ts_col, tiebreak_col, *attr_cols)
+        .withColumn("_prev", F.lag(cur).over(w))
+        .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(cur))
+        .drop("_prev")
+    )
+    # same partitioning + ordering as `w`: Catalyst reuses the exchange
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return starts.select(
+        F.col(key_col),
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Merge a batch of new observations into an existing SCD2 dimension.
+
+    Only keys present in the batch are re-versioned: their existing
+    version rows fold back into changelog form (``valid_from`` as the
+    observation ts, ``version`` as the tie-break — versions sort before
+    any plausible batch tie-break and preserve intra-key order) and
+    rebuild together with the batch; untouched keys pass through
+    verbatim via an anti-join. Idempotent for replayed batches
+    (duplicate observations collapse in the run-filter) and equivalent
+    to a full rebuild from the concatenated changelog — asserted in
+    tests/test_scd.py.
+    """
+    keys = batch.select(key_col).distinct()
+    untouched = dim.join(F.broadcast(keys), key_col, "left_anti")
+    affected_log = dim.join(F.broadcast(keys), key_col, "left_semi").select(
+        F.col(key_col),
+        F.col("valid_from").alias(ts_col),
+        F.col("version").cast(batch.schema[tiebreak_col].dataType).alias(
+            tiebreak_col
+        ),
+        *attr_cols,
+    )
+    merged_log = affected_log.unionByName(
+        batch.select(key_col, ts_col, tiebreak_col, *attr_cols)
+    )
+    rebuilt = scd2_from_changelog(
+        merged_log, key_col, ts_col, attr_cols, tiebreak_col
+    )
+    return untouched.unionByName(rebuilt)
+
+
+def scd2_asof_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Join each fact row to the dimension version valid at its ts:
+    ``valid_from <= fact.ts AND (valid_to IS NULL OR fact.ts <
+    valid_to)``. Expressed as an equi-join on the key plus the range
+    predicate — Spark plans the key as the shuffle hash key, so the
+    range residual evaluates within co-located partitions, never as a
+    cross product."""
+    d = dim.select(
+        F.col(key_col).alias("_k"), *[c for c in dim.columns if c != key_col]
+    )
+    cond = (
+        (facts[ts_col] >= d["valid_from"])
+        & (d["valid_to"].isNull() | (facts[ts_col] < d["valid_to"]))
+        & (facts[key_col] == d["_k"])
+    )
+    return facts.join(d, cond, "left").drop("_k")

@@ -48,6 +48,7 @@ from asset_prices_parquet_saver_spark.operators import (
     merge as merge_ops,
     multimodal as mm_ops,
     sampling as sampling_ops,
+    scd as scd_ops,
     similarity as sim_ops,
     skew as skew_ops,
     symbols as symbols_ops,
@@ -1502,7 +1503,7 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            CAST(len(list_sort(list(DISTINCT doc_id))) AS BIGINT) AS df,
            CAST(COUNT(*) AS BIGINT) AS total_tf,
-           list_sort(list(DISTINCT doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
     FROM toks GROUP BY term
     """,
 )
@@ -1512,18 +1513,23 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text_ops.words(F.col("text"))).alias("term")
     )
     # df derives from the postings set (a countDistinct alongside would
-    # force a second expand/exchange pass for no information gain)
+    # force a second expand/exchange pass for no information gain).
+    # Posting lists surface as comma-joined strings: the gate canon
+    # sorts result frames column-wise and array cells are unsortable
+    # there (r4 red row) — the join is lossless for bigint ids.
     return (
         toks.groupBy("term")
         .agg(
             F.count("*").cast("long").alias("total_tf"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings_arr"),
         )
         .select(
             "term",
-            F.size("postings").cast("long").alias("df"),
+            F.size("postings_arr").cast("long").alias("df"),
             "total_tf",
-            "postings",
+            F.array_join(
+                F.transform("postings_arr", lambda x: x.cast("string")), ","
+            ).alias("postings"),
         )
     )
 
@@ -3178,15 +3184,24 @@ def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scaled
     )
     SELECT vec_id,
-           list(code ORDER BY i) AS codes,
+           array_to_string(list(code ORDER BY i), ',') AS codes,
            round(AVG(se), 6) AS mse
     FROM per_dim GROUP BY vec_id
     """,
 )
 def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # codes surface comma-joined: the gate canon column-sorts result
+    # frames and array cells are unsortable there (r4 red row); the
+    # join is lossless for the 0..255 integer codes.
     e = read_table(spark, sf_dir, "embeddings")
     out = sim_ops.quantize_embeddings_int8(e)
-    return out.select(F.col("id").alias("vec_id"), "codes", "mse")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
+        "mse",
+    )
 
 
 # --- X2 corpus duplication profile: the near-dup cluster-size
@@ -3256,30 +3271,32 @@ _POW16_DESC = ", ".join(repr(float(16 ** (15 - j))) for j in range(16))
                * ([{_POW16_DESC}])[CAST(j+1 AS INT)]
              )) / 18446744073709551615.0 - 0.5 AS e
       FROM x, (SELECT unnest(range(16)) AS i) ii
-    ), vecs AS (
-      SELECT media_id, kind, list(e ORDER BY i) AS v
-      FROM comp GROUP BY media_id, kind
+    ), nrm AS (
+      SELECT media_id, sqrt(SUM(e * e)) AS nrm FROM comp GROUP BY media_id
     )
-    SELECT media_id, kind,
-           CASE WHEN nrm > 0 THEN list_transform(v, e -> round(e / nrm, 6))
-                ELSE list_transform(v, e -> round(e, 6)) END AS feature
-    FROM (SELECT media_id, kind, v,
-                 sqrt(list_sum(list_transform(v, e -> e * e))) AS nrm
-          FROM vecs) t
+    SELECT c.media_id, c.kind, CAST(c.i AS BIGINT) AS dim,
+           round(CASE WHEN n.nrm > 0 THEN c.e / n.nrm ELSE c.e END, 6) AS feature
+    FROM comp c JOIN nrm n ON c.media_id = n.media_id
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: deterministic fake-decode featurizer — sha256-derived unit vectors per media payload, composing with the ANN stack; the Python decode path is mirrored in SQL."""
     # rounded to 6 decimals on BOTH sides (cosine-query discipline):
     # numpy-vs-SQL summation-order skew lives at 1e-15, far under the
-    # rounding grain, so the comparison is exact, not tolerance-based
+    # rounding grain, so the comparison is exact, not tolerance-based.
+    # Per-dimension rows, not an array column: the gate canon sorts
+    # result frames column-wise and array cells are unsortable there
+    # (the r4 red row) — posexplode keeps every value hash-checked.
     d = read_table(spark, sf_dir, "documents")
     media = mm_ops.build_media_table(d)
     feats = mm_ops.extract_features(media, dim=16)
     return feats.select(
+        "media_id", "kind", F.posexplode("feature").alias("dim", "e")
+    ).select(
         "media_id",
         "kind",
-        F.transform("feature", lambda e: F.round(e, 6)).alias("feature"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round("e", 6).alias("feature"),
     )
 
 
@@ -4846,6 +4863,265 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Round-5 additions: SCD2 dimension maintenance + the remaining
+# classic TPC-H join/aggregate shapes the registry lacked (Q19
+# disjunctive pushdown, Q21 multi-semi/anti self-join, Q16 distinct-agg
+# with NOT-IN exclusion, Q14 conditional ratio, Q11 global-threshold
+# correlated scalar). Together with the existing Q1/Q3/Q4/Q5/Q8/Q9/
+# Q13/Q15/Q17/Q18/Q22 shapes this covers every TPC-H access pattern
+# expressible over the driver's star schema (no partsupp table, so
+# Q2/Q11/Q16/Q20 substitute lineitem as the part↔supplier bridge).
+# =====================================================================
+
+
+# --- SCD type 2 from an observation log (the type-2 counterpart of
+# the reference's in-place point update, update_live_price.py:227).
+@q(
+    "scd2_user_segments",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), starts AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM starts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build: collapse each user's event_type observation stream
+    into dated version rows (valid_from/valid_to/version/is_current);
+    one user_id-keyed shuffle shared by both window passes."""
+    ev = read_table(spark, sf_dir, "events")
+    return scd_ops.scd2_from_changelog(
+        ev, "user_id", "ts", ["event_type"], "event_id"
+    )
+
+
+# --- TPC-H-Q19-shaped: disjunctive OR-of-ANDs predicate over the
+# part⨝lineitem join — the classic pushdown/CNF-conversion stressor.
+@q(
+    "disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: Catalyst extracts the common l_quantity/p_size bounds
+    from the OR branches as join-side pre-filters (CNF conversion), so
+    both scans prune before the broadcast join evaluates the residual
+    disjunction."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(branch).agg(
+        F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+# --- TPC-H-Q21-shaped: suppliers who were the sole returner in a
+# multi-supplier order — EXISTS + NOT EXISTS self-joins on the fact.
+@q(
+    "suppliers_kept_waiting",
+    """
+    WITH l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (l_returnflag='R' standing in for the missing
+    receipt-vs-commit lateness columns): semi-join keeps orders with
+    another supplier present, anti-join drops orders where any other
+    supplier also returned — both equi-hash on l_orderkey with the
+    suppkey inequality as residual, never a cross product."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    ).join(
+        l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti"
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --- TPC-H-Q16-shaped: distinct supplier breadth per part attribute,
+# excluding a blacklist via NOT IN (suppkey is non-null, so the
+# anti-join is exactly NOT IN).
+@q(
+    "supplier_count_by_part",
+    """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (lineitem as the part↔supplier bridge; negative
+    acctbal as the complaints stand-in): broadcast anti-join against
+    the excluded suppliers, broadcast dim join, distinct-agg."""
+    p = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(
+            F.broadcast(p.filter(~F.col("p_type").like("PROMO%"))),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H-Q14-shaped: promotion revenue share per ship month —
+# conditional aggregate ratio, decimal-staged on both sides.
+@q(
+    "promo_revenue_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_revenue,
+           round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 6) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY ship_month
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: both sums stage through exact decimals; the share is
+    one double division of identical operands on both engines, rounded
+    to 6 decimals. Months with no promo lines yield NULL (SQL CASE
+    with no ELSE), matching Spark's null-skipping sum."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4)
+    promo = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), rev)
+    ).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            F.round(F.lit(100.0) * promo / total, 6).alias("promo_share"),
+        )
+    )
+
+
+# --- TPC-H-Q11-shaped: parts whose aggregate value exceeds a global
+# fraction — the correlated-scalar-threshold pattern (broadcast one
+# scalar back over the grouped relation; the comparison stays in exact
+# decimal so the cut is engine-identical).
+@q(
+    "important_parts_value",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS pv_dec
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem
+    )
+    SELECT l_partkey AS partkey, CAST(pv_dec AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE pv_dec * n_parts * 2 > 3 * total
+    """,
+)
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts worth more than 1.5x the average part value —
+    a scale-invariant threshold (a fixed global fraction empties out as
+    the part count grows with SF). The cut pv*n_parts*2 > 3*total is
+    exact integer-decimal arithmetic (x1.5 as *2 > *3), nothing to round
+    differently per engine; the grand total is a 1-row aggregate
+    broadcast into the filter."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice")).alias("pv_dec")
+    )
+    tot = li.agg(
+        F.sum(dec("l_extendedprice")).alias("total"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("pv_dec") * F.col("n_parts") * 2 > 3 * F.col("total"))
+        .select("partkey", F.col("pv_dec").cast("double").alias("part_value"))
+    )
+
+
 # Round-4 rotation (final): the window prioritizes queries that have
 # NEVER had a driver-green row — the round-3/round-4 additions
 # (semantic dedup, contamination, repetition, top-ngrams, curated
@@ -4864,11 +5140,76 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back as this round's additions graduate (select by grepping
 # hash_match over CORRECTNESS_r0*.json).
 _GATE_ORDER = [
-    # flagship first: entry() smoke-checks it.
+    # ---- round-5 window: flagship (entry() smoke-checks it), then
+    # every query with NO driver hash evidence yet — the three round-4
+    # red rows re-enter first with their array-column outputs
+    # flattened to scalars, followed by the round-4 additions that sat
+    # below the window, then the stalest single-round evidence
+    # (r1-only / r2-only / r3-only). approx_user_stats is rows-only by
+    # design (approx sketches have no static SQL mirror).
     "flagship_pricing_summary",
-    # §2.11 extension surface.
-    "fuzzy_dedup_documents",
     "media_features",
+    "inverted_index",
+    "embedding_int8_quantization",
+    "session_window_bars",
+    "approx_user_stats",
+    "rfm_segments",
+    "event_transition_matrix",
+    "shipping_delay_histogram",
+    "revenue_share_per_nation",
+    "tick_anomalies",
+    "weekly_revenue_growth",
+    "purchase_attribution",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "top_supplier_revenue",
+    "interarrival_histogram",
+    "revenue_pareto",
+    "duplicate_rate_by_source",
+    "daily_event_digest",
+    "daily_returns",
+    # round-5 additions: SCD2 + the last classic TPC-H shapes
+    # (Q19/Q21/Q16/Q14/Q11) — first driver evidence.
+    "scd2_user_segments",
+    "disjunctive_revenue",
+    "suppliers_kept_waiting",
+    "supplier_count_by_part",
+    "promo_revenue_share",
+    "important_parts_value",
+    "product_profit_by_nation",
+    "topk_orders_per_customer",
+    "nation_market_share",
+    "rank_functions",
+    "moving_avg_3",
+    "cube_order_stats",
+    "grouping_sets_order_stats",
+    "except_nations",
+    "intersect_nations",
+    "conditional_agg",
+    "dedup_exact_first_events",
+    "nation_trade_volume",
+    "date_arithmetic",
+    "event_type_journey",
+    "above_avg_parts",
+    "null_handling",
+    "value_dispersion_stats",
+    "embedding_near_pairs",
+    "user_sessions",
+    "stratified_event_sample",
+    "simhash_fingerprints",
+    "ann_lsh_topk",
+    "embedding_near_pairs_lsh",
+    # ---- gate-window boundary (position 50) ----
+    "minhash_lsh_pairs",
+    "tfidf_top_terms",
+    "pack_training_shards",
+    "asof_price_lookup",
+    "text_quality_stats",
+    "cosine_topk",
+    # Demoted: every query below has driver-green evidence from round
+    # 4 (or multiple rounds) and stays registered, tested, and
+    # hash-checked by the local gate clone (scripts/oracle_check.py).
+    "fuzzy_dedup_documents",
     "ann_ivf_topk",
     "simhash_near_dup_pairs",
     "semantic_dedup_embeddings",
@@ -4876,13 +5217,6 @@ _GATE_ORDER = [
     "top_ngrams",
     "benchmark_contamination",
     "curated_corpus",
-    # (asof_price_lookup and product_profit_by_nation — driver-green
-    # r3 / r1 — yielded their slots to ohlc_bars/twap_daily, and the
-    # other nine r1-only queries to the analytics / layout / retrieval
-    # surface below; all rotate back next round.)
-    # new this round: deterministic corpus mixing / split assignment /
-    # exact order-statistics quantiles / PII scrub / chunking / global
-    # shuffle order — first driver evidence.
     "corpus_mix",
     "exact_k_event_sample",
     "train_val_test_split",
@@ -4891,24 +5225,18 @@ _GATE_ORDER = [
     "document_chunks",
     "document_chunks_overlap",
     "global_shuffle_order",
-    # newest additions: BM25 retrieval, paragraph-window corpus dedup,
-    # PQ-ADC ANN — first driver evidence.
     "bm25_search",
     "hybrid_retrieval",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",
-    "inverted_index",
     "quality_classifier_scores",
     "unigram_logppl",
     "dedup_cluster_sizes",
-    "embedding_int8_quantization",
     "ann_ivfadc_topk",
-    # skew-mitigation surface, new this round — first driver evidence.
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
-    # analytics surface, new this session — first driver evidence.
     "funnel_conversion",
     "cohort_retention",
     "max_drawdown",
@@ -4927,18 +5255,12 @@ _GATE_ORDER = [
     "idle_rich_customers",
     "median_value_per_type",
     "weighted_doc_sample",
-    # ---- gate-window boundary (position 50) ----
-    # Demoted this round (all multi-round driver-green; locally gated):
-    "text_quality_stats",
-    "cosine_topk",
     "media_frame_sample",
     "dedup_exact_documents",
     "document_fingerprints",
     "language_id",
     "media_payload_meta",
     "media_decode_meta",
-    "user_sessions",
-    "session_window_bars",
     "asof_last_purchase",
     "filter_project_compute",
     "anti_join_inactive_customers",
@@ -4948,7 +5270,6 @@ _GATE_ORDER = [
     "upsert_keep_latest_per_day",
     "source_diff",
     "category_universe",
-    "stratified_event_sample",
     "string_functions",
     "argmax_per_nation",
     "translate_brand",
@@ -4969,54 +5290,7 @@ _GATE_ORDER = [
     "ntile_price_bands",
     "zscore_per_segment",
     "weighted_avg_price",
-    # Demoted this session to admit the analytics / layout / retrieval
-    # surface (all have r1 driver-green evidence; rotate back next
-    # round):
     "jaccard_near_dup_pairs",
-    "simhash_fingerprints",
-    "ann_lsh_topk",
-    "embedding_near_pairs_lsh",
-    "minhash_lsh_pairs",
-    "tfidf_top_terms",
-    "pack_training_shards",
-    "asof_price_lookup",
-    "product_profit_by_nation",
-    "topk_orders_per_customer",
-    "nation_market_share",
-    "rank_functions",
-    "moving_avg_3",
-    "cube_order_stats",
-    "grouping_sets_order_stats",
-    "except_nations",
-    "intersect_nations",
-    "conditional_agg",
-    # Demoted in earlier rounds (driver-green r1 and/or r2):
-    "approx_user_stats",
-    "embedding_near_pairs",
-    "dedup_exact_first_events",
-    "nation_trade_volume",
-    "date_arithmetic",
-    "event_type_journey",
-    "above_avg_parts",
-    "null_handling",
-    "value_dispersion_stats",
-    # New this session, below the window (local-pass evidence; promote
-    # next round):
-    "rfm_segments",
-    "event_transition_matrix",
-    "shipping_delay_histogram",
-    "revenue_share_per_nation",
-    "tick_anomalies",
-    "weekly_revenue_growth",
-    "purchase_attribution",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "top_supplier_revenue",
-    "interarrival_histogram",
-    "revenue_pareto",
-    "duplicate_rate_by_source",
-    "daily_event_digest",
-    "daily_returns",
 ]
 
 

@@ -4905,6 +4905,60 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCD2 as-of lookup: facts joined to the dimension version valid
+# at their timestamp. The dim builds from even-event_id observations,
+# the odd ones are the facts — disjoint subsets so the lookup is a
+# genuine historical read, not an identity.
+@q(
+    "event_segment_asof",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE event_id % 2 = 0
+    ), starts AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type
+    ), dim AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             CAST(row_number() OVER w AS BIGINT) AS version
+      FROM starts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.event_type AS segment, d.version
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1) f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def event_segment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 as-of read: each odd-id event picks up the segment version
+    the even-id changelog had opened at its ts — key-equi shuffle join
+    with the validity range as residual, per-partition evaluation."""
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd_ops.scd2_from_changelog(
+        ev.filter(F.col("event_id") % 2 == 0),
+        "user_id",
+        "ts",
+        ["event_type"],
+        "event_id",
+    ).drop("is_current")
+    facts = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd_ops.scd2_asof_lookup(facts, dim, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("segment"),
+        "version",
+    )
+
+
 # --- TPC-H-Q19-shaped: disjunctive OR-of-ANDs predicate over the
 # part⨝lineitem join — the classic pushdown/CNF-conversion stressor.
 @q(
@@ -5176,6 +5230,7 @@ _GATE_ORDER = [
     "supplier_count_by_part",
     "promo_revenue_share",
     "important_parts_value",
+    "event_segment_asof",
     "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
@@ -5198,8 +5253,8 @@ _GATE_ORDER = [
     "stratified_event_sample",
     "simhash_fingerprints",
     "ann_lsh_topk",
-    "embedding_near_pairs_lsh",
     # ---- gate-window boundary (position 50) ----
+    "embedding_near_pairs_lsh",
     "minhash_lsh_pairs",
     "tfidf_top_terms",
     "pack_training_shards",

@@ -46,6 +46,24 @@ def dedupe_ticks_with_watermark(
     )
 
 
+def dedupe_retransmissions(
+    ticks: DataFrame, key_cols: list[str], lateness: str = "10 minutes"
+) -> DataFrame:
+    """T7 retransmission dedupe: drop records whose business key repeats
+    within the watermark delay even when the event timestamps DIFFER
+    (feed failover replays the same trade with a new receive ts, so an
+    exact-``ts`` dropDuplicates misses it). dropDuplicatesWithinWatermark
+    keeps first-seen per key and — unlike a keyed dropDuplicates without
+    event-time, whose state grows forever — evicts each key's state once
+    the watermark passes it, so state is bounded by (key arrival rate ×
+    delay) regardless of stream lifetime."""
+    return (
+        ticks.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
 def run_live_upsert(
     spark: SparkSession,
     ticks_stream: DataFrame,

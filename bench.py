@@ -144,6 +144,7 @@ HEADLINE = [
     "supplier_count_by_part",
     "promo_revenue_share",
     "important_parts_value",
+    "event_segment_asof",
 ]
 
 

@@ -64,6 +64,11 @@ def scd2_from_changelog(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        # the opening observation's tie-break: preserves the exact
+        # intra-timestamp ordering identity, so scd2_apply's fold-back
+        # re-merges with later batches deterministically even when a
+        # batch lands MORE observations at an existing valid_from ts
+        F.col(tiebreak_col).alias("opened_by"),
     )
 
 
@@ -79,22 +84,22 @@ def scd2_apply(
 
     Only keys present in the batch are re-versioned: their existing
     version rows fold back into changelog form (``valid_from`` as the
-    observation ts, ``version`` as the tie-break — versions sort before
-    any plausible batch tie-break and preserve intra-key order) and
-    rebuild together with the batch; untouched keys pass through
-    verbatim via an anti-join. Idempotent for replayed batches
-    (duplicate observations collapse in the run-filter) and equivalent
-    to a full rebuild from the concatenated changelog — asserted in
-    tests/test_scd.py.
+    observation ts, ``opened_by`` — the opening observation's original
+    tie-break — as the tie-break, so cross-batch same-timestamp ties
+    re-merge in exactly the full-log order) and rebuild together with
+    the batch; untouched keys pass through verbatim via an anti-join.
+    Idempotent for replayed batches (duplicate observations collapse in
+    the run-filter) and equivalent to a full rebuild from the
+    concatenated changelog over ANY batch split — fixture- and
+    property-asserted in tests/test_scd.py and
+    tests/test_scd_properties.py.
     """
     keys = batch.select(key_col).distinct()
     untouched = dim.join(F.broadcast(keys), key_col, "left_anti")
     affected_log = dim.join(F.broadcast(keys), key_col, "left_semi").select(
         F.col(key_col),
         F.col("valid_from").alias(ts_col),
-        F.col("version").cast(batch.schema[tiebreak_col].dataType).alias(
-            tiebreak_col
-        ),
+        F.col("opened_by").alias(tiebreak_col),
         *attr_cols,
     )
     merged_log = affected_log.unionByName(

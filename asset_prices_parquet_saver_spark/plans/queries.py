@@ -4891,7 +4891,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type, ts AS valid_from,
            lead(ts) OVER w AS valid_to,
            CAST(row_number() OVER w AS BIGINT) AS version,
-           (lead(ts) OVER w IS NULL) AS is_current
+           (lead(ts) OVER w IS NULL) AS is_current,
+           event_id AS opened_by
     FROM starts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )

@@ -1,0 +1,99 @@
+"""Property-based SCD2 checks (hypothesis): incremental ``scd2_apply``
+over ANY batch split must equal the one-shot ``scd2_from_changelog``
+over the full log, and the build must match a straight-line Python
+reference — the fold-back-and-rebuild trick in ``scd2_apply`` is
+subtle enough to deserve adversarial inputs (same-ts ties, late
+batches, duplicate observations), not just fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from asset_prices_parquet_saver_spark.operators import scd
+
+obs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=5),   # day offset (ties likely)
+        st.sampled_from(["x", "y", "z"]),        # attr
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _rows(obs):
+    # obs_id = 100 + position: keeps the tie-break disjoint from the
+    # small version numbers scd2_apply folds back in
+    return [
+        (str(k), dt.datetime(2024, 1, 1 + d), 100 + i, a)
+        for i, (k, d, a) in enumerate(obs)
+    ]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, ts timestamp, obs_id long, attr string"
+    )
+
+
+def _build(spark, rows):
+    return scd.scd2_from_changelog(_mk(spark, rows), "key", "ts", ["attr"], "obs_id")
+
+
+def _canon(df):
+    return sorted(
+        (r["key"], r["version"], r["attr"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in df.collect()
+    )
+
+
+def _reference(rows):
+    """Straight-line SCD2: per key, walk observations in (ts, obs_id)
+    order, open a version on every attr change."""
+    by_key: dict[str, list] = {}
+    for k, ts, oid, a in rows:
+        by_key.setdefault(k, []).append((ts, oid, a))
+    out = []
+    for k, obs in by_key.items():
+        obs.sort()
+        versions = []
+        for ts, _, a in obs:
+            if not versions or versions[-1][1] != a:
+                versions.append((ts, a))
+        for i, (ts, a) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            out.append((k, i + 1, a, ts, nxt, nxt is None))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(obs=obs_strategy)
+def test_build_matches_reference(spark, obs):
+    assert _canon(_build(spark, _rows(obs))) == _reference(_rows(obs))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(obs=obs_strategy, cut=st.integers(min_value=0, max_value=12))
+def test_apply_any_split_equals_full_rebuild(spark, obs, cut):
+    rows = _rows(obs)
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    if not first or not second:
+        return  # empty side: nothing to merge
+    incremental = scd.scd2_apply(
+        _build(spark, first), _mk(spark, second), "key", "ts", ["attr"], "obs_id"
+    )
+    assert _canon(incremental) == _canon(_build(spark, rows))

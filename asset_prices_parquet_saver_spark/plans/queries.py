@@ -4906,6 +4906,33 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §2.10 completion: the UDTF (table-function) variant of the UDF
+# surface — per-document term frequencies via LATERAL correlation.
+@q(
+    "term_counts_udtf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    )
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+    """,
+)
+def term_counts_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDTF surface: per-document (term, tf) rows emitted by a
+    Python table function under LATERAL correlation — slow path by
+    design (see functions/udtfs.py), hash-checked against the same
+    tokenizer contract the vectorized text operators use."""
+    from asset_prices_parquet_saver_spark.functions.udtfs import (
+        term_counts_lateral,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return term_counts_lateral(spark, d.select("doc_id", "text"))
+
+
 # --- SCD2 as-of lookup: facts joined to the dimension version valid
 # at their timestamp. The dim builds from even-event_id observations,
 # the odd ones are the facts — disjoint subsets so the lookup is a
@@ -5232,6 +5259,7 @@ _GATE_ORDER = [
     "promo_revenue_share",
     "important_parts_value",
     "event_segment_asof",
+    "term_counts_udtf",
     "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
@@ -5253,8 +5281,8 @@ _GATE_ORDER = [
     "user_sessions",
     "stratified_event_sample",
     "simhash_fingerprints",
-    "ann_lsh_topk",
     # ---- gate-window boundary (position 50) ----
+    "ann_lsh_topk",
     "embedding_near_pairs_lsh",
     "minhash_lsh_pairs",
     "tfidf_top_terms",

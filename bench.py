@@ -145,6 +145,7 @@ HEADLINE = [
     "promo_revenue_share",
     "important_parts_value",
     "event_segment_asof",
+    "term_counts_udtf",
 ]
 
 

@@ -4906,6 +4906,53 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Unkeyed interval join via the bucketized scale path
+# (operators/rangejoin.py): overlapping 10-day windows opened every
+# Monday — each event lands in 1-2 windows, so the result is a real
+# interval semijoin-with-multiplicity, not a disguised bucketing.
+@q(
+    "events_in_campaign_windows",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS w_start
+      FROM events
+    ), win AS (
+      SELECT w_start, w_start + INTERVAL 10 DAY AS w_end FROM weeks
+    )
+    SELECT e.event_id, w.w_start
+    FROM events e JOIN win w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+)
+def events_in_campaign_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join on the bucketized path: the naive theta join is a
+    nested-loop product; interval_join explodes each window to its
+    week-width buckets and hash-joins on the bucket id with the range
+    as residual (plan-asserted in tests/test_rangejoin.py)."""
+    from asset_prices_parquet_saver_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    win = (
+        ev.select(F.date_trunc("week", F.col("ts")).alias("w_start"))
+        .distinct()
+        .select(
+            "w_start",
+            (F.col("w_start") + F.expr("INTERVAL 10 DAYS")).alias("w_end"),
+        )
+    )
+    out = interval_join(
+        ev.select("event_id", "ts"),
+        win,
+        "ts",
+        "w_start",
+        "w_end",
+        bucket_seconds=7 * 86_400,
+    )
+    return out.select("event_id", "w_start")
+
+
 # --- §2.10 completion: the UDTF (table-function) variant of the UDF
 # surface — per-document term frequencies via LATERAL correlation.
 @q(
@@ -5260,6 +5307,7 @@ _GATE_ORDER = [
     "important_parts_value",
     "event_segment_asof",
     "term_counts_udtf",
+    "events_in_campaign_windows",
     "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
@@ -5280,8 +5328,8 @@ _GATE_ORDER = [
     "embedding_near_pairs",
     "user_sessions",
     "stratified_event_sample",
-    "simhash_fingerprints",
     # ---- gate-window boundary (position 50) ----
+    "simhash_fingerprints",
     "ann_lsh_topk",
     "embedding_near_pairs_lsh",
     "minhash_lsh_pairs",

@@ -146,6 +146,7 @@ HEADLINE = [
     "important_parts_value",
     "event_segment_asof",
     "term_counts_udtf",
+    "events_in_campaign_windows",
 ]
 
 

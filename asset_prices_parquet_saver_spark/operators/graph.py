@@ -1,0 +1,76 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+The reference has no graph surface; this exists for the analytics the
+driver's star schema supports (trade-flow influence, dedup-cluster
+reachability — the connected-components twin lives in operators/dedup).
+
+Pattern note (SURVEY §4 scale posture): a fixed-iteration loop over
+DataFrames is driver-side PLAN COMPOSITION, not driver-side data — each
+iteration is one distributed join+aggregate keyed on the destination
+node, and ``localCheckpoint`` between iterations truncates the lineage
+so iteration N's plan doesn't re-derive N-1 from scratch. For
+rank-until-convergence at billion-edge scale you'd add a convergence
+check per iteration (an agg on |Δr|) and stop dynamically; the fixed
+small iteration count keeps the result a pure deterministic function
+of the input, which is what lets a SQL oracle mirror it with unrolled
+CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank, simple variant (dangling mass not
+    redistributed): r'(v) = (1-d)/N + d * Σ_u r(u) · w(u,v)/out(u).
+
+    Returns (node, rank). Deterministic up to double summation order
+    (~1e-16 per iteration — round the final rank before comparing
+    across engines). ``nodes`` fixes the vertex set so sinks with no
+    in-edges still appear with the teleport mass.
+    """
+    n_nodes = nodes.count()  # vertex-set cardinality: one tiny scalar
+    frac = (
+        edges.join(
+            edges.groupBy(src_col).agg(F.sum(weight_col).alias("_ow")),
+            src_col,
+        )
+        .select(
+            src_col, dst_col, (F.col(weight_col) / F.col("_ow")).alias("_p")
+        )
+    )
+    if checkpoint:
+        frac = frac.localCheckpoint()
+
+    ranks = nodes.select(
+        F.col(node_col), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            frac.join(ranks, frac[src_col] == ranks[node_col])
+            .groupBy(F.col(dst_col).alias(node_col))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
+        )
+        ranks = nodes.select(node_col).join(contrib, node_col, "left").select(
+            F.col(node_col),
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -4906,6 +4906,86 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Fixed-iteration weighted PageRank over the nation trade graph
+# (supplier nation → customer nation, lineitem count as edge weight):
+# the iterative-algorithm pattern, 3 unrolled iterations so a static
+# SQL oracle mirrors the loop. All literals forced to DOUBLE in the
+# oracle — DuckDB would otherwise run 0.85 as DECIMAL and diverge from
+# Spark's IEEE arithmetic. Final ranks rounded to 6 decimals (double
+# summation order differs per engine at ~1e-16, far under the grain).
+_PR_DAMP = "CAST(0.85 AS DOUBLE)"
+_PR_ITERS = "".join(
+    f""", r{i} AS (
+      SELECT nodes.node,
+             (CAST(1.0 AS DOUBLE) - {_PR_DAMP}) / nn.n
+             + {_PR_DAMP} * COALESCE(s.acc, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN (
+        SELECT f.dst AS node, SUM(r.rank * f.p) AS acc
+        FROM frac f JOIN r{i - 1} r ON f.src = r.node GROUP BY f.dst
+      ) s ON s.node = nodes.node
+    )"""
+    for i in (1, 2, 3)
+)
+
+
+@q(
+    "nation_trade_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+    ), frac AS (
+      SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e JOIN outw o ON e.src = o.src
+    ), nodes AS (
+      SELECT n_name AS node FROM nation
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn
+    ){_PR_ITERS}
+    SELECT node, round(rank, 6) AS pagerank FROM r3
+    """,
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration weighted PageRank on the supplier→customer nation
+    trade graph — driver-side loop as plan composition, one dst-keyed
+    join+agg per iteration (operators/graph.py)."""
+    from asset_prices_parquet_saver_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    ranks = pagerank(edges, nodes, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
 # --- Unkeyed interval join via the bucketized scale path
 # (operators/rangejoin.py): overlapping 10-day windows opened every
 # Monday — each event lands in 1-2 windows, so the result is a real
@@ -5308,6 +5388,7 @@ _GATE_ORDER = [
     "event_segment_asof",
     "term_counts_udtf",
     "events_in_campaign_windows",
+    "nation_trade_pagerank",
     "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
@@ -5327,8 +5408,8 @@ _GATE_ORDER = [
     "value_dispersion_stats",
     "embedding_near_pairs",
     "user_sessions",
-    "stratified_event_sample",
     # ---- gate-window boundary (position 50) ----
+    "stratified_event_sample",
     "simhash_fingerprints",
     "ann_lsh_topk",
     "embedding_near_pairs_lsh",

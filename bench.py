@@ -147,6 +147,7 @@ HEADLINE = [
     "event_segment_asof",
     "term_counts_udtf",
     "events_in_campaign_windows",
+    "nation_trade_pagerank",
 ]
 
 

@@ -1,0 +1,56 @@
+"""PageRank (operators/graph.py) vs a straight-line numpy power
+iteration, including sink nodes and disconnected vertices."""
+
+from __future__ import annotations
+
+from asset_prices_parquet_saver_spark.operators.graph import pagerank
+
+EDGES = [  # (src, dst, w): b is a sink, d is disconnected
+    ("a", "b", 2.0),
+    ("a", "c", 1.0),
+    ("c", "a", 1.0),
+    ("c", "b", 3.0),
+]
+NODES = ["a", "b", "c", "d"]
+
+
+def _reference(iterations: int, d: float = 0.85) -> dict[str, float]:
+    out = {}
+    for s, _, w in EDGES:
+        out[s] = out.get(s, 0.0) + w
+    r = {v: 1.0 / len(NODES) for v in NODES}
+    for _ in range(iterations):
+        nxt = {v: (1.0 - d) / len(NODES) for v in NODES}
+        for s, t, w in EDGES:
+            nxt[t] += d * r[s] * (w / out[s])
+        r = nxt
+    return r
+
+
+def test_matches_power_iteration(spark):
+    edges = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    nodes = spark.createDataFrame([(v,) for v in NODES], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, nodes, iterations=3).collect()
+    }
+    ref = _reference(3)
+    assert set(got) == set(NODES)
+    for v in NODES:
+        assert abs(got[v] - ref[v]) < 1e-12, (v, got[v], ref[v])
+    # sinks keep teleport-only mass; disconnected nodes too
+    assert abs(got["d"] - (1.0 - 0.85) / 4) < 1e-12
+
+
+def test_mass_is_conserved_without_sinks(spark):
+    """On a sink-free graph total rank stays 1 (the simple variant only
+    leaks mass through sinks)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    total = sum(
+        r["rank"] for r in pagerank(edges, nodes, iterations=4).collect()
+    )
+    assert abs(total - 1.0) < 1e-12

@@ -317,3 +317,33 @@ def test_gap_fill_calendar_never_shuffles_raw_ticks_twice(spark, sf_dir):
     assert "Window" in plan
     # entity-keyed window: partition spec present on user_id
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """session.py pins spark.sql.optimizer.runtime.bloomFilter.enabled;
+    this pins that the rewrite actually FIRES on the canonical shape (a
+    selective dim-side filter feeding a shuffle join on the fact). The
+    application-side scan must exceed a size threshold that defaults to
+    10 GB — trivially true at production scale, never true at sf0.01 —
+    so the test sets it to 1 byte to simulate at-scale sizes; broadcast
+    is disabled the same way (a broadcast join needs no bloom filter)."""
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom_filter" in optimized or "might_contain" in optimized
+    finally:
+        for k in overrides:  # none are set by get_spark — unset restores defaults
+            spark.conf.unset(k)

@@ -5331,23 +5331,14 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-4 rotation (final): the window prioritizes queries that have
-# NEVER had a driver-green row — the round-3/round-4 additions
-# (semantic dedup, contamination, repetition, top-ngrams, curated
-# corpus, ann_ivf_topk under its new pinned-quantizer oracle, the
-# corpus-mix/split/quantile/PII/chunking/shuffle-order block, BM25 +
-# hybrid retrieval, PQ/IVFPQ/IVFADC, inverted index, quality
-# classifier, unigram LM, cluster sizes, int8 quantization, the skew
-# trio) and this session's analytics / layout / retrieval / finance
-# surface (funnel, cohort, drawdown, profile, histogram, RRF, z-order
-# locality, MMR, bigram LM, OHLC, TWAP, DQ report, gap fill, rolling
-# 7d RANGE window, Q13/Q22 shapes, per-group exact median). Every
-# demotion below the position-50 marker has at least one prior
-# driver-green round (r1, r2, and/or r3) and stays registered,
-# tested, and hash-checked by the local gate clone
-# (scripts/oracle_check.py). Next round: promote the demoted block
-# back as this round's additions graduate (select by grepping
-# hash_match over CORRECTNESS_r0*.json).
+# Gate-window rotation policy (see COVERAGE.md header): the external
+# gate hash-checks only the FIRST 50 registry entries, so each round
+# the window is rebuilt to prioritize (1) queries with NO driver hash
+# evidence in any CORRECTNESS_r0*.json, then (2) the stalest
+# single-round evidence; demotions below the marker all have at least
+# one driver-green round and stay registered, tested, and hash-checked
+# by the local gate clone (scripts/oracle_check.py). Select candidates
+# by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
     # ---- round-5 window: flagship (entry() smoke-checks it), then
     # every query with NO driver hash evidence yet — the three round-4

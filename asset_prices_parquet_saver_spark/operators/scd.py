@@ -46,17 +46,43 @@ def scd2_from_changelog(
 
     Total order within a key is ``(ts, tiebreak)`` so same-timestamp
     observations resolve deterministically on every engine.
+
+    Besides the version bounds, each row keeps two observation
+    identities the incremental path needs: ``opened_by`` (the opening
+    observation's tie-break) and ``last_observed``/``last_observed_by``
+    (the final collapsed repeat CONFIRMING the version — for the open
+    version, the key's latest observation overall). Without the
+    confirmation, a late observation arriving between a version's
+    opener and its last repeat would erase history the repeat should
+    re-open (found by hypothesis in tests/test_scd_properties.py).
+
+    All three windows share one key-hash exchange (plan-asserted).
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    w_all = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     cur = _attr_struct(attr_cols)
-    starts = (
+    rows = (
         changes.select(key_col, ts_col, tiebreak_col, *attr_cols)
         .withColumn("_prev", F.lag(cur).over(w))
-        .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(cur))
-        .drop("_prev")
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .withColumn("_prev_tb", F.lag(tiebreak_col).over(w))
+        .withColumn(
+            "_key_last",
+            F.max(F.struct(F.col(ts_col), F.col(tiebreak_col))).over(w_all),
+        )
+    )
+    starts = rows.filter(
+        F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(cur)
     )
     # same partitioning + ordering as `w`: Catalyst reuses the exchange
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # version k's last confirmation = the row right before version
+    # k+1's opener (contiguous run), surfaced via lead(_prev_*); the
+    # open version's confirmation = the key's overall last observation
     return starts.select(
         F.col(key_col),
         *attr_cols,
@@ -64,11 +90,13 @@ def scd2_from_changelog(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
-        # the opening observation's tie-break: preserves the exact
-        # intra-timestamp ordering identity, so scd2_apply's fold-back
-        # re-merges with later batches deterministically even when a
-        # batch lands MORE observations at an existing valid_from ts
         F.col(tiebreak_col).alias("opened_by"),
+        F.coalesce(
+            F.lead("_prev_ts").over(w2), F.col("_key_last")[ts_col]
+        ).alias("last_observed"),
+        F.coalesce(
+            F.lead("_prev_tb").over(w2), F.col("_key_last")[tiebreak_col]
+        ).alias("last_observed_by"),
     )
 
 
@@ -83,25 +111,44 @@ def scd2_apply(
     """Merge a batch of new observations into an existing SCD2 dimension.
 
     Only keys present in the batch are re-versioned: their existing
-    version rows fold back into changelog form (``valid_from`` as the
-    observation ts, ``opened_by`` — the opening observation's original
-    tie-break — as the tie-break, so cross-batch same-timestamp ties
-    re-merge in exactly the full-log order) and rebuild together with
-    the batch; untouched keys pass through verbatim via an anti-join.
-    Idempotent for replayed batches (duplicate observations collapse in
-    the run-filter) and equivalent to a full rebuild from the
-    concatenated changelog over ANY batch split — fixture- and
-    property-asserted in tests/test_scd.py and
-    tests/test_scd_properties.py.
+    version rows fold back into changelog form — BOTH the opening
+    observation (valid_from, opened_by) and the last confirming one
+    (last_observed, last_observed_by) per version — and rebuild
+    together with the batch; untouched keys pass through verbatim via
+    an anti-join. Idempotent for replayed batches (duplicate
+    observations collapse in the run-filter).
+
+    Equivalence contract (property-asserted in
+    tests/test_scd_properties.py): for batches split anywhere along
+    the (ts, tiebreak) event-time order — the watermarked streaming
+    case — the incremental result EQUALS the one-shot full-log build.
+    For arbitrarily late data the attr version sequence still matches
+    the full rebuild and every boundary is a real observation of its
+    run, but a version re-opened by a late insert may date from its
+    retained confirmation rather than an interior collapsed repeat
+    (interior repeats are unrecoverable without retaining the raw log
+    — if exact late-data rebuilds matter, keep the changelog and
+    rebuild affected keys from it).
     """
     keys = batch.select(key_col).distinct()
     untouched = dim.join(F.broadcast(keys), key_col, "left_anti")
-    affected_log = dim.join(F.broadcast(keys), key_col, "left_semi").select(
+    affected = dim.join(F.broadcast(keys), key_col, "left_semi")
+    openers = affected.select(
         F.col(key_col),
         F.col("valid_from").alias(ts_col),
         F.col("opened_by").alias(tiebreak_col),
         *attr_cols,
     )
+    confirms = affected.filter(
+        (F.col("last_observed") != F.col("valid_from"))
+        | (F.col("last_observed_by") != F.col("opened_by"))
+    ).select(
+        F.col(key_col),
+        F.col("last_observed").alias(ts_col),
+        F.col("last_observed_by").alias(tiebreak_col),
+        *attr_cols,
+    )
+    affected_log = openers.unionByName(confirms)
     merged_log = affected_log.unionByName(
         batch.select(key_col, ts_col, tiebreak_col, *attr_cols)
     )

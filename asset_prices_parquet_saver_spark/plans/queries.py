@@ -4882,18 +4882,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts,
+             lag(event_id) OVER w AS prev_id
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), klast AS (
+      SELECT user_id, ts AS klast_ts, event_id AS klast_id FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     ), starts AS (
-      SELECT user_id, event_type, ts, event_id FROM ordered
+      SELECT * FROM ordered
       WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type
     )
-    SELECT user_id, event_type, ts AS valid_from,
-           lead(ts) OVER w AS valid_to,
-           CAST(row_number() OVER w AS BIGINT) AS version,
-           (lead(ts) OVER w IS NULL) AS is_current,
-           event_id AS opened_by
-    FROM starts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    SELECT s.user_id, s.event_type, s.ts AS valid_from,
+           lead(s.ts) OVER w2 AS valid_to,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           (lead(s.ts) OVER w2 IS NULL) AS is_current,
+           s.event_id AS opened_by,
+           COALESCE(lead(s.prev_ts) OVER w2, k.klast_ts) AS last_observed,
+           COALESCE(lead(s.prev_id) OVER w2, k.klast_id) AS last_observed_by
+    FROM starts s JOIN klast k ON s.user_id = k.user_id
+    WINDOW w2 AS (PARTITION BY s.user_id ORDER BY s.ts, s.event_id)
     """,
 )
 def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,6 +36,8 @@ def _dim_schema(changes: DataFrame, key_col: str, ts_col: str,
         "version long",
         "is_current boolean",
         f"opened_by {by_name[tiebreak_col]}",
+        f"last_observed {by_name[ts_col]}",
+        f"last_observed_by {by_name[tiebreak_col]}",
     ]
     return ", ".join(cols)
 

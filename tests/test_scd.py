@@ -109,6 +109,23 @@ def test_apply_replay_idempotent(spark):
     assert _canon(once) == _canon(dim)
 
 
+def test_apply_late_insert_before_confirmation(spark):
+    """hypothesis-found (round 5): a late observation landing between a
+    version's opener and its last collapsed repeat must let the repeat
+    RE-OPEN the attr — requires the dimension to retain the
+    confirmation observation (last_observed), not just the opener."""
+    first = [
+        ("1", _ts(1), 100, "x"),
+        ("1", _ts(1), 101, "x"),  # collapsed repeat
+        ("1", _ts(2), 110, "x"),  # collapsed confirmation at day 2
+    ]
+    late = [("1", _ts(1), 111, "y")]  # lands between opener and confirm
+    incremental = _apply(_build(spark, first), _changelog(spark, late))
+    assert _canon(incremental) == _canon(_build(spark, first + late))
+    got = {r["version"]: r["attr"] for r in incremental.collect()}
+    assert got == {1: "x", 2: "y", 3: "x"}  # x resumes at day 2
+
+
 def test_apply_late_data_reorders_versions(spark):
     dim = _build(spark, [("k", _ts(5), 2, "new")])
     late = _changelog(spark, [("k", _ts(1), 1, "old")])

@@ -87,8 +87,10 @@ def test_build_matches_reference(spark, obs):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(obs=obs_strategy, cut=st.integers(min_value=0, max_value=12))
-def test_apply_any_split_equals_full_rebuild(spark, obs, cut):
-    rows = _rows(obs)
+def test_apply_event_time_split_equals_full_rebuild(spark, obs, cut):
+    """The watermarked-streaming contract: batches cut anywhere along
+    the global (ts, tiebreak) order rebuild EXACTLY."""
+    rows = sorted(_rows(obs), key=lambda r: (r[1], r[2]))
     cut = min(cut, len(rows))
     first, second = rows[:cut], rows[cut:]
     if not first or not second:
@@ -97,3 +99,41 @@ def test_apply_any_split_equals_full_rebuild(spark, obs, cut):
         _build(spark, first), _mk(spark, second), "key", "ts", ["attr"], "obs_id"
     )
     assert _canon(incremental) == _canon(_build(spark, rows))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(obs=obs_strategy, cut=st.integers(min_value=0, max_value=12))
+def test_apply_arbitrary_split_preserves_version_sequence(spark, obs, cut):
+    """Arbitrarily LATE batches (observations older than already-
+    collapsed history): the attr version sequence per key must still
+    equal the full rebuild's, and every version boundary must be a
+    real observation of its run — only the dating of a version
+    re-opened by a late insert may fall back to the retained
+    confirmation (interior collapsed repeats are unrecoverable
+    without the raw log; documented in scd2_apply)."""
+    rows = _rows(obs)
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    if not first or not second:
+        return
+    incremental = scd.scd2_apply(
+        _build(spark, first), _mk(spark, second), "key", "ts", ["attr"], "obs_id"
+    )
+    full = _build(spark, rows)
+
+    def seqs(df):
+        out: dict[str, list] = {}
+        for k, v, a, *_ in sorted(
+            (r["key"], r["version"], r["attr"]) for r in df.collect()
+        ):
+            out.setdefault(k, []).append(a)
+        return out
+
+    assert seqs(incremental) == seqs(full)
+    observed = {(k, ts, oid, a) for k, ts, oid, a in rows}
+    for r in incremental.collect():
+        assert (r["key"], r["valid_from"], r["opened_by"], r["attr"]) in observed

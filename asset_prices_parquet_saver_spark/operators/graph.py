@@ -41,6 +41,47 @@ def pagerank(
     across engines). ``nodes`` fixes the vertex set so sinks with no
     in-edges still appear with the teleport mass.
     """
+    return _pagerank_impl(
+        edges, nodes, src_col, dst_col, weight_col, node_col,
+        iterations, damping, checkpoint, tol=None,
+    )
+
+
+def pagerank_until(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    tol: float = 1e-6,
+    max_iterations: int = 50,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Convergence-mode PageRank: iterate until max |Δrank| < tol (one
+    extra scalar aggregate per iteration) or ``max_iterations``. The
+    at-scale variant SCALE.md describes — data-dependent stopping means
+    the result is NOT a static function of the input, so this one has
+    tests rather than a SQL oracle; use :func:`pagerank` when an
+    engine-portable replay matters."""
+    return _pagerank_impl(
+        edges, nodes, src_col, dst_col, weight_col, node_col,
+        max_iterations, damping, checkpoint=True, tol=tol,
+    )
+
+
+def _pagerank_impl(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    node_col: str,
+    iterations: int,
+    damping: float,
+    checkpoint: bool,
+    tol: float | None,
+) -> DataFrame:
     n_nodes = nodes.count()  # vertex-set cardinality: one tiny scalar
     frac = (
         edges.join(
@@ -64,6 +105,7 @@ def pagerank(
             .groupBy(F.col(dst_col).alias(node_col))
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
         )
+        prev = ranks
         ranks = nodes.select(node_col).join(contrib, node_col, "left").select(
             F.col(node_col),
             (
@@ -73,4 +115,15 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint()
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select(node_col, F.col("rank").alias("_prev_rank")),
+                    node_col,
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_prev_rank"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks

@@ -4914,6 +4914,48 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X3 binary-signature ANN: 64-bit sign signatures, Hamming top-k
+# via popcount(xor) — the 8-bytes-per-vector first-stage filter. Fully
+# deterministic (nothing trained, nothing to pin).
+@q(
+    "ann_hamming_topk",
+    """
+    WITH comp AS (
+      SELECT vec_id, CAST(t.i AS INT) AS i,
+             CASE WHEN CAST(embedding AS DOUBLE[])[CAST(t.i + 1 AS INT)] > 0
+                  THEN 1 ELSE 0 END AS b
+      FROM embeddings, UNNEST(range(64)) t(i)
+    ), sigs AS (
+      SELECT vec_id,
+             SUM(CASE WHEN i < 32
+                 THEN b * CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS lo,
+             SUM(CASE WHEN i >= 32
+                 THEN b * CAST(pow(2, i - 32) AS BIGINT) ELSE 0 END) AS hi
+      FROM comp GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM sigs
+      WHERE vec_id < 8
+    ), pairs AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(bit_count(xor(q.q_lo, s.lo)) + bit_count(xor(q.q_hi, s.hi)) AS BIGINT) AS hamming
+      FROM q JOIN sigs s ON s.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, hamming, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: sign-bit signature ANN — Hamming distance over two packed
+    32-bit words (popcount of xor), per-query top-5 with vec_id
+    tie-break; the scan-8-bytes-per-vector first stage ahead of an
+    exact rerank."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return sim_ops.ann_hamming_topk(e, queries, k=5)
+
+
 # --- Fixed-iteration weighted PageRank over the nation trade graph
 # (supplier nation → customer nation, lineitem count as edge weight):
 # the iterative-algorithm pattern, 3 unrolled iterations so a static
@@ -5388,6 +5430,7 @@ _GATE_ORDER = [
     "term_counts_udtf",
     "events_in_campaign_windows",
     "nation_trade_pagerank",
+    "ann_hamming_topk",
     "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
@@ -5406,8 +5449,8 @@ _GATE_ORDER = [
     "null_handling",
     "value_dispersion_stats",
     "embedding_near_pairs",
-    "user_sessions",
     # ---- gate-window boundary (position 50) ----
+    "user_sessions",
     "stratified_event_sample",
     "simhash_fingerprints",
     "ann_lsh_topk",

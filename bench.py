@@ -148,6 +148,7 @@ HEADLINE = [
     "term_counts_udtf",
     "events_in_campaign_windows",
     "nation_trade_pagerank",
+    "ann_hamming_topk",
 ]
 
 

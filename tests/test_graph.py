@@ -54,3 +54,18 @@ def test_mass_is_conserved_without_sinks(spark):
         r["rank"] for r in pagerank(edges, nodes, iterations=4).collect()
     )
     assert abs(total - 1.0) < 1e-12
+
+
+def test_pagerank_until_converges_to_fixed_point(spark):
+    from asset_prices_parquet_saver_spark.operators.graph import pagerank_until
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string, w double")
+    nodes = spark.createDataFrame([(v,) for v in NODES], "node string")
+    converged = {
+        r["node"]: r["rank"]
+        for r in pagerank_until(edges, nodes, tol=1e-10).collect()
+    }
+    # the fixed point: one more exact iteration moves nothing
+    ref = _reference(200)
+    for v in NODES:
+        assert abs(converged[v] - ref[v]) < 1e-8, (v, converged[v], ref[v])

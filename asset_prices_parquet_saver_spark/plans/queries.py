@@ -4914,6 +4914,63 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Interpolated (continuous) global quantiles — quantile_cont/type-7
+# semantics computed DISTRIBUTED: the rank index comes from the
+# range-partitioned global row_number (operators/globalorder.py), the
+# interpolation is a closed-form conditional aggregate over the two
+# boundary rows per percentile. Spark's built-in exact `percentile`
+# collects every group value onto one reducer — a non-starter at
+# 100 TB; this shape shuffles nothing beyond the global-order pass.
+@q(
+    "interpolated_price_quantiles",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    """,
+)
+def interpolated_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global continuous quantiles at type-7 ranks r=(n-1)p: value =
+    v[floor(r)] + (r-floor(r))*(v[ceil(r)]-v[floor(r)]), with v from
+    the distributed global ordering — identical IEEE arithmetic to
+    DuckDB's quantile_cont, rounded to 6 decimals both sides."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ranked = globalorder_ops.with_global_row_number(
+        li, [F.col("l_extendedprice").asc()], rn_col="rn"
+    )
+    joined = ranked.join(F.broadcast(li.agg(F.count("*").alias("n"))))
+    aggs, outs = [], []
+    for pct, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")):
+        aggs += [
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") - 1) * F.lit(pct)) + 1,
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"_lo_{name}"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil((F.col("n") - 1) * F.lit(pct)) + 1,
+                    F.col("l_extendedprice"),
+                )
+            ).alias(f"_hi_{name}"),
+        ]
+        frac = (F.col("_n") - 1) * F.lit(pct) - F.floor(
+            (F.col("_n") - 1) * F.lit(pct)
+        )
+        outs.append(
+            F.round(
+                F.col(f"_lo_{name}")
+                + frac * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}")),
+                6,
+            ).alias(name)
+        )
+    one = joined.agg(*aggs, F.first("n").alias("_n"))
+    return one.select(*outs)
+
+
 # --- X3 binary-signature ANN: 64-bit sign signatures, Hamming top-k
 # via popcount(xor) — the 8-bytes-per-vector first-stage filter. Fully
 # deterministic (nothing trained, nothing to pin).
@@ -5450,6 +5507,7 @@ _GATE_ORDER = [
     "value_dispersion_stats",
     "embedding_near_pairs",
     # ---- gate-window boundary (position 50) ----
+    "interpolated_price_quantiles",
     "user_sessions",
     "stratified_event_sample",
     "simhash_fingerprints",

@@ -149,6 +149,7 @@ HEADLINE = [
     "events_in_campaign_windows",
     "nation_trade_pagerank",
     "ann_hamming_topk",
+    "interpolated_price_quantiles",
 ]
 
 

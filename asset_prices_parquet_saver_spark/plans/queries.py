@@ -5504,10 +5504,10 @@ _GATE_ORDER = [
     "event_type_journey",
     "above_avg_parts",
     "null_handling",
-    "value_dispersion_stats",
     "embedding_near_pairs",
-    # ---- gate-window boundary (position 50) ----
     "interpolated_price_quantiles",
+    # ---- gate-window boundary (position 50) ----
+    "value_dispersion_stats",
     "user_sessions",
     "stratified_event_sample",
     "simhash_fingerprints",

@@ -27,6 +27,12 @@ PROBES = [
     "pack_training_shards",   # distributed prefix-sum offsets
     "ohlc_bars",              # struct-min/max combine order
     "daily_event_digest",     # collect_list arrival order (array_sort)
+    # round-5 surfaces
+    "scd2_user_segments",     # run-collapse windows + key-last struct max
+    "nation_trade_pagerank",  # iterative double sums across partitions
+    "ann_hamming_topk",       # bit packing + popcount ranking ties
+    "events_in_campaign_windows",  # interval explode + bucket join
+    "interpolated_price_quantiles",  # global-order boundary interpolation
 ]
 
 

@@ -4914,6 +4914,264 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Pearson correlation from exact decimal moments: every sum
+# (n, Σx, Σy, Σxy, Σx², Σy²) is order-independent decimal arithmetic;
+# the final formula is one double expression over identical operands
+# on both engines, rounded to 6 decimals.
+@q(
+    "qty_price_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r per return flag, assembled from decimal-exact moments
+    in ONE map-side-combinable pass (the numerically-careful way to do
+    corr at 100 TB: no second centering scan, no double-sum order
+    sensitivity)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+# --- Per-group continuous quantiles: same type-7 interpolation as the
+# global variant, but the ordering is a per-group window — one shuffle
+# keyed on the group, no global sort and no per-group value collection.
+@q(
+    "price_quantiles_cont_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_quantiles_cont_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile_cont: per-group rank from a keyed window, the
+    two boundary rows per percentile interpolated in a conditional
+    aggregate — the group key carries the shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+    )
+    aggs, outs = [], ["l_returnflag"]
+    for pct, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")):
+        r = (F.col("n") - 1) * F.lit(pct)
+        aggs += [
+            F.max(
+                F.when(F.col("rn") == F.floor(r) + 1, F.col("l_extendedprice"))
+            ).alias(f"_lo_{name}"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(r) + 1, F.col("l_extendedprice"))
+            ).alias(f"_hi_{name}"),
+        ]
+    grouped = ranked.groupBy("l_returnflag").agg(
+        *aggs, F.max("n").alias("_n")
+    )
+    for pct, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")):
+        r = (F.col("_n") - 1) * F.lit(pct)
+        frac = r - F.floor(r)
+        outs.append(
+            F.round(
+                F.col(f"_lo_{name}")
+                + frac * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}")),
+                6,
+            ).alias(name)
+        )
+    return grouped.select(*outs)
+
+
+# --- Market-concentration (Herfindahl) index per region: shares stay
+# decimal-exact until the final double division; the ≤5-term share²
+# sum sits 10 orders under the 1e-6 rounding grain.
+@q(
+    "region_revenue_concentration",
+    """
+    WITH nr AS (
+      SELECT r_name, n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN supplier ON s_nationkey = n_nationkey
+      JOIN lineitem ON l_suppkey = s_suppkey
+      GROUP BY r_name, n_name
+    ), tot AS (
+      SELECT r_name, SUM(rev_dec) AS tot_dec FROM nr GROUP BY r_name
+    )
+    SELECT nr.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           round(SUM(power(CAST(nr.rev_dec AS DOUBLE) / CAST(tot.tot_dec AS DOUBLE), 2)), 6) AS hhi
+    FROM nr JOIN tot ON nr.r_name = tot.r_name
+    GROUP BY nr.r_name
+    """,
+)
+def region_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side revenue HHI per region — the ratio-to-report shape
+    squared and re-aggregated; nation revenues and region totals stay
+    in exact decimal so only the final tiny share² sum is double."""
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey).join(
+            s, s.s_nationkey == n.n_nationkey
+        )
+    )
+    nr = (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(dec("l_extendedprice")).alias("rev_dec"))
+    )
+    tot = nr.groupBy("r_name").agg(F.sum("rev_dec").alias("tot_dec"))
+    share = F.col("rev_dec").cast("double") / F.col("tot_dec").cast("double")
+    return (
+        nr.join(F.broadcast(tot), "r_name")
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_nations"),
+            F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+        )
+    )
+
+
+# --- Two-stage ANN: Hamming shortlist (k=20) → exact cosine rerank
+# (top-5) — the standard coarse-filter + exact-rerank composition,
+# deterministic end-to-end.
+@q(
+    "ann_hamming_rerank",
+    """
+    WITH comp AS (
+      SELECT vec_id, CAST(t.i AS INT) AS i,
+             CASE WHEN CAST(embedding AS DOUBLE[])[CAST(t.i + 1 AS INT)] > 0
+                  THEN 1 ELSE 0 END AS b
+      FROM embeddings, UNNEST(range(64)) t(i)
+    ), sigs AS (
+      SELECT vec_id,
+             SUM(CASE WHEN i < 32
+                 THEN b * CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS lo,
+             SUM(CASE WHEN i >= 32
+                 THEN b * CAST(pow(2, i - 32) AS BIGINT) ELSE 0 END) AS hi
+      FROM comp GROUP BY vec_id
+    ), q AS (
+      SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM sigs
+      WHERE vec_id < 8
+    ), shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, s.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(q.q_lo, s.lo)) + bit_count(xor(q.q_hi, s.hi)), s.vec_id
+               ) AS hrn
+        FROM q JOIN sigs s ON s.vec_id <> q.query_id) t
+      WHERE hrn <= 20
+    ), vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT sl.query_id, sl.vec_id,
+             round(list_dot_product(qv.v, cv.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 6) AS cosine
+      FROM shortlist sl
+      JOIN vecs qv ON qv.vec_id = sl.query_id
+      JOIN vecs cv ON cv.vec_id = sl.vec_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-then-exact ANN: the 8-byte Hamming filter shortlists 20
+    candidates per query, the exact cosine reranks to 5 — per query
+    the rerank touches 20 vectors regardless of corpus size."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    short = sim_ops.ann_hamming_topk(e, queries, k=20).select(
+        "query_id", "vec_id"
+    )
+    from asset_prices_parquet_saver_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    vecs = e.select(
+        F.col("vec_id").alias("_vid"), to_double_array("embedding").alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = (
+        short.join(
+            vecs.select(
+                F.col("_vid").alias("query_id"), F.col("v").alias("qv")
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("vec_id"), F.col("v").alias("cv")),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 # --- Interpolated (continuous) global quantiles — quantile_cont/type-7
 # semantics computed DISTRIBUTED: the rank index comes from the
 # range-partitioned global row_number (operators/globalorder.py), the
@@ -5500,13 +5758,17 @@ _GATE_ORDER = [
     "conditional_agg",
     "dedup_exact_first_events",
     "nation_trade_volume",
-    "date_arithmetic",
-    "event_type_journey",
-    "above_avg_parts",
-    "null_handling",
     "embedding_near_pairs",
     "interpolated_price_quantiles",
+    "qty_price_correlation",
+    "price_quantiles_cont_by_flag",
+    "region_revenue_concentration",
+    "ann_hamming_rerank",
     # ---- gate-window boundary (position 50) ----
+    "null_handling",
+    "above_avg_parts",
+    "event_type_journey",
+    "date_arithmetic",
     "value_dispersion_stats",
     "user_sessions",
     "stratified_event_sample",

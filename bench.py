@@ -150,6 +150,10 @@ HEADLINE = [
     "nation_trade_pagerank",
     "ann_hamming_topk",
     "interpolated_price_quantiles",
+    "qty_price_correlation",
+    "price_quantiles_cont_by_flag",
+    "region_revenue_concentration",
+    "ann_hamming_rerank",
 ]
 
 

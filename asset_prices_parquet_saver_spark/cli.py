@@ -251,6 +251,46 @@ def _cmd_report(args) -> int:
     return 0 if bad == 0 else 1
 
 
+def _cmd_scd2(args) -> int:
+    """Maintain a type-2 slowly-changing dimension from a parquet
+    changelog: batch mode merges the changelog into the
+    manifest-committed dimension once (idempotent for replays);
+    --stream watches the directory and applies each micro-batch as an
+    atomic snapshot commit."""
+    from asset_prices_parquet_saver_spark.operators.scd import scd2_apply
+    from asset_prices_parquet_saver_spark.sources import manifest
+    from asset_prices_parquet_saver_spark.streaming.dimensions import (
+        _dim_schema,
+        run_streaming_scd2,
+    )
+
+    spark = get_spark(app_name="scd2")
+    attrs = args.attrs.split(",")
+    if args.stream:
+        changes = (
+            spark.readStream.schema(
+                spark.read.parquet(args.changes).schema
+            ).parquet(args.changes)
+        )
+        q = run_streaming_scd2(
+            spark, changes, args.dim, args.key, args.ts, attrs,
+            args.tiebreak, checkpoint_dir=args.checkpoint,
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+        return 0
+    changes = spark.read.parquet(args.changes)
+    schema = _dim_schema(changes, args.key, args.ts, attrs, args.tiebreak)
+    dim = manifest.read_versioned(spark, args.dim, schema=schema)
+    new_dim = scd2_apply(dim, changes, args.key, args.ts, attrs, args.tiebreak)
+    version = manifest.commit_versioned(new_dim, args.dim)
+    cur = manifest.read_versioned(spark, args.dim, schema=schema)
+    n_keys = cur.select(args.key).distinct().count()
+    print(f"dimension at version {version}: {cur.count()} version rows, "
+          f"{n_keys} keys")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -324,6 +364,19 @@ def main(argv: list[str] | None = None) -> int:
         help="col:lo:width:n_buckets — fixed-bound histogram of one measure",
     )
     rp.set_defaults(fn=_cmd_report)
+
+    sc = sub.add_parser("scd2", help="maintain a type-2 dimension from a changelog")
+    sc.add_argument("--changes", required=True, help="parquet changelog directory")
+    sc.add_argument("--dim", required=True, help="manifest dimension table dir")
+    sc.add_argument("--key", required=True)
+    sc.add_argument("--ts", default="ts")
+    sc.add_argument("--attrs", required=True, help="comma-separated tracked columns")
+    sc.add_argument("--tiebreak", required=True, help="unique observation id column")
+    sc.add_argument("--stream", action="store_true")
+    sc.add_argument("--available-now", action="store_true",
+                    help="with --stream: drain the directory once, then stop")
+    sc.add_argument("--checkpoint")
+    sc.set_defaults(fn=_cmd_scd2)
 
     args = p.parse_args(argv)
     return args.fn(args)

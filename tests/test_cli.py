@@ -192,3 +192,44 @@ def test_cli_report_reads_manifest_tables(spark, tmp_path, capsys):
     rc = main(["report", table, "--columns", "x"])
     out = capsys.readouterr().out
     assert rc == 0 and "x" in out
+
+
+def test_cli_scd2_batch_apply(spark, tmp_path, capsys):
+    """scd2 subcommand: two sequential batch applies equal the one-shot
+    build; re-running the same changelog is a no-op re-version."""
+    import datetime
+
+    from asset_prices_parquet_saver_spark.cli import main
+    from asset_prices_parquet_saver_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    schema = "key string, ts timestamp, obs_id long, attr string"
+    b1 = [("a", datetime.datetime(2024, 3, 1), 1, "x"),
+          ("b", datetime.datetime(2024, 3, 1), 2, "p")]
+    b2 = [("a", datetime.datetime(2024, 3, 2), 3, "y")]
+    c1, c2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    dim = str(tmp_path / "dim")
+    spark.createDataFrame(b1, schema).write.parquet(c1)
+    spark.createDataFrame(b2, schema).write.parquet(c2)
+
+    base = ["scd2", "--dim", dim, "--key", "key", "--ts", "ts",
+            "--attrs", "attr", "--tiebreak", "obs_id"]
+    assert main(base + ["--changes", c1]) == 0
+    assert main(base + ["--changes", c2]) == 0
+    out = capsys.readouterr().out
+    assert "version 2" in out and "3 version rows" in out
+
+    got = sorted(
+        (r["key"], r["version"], r["attr"], r["is_current"])
+        for r in manifest.read_versioned(spark, dim).collect()
+    )
+    full = scd2_from_changelog(
+        spark.createDataFrame(b1 + b2, schema), "key", "ts", ["attr"], "obs_id"
+    )
+    want = sorted(
+        (r["key"], r["version"], r["attr"], r["is_current"])
+        for r in full.collect()
+    )
+    assert got == want

@@ -141,8 +141,10 @@ def test_contamination_pushes_slice_predicates_and_broadcasts_benchmark(spark, s
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
     assert any("GreaterThanOrEqual(doc_id,25" in s for s in pushed), pushed
     assert any("LessThan(doc_id,25" in s for s in pushed), pushed
-    # the benchmark's distinct shingle set is the broadcast (semi) side
-    assert "LeftSemi, BuildRight" in plan
+    # the benchmark's distinct shingle set is the broadcast side of the
+    # single-pass marker join (left outer + count(_hit) replaced the
+    # separate semi-join branch, halving the corpus explode)
+    assert "LeftOuter, BuildRight" in plan or "LeftOuter BuildRight" in plan
 
 
 def test_tfidf_broadcasts_corpus_size_and_term_freq(spark, sf_dir):
@@ -347,3 +349,27 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
     finally:
         for k in overrides:  # none are set by get_spark — unset restores defaults
             spark.conf.unset(k)
+
+
+def test_dominant_share_suppliers_windows_over_rollup(spark, sf_dir):
+    """Q20 shape: the per-part total must come from a window over the
+    (part, supp) rollup — ONE aggregate, no second lineitem scan or
+    rollup self-join — with the red-part dim broadcast into the fact
+    and the dominant suppkey set entering supplier as a semi join."""
+    plan = _plan(QUERIES["dominant_share_suppliers"](spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 3  # lineitem + part + supplier
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_filters_part_before_fact_join(spark, sf_dir):
+    """Q2 shape: the p_size predicate reaches the part scan (the fact
+    join aggregates ~2% of lineitem, not all of it), the correlated
+    MIN is a window over the rollup (no rollup self-join), and every
+    dim side broadcasts."""
+    plan = _plan(QUERIES["min_cost_supplier_per_part"](spark, sf_dir))
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("EqualTo(p_size,15" in s for s in pushed), pushed
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0  # all dim joins broadcast

@@ -53,3 +53,27 @@ def round6(col: Column | str) -> Column:
     measure-zero boundary)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, 6)
+
+
+def round6_portable(col: Column | str) -> Column:
+    """6-decimal rounding with a GUARANTEED cross-engine midpoint rule:
+    stage through DECIMAL(38,6) and back to double.
+
+    ``F.round`` (Spark: HALF_UP on the exact double) and DuckDB's
+    ``round`` (multiply-then-half-away) can disagree when the double's
+    exact decimal expansion terminates in 5 at the 7th digit — possible
+    for coarse dyadic values like 1/2^7 = 0.0078125, i.e. exactly the
+    quotients of low-scale decimal inputs. Both engines convert
+    double→DECIMAL(38,6) by rounding the SAME exact binary value
+    half-away-from-zero (verified: 0.0078125 → 0.007813 on both), and
+    decimal→double is IEEE nearest on both, so the staged form is
+    bit-identical across engines — no reliance on the hash harness's
+    %.6g float canonicalization. Use for quotients/differences of
+    decimal-scale inputs; plain :func:`round6` remains fine for
+    irrational statistics (stddev, corr, cosine) which cannot land on
+    a dyadic midpoint.
+
+    SQL mirror: ``CAST(CAST(x AS DECIMAL(38,6)) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,6)").cast("double")

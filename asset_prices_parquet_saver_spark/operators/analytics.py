@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.functions.numeric import round6_portable
+
 
 def funnel_counts(
     events: DataFrame,
@@ -270,7 +272,10 @@ def twap(
     num = F.sum(F.col(price_col).cast("decimal(18,2)") * F.col("_dt"))
     den = F.sum(F.col("_dt"))
     return t.groupBy(key_col, "day").agg(
-        F.round(num.cast("double") / den.cast("double"), 6).alias("twap"),
+        # decimal-staged rounding: the quotient of an exact-decimal sum
+        # by an integer CAN hit a dyadic .xxxxxx5 midpoint where the two
+        # engines' round() midpoint rules diverge (see round6_portable).
+        round6_portable(num.cast("double") / den.cast("double")).alias("twap"),
         den.cast("long").alias("span_micros"),
         F.count("*").cast("long").alias("n_intervals"),
     )
@@ -309,16 +314,13 @@ def daily_returns(
         F.col("day"),
         F.col("close"),
         prev.alias("prev_close"),
-        # PORTABILITY NOTE: Spark F.round half-ups the exact double
-        # while DuckDB round multiplies-then-half-aways, so a quotient
-        # landing exactly on a .xxxxxx5 midpoint could differ in the
-        # last digit; the cross-engine hash additionally rides on the
-        # oracle harness canonicalizing floats to 6 significant digits.
-        # Unlike twap's weighted sums there is no exact-decimal staging
-        # for a quotient — if the hash canon ever tightens past %.6g,
-        # switch BOTH sides to CAST(x AS DECIMAL(38,6)) so the midpoint
-        # rule is the (shared) double→decimal conversion.
-        F.when(prev != 0, F.round(F.col("close") / prev - 1, 6)).alias("ret"),
+        # round6_portable (decimal-staged) rather than F.round: closes
+        # carry ≤2 decimals, so the return quotient CAN land on a coarse
+        # dyadic .xxxxxx5 midpoint where Spark round and DuckDB round
+        # disagree; the shared double→DECIMAL(38,6) conversion makes
+        # the result bit-identical across engines with no reliance on
+        # the hash harness's %.6g canonicalization.
+        F.when(prev != 0, round6_portable(F.col("close") / prev - 1)).alias("ret"),
     )
 
 

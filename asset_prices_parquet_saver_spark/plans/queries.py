@@ -3906,8 +3906,8 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, day,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
-                 / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS twap,
            CAST(SUM(dt) AS BIGINT) AS span_micros,
            CAST(COUNT(*) AS BIGINT) AS n_intervals
     FROM t WHERE dt IS NOT NULL
@@ -4757,8 +4757,9 @@ def daily_event_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, day, close,
            LAG(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close,
            CASE WHEN LAG(close) OVER (PARTITION BY user_id ORDER BY day) <> 0
-                THEN round(close / LAG(close) OVER (
-                       PARTITION BY user_id ORDER BY day) - 1, 6)
+                THEN CAST(CAST(close / LAG(close) OVER (
+                       PARTITION BY user_id ORDER BY day) - 1
+                     AS DECIMAL(38,6)) AS DOUBLE)
            END AS ret
     FROM c
     """,

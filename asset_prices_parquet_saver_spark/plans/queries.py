@@ -5697,6 +5697,120 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dominant_share_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), d AS (
+      SELECT l_suppkey, qty,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS total_qty
+      FROM pq
+    )
+    SELECT s_suppkey AS suppkey, s_name AS supplier_name,
+           CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM d WHERE qty * 2 > total_qty)
+    """,
+)
+def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (lineitem shipped-share standing in for the absent
+    partsupp availqty): suppliers who shipped MORE THAN HALF of some
+    red part's 1996 volume. One (partkey, suppkey) shuffle builds the
+    shares; the per-part total is a window over the SAME rollup (no
+    self-join, no second scan); the dominant suppkey set is tiny and
+    semi-joins into supplier. Quantities are integral doubles, so the
+    sums and the qty*2 > total cut are exact on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    pq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pq.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+
+
+@q(
+    "min_cost_supplier_per_part",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size = 15
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM cost
+    )
+    SELECT l_partkey AS partkey, p_name AS part_name,
+           s_name AS supplier_name, n_name AS nation_name, unit_cost
+    FROM best
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE unit_cost = best_cost
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (observed unit price standing in for the absent
+    partsupp supplycost): for each size-15 part, every supplier tied at
+    the minimum unit cost, decorated with nation. The correlated
+    scalar-MIN subquery becomes a window-min over the (partkey,
+    suppkey) rollup — one narrow shuffle, never a self-join; part is
+    filtered BEFORE the fact join so the scan only aggregates ~2% of
+    lineitem; part/supplier/nation all broadcast. The equality filter
+    compares doubles each engine computed from identical operands
+    (price/qty then MIN), so it is exact, and ties keep every minimal
+    supplier exactly as the correlated form does."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best_cost")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            "unit_cost",
+        )
+    )
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -5742,6 +5856,13 @@ _GATE_ORDER = [
     "supplier_count_by_part",
     "promo_revenue_share",
     "important_parts_value",
+    # Q20/Q2 shapes added after the round-5 close — zero evidence, so
+    # they take the window slots of the two stale entries whose operator
+    # surfaces are already driver-proven by in-window or multi-round
+    # siblings (nation_trade_volume ← nation_trade_pagerank;
+    # embedding_near_pairs ← its r1-3-green LSH twin).
+    "dominant_share_suppliers",
+    "min_cost_supplier_per_part",
     "event_segment_asof",
     "term_counts_udtf",
     "events_in_campaign_windows",
@@ -5758,14 +5879,14 @@ _GATE_ORDER = [
     "intersect_nations",
     "conditional_agg",
     "dedup_exact_first_events",
-    "nation_trade_volume",
-    "embedding_near_pairs",
     "interpolated_price_quantiles",
     "qty_price_correlation",
     "price_quantiles_cont_by_flag",
     "region_revenue_concentration",
     "ann_hamming_rerank",
     # ---- gate-window boundary (position 50) ----
+    "nation_trade_volume",
+    "embedding_near_pairs",
     "null_handling",
     "above_avg_parts",
     "event_type_journey",

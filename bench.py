@@ -154,6 +154,8 @@ HEADLINE = [
     "price_quantiles_cont_by_flag",
     "region_revenue_concentration",
     "ann_hamming_rerank",
+    "dominant_share_suppliers",
+    "min_cost_supplier_per_part",
 ]
 
 

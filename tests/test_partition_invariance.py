@@ -33,6 +33,7 @@ PROBES = [
     "ann_hamming_topk",       # bit packing + popcount ranking ties
     "events_in_campaign_windows",  # interval explode + bucket join
     "interpolated_price_quantiles",  # global-order boundary interpolation
+    "min_cost_supplier_per_part",  # double-equality min ties across partitions
 ]
 
 

@@ -70,8 +70,13 @@ def funnel_counts(
     per_user = df.groupBy(user_col).agg(
         *[F.max(F.col(c).cast("int")).alias(c) for c in qual_cols]
     )
+    # coalesce: with NO events at all, SUM over zero users is NULL —
+    # the funnel should report users=0 per step, not NULL.
     reached = per_user.agg(
-        *[F.sum(F.col(c)).cast("long").alias(c) for c in qual_cols]
+        *[
+            F.coalesce(F.sum(F.col(c)), F.lit(0)).cast("long").alias(c)
+            for c in qual_cols
+        ]
     )
     # Tiny pivot of the 1-row aggregate into one row per step.
     pairs = F.array(
@@ -122,10 +127,12 @@ def cohort_retention(
     w0 = Window.partitionBy("cohort_week")
     return grid.withColumn(
         "retention",
-        F.round(
+        # round6_portable, not F.round: retained/cohort-size is a
+        # small-integer quotient — exactly the coarse-dyadic midpoint
+        # class (1/128 = .0078125) where engine round() rules diverge.
+        round6_portable(
             F.col("users")
-            / F.max(F.when(F.col("week_offset") == 0, F.col("users"))).over(w0),
-            6,
+            / F.max(F.when(F.col("week_offset") == 0, F.col("users"))).over(w0)
         ),
     )
 
@@ -196,11 +203,14 @@ def fixed_histogram(
     """Equi-width histogram with FIXED bounds (one pass, no min/max
     pre-scan): bucket = clamp(floor((x - lo) / width), 0, n-1).
     Returns (bucket, bucket_lo, bucket_hi, n, total). Integer bucket
-    math keeps the groupBy key exact across engines."""
+    math keeps the groupBy key exact across engines. NULL values are
+    excluded (floor(NULL) would otherwise survive the clamp and emit a
+    spurious all-NULL bucket row that breaks 0..n-1 consumers)."""
     b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
     b = F.least(F.greatest(b, F.lit(0).cast("long")), F.lit(n_buckets - 1).cast("long"))
     return (
-        df.withColumn("bucket", b)
+        df.filter(F.col(col).isNotNull())
+        .withColumn("bucket", b)
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -255,7 +265,11 @@ def twap(
     """Time-weighted average price per (key, day): each tick's price
     is weighted by its holding duration (microseconds until the next
     tick of the same key+day; the day's last tick carries no weight).
-    The lead() runs in a per-(key, day) window — entity-keyed, never
+    A (key, day) with a SINGLE tick has zero total weight and emits no
+    row at all — its TWAP is undefined, and callers joining against
+    denser rollups (ohlc_bars, gap_fill_daily) must treat the missing
+    day as no-data, not zero. The lead() runs in a per-(key, day)
+    window — entity-keyed, never
     global — and the weighted sums stage through exact decimal *
     integer-microsecond products, so the quotient is engine-
     reproducible at 6 decimals."""
@@ -333,7 +347,13 @@ def dq_predicate_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     aggs = [F.count("*").cast("long").alias("_total")]
     for name, pred in checks.items():
         aggs.append(
-            F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(f"_v_{name}")
+            # coalesce: SUM over zero rows is NULL, which would make an
+            # EMPTY table report violations=NULL / passed=NULL — a gate
+            # that neither passes nor fails. An empty table violates
+            # nothing: 0 violations, passed.
+            F.coalesce(F.sum(F.when(pred, 0).otherwise(1)), F.lit(0))
+            .cast("long")
+            .alias(f"_v_{name}")
         )
     one = df.agg(*aggs)
     rows = F.array(
@@ -354,10 +374,19 @@ def dq_predicate_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
 
 def dq_uniqueness(df: DataFrame, cols: list[str], name: str) -> DataFrame:
     """Uniqueness constraint: violations = rows - distinct key tuples
-    (0 for a true key). One combinable scan."""
+    (0 for a true key). One combinable scan.
+
+    The distinct runs over a STRUCT of the key columns: COUNT(DISTINCT
+    a, b) skips any tuple containing a NULL, which would count every
+    NULL-keyed row as a duplicate (N distinct NULL-keyed rows -> N
+    false violations). Struct equality is null-safe, so NULL keys are
+    compared as values: distinct NULL-keyed rows don't violate, while
+    two IDENTICAL NULL-keyed tuples still count as a real duplicate."""
     one = df.agg(
         F.count("*").cast("long").alias("total"),
-        F.count_distinct(*[F.col(c) for c in cols]).cast("long").alias("_d"),
+        F.count_distinct(F.struct(*[F.col(c) for c in cols]))
+        .cast("long")
+        .alias("_d"),
     )
     return one.select(
         F.lit(name).alias("check_name"),
@@ -371,12 +400,16 @@ def dq_referential(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str
 ) -> DataFrame:
     """Referential-integrity constraint: violations = child rows whose
-    key has no parent (left-anti join; Spark broadcasts or shuffles by
-    key as sizes dictate — at 100 TB this is the standard keyed
-    anti-join, never a collect)."""
+    NON-NULL key has no parent (left-anti join; Spark broadcasts or
+    shuffles by key as sizes dictate — at 100 TB this is the standard
+    keyed anti-join, never a collect). NULL foreign keys vacuously
+    satisfy the constraint, matching SQL FK semantics — an anti-join
+    alone would keep them (NULL never equi-matches) and report every
+    nullable-FK row as an orphan."""
     total = child.agg(F.count("*").cast("long").alias("total"))
     orphans = (
-        child.join(
+        child.filter(F.col(child_key).isNotNull())
+        .join(
             parent.select(F.col(parent_key).alias(child_key)).distinct(),
             child_key,
             "left_anti",

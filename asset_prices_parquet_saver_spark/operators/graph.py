@@ -83,11 +83,18 @@ def _pagerank_impl(
     tol: float | None,
 ) -> DataFrame:
     n_nodes = nodes.count()  # vertex-set cardinality: one tiny scalar
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty vertex set (nodes has no rows)")
+    # Zero-total out-weight would make _p = w/0 -> NULL (non-ANSI) and
+    # silently erase the node's contributions; treat it explicitly as
+    # dangling by dropping its out-edges (its mass still redistributes
+    # via teleport, the standard dangling-node handling).
     frac = (
         edges.join(
             edges.groupBy(src_col).agg(F.sum(weight_col).alias("_ow")),
             src_col,
         )
+        .filter(F.col("_ow") != 0)
         .select(
             src_col, dst_col, (F.col(weight_col) / F.col("_ow")).alias("_p")
         )

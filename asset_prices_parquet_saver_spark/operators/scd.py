@@ -130,18 +130,30 @@ def scd2_apply(
     — if exact late-data rebuilds matter, keep the changelog and
     rebuild affected keys from it).
     """
+    # No forced broadcast: a streaming micro-batch's key set is tiny
+    # and AQE broadcasts it at runtime anyway, but the SAME entry point
+    # serves full-changelog rebuilds (cli batch mode / first build)
+    # where the key set is every key in the dimension — a broadcast
+    # hint there collects an unbounded set to the driver. Letting the
+    # planner choose degrades the backfill to a shuffle join instead
+    # of an OOM.
     keys = batch.select(key_col).distinct()
-    untouched = dim.join(F.broadcast(keys), key_col, "left_anti")
-    affected = dim.join(F.broadcast(keys), key_col, "left_semi")
+    untouched = dim.join(keys, key_col, "left_anti")
+    affected = dim.join(keys, key_col, "left_semi")
     openers = affected.select(
         F.col(key_col),
         F.col("valid_from").alias(ts_col),
         F.col("opened_by").alias(tiebreak_col),
         *attr_cols,
     )
+    # Null-safe inequality: with plain !=, a same-timestamp confirm
+    # whose opener has a NULL tiebreak evaluates (x != NULL) -> NULL ->
+    # row filtered -> a genuine confirming observation silently lost,
+    # which is exactly the late-data history erasure this fold-back
+    # exists to prevent (regression-pinned in tests/test_scd.py).
     confirms = affected.filter(
-        (F.col("last_observed") != F.col("valid_from"))
-        | (F.col("last_observed_by") != F.col("opened_by"))
+        ~F.col("last_observed").eqNullSafe(F.col("valid_from"))
+        | ~F.col("last_observed_by").eqNullSafe(F.col("opened_by"))
     ).select(
         F.col(key_col),
         F.col("last_observed").alias(ts_col),

@@ -3453,8 +3453,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM acts GROUP BY cohort_week, week_offset
     )
     SELECT cohort_week, week_offset, users,
-           round(users * 1.0 / MAX(CASE WHEN week_offset = 0 THEN users END)
-                 OVER (PARTITION BY cohort_week), 6) AS retention
+           CAST(CAST(CAST(users AS DOUBLE)
+                     / MAX(CASE WHEN week_offset = 0 THEN users END)
+                       OVER (PARTITION BY cohort_week)
+                AS DECIMAL(38,6)) AS DOUBLE) AS retention
     FROM grid
     """,
 )
@@ -3545,7 +3547,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              least(greatest(CAST(floor((l_extendedprice - 0.0) / 10000.0) AS BIGINT),
                             CAST(0 AS BIGINT)),
                    CAST(10 AS BIGINT)) AS bucket
-      FROM lineitem) t
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL) t
     GROUP BY bucket
     """,
 )
@@ -3942,7 +3945,8 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS violations,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS total
       FROM lineitem l
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     )
     SELECT 'l_quantity_positive' AS check_name, vq AS violations, total, vq = 0 AS passed FROM li
     UNION ALL

@@ -260,3 +260,52 @@ def test_daily_returns_zero_close_guard(spark):
     out = sorted(an.daily_returns(_ev(spark, rows)).collect(), key=lambda r: r["day"])
     # division by a zero previous close yields NULL, not inf
     assert out[1]["prev_close"] == 0.0 and out[1]["ret"] is None
+
+
+def test_dq_checks_pass_on_empty_input(spark):
+    """An empty table violates nothing: violations=0 / passed=true,
+    never NULL (SUM over zero rows) — a NULL gate neither passes nor
+    fails, which silently reads as success downstream."""
+    e = _ev(spark, [])
+    rep = an.dq_predicate_checks(e, {"value_nonneg": F.col("value") >= 0})
+    [r] = rep.collect()
+    assert r["violations"] == 0 and r["total"] == 0 and r["passed"] is True
+
+
+def test_dq_uniqueness_null_keys_not_false_violations(spark):
+    """COUNT(DISTINCT a) skips NULLs; the struct form must not count N
+    distinct NULL-keyed rows as N duplicates — but two IDENTICAL
+    NULL-keyed tuples are still a real duplicate."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (None, "z"), (None, "w")], "k long, v string"
+    )
+    [r] = an.dq_uniqueness(df, ["k", "v"], "key").collect()
+    assert r["violations"] == 0 and r["passed"] is True
+    dup = spark.createDataFrame(
+        [(None, "z"), (None, "z")], "k long, v string"
+    )
+    [r2] = an.dq_uniqueness(dup, ["k", "v"], "key").collect()
+    assert r2["violations"] == 1 and r2["passed"] is False
+
+
+def test_dq_referential_null_fk_vacuously_satisfies(spark):
+    """SQL FK semantics: a NULL foreign key is not an orphan; the
+    anti-join alone would keep it (NULL never equi-matches)."""
+    child = spark.createDataFrame([(1,), (None,), (99,)], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    [r] = an.dq_referential(child, parent, "fk", "pk", "ref").collect()
+    assert r["violations"] == 1  # only the real orphan (99)
+    assert r["total"] == 3
+
+
+def test_fixed_histogram_excludes_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (25.0,)], "v double")
+    rows = an.fixed_histogram(df, "v", lo=0.0, width=10.0, n_buckets=3).collect()
+    assert all(r["bucket"] is not None for r in rows)
+    assert sum(r["n"] for r in rows) == 2
+
+
+def test_funnel_empty_events_reports_zero_users(spark):
+    out = an.funnel_counts(_ev(spark, []), ["a", "b"])
+    got = {r["step_name"]: r["users"] for r in out.collect()}
+    assert got == {"a": 0, "b": 0}

@@ -69,3 +69,29 @@ def test_pagerank_until_converges_to_fixed_point(spark):
     ref = _reference(200)
     for v in NODES:
         assert abs(converged[v] - ref[v]) < 1e-8, (v, converged[v], ref[v])
+
+
+def test_empty_vertex_set_raises(spark):
+    import pytest
+
+    edges = spark.createDataFrame([], "src string, dst string, w double")
+    nodes = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="empty vertex set"):
+        pagerank(edges, nodes, iterations=1)
+
+
+def test_zero_weight_out_edges_treated_as_dangling(spark):
+    """A src whose weights sum to 0 must behave exactly like a sink
+    (w/0 would otherwise yield NULL contributions that silently vanish
+    from the sums): same ranks as the graph with those edges absent."""
+    edges = spark.createDataFrame(
+        EDGES + [("b", "a", 0.0)], "src string, dst string, w double"
+    )
+    nodes = spark.createDataFrame([(v,) for v in NODES], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, nodes, iterations=3).collect()
+    }
+    ref = _reference(3)  # reference has no b-edges at all
+    for v in NODES:
+        assert abs(got[v] - ref[v]) < 1e-12, (v, got[v], ref[v])

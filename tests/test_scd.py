@@ -154,3 +154,32 @@ def test_single_shuffle_plan(spark):
     exchange would double the shuffle volume of every dimension build."""
     plan = _build(spark, BASE)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_apply_preserves_confirm_when_opener_tiebreak_null(spark):
+    """A same-timestamp confirm whose OPENER has a NULL tiebreak must
+    survive the fold-back: with plain !=, last_observed == valid_from
+    makes the first disjunct false and (last_observed_by != NULL)
+    makes the second NULL -> the whole filter NULL -> confirm dropped,
+    so a late batch observation sorting between opener and confirm
+    erases the history the confirm re-opens. Incremental apply must
+    equal the one-shot full-log build (3 versions: x, y, x)."""
+    base = [
+        ("a", _ts(1), None, "x"),  # opener, NULL tiebreak (sorts first)
+        ("a", _ts(1), 2, "x"),     # same-ts repeat confirms x
+    ]
+    late = [("a", _ts(1), 1, "y")]  # tiebreak 1: BETWEEN opener and confirm
+    dim = _build(spark, base)
+    applied = scd.scd2_apply(
+        dim, _changelog(spark, late), "key", "ts", ["attr"], "obs_id"
+    )
+    full = _build(spark, base + late)
+    a_cols = ["key", "version", "attr", "valid_from", "valid_to", "is_current"]
+    got = sorted(
+        tuple(r[c] for c in a_cols) for r in applied.collect()
+    )
+    want = sorted(tuple(r[c] for c in a_cols) for r in full.collect())
+    assert got == want
+    # the confirm re-opened x after the late y: 3 versions, x current
+    assert len(got) == 3
+    assert [v[2] for v in got] == ["x", "y", "x"]

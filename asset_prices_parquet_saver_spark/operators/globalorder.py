@@ -75,7 +75,11 @@ def with_global_cumsum(
     inside sorted range partitions, plus each partition's offset (the
     running total of preceding partitions' sums, a constant-size
     frame). Same total-order requirement as
-    :func:`with_global_row_number`."""
+    :func:`with_global_row_number`. The running sum keeps the NATIVE
+    type of Spark's SUM over ``value_col`` (long for integral input,
+    double/decimal otherwise) — a mid-computation long cast would
+    truncate fractional local sums BEFORE the partition offsets are
+    added and corrupt the cumsum for non-integer values."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     d = (
@@ -90,9 +94,7 @@ def with_global_cumsum(
     )
     # same barrier rationale as with_global_row_number: one execution of
     # the range partitioner, shared by the data and totals branches
-    d = d.withColumn(
-        "__lcum", F.sum(value_col).over(local).cast("long")
-    ).localCheckpoint()
+    d = d.withColumn("__lcum", F.sum(value_col).over(local)).localCheckpoint()
     # re-aggregating the checkpointed frame is a read of materialized
     # rows, not a second scan+shuffle of the input (and unlike
     # max(__lcum), stays correct for negative values)
@@ -103,7 +105,7 @@ def with_global_cumsum(
     )
     return (
         d.join(F.broadcast(offsets), "__pid")
-        .withColumn(cum_col, (F.col("__lcum") + F.col("__off")).cast("long"))
+        .withColumn(cum_col, F.col("__lcum") + F.col("__off"))
         .drop("__pid", "__lcum", "__off")
     )
 

@@ -91,32 +91,40 @@ def compact_rollup(
     """Fold the whole partial-state log into one row per key and
     publish it as a snapshot commit (readers of the old snapshot are
     undisturbed; the append-log then restarts from the folded state).
-    Run when segments accumulate — the LSM compaction step."""
-    log = manifest.read_versioned(spark, table)
+    Run when segments accumulate — the LSM compaction step. Pinned to
+    the version it read (expect_version): an epoch appended between
+    the read and the rewrite raises CommitConflict instead of being
+    silently folded away — without the pin that lost epoch would also
+    be unrecoverable, because the rewrite carries the txn map forward
+    and a replay of the epoch would be skipped as already applied."""
+    v = manifest.current_version(table)
+    log = manifest.read_versioned(spark, table, version=v)
     folded = log.groupBy(*keys).agg(
         F.sum("_cnt").cast("long").alias("_cnt"),
         *[F.sum(f"_sum_{c}").alias(f"_sum_{c}") for c in sum_cols],
     )
-    return manifest.commit_versioned(folded, table)
+    return manifest.commit_versioned(folded, table, expect_version=v)
 
 
 def maybe_compact(
     spark: SparkSession,
     table: str,
-    keys: list[str],
     agg_fold,
     max_segments: int = 32,
 ) -> bool:
     """Background-maintenance policy for long-running incremental
     streams: when the append log exceeds ``max_segments``, fold it via
     ``agg_fold`` (a compact_* function) back to one segment. Safe to
-    interleave with epoch-tagged appends — txn records carry through
-    compaction commits, so a replayed epoch still skips. Returns
-    whether a compaction ran."""
-    m = manifest._read_manifest(table)
-    if m is None or len(m.get("segments", [])) <= max_segments:
+    interleave with epoch-tagged appends: the fold commits with
+    expect_version, so a concurrent append wins and the compaction is
+    simply skipped until the next trigger (maintenance is best-effort
+    by design). Returns whether a compaction ran."""
+    if manifest.segment_count(table) <= max_segments:
         return False
-    agg_fold(spark, table)
+    try:
+        agg_fold(spark, table)
+    except manifest.CommitConflict:
+        return False
     return True
 
 
@@ -148,7 +156,6 @@ def run_streaming_rollup(
             maybe_compact(
                 batch.sparkSession,
                 table,
-                keys,
                 lambda s, t: compact_rollup(s, t, keys, sum_cols),
                 max_segments=compact_every,
             )
@@ -216,9 +223,13 @@ def read_ohlc(
 ) -> DataFrame:
     """Resolve the incremental bar table: fold the partial-bar log to
     one bar per (key, day) — struct min/max re-select open/close
-    across refreshes, high/low/count/volume combine — and derive the
-    final OHLC columns. Identical to batch ohlc_bars over all ticks
-    ever ingested (asserted in tests/test_incremental_agg.py)."""
+    across refreshes, high/low/count/notional combine — and derive the
+    final OHLC columns. The open/high/low/close columns equal batch
+    ohlc_bars over all ticks ever ingested (asserted in
+    tests/test_incremental_agg.py); on top of those this adds n_ticks
+    and ``notional`` (the sum of traded PRICES — the input stream has
+    no quantity column, so there is no true volume to sum; the column
+    is named for what it is)."""
     log = manifest.read_versioned(spark, table, version=version)
     folded = log.groupBy(key_col, "day").agg(
         F.min("_open_sel").alias("_open_sel"),
@@ -226,7 +237,7 @@ def read_ohlc(
         F.min("_low").alias("low"),
         F.max("_close_sel").alias("_close_sel"),
         F.sum("_cnt").cast("long").alias("n_ticks"),
-        F.sum("_vol").cast("double").alias("volume"),
+        F.sum("_vol").cast("double").alias("notional"),
     )
     return folded.select(
         key_col,
@@ -236,7 +247,7 @@ def read_ohlc(
         "low",
         F.col("_close_sel").getField("p").alias("close"),
         "n_ticks",
-        "volume",
+        "notional",
     )
 
 
@@ -245,8 +256,10 @@ def compact_ohlc(
 ) -> int:
     """Fold the partial-bar log to one row per (key, day) and publish
     it as a snapshot commit — the same LSM compaction as
-    compact_rollup, preserving the bar monoid state."""
-    log = manifest.read_versioned(spark, table)
+    compact_rollup, preserving the bar monoid state and the same
+    expect_version pin against concurrent epoch appends."""
+    v = manifest.current_version(table)
+    log = manifest.read_versioned(spark, table, version=v)
     folded = log.groupBy(key_col, "day").agg(
         F.min("_open_sel").alias("_open_sel"),
         F.max("_high").alias("_high"),
@@ -255,7 +268,7 @@ def compact_ohlc(
         F.sum("_cnt").cast("long").alias("_cnt"),
         F.sum("_vol").alias("_vol"),
     )
-    return manifest.commit_versioned(folded, table)
+    return manifest.commit_versioned(folded, table, expect_version=v)
 
 
 def run_streaming_ohlc(

@@ -35,7 +35,17 @@ from pyspark.sql import functions as F
 def z_value(a: Column, b: Column, bits: int = 8) -> Column:
     """Morton key of two non-negative ints, each masked to ``bits``
     bits: bit i of ``a`` lands at position 2i, bit i of ``b`` at
-    2i + 1. Pure shift/and/add — codegen-friendly, engine-portable."""
+    2i + 1. Pure shift/and/add — codegen-friendly, engine-portable.
+
+    ``2*bits`` must fit a signed long: bits > 31 would place a bit at
+    position >= 63 and the key literal 1 << 63 overflows LongType (or,
+    on wrapping engines, flips the key negative and destroys the
+    range-partition ordering the locality guarantee rests on)."""
+    if 2 * bits > 63:
+        raise ValueError(
+            f"z_value: 2*bits = {2 * bits} exceeds the 63 usable bits of a "
+            "signed 64-bit Morton key (bits <= 31)"
+        )
     a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     parts = []
@@ -48,6 +58,8 @@ def z_value(a: Column, b: Column, bits: int = 8) -> Column:
 def zorder_sql(a_sql: str, b_sql: str, bits: int = 8) -> str:
     """The same Morton key as ``z_value`` in portable SQL (DuckDB and
     ANSI engines with >> and & on BIGINT)."""
+    if 2 * bits > 63:
+        raise ValueError("zorder_sql: 2*bits > 63 (see z_value)")
     mask = (1 << bits) - 1
     a = f"(CAST({a_sql} AS BIGINT) & {mask})"
     b = f"(CAST({b_sql} AS BIGINT) & {mask})"
@@ -118,8 +130,14 @@ def z_value_n(cols: list[Column], bits: int = 8) -> Column:
     """N-dimensional Morton key: bit i of column j lands at position
     i * n_cols + j (round-robin interleave; for two columns this is
     exactly :func:`z_value`). Same pure shift/and/add construction —
-    codegen-friendly."""
+    codegen-friendly. ``n_cols * bits`` must stay within the 63 usable
+    bits of a signed long (see z_value)."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"z_value_n: {n} cols x {bits} bits = {n * bits} exceeds the 63 "
+            "usable bits of a signed 64-bit Morton key"
+        )
     masked = [c.cast("long").bitwiseAND(F.lit((1 << bits) - 1)) for c in cols]
     parts = []
     for i in range(bits):
@@ -133,6 +151,8 @@ def z_value_n(cols: list[Column], bits: int = 8) -> Column:
 def zorder_sql_n(col_sqls: list[str], bits: int = 8) -> str:
     """Portable-SQL twin of :func:`z_value_n`."""
     n = len(col_sqls)
+    if n * bits > 63:
+        raise ValueError("zorder_sql_n: n_cols*bits > 63 (see z_value_n)")
     mask = (1 << bits) - 1
     masked = [f"(CAST({c} AS BIGINT) & {mask})" for c in col_sqls]
     parts = []

@@ -56,26 +56,36 @@ def assign_split(key: Column, splits: list[tuple[str, float]]) -> Column:
     LAST label absorbs the remainder, so every row gets a label and
     the assignment is stable under appends (a new row never moves an
     old row between splits — the property ``randomSplit`` cannot
-    give you, since its row assignment depends on partitioning)."""
-    h = hash_bucket_hex(key)
+    give you, since its row assignment depends on partitioning).
+
+    Both sides of the compare are zero-padded to 9 chars (the
+    mix_to_proportions overflow rule): a CUMULATIVE fraction reaching
+    exactly 1.0 yields the 9-hex-digit threshold 16^8 = '100000000',
+    which against an unpadded 8-char hash would compare lexically
+    ('8...' > '1...') and send the entire upper half of the keyspace
+    to the fall-through label."""
+    h = F.lpad(hash_bucket_hex(key), 9, "0")
     expr = F.lit(splits[-1][0])
     cum = 0.0
     cuts = []
     for label, frac in splits[:-1]:
         cum += frac
-        cuts.append((label, fraction_threshold_hex(cum)))
+        cuts.append((label, fraction_threshold_hex(cum).zfill(9)))
     for label, thr in reversed(cuts):
         expr = F.when(h < F.lit(thr), F.lit(label)).otherwise(expr)
     return expr
 
 
 def split_oracle_case(key_col: str, splits: list[tuple[str, float]]) -> str:
-    """ANSI-SQL CASE mirroring :func:`assign_split`."""
-    h = f"substring(md5(CAST({key_col} AS VARCHAR)), 1, 8)"
+    """ANSI-SQL CASE mirroring :func:`assign_split` (same 9-char
+    zero-padding so a cumulative fraction of exactly 1.0 compares
+    numerically, see assign_split)."""
+    h = f"lpad(substring(md5(CAST({key_col} AS VARCHAR)), 1, 8), 9, '0')"
     cum, whens = 0.0, []
     for label, frac in splits[:-1]:
         cum += frac
-        whens.append(f"WHEN {h} < '{fraction_threshold_hex(cum)}' THEN '{label}'")
+        thr = fraction_threshold_hex(cum).zfill(9)
+        whens.append(f"WHEN {h} < '{thr}' THEN '{label}'")
     return f"CASE {' '.join(whens)} ELSE '{splits[-1][0]}' END"
 
 

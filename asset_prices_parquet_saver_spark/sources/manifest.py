@@ -115,6 +115,20 @@ def current_version(table: str) -> int | None:
     return None if m is None else int(m["version"])
 
 
+def segment_count(table: str) -> int:
+    """Live segments in the current snapshot (0 for a missing table) —
+    the public input to append-log compaction policies."""
+    m = _read_manifest(table)
+    return 0 if m is None else len(m.get("segments", []))
+
+
+class CommitConflict(Exception):
+    """A commit's ``expect_version`` no longer matches the table — a
+    concurrent writer published in between. The caller's read-fold-
+    rewrite must be retried against the fresh state (or skipped, for
+    best-effort maintenance like compaction)."""
+
+
 def _all_version_dirs(table: str) -> list[int]:
     try:
         names = os.listdir(table)
@@ -269,6 +283,7 @@ def _commit(
     append: bool,
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """Shared commit path: write the next immutable segment directory,
     atomically publish a manifest whose segment list either replaces
@@ -287,10 +302,16 @@ def _commit(
 
     The whole sequence runs under :func:`_commit_lock`, so local-FS
     concurrent committers serialize instead of losing updates.
+
+    ``expect_version`` adds optimistic concurrency for read-fold-rewrite
+    callers (compaction): the commit aborts with :class:`CommitConflict`
+    if the table's version moved past what the caller read — without
+    it, a rewrite computed from version V silently discards any segment
+    appended between the read and the publish.
     """
     os.makedirs(table, exist_ok=True)
     with _commit_lock(table):
-        return _commit_under_lock(df, table, append, txn, stats_cols)
+        return _commit_under_lock(df, table, append, txn, stats_cols, expect_version)
 
 
 def _commit_under_lock(
@@ -299,8 +320,16 @@ def _commit_under_lock(
     append: bool,
     txn: tuple[str, int] | None,
     stats_cols: list[str] | None = None,
+    expect_version: int | None = None,
 ) -> int:
     prev = _read_manifest(table)
+    if expect_version is not None:
+        cur = None if prev is None else int(prev["version"])
+        if cur != expect_version:
+            raise CommitConflict(
+                f"{table}: expected version {expect_version}, found {cur} — "
+                "a concurrent commit landed; re-read and retry"
+            )
     if txn is not None:
         app_id, txn_v = txn
         if int(((prev or {}).get("txn") or {}).get(app_id, -1)) >= int(txn_v):
@@ -365,12 +394,20 @@ def commit_versioned(
     table: str,
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
+    expect_version: int | None = None,
 ) -> int:
     """Write ``df`` as the next full snapshot (replacing all previous
     segments) and atomically publish it. Returns the version number.
     ``stats_cols`` records a footer-harvested min/max zone map for the
-    segment in the manifest (see :func:`read_range`)."""
-    return _commit(df, table, append=False, txn=txn, stats_cols=stats_cols)
+    segment in the manifest (see :func:`read_range`). Rewrites whose
+    content was DERIVED from a read of the table (compaction) must pass
+    ``expect_version`` (the version they read) so a concurrent append
+    raises :class:`CommitConflict` instead of being silently folded
+    away."""
+    return _commit(
+        df, table, append=False, txn=txn, stats_cols=stats_cols,
+        expect_version=expect_version,
+    )
 
 
 def commit_append(
@@ -393,9 +430,13 @@ def compact_versioned(
 ) -> int:
     """O3-style maintenance: rewrite the live snapshot into ``num_files``
     files as a new commit — readers of the old snapshot are undisturbed
-    (its files are immutable), and the swap is the manifest publish."""
-    cur = read_versioned(spark, table, schema=schema)
-    return commit_versioned(cur.coalesce(num_files), table)
+    (its files are immutable), and the swap is the manifest publish.
+    Pinned to the version it read: a segment appended between the read
+    and the rewrite raises :class:`CommitConflict` (retry or skip)
+    instead of being dropped from the folded snapshot."""
+    v = current_version(table)
+    cur = read_versioned(spark, table, version=v, schema=schema)
+    return commit_versioned(cur.coalesce(num_files), table, expect_version=v)
 
 
 def _manifest_at(table: str, version: int | None) -> dict | None:

@@ -53,9 +53,18 @@ def run_streaming_scd2(
     checkpoint_dir: str | None = None,
     available_now: bool = False,
     trigger_seconds: int | None = None,
+    app_id: str = "scd2-dim",
 ):
     """Start the streaming SCD2 maintenance query over a changelog
-    stream. Returns the StreamingQuery handle."""
+    stream. Returns the StreamingQuery handle.
+
+    ``app_id`` must be STABLE across restarts (like run_streaming_rollup
+    / run_streaming_dedup): the txn replay guard keys on it, and the
+    only replay scenario that exists is crash + restart — a
+    per-application id (sparkContext.applicationId) changes on every
+    restart, which would make the guard dead exactly when it matters
+    (the replayed epoch would re-version the dimension instead of
+    being skipped)."""
     schema = _dim_schema(changes, key_col, ts_col, attr_cols, tiebreak_col)
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -65,9 +74,7 @@ def run_streaming_scd2(
         new_dim = scd2_apply(
             existing, batch, key_col, ts_col, attr_cols, tiebreak_col
         )
-        manifest.commit_versioned(
-            new_dim, dim_table, txn=(spark.sparkContext.applicationId, epoch_id)
-        )
+        manifest.commit_versioned(new_dim, dim_table, txn=(app_id, epoch_id))
 
     writer = changes.writeStream.foreachBatch(apply_batch).outputMode("append")
     if checkpoint_dir:

@@ -145,3 +145,35 @@ def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
     sub = {r["doc_id"] for r in weighted_stratified_sample(one_lang, ["lang"], "doc_id", "n_chars", 20).collect()}
     full_en = {r["doc_id"] for r in samp.filter(F.col("lang") == "en").collect()}
     assert sub == full_en
+
+
+def test_assign_split_cumulative_fraction_reaching_one(spark, sf_dir):
+    """Cumulative fraction hitting exactly 1.0 produces the 9-hex-digit
+    threshold 16^8; without zero-padding both sides the comparison goes
+    lexical and the upper half of the keyspace falls through to the
+    remainder label. Engine and oracle CASE must also agree row-wise."""
+    from asset_prices_parquet_saver_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    splits = [("train", 0.5), ("val", 0.5), ("test", 0.0)]
+    col = sampling.assign_split(F.col("doc_id"), splits)
+    counts = {
+        r["split"]: r["n"]
+        for r in docs.select(col.alias("split"))
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert counts.get("test", 0) == 0  # zero-fraction label absorbs nothing
+    assert abs(counts["train"] / total - 0.5) < 0.08
+    assert abs(counts["val"] / total - 0.5) < 0.08
+    # row-wise parity with the DuckDB CASE mirror (same padding rule)
+    import duckdb
+
+    case = sampling.split_oracle_case("doc_id", splits)
+    oracle = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, {case} AS split FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    engine = {r["doc_id"]: r["split"] for r in docs.select("doc_id", col.alias("split")).collect()}
+    assert engine == oracle

@@ -232,3 +232,21 @@ def test_chunk_documents_reconstructs_tokens(spark, sf_dir):
         # concatenating chunk texts reproduces the token stream
         rebuilt = " ".join(r.chunk_text for r in rs).split()
         assert rebuilt == orig[doc_id]
+
+
+def test_udtf_tokenizer_matches_engine_on_unicode_whitespace(spark):
+    """TermCounts must split on ASCII whitespace ONLY (Java/DuckDB \\s),
+    not Python's any-Unicode-whitespace str.split(): a NBSP-joined pair
+    is ONE token to the engine tokenizer and the oracle, and must be
+    one token to the UDTF too."""
+    from asset_prices_parquet_saver_spark.functions.udtfs import term_counts_lateral
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "a　b")],  # NBSP, ideographic space
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_counts_lateral(spark, docs).collect()
+    }
+    assert got == {(1, "foo bar"): 1, (1, "baz"): 1, (2, "a　b"): 1}

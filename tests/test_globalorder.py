@@ -92,3 +92,18 @@ def test_pack_by_budget_properties(df):
     for r in rows:
         assert r["shard"] == start // 50, r
         start += r["v"]
+
+
+def test_global_cumsum_fractional_values(df):
+    """The prefix sum must NOT truncate fractional local sums mid-
+    computation (a long cast of the per-partition running sum dropped
+    the fraction BEFORE the cross-partition offsets were added)."""
+    d = df.withColumn("f", F.col("v") + F.lit(0.6))
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["cum"]
+        for r in globalorder.with_global_cumsum(d, order, "f", num_partitions=4).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {r["id"]: r["cum"] for r in d.withColumn("cum", F.sum("f").over(w)).collect()}
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)

@@ -186,8 +186,8 @@ def test_incremental_ohlc_equals_batch_resample(spark, tmp_path):
         for r in ia.read_ohlc(spark, table).collect()
     }
     assert after == want
-    # volume folds too (decimal-exact)
-    vol = {r["symbol"]: r["volume"] for r in ia.read_ohlc(spark, table).filter("day = DATE '2024-01-02'").collect()}
+    # notional (sum of traded prices) folds too (decimal-exact)
+    vol = {r["symbol"]: r["notional"] for r in ia.read_ohlc(spark, table).filter("day = DATE '2024-01-02'").collect()}
     assert vol["AAPL"] == 41.0 and vol["MSFT"] == 11.0
 
 
@@ -287,3 +287,34 @@ def test_streaming_rollup_auto_compaction_bounds_segments(spark, tmp_path):
     assert len(manifest._read_manifest(table)["segments"]) <= 3
     got = _read(spark, table)
     assert got["a"] == (6, 15.0, 2.5)
+
+
+def test_compaction_conflict_preserves_concurrent_epoch(spark, tmp_path):
+    """The lost-update race: an epoch appended between compaction's
+    read and its rewrite must survive. The pinned compaction raises
+    CommitConflict (maybe_compact turns that into a skip) instead of
+    folding the new epoch away while carrying its txn forward — the
+    combination that made the loss unrecoverable under replay."""
+    table = str(tmp_path / "roll")
+    ia.refresh_rollup(_batch(spark, [("a", 1.0)]), table, KEYS, SUMS)
+    ia.refresh_rollup(_batch(spark, [("a", 2.0)]), table, KEYS, SUMS)
+    v = manifest.current_version(table)
+    log = manifest.read_versioned(spark, table, version=v)
+    folded = log.groupBy("grp").agg(
+        F.sum("_cnt").cast("long").alias("_cnt"),
+        F.sum("_sum_x").alias("_sum_x"),
+    )
+    # concurrent epoch lands between the compactor's read and publish
+    ia.refresh_rollup(
+        _batch(spark, [("a", 10.0)]), table, KEYS, SUMS, txn=("app", 3)
+    )
+    with pytest.raises(manifest.CommitConflict):
+        manifest.commit_versioned(folded, table, expect_version=v)
+    # nothing lost: the rollup still includes the concurrent epoch
+    assert _read(spark, table)["a"] == (3, 13.0, 13.0 / 3)
+    # maybe_compact retries cleanly on the fresh state next trigger
+    ran = ia.maybe_compact(
+        spark, table, lambda s, t: ia.compact_rollup(s, t, KEYS, SUMS),
+        max_segments=1,
+    )
+    assert ran and _read(spark, table)["a"] == (3, 13.0, 13.0 / 3)

@@ -135,3 +135,19 @@ def test_zorder_sql_n_mirrors_z_value_n():
     ).fetchall()
     a, b, c, z = rows[0]
     assert z == _morton_ref_n([a, b, c], 8)
+
+
+def test_z_value_bits_overflow_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.operators import layout
+
+    with pytest.raises(ValueError, match="63 usable bits"):
+        layout.z_value(F.col("a"), F.col("b"), bits=32)
+    with pytest.raises(ValueError, match="63 usable bits"):
+        layout.z_value_n([F.col("a")] * 4, bits=16)
+    with pytest.raises(ValueError):
+        layout.zorder_sql("a", "b", bits=32)
+    with pytest.raises(ValueError):
+        layout.zorder_sql_n(["a"] * 4, bits=16)

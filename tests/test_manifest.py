@@ -243,3 +243,24 @@ def test_vacuum_history_bounds_manifest_copies(spark, tmp_path):
         manifest.read_versioned(spark, table, version=1)
     # the live read is unaffected
     assert manifest.read_versioned(spark, table).count() == 6
+
+
+def test_expect_version_conflict_raises(spark, tmp_path):
+    """Optimistic concurrency for read-fold-rewrite callers: a rewrite
+    pinned to the version it read must ABORT if a concurrent commit
+    landed in between — silently publishing would fold the concurrent
+    segment out of existence (and its txn record would block replay)."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    manifest.commit_versioned(_df(spark, [1]), t)          # v1
+    v = manifest.current_version(t)
+    manifest.commit_append(_df(spark, [2]), t)             # concurrent v2
+    with pytest.raises(manifest.CommitConflict):
+        manifest.commit_versioned(_df(spark, [1]), t, expect_version=v)
+    # the concurrent append is intact
+    got = sorted(r["x"] for r in manifest.read_versioned(spark, t).collect())
+    assert got == [1, 2]
+    # and a fresh read-pin commits fine
+    v2 = manifest.current_version(t)
+    assert manifest.commit_versioned(_df(spark, [9]), t, expect_version=v2) == 3

@@ -45,25 +45,45 @@ def asof_join(
     NULL when no prior right row exists (left-join semantics).
 
     ``right`` must be unique per ``(keys, right_ts)`` — aggregate bars
-    before joining — so the carried value is deterministic.
+    before joining — so the carried value is deterministic. Right rows
+    with a NULL ``right_ts`` never match (an as-of comparison against
+    NULL is never true, matching DuckDB ASOF JOIN).
+
+    The matched right row is carried as ONE struct, not per-column:
+    independent ``last(col, ignorenulls=True)`` per value column would
+    pull each column from a DIFFERENT right row whenever the matched
+    row holds a NULL (e.g. a bar with volume=NULL would hand the probe
+    the PREVIOUS bar's volume under the matched bar's asof_ts — a row
+    that never existed). The struct is non-null exactly on right rows,
+    so ignore-nulls carries the matched row atomically, NULL fields
+    included.
     """
     keys = list(keys)
     value_cols = list(value_cols)
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+    reserved = {"asof_ts", "__ts", "__bar", _SIDE, *value_cols}
+    clash = sorted(reserved & set(left_payload))
+    if clash:
+        raise ValueError(
+            f"asof_join: left payload columns {clash} collide with the "
+            "carried output columns — rename them before joining"
+        )
 
-    r = right.select(
+    bar = F.struct(
+        F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
-        F.col(right_ts).alias("asof_ts"),
-        *[F.col(c) for c in value_cols],
+        bar.alias("__bar"),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
     )
+    null_bar_type = r.schema["__bar"].dataType
     l = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(null_bar_type).alias("__bar"),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in left_payload],
     )
@@ -76,10 +96,14 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l)
-    for c in ["asof_ts", *value_cols]:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    carried = r.unionByName(l).withColumn(
+        "__bar", F.last("__bar", ignorenulls=True).over(w)
+    )
 
     return carried.filter(F.col(_SIDE) == 1).select(
-        *keys, F.col("__ts").alias(left_ts), *left_payload, "asof_ts", *value_cols
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *left_payload,
+        F.col("__bar").getField("asof_ts").alias("asof_ts"),
+        *[F.col("__bar").getField(c).alias(c) for c in value_cols],
     )

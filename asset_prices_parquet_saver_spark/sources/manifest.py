@@ -48,8 +48,12 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_MANIFEST"
 
 #: how long a committer waits for a concurrent commit to finish before
-#: raising (a crashed holder leaves the .lock file; the error names it)
-LOCK_TIMEOUT_SECONDS = 60.0
+#: raising (a crashed holder leaves the .lock file; the error names it).
+#: The lock is held ACROSS the segment write — a full Spark job, minutes
+#: for a large snapshot — so the wait budget must comfortably exceed a
+#: healthy commit, or concurrent committers fail spuriously with an
+#: error that tempts operators into deleting a live lock.
+LOCK_TIMEOUT_SECONDS = 600.0
 
 
 @contextlib.contextmanager
@@ -74,8 +78,10 @@ def _commit_lock(table: str):
             if time.monotonic() >= deadline:
                 raise TimeoutError(
                     f"manifest commit lock {lock} held for over "
-                    f"{LOCK_TIMEOUT_SECONDS:.0f}s — if the holding "
-                    "committer crashed, delete the lock file to recover"
+                    f"{LOCK_TIMEOUT_SECONDS:.0f}s — the file records the "
+                    "holder's pid; delete it ONLY after verifying that "
+                    "process is dead (removing a live holder's lock "
+                    "reintroduces the lost-update race it prevents)"
                 ) from None
             time.sleep(0.05)
     try:
@@ -375,17 +381,23 @@ def _commit_under_lock(
             shutil.rmtree(_version_dir(table, v), ignore_errors=True)
     # legacy sweep: once a manifest exists, everything in the table dir
     # that is neither a segment nor the manifest is superseded data
-    # (loose part files, Hive partition dirs, _SUCCESS markers)
-    for n in os.listdir(table):
-        if n == MANIFEST or n.startswith(MANIFEST + "."):
-            continue
-        if n.startswith("v") and n[1:].isdigit():
-            continue
-        p = os.path.join(table, n)
-        try:
-            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-        except OSError:
-            pass
+    # (loose part files, Hive partition dirs, _SUCCESS markers).
+    # DEFERRED past the transition commit: the FIRST versioned commit
+    # (prev is None) leaves the legacy files in place so an in-flight
+    # legacy reader (whose plan pinned those exact file paths) survives
+    # it — the same one-commit grace the segment GC gives snapshot
+    # readers; the next commit sweeps them.
+    if prev is not None:
+        for n in os.listdir(table):
+            if n == MANIFEST or n.startswith(MANIFEST + "."):
+                continue
+            if n.startswith("v") and n[1:].isdigit():
+                continue
+            p = os.path.join(table, n)
+            try:
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            except OSError:
+                pass
     return new_v
 
 
@@ -526,6 +538,8 @@ def read_range(
     lo: float | int | None = None,
     hi: float | int | None = None,
     version: int | None = None,
+    schema=None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Range-filtered scan with SEGMENT-level data skipping: the
     manifest zone map (``stats_cols`` at commit time) drops whole
@@ -533,13 +547,27 @@ def read_range(
     predicate then pushes down into the surviving parquet scans for
     row-group pruning — two skipping levels from one commit-time
     footer harvest. Semantically identical to reading everything and
-    filtering (asserted in tests/test_manifest.py)."""
+    filtering (asserted in tests/test_manifest.py).
+
+    ``schema`` / ``merge_schema`` have the read_versioned semantics: an
+    evolved append-log (columns added by later appends) needs one of
+    them, because a bare multi-segment read infers the schema from ONE
+    footer — the residual ``col`` filter then fails to resolve (or the
+    evolved columns silently vanish) if an old footer wins."""
     from pyspark.sql import functions as F
 
     keep, _total = prune_segments(table, col, lo, hi, version)
     if not keep:
-        return read_versioned(spark, table, version=version).limit(0)
-    df = spark.read.parquet(*[os.path.join(table, seg) for seg in keep])
+        return read_versioned(
+            spark, table, version=version, schema=schema,
+            merge_schema=merge_schema,
+        ).limit(0)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(table, seg) for seg in keep])
     if lo is not None:
         df = df.filter(F.col(col) >= lo)
     if hi is not None:

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from asset_prices_parquet_saver_spark.operators.merge import upsert_live_prices
 from asset_prices_parquet_saver_spark.schema import BAR_SCHEMA
-from asset_prices_parquet_saver_spark.sources.prices import write_prices
 
 
 def dedupe_ticks_with_watermark(
@@ -112,12 +111,29 @@ def run_live_upsert(
             return
         from asset_prices_parquet_saver_spark.sources import manifest
 
-        # the merge plan lazily scans the CURRENT snapshot while the
-        # NEW one is written to a different immutable directory — no
-        # read-under-overwrite hazard, by construction
-        prices = manifest.read_versioned(spark, prices_path, schema=BAR_SCHEMA)
-        merged = upsert_live_prices(prices, batch, source=source)
-        manifest.commit_versioned(merged, prices_path)
+        # Derived rewrite, so it follows manifest.py's lost-update
+        # contract: pin expect_version to the snapshot the merge plan
+        # read (an out-of-band committer — compaction, a second stream
+        # — would otherwise be silently folded away) and retry against
+        # the fresh state on conflict. txn makes a replayed epoch after
+        # crash-restart a no-op instead of an extra rewrite.
+        for attempt in range(3):
+            v = manifest.current_version(prices_path)
+            prices = manifest.read_versioned(
+                spark, prices_path, schema=BAR_SCHEMA, version=v
+            )
+            merged = upsert_live_prices(prices, batch, source=source)
+            try:
+                manifest.commit_versioned(
+                    merged,
+                    prices_path,
+                    txn=(f"live-{source}", epoch_id),
+                    expect_version=v,
+                )
+                break
+            except manifest.CommitConflict:
+                if attempt == 2:
+                    raise
         if on_batch is not None:
             on_batch(batch, epoch_id)
 

@@ -53,10 +53,21 @@ def _update_running_state(key, pdf_iter, state: GroupState):
         batch_max = float(pdf["price"].max())
         min_price = batch_min if min_price is None else min(min_price, batch_min)
         max_price = batch_max if max_price is None else max(max_price, batch_max)
-        last_idx = int(ts_us.idxmax())
-        if last_ts_us is None or int(ts_us.loc[last_idx]) >= last_ts_us:
-            last_ts_us = int(ts_us.loc[last_idx])
-            last_price = float(pdf["price"].loc[last_idx])
+        # Deterministic last-tick selection under ts ties: (ts, price)
+        # max — idxmax picks whichever tied row Arrow happened to order
+        # first, so a task retry / epoch replay could checkpoint a
+        # DIFFERENT last_price than the original attempt (merge.py's
+        # latest_ticks_per_day tie-breaks (ts desc, price desc) for the
+        # same replay-determinism reason).
+        batch_last_ts = int(ts_us.max())
+        batch_last_price = float(pdf["price"][ts_us == batch_last_ts].max())
+        if (
+            last_ts_us is None
+            or batch_last_ts > last_ts_us
+            or (batch_last_ts == last_ts_us and batch_last_price > last_price)
+        ):
+            last_ts_us = batch_last_ts
+            last_price = batch_last_price
     if n_ticks == 0:
         # nothing valid ever seen for this key — no state, no snapshot
         # (the reference's P7 filter drops such trades before they can

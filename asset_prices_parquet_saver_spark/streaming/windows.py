@@ -18,15 +18,28 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: default per-window bar aggregates (OHLCV from a (price, ts) stream)
+#: default per-window bar aggregates (OHLCV from a (price, ts) stream).
+#: open/close select by the (ts, price) struct order, not bare ts:
+#: min_by/max_by pick an ARBITRARY row among equal timestamps, so a
+#: replay of the same data could emit different open/close (the same
+#: determinism rule as analytics.ohlc_bars and merge.py's tie-breaks).
 def _bar_aggs() -> list[Column]:
+    sel = F.struct(F.col("ts"), F.col("price").alias("p"))
     return [
-        F.min_by("price", "ts").alias("open"),
+        F.min(sel).getField("p").alias("open"),
         F.max("price").alias("high"),
         F.min("price").alias("low"),
-        F.max_by("price", "ts").alias("close"),
+        F.max(sel).getField("p").alias("close"),
         F.count("*").alias("n_ticks"),
     ]
+
+
+def _valid_ticks(ticks: DataFrame) -> DataFrame:
+    """P7 validity filter: a NULL-price tick would otherwise yield
+    NULL open/close while still counting in n_ticks; NULL ts cannot be
+    windowed. Every other tick consumer filters first — so do the
+    window wrappers."""
+    return ticks.filter(F.col("price").isNotNull() & F.col("ts").isNotNull())
 
 
 def tumbling_bars(
@@ -41,6 +54,7 @@ def tumbling_bars(
     after window end. On a batch frame: the same plan, one shuffle on
     (keys, window).
     """
+    ticks = _valid_ticks(ticks)
     src = ticks.withWatermark("ts", lateness) if ticks.isStreaming else ticks
     return (
         src.groupBy(*keys, F.window("ts", window).alias("w"))
@@ -63,6 +77,7 @@ def session_bars(
     """Gap-based session aggregation (``F.session_window``): a session
     closes after ``gap`` of per-key inactivity — the streaming analogue
     of the batch ``user_sessions`` query's lag+cumsum sessionization."""
+    ticks = _valid_ticks(ticks)
     src = ticks.withWatermark("ts", lateness) if ticks.isStreaming else ticks
     return (
         src.groupBy(*keys, F.session_window("ts", gap).alias("sw"))

@@ -121,3 +121,50 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for row in ref.itertuples()
     }
     assert got == want
+
+
+def test_matched_row_with_null_value_is_not_blended(spark):
+    """The matched bar must be carried ATOMICALLY: per-column ignore-
+    nulls carry would hand the probe the previous bar's volume under
+    the matched bar's timestamp — a row that never existed."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    right = spark.createDataFrame(
+        [("s", t(1), 100.0), ("s", t(2), None)],
+        "sym string, bar_ts timestamp, volume double",
+    )
+    left = spark.createDataFrame([("s", t(3))], "sym string, ts timestamp")
+    [row] = asof_join(
+        left, right, ["sym"], "ts", "bar_ts", ["volume"]
+    ).collect()
+    assert row["asof_ts"] == t(2) and row["volume"] is None
+
+
+def test_null_right_ts_never_matches(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    right = spark.createDataFrame(
+        [("s", None, 7.0)], "sym string, bar_ts timestamp, volume double"
+    )
+    left = spark.createDataFrame([("s", t(1))], "sym string, ts timestamp")
+    [row] = asof_join(
+        left, right, ["sym"], "ts", "bar_ts", ["volume"]
+    ).collect()
+    assert row["asof_ts"] is None and row["volume"] is None
+
+
+def test_left_payload_collision_raises(spark):
+    import datetime as dt
+    import pytest
+
+    t = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [("s", t, 1.0)], "sym string, bar_ts timestamp, volume double"
+    )
+    left = spark.createDataFrame(
+        [("s", t, 2.0)], "sym string, ts timestamp, volume double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["sym"], "ts", "bar_ts", ["volume"])

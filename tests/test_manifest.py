@@ -264,3 +264,20 @@ def test_expect_version_conflict_raises(spark, tmp_path):
     # and a fresh read-pin commits fine
     v2 = manifest.current_version(t)
     assert manifest.commit_versioned(_df(spark, [9]), t, expect_version=v2) == 3
+
+
+def test_first_commit_leaves_legacy_files_for_inflight_readers(spark, tmp_path):
+    """The legacy -> v1 transition must give loose-file readers the same
+    one-commit grace the segment GC gives snapshot readers: a plan that
+    pinned the legacy parquet paths survives the first versioned commit
+    and the files are swept on the SECOND."""
+    t = str(tmp_path / "tbl")
+    _df(spark, [1, 2]).write.mode("overwrite").parquet(t)
+    legacy_plan = manifest.read_versioned(spark, t)  # pins loose paths
+    absorbed = spark.createDataFrame([(1,), (2,)], "x long")
+    manifest.commit_versioned(absorbed, t)           # v1: absorb
+    # the pinned legacy files are still readable mid-flight
+    assert sorted(r["x"] for r in legacy_plan.collect()) == [1, 2]
+    assert any(n.endswith(".parquet") for n in os.listdir(t))
+    manifest.commit_versioned(_df(spark, [3]), t)    # v2 sweeps legacy
+    assert not any(n.endswith(".parquet") for n in os.listdir(t))

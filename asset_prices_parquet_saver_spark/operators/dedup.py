@@ -22,8 +22,16 @@ from asset_prices_parquet_saver_spark.operators.similarity import auto_num_block
 def exact_dedup(df: DataFrame, cols: list[str], tie_break: str) -> DataFrame:
     """X1: keep exactly one row per duplicate group, deterministically
     (the row with the smallest ``tie_break``) — unlike ``dropDuplicates``
-    whose survivor is partition-order-dependent."""
-    w = Window.partitionBy(*cols).orderBy(F.col(tie_break).asc())
+    whose survivor is partition-order-dependent.
+
+    When ``tie_break`` itself TIES within a group, a content hash over
+    the full row breaks it, so the survivor is still a pure function of
+    the data (two rows identical in every column are interchangeable,
+    and then the hash tie is harmless by definition)."""
+    w = Window.partitionBy(*cols).orderBy(
+        F.col(tie_break).asc(),
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).asc(),
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -106,6 +114,21 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def _shingle_set(txt, n: int, ws) -> set:
+    """Shared tokenize→shingle-set step of BOTH Python shingle kernels
+    (the blake2b fast path and the md5-60 portable path) — one place so
+    the two hash families can never silently diverge in tokenization.
+    NULL text yields the empty set, matching the JVM ``words()`` path
+    (a bare ``txt.strip()`` crashed the task — and wedged streaming
+    dedup on every replay of a poisoned batch — on one NULL row)."""
+    if txt is None:
+        return set()
+    w = [t for t in ws.split(txt.strip()) if t]
+    if len(w) < n:
+        return set()
+    return set(w) if n == 1 else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+
+
 def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
     """Shared first stage of the shingle pipelines: ``(sh, docs)`` where
     ``docs`` is (id, hs: array<long>) — one hashed-shingle-set row per
@@ -122,15 +145,7 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
         for pdf in batches:
             ids, arrs = [], []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
-                w = [t for t in ws.split(txt.strip()) if t]
-                if len(w) >= n:
-                    sh = (
-                        set(w)
-                        if n == 1
-                        else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
-                    )
-                else:
-                    sh = set()
+                sh = _shingle_set(txt, n, ws)
                 hs = np.fromiter(
                     (
                         int.from_bytes(
@@ -649,15 +664,7 @@ def _portable_signature_arrays(
         for pdf in batches:
             ids, arrs, sigs = [], [], []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
-                w = [t for t in ws.split(txt.strip()) if t]
-                if len(w) >= n:
-                    sh = (
-                        set(w)
-                        if n == 1
-                        else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
-                    )
-                else:
-                    sh = set()
+                sh = _shingle_set(txt, n, ws)
                 h60 = lambda s: int(  # noqa: E731
                     hashlib.md5(s.encode()).hexdigest()[:15], 16
                 )
@@ -910,9 +917,28 @@ def simhash_near_pairs(
     ``num_chunks`` chunks — any pair within Hamming distance < num_chunks
     shares at least one exact chunk, so blocking on (chunk_idx, chunk
     value) has guaranteed recall for max_hamming ≤ num_chunks - 1. Then
-    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    verify with bit_count(xor). Returns (id_a, id_b, hamming).
+
+    The default derives num_chunks = max_hamming + 1 WITHOUT a cap: a
+    silent cap (an earlier min(..., 8)) broke the pigeonhole guarantee
+    for max_hamming > 7 — a pair with one differing bit per chunk
+    shared no chunk and vanished from the output with no warning.
+    Larger max_hamming means narrower chunks and weaker blocking
+    selectivity (more candidates to verify), which is the honest cost;
+    an explicit num_chunks below max_hamming + 1 is rejected rather
+    than silently losing recall."""
     if num_chunks is None:
-        num_chunks = min(max_hamming + 1, 8)
+        num_chunks = max_hamming + 1
+    if num_chunks > 64:
+        raise ValueError(
+            f"simhash_near_pairs: num_chunks={num_chunks} exceeds the 64 "
+            "fingerprint bits (max_hamming <= 63)"
+        )
+    if num_chunks < max_hamming + 1:
+        raise ValueError(
+            f"simhash_near_pairs: num_chunks={num_chunks} cannot guarantee "
+            f"recall for max_hamming={max_hamming} (needs >= max_hamming + 1)"
+        )
     chunk_bits = 64 // num_chunks
     mask = (1 << chunk_bits) - 1
     blocked = fp.select(

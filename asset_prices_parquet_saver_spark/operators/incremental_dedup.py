@@ -185,8 +185,19 @@ def ensure_band_index(
     """Create the physically bucketed signature index if absent: a
     managed table bucketed by (band, bucket) — the join keys of the
     per-batch LSH probe — so index files are already hash-partitioned
-    on disk and the probe join never shuffles the index side."""
+    on disk and the probe join never shuffles the index side.
+
+    Crash recovery: if the index is missing but its ``_compacting``
+    staging table exists, a compaction died between its DROP and
+    RENAME — the staging table holds the ONLY copy of the index, so
+    rename it into place. Creating a fresh empty index there would
+    silently forget the whole dedup history and re-accept every
+    previously-seen near-duplicate."""
     if not spark.catalog.tableExists(table):
+        staging = f"{table}_compacting"
+        if spark.catalog.tableExists(staging):
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+            return
         (
             spark.createDataFrame([], BAND_INDEX_SCHEMA)
             .write.bucketBy(num_buckets, "band", "bucket")
@@ -311,6 +322,13 @@ def compact_band_index(
 
     Returns ``(files_before, files_after)``."""
     staging = f"{table}_compacting"
+    # Recover a crashed predecessor FIRST: if the index is gone but the
+    # staging table exists, the previous compaction died between DROP
+    # and RENAME and staging holds the only copy — renaming it into
+    # place must precede the stale-staging drop below, which is safe
+    # only once the main table exists.
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     cur = spark.table(table)
     files_before = len(cur.inputFiles())

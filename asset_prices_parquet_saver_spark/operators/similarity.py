@@ -135,9 +135,18 @@ def cosine_topk(
                 for qi in range(len(qids)):
                     mask = ids != qids[qi]
                     cand_ids, r, raw = ids[mask], Sr[qi][mask], S[qi][mask]
-                    # block-local top-k under the SAME total order the
-                    # final window uses: rounded desc, then id asc.
-                    order = np.lexsort((cand_ids, -r))[:k]
+                    # block-local top-k under the final window's order
+                    # (rounded desc, then id asc) — widened by one unit
+                    # in the last rounded place: np.round is half-EVEN
+                    # while the final F.round is half-UP, so a dyadic
+                    # midpoint at the k boundary could otherwise be cut
+                    # here yet rank inside top-k under the JVM rounding.
+                    # The slack keeps every candidate within one ulp of
+                    # the k-th; the exact JVM order decides the final k.
+                    order = np.lexsort((cand_ids, -r))
+                    if len(order) > k:
+                        kth = r[order[k - 1]]
+                        order = order[r[order] >= kth - 10.0 ** -round_decimals]
                     out_q.append(np.full(len(order), qids[qi]))
                     out_i.append(cand_ids[order])
                     out_c.append(raw[order])
@@ -1118,11 +1127,20 @@ def mmr_rerank(
         )
         pick = (
             c.join(F.broadcast(selected.select("id")), "id", "left_anti")
-            .join(pen.withColumnRenamed("i", "id"), "id")
+            # LEFT join + penalty 0: a candidate with no similarity row
+            # to the selected set (zero-norm vectors are dropped by
+            # _rowwise_cosine) must stay selectable with no redundancy
+            # penalty — an inner join silently excluded it forever and
+            # could truncate the result below k.
+            .join(pen.withColumnRenamed("i", "id"), "id", "left")
             .select(
                 "id",
                 "rel",
-                F.round(lam_c * F.col("rel") - one_m * F.col("max_sim"), 6).alias(
+                F.round(
+                    lam_c * F.col("rel")
+                    - one_m * F.coalesce(F.col("max_sim"), F.lit(0.0)),
+                    6,
+                ).alias(
                     "mmr_score"
                 ),
             )
@@ -1270,10 +1288,16 @@ def sign_signatures(
     instead of shifts — identical arithmetic on every engine, and no
     signed-overflow edge at bit 63. 8 bytes/vector = a 32× compression
     of float32[64]; at 100 TB the signature table is the only thing a
-    first-pass scan touches."""
+    first-pass scan touches.
+
+    Only the FIRST 64 dimensions are signed (the signature is 64 bits
+    by definition): dimensions past 64 are excluded explicitly — the
+    ``i % 32`` word-packing would otherwise FOLD them onto already-used
+    bit weights and the sum would carry across bits, turning lo/hi into
+    arithmetic garbage rather than bitmasks, with no error anywhere."""
     comp = emb.select(
         F.col(id_col).alias("id"), F.posexplode(to_double_array(vec_col)).alias("i", "x")
-    )
+    ).filter(F.col("i") < 64)
     bit = F.when(F.col("x") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
     word = F.pow(F.lit(2.0), (F.col("i") % 32).cast("double")).cast("long")
     return comp.groupBy("id").agg(

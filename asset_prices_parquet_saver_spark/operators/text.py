@@ -265,7 +265,7 @@ def repetition_stats(
 
 
 def top_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
 ) -> DataFrame:
     """X4 corpus statistic: the k most frequent word n-grams across the
     whole corpus (ngram, n), deterministically tie-broken by the ngram
@@ -355,12 +355,20 @@ def chunk_documents(
     s = tokens_per_chunk if stride is None else stride
     if s <= 0 or s > k:
         raise ValueError(f"stride must be in [1, tokens_per_chunk], got {s}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # empty-filtered tokens (the words() rule): a bare split of an
+    # empty/whitespace-only doc yields [""], which produced one phantom
+    # chunk (n_tokens=1, chunk_text="") per such doc — and made every
+    # one of them collide on "" in chunk-level dedup
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
     n_chunks = F.ceil(F.size(toks) / F.lit(s)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * s + 1, k),
-    )
+    # sequence(0, -1) is a DESCENDING [0, -1], not [] — guard empty docs
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * s + 1, k),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "toks"),

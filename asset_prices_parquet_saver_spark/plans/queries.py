@@ -2621,7 +2621,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return text_ops.top_ngrams(d, "doc_id", "text", n=2, k=20)
+    return text_ops.top_ngrams(d, "text", n=2, k=20)
 
 
 # --- X1+X4 composition: the curation pipeline end-to-end — language

@@ -250,3 +250,46 @@ def test_udtf_tokenizer_matches_engine_on_unicode_whitespace(spark):
         for r in term_counts_lateral(spark, docs).collect()
     }
     assert got == {(1, "foo bar"): 1, (1, "baz"): 1, (2, "a　b"): 1}
+
+
+def test_shingle_kernels_tolerate_null_text(spark):
+    """One NULL text row must not crash the Python shingle kernels
+    (txt.strip() on None killed the task — and permanently wedged
+    streaming dedup on every replay of the poisoned batch). NULL
+    behaves like an empty doc, matching the JVM words() path."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, None), (3, "a b a c")],
+        "doc_id long, text string",
+    )
+    arrs = dedup.shingle_arrays(df, "doc_id", "text", 2)
+    sizes = {r["id"]: r["n_sh"] for r in arrs.collect()}
+    # the NULL doc contributes no shingles (dropped like an empty doc,
+    # not a crashed task); real docs are unaffected
+    assert 2 not in sizes and sizes[1] > 0 and sizes[3] > 0
+    # the portable (md5-60) kernel shares the same tokenize step —
+    # must also survive the NULL row end-to-end
+    pairs = dedup.minhash_dedup(df, "doc_id", "text", n=2, hash_family="md5")
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} <= {(1, 3)}
+
+
+def test_simhash_near_pairs_rejects_recall_losing_chunking(spark):
+    import pytest
+
+    df = _docs(spark, ["some words here", "other words there"])
+    fp = dedup.simhash(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="recall"):
+        dedup.simhash_near_pairs(fp, max_hamming=8, num_chunks=8).collect()
+    with pytest.raises(ValueError, match="64"):
+        dedup.simhash_near_pairs(fp, max_hamming=64)
+
+
+def test_chunking_skips_empty_documents(spark):
+    from asset_prices_parquet_saver_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = t.chunk_documents(df, "doc_id", "text", tokens_per_chunk=2).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # no phantom '' chunks
+    assert sorted(r["chunk_text"] for r in rows) == ["one two", "three"]

@@ -298,3 +298,42 @@ def test_compact_band_index_merges_append_files(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+
+
+def test_band_index_crash_window_recovery(spark):
+    """A compaction that dies between DROP TABLE and RENAME leaves the
+    only copy of the index in the _compacting staging table. Both
+    ensure_band_index and a rerun of compact_band_index must rename it
+    back into place — recreating an empty index there would silently
+    forget the whole dedup history."""
+    tbl = "sigband_test_crash"
+    staging = f"{tbl}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    try:
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in DOCS[:3]],
+            "doc_id long, text string",
+        )
+        inc.dedup_increment_bucketed(spark, df, tbl, threshold=0.5, bands=32, num_buckets=4)
+        rows = sorted(
+            (r["band"], r["bucket"], r["id"]) for r in spark.table(tbl).collect()
+        )
+        # simulate the crash window: staging holds the copy, main is gone
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {staging}")
+        inc.ensure_band_index(spark, tbl, num_buckets=4)
+        got = sorted(
+            (r["band"], r["bucket"], r["id"]) for r in spark.table(tbl).collect()
+        )
+        assert got == rows  # history intact, NOT an empty re-create
+        assert not spark.catalog.tableExists(staging)
+        # same recovery inside a rerun of the compactor itself
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {staging}")
+        inc.compact_band_index(spark, tbl, num_buckets=4)
+        got2 = sorted(
+            (r["band"], r["bucket"], r["id"]) for r in spark.table(tbl).collect()
+        )
+        assert got2 == rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")

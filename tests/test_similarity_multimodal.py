@@ -232,3 +232,34 @@ def test_blocked_kernels_invariant_to_block_count(spark, sf_dir):
         for r in sim.cosine_topk(emb, q, k=3, num_blocks=23).collect()
     }
     assert base == rebloc and len(base) > 0
+
+
+def test_sign_signatures_ignore_dims_past_64(spark):
+    """Dims >= 64 must be EXCLUDED, not folded onto reused bit weights
+    (the i % 32 packing would sum carries across bits and turn lo/hi
+    into arithmetic garbage): a 96-dim vector signs identically to its
+    64-dim prefix."""
+    from asset_prices_parquet_saver_spark.operators.similarity import sign_signatures
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    rows = [(1, base), (2, base + [1.0] * 32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {r["id"]: (r["lo"], r["hi"]) for r in sign_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_mmr_zero_norm_candidate_not_dropped(spark):
+    """A zero-norm candidate has no similarity rows (dropped by the
+    cosine kernel); it must still be rankable with penalty 0 — the old
+    inner join excluded it forever and truncated the result below k."""
+    from asset_prices_parquet_saver_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 1.0, [0.0, 0.0]),          # zero vector, top relevance
+        (2, 0.9, [1.0, 0.0]),
+        (3, 0.8, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, rel double, v array<float>")
+    out = mmr_rerank(df, k=3, lam=0.7)
+    assert out.count() == 3
+    assert [r["id"] for r in out.orderBy("mmr_rank").collect()][0] == 1

@@ -21,8 +21,12 @@ def zscore_per_group(
     """Grouped-map ``applyInPandas``: per-group z-score normalization
     (the canonical grouped-map example — one pandas frame per group,
     vectorized numpy math inside). Groups with a single row or zero
-    variance yield NULL."""
-    out_schema = f"{id_col} long, {group_col} string, z double"
+    variance yield NULL. The output schema carries the INPUT types of
+    the id/group columns (a hardcoded "long, string" only worked for
+    the one column-type combination the first caller used)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    grp_t = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, {group_col} {grp_t}, z double"
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col]
@@ -42,12 +46,22 @@ def weighted_mean_per_group(
     df: DataFrame, group_col: str, value_col: str, weight_col: str
 ) -> DataFrame:
     """Grouped-agg ``pandas_udf``: weighted mean per group — the
-    Arrow-batched aggregate path (series in, scalar out)."""
+    Arrow-batched aggregate path (series in, scalar out).
+
+    NULL discipline mirrors the SQL twin ``SUM(v*w)/SUM(w)`` exactly:
+    an all-NULL value group yields NULL (a bare skipna sum would turn
+    it into 0.0 — a wrong answer that LOOKS like a real mean), and a
+    NULL or zero weight total yields NULL (DuckDB double division by
+    zero is NULL, not inf)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def wmean(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+    def wmean(v: pd.Series, w: pd.Series) -> float | None:
+        num = (v * w).sum(min_count=1)
+        den = w.sum(min_count=1)
+        if pd.isna(num) or pd.isna(den) or den == 0:
+            return None
+        return float(num / den)
 
     return df.groupBy(group_col).agg(
         F.round(wmean(F.col(value_col), F.col(weight_col)), 6).alias("wmean")

@@ -9,6 +9,7 @@ from asset_prices_parquet_saver_spark.sources.prices import (
 from asset_prices_parquet_saver_spark.sources.status import (
     append_status,
     read_status,
+    write_status,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "write_prices",
     "append_status",
     "read_status",
+    "write_status",
 ]

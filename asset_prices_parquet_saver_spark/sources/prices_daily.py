@@ -80,8 +80,13 @@ def merge_ticks_incremental(
     by the day's last valid tick); a new (symbol, day) appears as a
     NULL-padded row whose timestamp is the tick's midnight.
     """
-    latest = latest_ticks_per_day(ticks).select(
-        "symbol", "day", F.col("price").alias("__new_adj_close")
+    # localCheckpoint: `latest` feeds BOTH the affected-day collect and
+    # the merge/write job — without materializing it the row_number
+    # window over the tick batch runs twice per 60-second epoch
+    latest = (
+        latest_ticks_per_day(ticks)
+        .select("symbol", "day", F.col("price").alias("__new_adj_close"))
+        .localCheckpoint()
     )
     # the affected-day list is tiny (days-per-batch), collect is cheap
     # and becomes the partition-pruning predicate
@@ -116,6 +121,11 @@ def merge_ticks_incremental(
             ],
         )
     else:
+        # KEEP IN SYNC with operators/merge.upsert_live_prices: this is
+        # the day-partitioned twin of the flat layout's coalesce-merge
+        # (differs only in the day-derived timestamp fallback); a
+        # semantics change to either must land in both or the two
+        # layouts silently diverge.
         joined = existing.alias("p").join(latest.alias("t"), ["symbol", "day"], "full_outer")
         merged = joined.select(
             F.col("symbol"),

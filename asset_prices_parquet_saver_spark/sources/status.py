@@ -18,10 +18,15 @@ from asset_prices_parquet_saver_spark.schema import SYMBOL_STATUS_SCHEMA
 
 
 def read_status(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return spark.read.schema(SYMBOL_STATUS_SCHEMA).parquet(path)
-    except Exception:  # first run: empty table
-        return spark.createDataFrame([], SYMBOL_STATUS_SCHEMA)
+    """Current status table; empty (typed) for a table that does not
+    exist yet. Backed by the manifest protocol, so a REAL store error
+    (permissions, corruption) propagates instead of being swallowed
+    into "no status rows" — a silently-empty read would disable every
+    blacklist and re-fetch known-bad symbols (the same forbidden
+    pattern prices_daily documents for its first-write detection)."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    return manifest.read_versioned(spark, path, schema=SYMBOL_STATUS_SCHEMA)
 
 
 def append_status(
@@ -29,7 +34,10 @@ def append_status(
 ) -> DataFrame:
     """Union new status rows in, dedupe to latest per (symbol, source,
     status) — the relational form of the reference's append-then-reload
-    set semantics (U3)."""
+    set semantics (U3). Returns the merged PLAN, which still lazily
+    reads ``path`` — never write it back to ``path`` directly (a
+    parquet self-overwrite loses the table); persist via
+    :func:`write_status`."""
     merged = (
         read_status(spark, path)
         .unionByName(rows.select([f.name for f in SYMBOL_STATUS_SCHEMA.fields]))
@@ -38,3 +46,14 @@ def append_status(
         .select("symbol", "source", "status", "updated_at")
     )
     return merged
+
+
+def write_status(spark: SparkSession, path: str, rows: DataFrame) -> int:
+    """Merge ``rows`` into the status table and persist atomically: the
+    manifest commit writes a NEW immutable segment while the merge plan
+    lazily reads the old one (no read-under-overwrite window, no
+    tmp+rename dance for callers to rediscover). Returns the committed
+    version."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    return manifest.commit_versioned(append_status(spark, path, rows), path)

@@ -34,6 +34,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_cols = _EVENT_TIME_COLUMNS.get(name, [])
     if ts_cols:
+        # Session-global BY DESIGN, and deliberately never unset: the
+        # conf must still hold when the LAZY plan executes (possibly
+        # long after this call), so restore-after-read is wrong. The
+        # side effect on foreign reads is benign here because this
+        # engine's own readers adapt either representation (the bigint
+        # branch below); a library embedding this module into a session
+        # with its own TIMESTAMP(NANOS) reads would need to scope it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in ts_cols:
@@ -56,8 +63,6 @@ def read_dataset(spark: SparkSession, path: str) -> DataFrame:
     (resolved through its committed snapshot — never scans orphan or
     in-flight segments) or a plain parquet directory/file. The CLI
     commands route through this so every tool works on both layouts."""
-    import os
-
     from asset_prices_parquet_saver_spark.sources import manifest
 
     if os.path.exists(os.path.join(path, manifest.MANIFEST)):

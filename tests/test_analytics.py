@@ -309,3 +309,38 @@ def test_funnel_empty_events_reports_zero_users(spark):
     out = an.funnel_counts(_ev(spark, []), ["a", "b"])
     got = {r["step_name"]: r["users"] for r in out.collect()}
     assert got == {"a": 0, "b": 0}
+
+
+def test_weighted_mean_null_groups_match_sql_semantics(spark):
+    """All-NULL value groups and zero/NULL weight totals must yield
+    NULL like SUM(v*w)/SUM(w) — a bare skipna sum returned 0.0, a wrong
+    answer that LOOKS like a real mean."""
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import (
+        weighted_mean_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("all_null", None, 1.0), ("all_null", None, 2.0),
+            ("zero_w", 5.0, 0.0), ("zero_w", 7.0, 0.0),
+            ("ok", 2.0, 1.0), ("ok", 4.0, 3.0),
+        ],
+        "g string, v double, w double",
+    )
+    got = {r["g"]: r["wmean"] for r in weighted_mean_per_group(df, "g", "v", "w").collect()}
+    assert got["all_null"] is None
+    assert got["zero_w"] is None
+    assert abs(got["ok"] - 3.5) < 1e-9  # (2*1 + 4*3) / 4
+
+
+def test_zscore_preserves_input_column_types(spark):
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import zscore_per_group
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 3.0), (3, 20, 5.0)],
+        "rid int, grp int, v double",
+    )
+    out = zscore_per_group(df, "grp", "v", "rid")
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["rid"] == "int" and types["grp"] == "int"
+    assert out.count() == 3

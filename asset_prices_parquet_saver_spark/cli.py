@@ -166,11 +166,20 @@ def _cmd_dedup(args) -> int:
     )
     survivors = survivors.localCheckpoint()
     new_rows = new_rows.localCheckpoint()
-    # corpus before index: dedup_increment is replay-deterministic
-    # (self-matches excluded), so a crash between the two commits is
-    # recovered by simply re-running the command
-    manifest.commit_append(survivors, args.output)
-    manifest.commit_append(new_rows, args.index)
+    # Crash recovery = re-run the command, made SAFE by a txn id (the
+    # same protocol as run_streaming_dedup's epochs): without it, a
+    # re-run after a crash between the two commits would recompute the
+    # identical survivors (the index still lacks this batch) and append
+    # them to the corpus a SECOND time. The epoch is the index version
+    # this batch was deduped against + 1 — strictly increasing across
+    # successful batches, identical on a re-run of the same batch, so
+    # the corpus append is skipped as already-applied and only the
+    # missing index append executes. Corpus commits before index: the
+    # reverse order could drop survivors (indexed but never appended).
+    epoch = (manifest.current_version(args.index) or 0) + 1
+    txn = ("cli-dedup", epoch)
+    manifest.commit_append(survivors, args.output, txn=txn)
+    manifest.commit_append(new_rows, args.index, txn=txn)
     n_out = survivors.count()
     print(f"accepted {n_out}/{n_in} documents ({n_in - n_out} near-duplicates dropped)")
     return 0
@@ -317,6 +326,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument(
         "--categories",
         nargs="+",
+        # argparse-enforced: an unvalidated typo ('lrge') would filter
+        # the universe to NOTHING and overwrite the output dataset with
+        # an empty one, exit code 0.
+        choices=["mega", "large", "mid", "small", "micro", "nano", "all"],
         help="market-cap buckets (mega/large/mid/small/micro/nano or 'all')",
     )
     i.add_argument(

@@ -13,9 +13,17 @@ from pyspark.sql import functions as F
 
 
 def latest_files(spark: SparkSession, path: str, n: int = 5) -> DataFrame:
-    """O3/S9: top-N parquet files under ``path`` by modification time."""
+    """O3/S9: top-N parquet files under ``path`` by modification time.
+
+    Routed through the manifest-aware reader: on a manifest table a
+    bare recursive scan would list files from the GC-retained previous
+    snapshot and from crashed writers' orphan segments — files that
+    are not part of the live table (an in-flight half-written segment
+    could even top the mtime list)."""
+    from asset_prices_parquet_saver_spark.sources.tables import read_dataset
+
     return (
-        spark.read.parquet(path)
+        read_dataset(spark, path)
         .select(
             F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.file_modification_time").alias("mtime"),

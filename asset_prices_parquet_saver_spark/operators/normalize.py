@@ -44,14 +44,12 @@ def normalize_bars(df: DataFrame, source: str) -> DataFrame:
         df = df.withColumnRenamed("close", "adj_close")
     df = df.drop("close", "adj close")
 
-    # P9/P10: uppercase symbols; Alpaca uses '-' where the canonical form
-    # uses '.' (BRK-B → BRK.B) and yfinance the reverse.
-    symbol = F.upper(F.col("symbol"))
-    if source == "alpaca":
-        symbol = F.translate(symbol, "-", ".")
-    elif source == "yfinance":
-        symbol = F.translate(symbol, "-", ".")  # store canonical '.' form
-    df = df.withColumn("symbol", symbol)
+    # P9/P10: uppercase symbols, then normalize '-' to the canonical
+    # '.' class-share form (BRK-B → BRK.B) for EVERY source — the
+    # per-source translations the reference applies are REQUEST-side
+    # (sources/fetchers.py spells '.' as '-' for yfinance, '-' as '.'
+    # for Alpaca); the stored form is uniformly dotted.
+    df = df.withColumn("symbol", F.translate(F.upper(F.col("symbol")), "-", "."))
 
     # P11/P13: timestamps floored to seconds, stored as UTC instants
     # (session tz is pinned to UTC by session.get_spark).

@@ -34,11 +34,18 @@ def salted_sum_count(
     For algebraic aggregates Spark's map-side combine already absorbs
     most skew; the explicit two-phase form matters when the reduce side
     itself is the hot spot (a single key holding a large fraction of
-    all rows, so even combined partials overwhelm one reducer)."""
+    all rows, so even combined partials overwhelm one reducer).
+
+    The decimal staging (order-independent exact sums; see
+    functions/numeric.py) uses scale 6, NOT 2: a 2-decimal cast would
+    ROUND sub-cent inputs (vwap-style values) before summing, silently
+    corrupting total/avg relative to the unsalted sum. Inputs with more
+    than 6 decimals are genuinely-float — route those through a plain
+    double sum and accept order-dependence, or widen the scale."""
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count(value_col).alias("n_p"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_p"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_p"),
     )
     return (
         partial.groupBy(*keys)
@@ -58,7 +65,11 @@ def two_phase_distinct_count(
     key includes the value, so cardinality spreads — then count rows
     per key. The standard skew-safe expansion of distinct-count."""
     return (
+        # drop NULL values first: COUNT(DISTINCT col) ignores NULLs,
+        # but a (keys, NULL) row would survive distinct() and count('*')
+        # would overcount every key holding at least one NULL by one
         df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
         .distinct()
         .groupBy(*keys)
         .agg(F.count("*").alias("n_distinct"))

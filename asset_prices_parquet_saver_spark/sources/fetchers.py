@@ -81,7 +81,13 @@ def fetch_alpaca_bars(
         cols = [f.name for f in RAW_BAR_SCHEMA.fields]
         for pdf in batches:
             for i in range(0, len(pdf), batch_size):
-                chunk = list(pdf.iloc[i : i + batch_size]["symbol"])
+                # Alpaca takes the canonical dotted class-share form
+                # (BRK.B); translate a dash form defensively — an
+                # untranslated BRK-B 400s the whole batch request.
+                chunk = [
+                    s.replace("-", ".")
+                    for s in pdf.iloc[i : i + batch_size]["symbol"]
+                ]
                 time.sleep(delay_between_batches)
                 bars = client.get_stock_bars(
                     StockBarsRequest(
@@ -114,7 +120,14 @@ def fetch_yfinance_bars(symbols: DataFrame, per_symbol_delay: float = 0.5) -> Da
         for pdf in batches:
             for _, row in pdf.iterrows():
                 time.sleep(per_symbol_delay)
-                h = yf.Ticker(row["symbol"]).history(period="max", auto_adjust=False)
+                # request-side '.' -> '-' (the reference's :459 rule):
+                # yfinance spells class shares BRK-B; the canonical
+                # dotted form returns an empty frame that the guard
+                # below would silently swallow. The OUTPUT keeps the
+                # canonical input symbol.
+                h = yf.Ticker(row["symbol"].replace(".", "-")).history(
+                    period="max", auto_adjust=False
+                )
                 if h.empty:
                     continue
                 out = h.reset_index().rename(
@@ -136,6 +149,9 @@ def fetch_yfinance_bars(symbols: DataFrame, per_symbol_delay: float = 0.5) -> Da
 
 def fetch_eodhd_symbols(exchanges: list[str] | None = None) -> DataFrame:
     """EODHD exchange symbol lists (download_historical_price.py:166-203;
-    default exchanges at :178)."""
-    _require("requests_unavailable_marker")  # fixture-only in this env
-    raise FetcherUnavailable("EODHD fetch requires network access")
+    default exchanges at :178). Network fetch is not available in this
+    environment — load symbol lists from Parquet fixtures instead."""
+    raise FetcherUnavailable(
+        "EODHD fetch requires network access; load symbol lists from "
+        "Parquet fixtures instead"
+    )

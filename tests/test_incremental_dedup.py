@@ -337,3 +337,30 @@ def test_band_index_crash_window_recovery(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+
+def test_cli_dedup_rerun_after_crash_does_not_double_append(spark, tmp_path):
+    """The CLI's documented crash recovery is 're-run the command'; the
+    txn protocol must make the corpus append idempotent — without it a
+    re-run after a crash between the corpus and index commits appends
+    the same survivors twice."""
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS[:3]], "doc_id long, text string"
+    )
+
+    def run_batch(commit_index: bool) -> None:
+        idx = manifest.read_versioned(spark, index, schema=inc.INDEX_SCHEMA)
+        survivors, new_rows = inc.dedup_increment(docs, idx, "doc_id", "text")
+        epoch = (manifest.current_version(index) or 0) + 1
+        txn = ("cli-dedup", epoch)
+        manifest.commit_append(survivors.localCheckpoint(), corpus, txn=txn)
+        if commit_index:
+            manifest.commit_append(new_rows.localCheckpoint(), index, txn=txn)
+
+    run_batch(commit_index=False)  # crash between the two commits
+    n_after_crash = manifest.read_versioned(spark, corpus).count()
+    run_batch(commit_index=True)   # the documented recovery: re-run
+    assert manifest.read_versioned(spark, corpus).count() == n_after_crash
+    assert manifest.read_versioned(spark, index).count() > 0

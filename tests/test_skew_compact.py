@@ -151,3 +151,21 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     files_after = len(glob.glob(f"{path}/source=*/*.parquet"))
     assert rows_after == rows_before
     assert files_after < files_before
+
+
+def test_two_phase_distinct_ignores_nulls_like_count_distinct(spark):
+    df = spark.createDataFrame(
+        [("k", 1), ("k", 2), ("k", None), ("k", None)], "g string, v int"
+    )
+    [r] = skew.two_phase_distinct_count(df, ["g"], "v").collect()
+    assert r["n_distinct"] == 2  # COUNT(DISTINCT v) semantics, not 3
+
+
+def test_salted_sum_preserves_subcent_precision(spark):
+    """decimal(18,2) staging rounded sub-cent inputs before summing;
+    scale 6 must keep them exact."""
+    df = spark.createDataFrame(
+        [("k", 0.0234), ("k", 0.0234), ("k", 1.0001)], "g string, v double"
+    )
+    [r] = skew.salted_sum_count(df, ["g"], "v").collect()
+    assert abs(r["total"] - 1.0469) < 1e-9

@@ -748,6 +748,11 @@ def minhash_dedup(
     gate query hash-checks the full pipeline instead of row counts).
     The banding/candidate join and the verification are the same code
     either way — only the signature kernel differs."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash banding: bands={bands} must divide num_hashes="
+            f"{num_hashes} (rows_per_band >= 1, no dropped signature rows)"
+        )
     rows_per_band = num_hashes // bands
     if hash_family == "md5":
         arrs = _portable_signature_arrays(

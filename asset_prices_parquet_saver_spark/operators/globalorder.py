@@ -126,9 +126,15 @@ def pack_by_budget(
     start-based so the assignment is a pure expression, exactly
     reproducible in a windowed-SUM SQL mirror."""
     d = with_global_cumsum(df, order, size_col, cum_col="__cum")
+    # floor((cum - size) / budget) rather than a SQL-string `div`:
+    # identical for the integral sizes the shard packer targets, but
+    # Column-based (no f-string breakage on names needing backticks)
+    # and well-defined for the fractional cumsums with_global_cumsum
+    # now preserves (IntegralDivide rejects double operands). Offsets
+    # are non-negative, so floor == integer division here.
     return d.withColumn(
         shard_col,
-        F.expr(f"(__cum - {size_col}) div {budget}").cast("long"),
+        F.floor((F.col("__cum") - F.col(size_col)) / F.lit(budget)).cast("long"),
     ).drop("__cum")
 
 

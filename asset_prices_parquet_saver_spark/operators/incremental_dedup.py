@@ -79,6 +79,16 @@ def dedup_increment(
     the accepted subset of ``new_docs`` (original columns) and their
     signature rows to append to the index. Pure transformation — the
     caller owns persistence (see :func:`run_incremental_dedup`)."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes makes rows_per_band 0: every doc would
+        # share every band bucket and candidate generation degenerates
+        # to the full O(n^2) cross product — silently. A non-divisor
+        # silently drops the trailing num_hashes % bands signature
+        # entries from banding. Both are configuration errors.
+        raise ValueError(
+            f"dedup_increment: bands={bands} must divide num_hashes="
+            f"{num_hashes} (rows_per_band = num_hashes // bands >= 1)"
+        )
     rows_per_band = num_hashes // bands
     new_sig = signature_frame(
         new_docs, id_col, text_col, n, num_hashes, hash_family
@@ -165,6 +175,12 @@ def run_incremental_dedup(
         bands=bands,
         hash_family=hash_family,
     )
+    # localCheckpoint BEFORE the commit: the index append evaluates the
+    # whole banding/join/verification pipeline (new_rows derives from
+    # survivors), and the caller's first action on the returned
+    # survivors would otherwise re-execute it all a second time — the
+    # streaming twin checkpoints both outputs for the same reason.
+    survivors = survivors.localCheckpoint()
     # append-log commit: O(batch) — only the new signature rows are
     # written; the manifest's segment list grows by one. Compact with
     # manifest.compact_versioned when small segments accumulate.
@@ -241,6 +257,11 @@ def dedup_increment_bucketed(
     recoverable: the band index is derivable, and a re-run only
     re-appends rows whose equal-id matches are excluded anyway."""
     ensure_band_index(spark, band_table, num_buckets)
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(rows_per_band = num_hashes // bands >= 1; see dedup_increment)"
+        )
     rows_per_band = num_hashes // bands
     new_sig = signature_frame(
         new_docs, id_col, text_col, n, num_hashes, hash_family

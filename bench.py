@@ -6,9 +6,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed as a count-collapsed action (materializes the
-full result without driver-side row transfer). A warmup query first
-amortizes JVM/codegen startup out of the per-query numbers.
+Each query is executed through the noop write sink (materializes every
+output column without sink I/O or driver-side row transfer — a bare
+count() would let Catalyst prune the computed columns of
+projection-only queries and time nothing but the scan). A warmup query
+first amortizes JVM/codegen startup out of the per-query numbers.
 
 Noise discipline: this host's throughput oscillates 5-10x between
 windows (VM migration churn), so each query is timed as the MEDIAN of
@@ -171,13 +173,26 @@ def _time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            # noop sink, NOT .count(): count() collapses to a row-count
+            # aggregate and Catalyst PRUNES every computed column, so a
+            # projection-only query body (string/date/regex work) would
+            # time nothing but the parquet scan. The noop write
+            # materializes every output column without sink I/O — the
+            # standard Spark benchmarking action.
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
             # one long run is a property of the query, not the host
             # weather — don't pay 3x for the tail entries
             if samples[-1] > 30.0:
                 break
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # median of the full sample set; if the time-box cut sampling
+        # short, the MIN — the upper-median of [fast, stalled] would
+        # record the VM-migration outlier the median discipline exists
+        # to reject
+        if len(samples) < runs:
+            timings[name] = round(min(samples), 3)
+        else:
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
     return timings
 
 

@@ -53,10 +53,15 @@ def comment_summaries() -> dict[str, str]:
 def first_sentence(doc: str | None) -> str:
     if not doc:
         return ""
-    text = " ".join(doc.split())
-    for stop in (". ", ".\n"):
-        if stop in text:
-            return text.split(stop)[0] + "."
+    import re
+
+    text = " ".join(doc.split())  # whitespace-normalized: ".\n" cannot occur
+    # sentence end = period + space NOT preceded by a common abbreviation
+    # (a bare ". " split truncated docstrings at "e.g."/"vs." into
+    # fragment summaries in the committed index)
+    m = re.search(r"(?<!\be\.g)(?<!\bi\.e)(?<!\bvs)(?<!\betc)(?<!\bcf)\. ", text)
+    if m:
+        return text[: m.start() + 1]
     return text[:160]
 
 

@@ -30,6 +30,10 @@ def canon(val) -> str:
     if isinstance(val, float):
         if val != val:
             return "NULL"
+        # NB: -0.0 deliberately canonicalizes to "-0" (as the driver's
+        # %.6g does) — if an engine pair ever disagrees on zero sign,
+        # this sim must FAIL like the driver would, not paper over it;
+        # normalize in the query (x + 0.0 flips -0.0 to 0.0) instead.
         return f"{val:.6g}"
     if isinstance(val, bool):
         return str(int(val))
@@ -65,10 +69,16 @@ def main() -> None:
         )
 
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"oracle_check: unknown query names {sorted(unknown)}")
     failures: list[str] = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
@@ -120,7 +130,9 @@ def main() -> None:
         else:
             print(f"OK    {name}: {len(srows)} rows hash-match")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass; failures: {failures or 'none'}")
+    skipped = len(qs) - ran
+    tail = f" ({skipped} skipped by filter)" if skipped else ""
+    print(f"\n{ran - len(failures)}/{ran} pass{tail}; failures: {failures or 'none'}")
     sys.exit(1 if failures else 0)
 
 

@@ -107,3 +107,28 @@ def test_global_cumsum_fractional_values(df):
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     want = {r["id"]: r["cum"] for r in d.withColumn("cum", F.sum("f").over(w)).collect()}
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_global_cumsum_property_random_doubles(spark):
+    """Randomized: the distributed prefix sum over fractional values
+    must match a straight-line Python running sum for every partition
+    count (the long-cast truncation bug was invisible to integer
+    fixtures)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0.25, 0.6, 1.5, -0.75, 2.0])) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("id").asc()]
+    running, want = 0.0, {}
+    for i, v in rows:
+        running += v
+        want[i] = running
+    for parts in (1, 3, 8):
+        got = {
+            r["id"]: r["cum"]
+            for r in globalorder.with_global_cumsum(
+                df, order, "v", num_partitions=parts
+            ).collect()
+        }
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in want), parts

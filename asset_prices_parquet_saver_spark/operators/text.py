@@ -227,30 +227,54 @@ def repetition_stats(
     grams, duplicates retained) and the top-n-gram fraction (share of
     all ``n_top``-grams taken by the single most frequent one). High
     values flag boilerplate/spam before training. Docs shorter than
-    ``n_dup`` words are excluded. Two doc-keyed map-side-combinable
-    aggregations; nothing global."""
+    ``n_dup`` words are excluded.
+
+    ONE corpus scan: both gram sizes explode together under a kind
+    tag, so the (id, kind, gram) count aggregate serves BOTH metrics —
+    the previous two-branch form scanned and exploded the corpus twice
+    and spent a distinct-aggregate expand on n_distinct, which here is
+    just the per-(id, kind) row count of the gram-count relation. The
+    second aggregate runs over gram-count rows (already reduced), and
+    the final per-doc fold is a conditional pivot — no join."""
     from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
 
-    tri = df.select(
+    t = F.col(text_col)
+    # spread to full parallelism BEFORE the interpreted shingle
+    # transforms: a small parquet scan arrives in 1-3 partitions, which
+    # would serialize the per-doc gram building on as many cores (the
+    # same rule as shingle_arrays' kernel)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tagged = df.repartition(par).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n_dup)).alias("g"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_shingles(t, n_dup),
+                    lambda g: F.struct(F.lit(0).alias("k"), g.alias("g")),
+                ),
+                F.transform(
+                    word_shingles(t, n_top),
+                    lambda g: F.struct(F.lit(1).alias("k"), g.alias("g")),
+                ),
+            )
+        ).alias("t"),
+    ).select("id", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+    counts = tagged.groupBy("id", "k", "g").agg(F.count("*").alias("c"))
+    per = counts.groupBy("id", "k").agg(
+        F.sum("c").alias("tot"),
+        F.count("*").alias("nd"),
+        F.max("c").alias("mx"),
     )
-    a_dup = tri.groupBy("id").agg(
-        F.count("*").cast("long").alias("n_ngrams"),
-        F.countDistinct("g").cast("long").alias("n_distinct"),
-    )
-    bi = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n_top)).alias("g"),
-    )
-    a_top = (
-        bi.groupBy("id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("id")
-        .agg(F.sum("c").alias("total"), F.max("c").cast("long").alias("top_count"))
+    folded = per.groupBy("id").agg(
+        F.max(F.when(F.col("k") == 0, F.col("tot"))).cast("long").alias("n_ngrams"),
+        F.max(F.when(F.col("k") == 0, F.col("nd"))).cast("long").alias("n_distinct"),
+        F.max(F.when(F.col("k") == 1, F.col("tot"))).alias("total"),
+        F.max(F.when(F.col("k") == 1, F.col("mx"))).cast("long").alias("top_count"),
     )
     return (
-        a_dup.join(a_top, "id")
+        # docs shorter than n_dup words have no kind-0 rows — excluded,
+        # matching the previous inner-join semantics
+        folded.filter(F.col("n_ngrams").isNotNull())
         .select(
             "id",
             "n_ngrams",

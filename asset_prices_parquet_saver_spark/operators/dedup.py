@@ -65,9 +65,14 @@ def word_shingles(text: Column, n: int) -> Column:
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation both the
-    exact-Jaccard and MinHash paths consume."""
+    exact-Jaccard and MinHash paths consume. Spread to full parallelism
+    first: the interpreted word_shingles transform otherwise runs in
+    the scan's 1-3 input partitions, serializing the dominant cost of
+    every consumer on as many cores (same rule as shingle_arrays)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
 

@@ -297,7 +297,12 @@ def top_ngrams(
     TakeOrdered top-k — no global sort materializes."""
     from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
 
-    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+    # spread first — the interpreted shingle transform serializes in
+    # the scan's 1-3 partitions otherwise (see shingle_table)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(par).select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    )
     return (
         grams.groupBy("ngram")
         .agg(F.count("*").cast("long").alias("n"))

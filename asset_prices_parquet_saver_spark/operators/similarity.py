@@ -532,6 +532,14 @@ def _with_buckets(
     import numpy as np
     import pandas as pd
 
+    # spread a low-partition scan to full parallelism before the kernel
+    # (a small parquet arrives in 1-3 partitions and would serialize
+    # the matmuls); inputs that already have enough partitions are
+    # left alone — no forced shuffle on big data
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+
     def gen(batches):
         planes = None
         weights = 1 << np.arange(num_planes, dtype="int64")

@@ -593,6 +593,9 @@ def unigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     second doc-keyed combinable aggregation joined to the (usually
     broadcast-small) term-count relation. Two passes over the token
     stream, nothing global."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # unserialize the interpreted words() HOF
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
@@ -635,6 +638,9 @@ def bigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     conditioning counts are two map-side-combinable shuffles; V is a
     1-row broadcast; the per-doc average is a doc-keyed combinable
     aggregation."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # unserialize the interpreted words() HOF
     toks = df.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= 2)

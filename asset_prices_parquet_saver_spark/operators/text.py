@@ -138,6 +138,9 @@ def tfidf_top_terms(
     small); the corpus size N is a 1-row broadcast. Top-k ranking
     windows per document, never globally.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # unserialize the interpreted words() HOF
     toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
     # one corpus scan: doclen / dfreq / ndocs all derive from the tf
     # aggregate, which is materialized once (without the barrier the

@@ -1353,3 +1353,76 @@ def ann_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "hamming", "rank")
     )
+
+
+def sign_signature_words(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Full-dimension sign signatures: EVERY dimension contributes a
+    bit — word j packs dims [32j, 32j+32) as ``array<long>`` of 32-bit
+    words (``ceil(dim/32)`` of them), closing :func:`sign_signatures`'s
+    documented first-64-dims-only limitation for real embedding widths
+    (768/1024/...). Packing stays in exact-double territory (2^i exact
+    for i ≤ 52, and each word sums 32 distinct powers < 2^32), entirely
+    JVM-side via nested higher-order functions — no explode, no
+    shuffle: the signature is a narrow map over the vector column.
+
+    Scale shape: 768 dims → 24 words = 96 bytes/vector, a ~32×
+    compression of float32[768]; the signature table is the only thing
+    the first-pass Hamming scan reads."""
+    v = to_double_array(vec_col)
+    n_words = F.ceil(F.size(v) / F.lit(32)).cast("int")
+    word_of = lambda j: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            (j * 32 + i + 1 <= F.size(v))
+            & (F.element_at(v, (j * 32 + i + 1).cast("int")) > 0),
+            F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.sequence(F.lit(0), n_words - 1), word_of
+        ).alias("words"),
+    )
+
+
+def ann_hamming_topk_words(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-signature ANN over FULL-dimension multi-word signatures:
+    Hamming distance = Σ_j popcount(xor(word_j, q_word_j)) via
+    ``zip_with`` + ``aggregate`` — still pure machine-word arithmetic
+    per pair (d/32 xor+popcounts), still 8·ceil(d/64) bytes scanned per
+    corpus vector. Same plan shape as :func:`ann_hamming_topk`: the
+    tiny query side broadcasts, per-query top-k over a k-bounded
+    window; deterministic, so the oracle replays it bit-for-bit."""
+    sigs = sign_signature_words(emb, id_col, vec_col)
+    q = sign_signature_words(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("words").alias("q_words")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("words"),
+            F.col("q_words"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    pairs = sigs.join(F.broadcast(q), sigs["id"] != q["query_id"]).select(
+        "query_id", F.col("id").alias(id_col), ham.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", id_col)
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "hamming", "rank")
+    )

@@ -5285,6 +5285,51 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_hamming_topk(e, queries, k=5)
 
 
+# --- Full-dimension multi-word sign-signature ANN: EVERY dimension
+# contributes a bit (ceil(dim/32) packed 32-bit words), closing the
+# 64-bit variant's first-64-dims-only limitation for real embedding
+# widths. The oracle replays the identical word packing and the
+# word-wise popcount-of-xor sum; at dim=64 the result set provably
+# equals ann_hamming_topk (asserted in tests), so the two queries
+# double as a cross-check of each other.
+@q(
+    "ann_hamming_words_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), comp AS (
+      SELECT vec_id, CAST(t.i AS INT) AS i,
+             CASE WHEN v[CAST(t.i + 1 AS INT)] > 0 THEN 1 ELSE 0 END AS b
+      FROM e, UNNEST(range(len(v))) t(i)
+    ), words AS (
+      SELECT vec_id, i // 32 AS w,
+             SUM(b * CAST(pow(2, i % 32) AS BIGINT)) AS word
+      FROM comp GROUP BY vec_id, i // 32
+    ), q AS (
+      SELECT vec_id AS query_id, w, word AS q_word FROM words
+      WHERE vec_id < 8
+    ), pairs AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(SUM(bit_count(xor(q.q_word, s.word))) AS BIGINT) AS hamming
+      FROM q JOIN words s ON s.w = q.w AND s.vec_id <> q.query_id
+      GROUP BY q.query_id, s.vec_id
+    )
+    SELECT query_id, vec_id, hamming, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= 5
+    """,
+)
+def ann_hamming_words_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: full-dimension binary-signature ANN — ceil(dim/32)-word sign
+    signatures, Hamming = Σ_j popcount(xor) via zip_with/aggregate;
+    the first-stage filter that stays 8·ceil(d/64) bytes/vector at any
+    embedding width (768/1024/...)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return sim_ops.ann_hamming_topk_words(e, queries, k=5)
+
+
 # --- Fixed-iteration weighted PageRank over the nation trade graph
 # (supplier nation → customer nation, lineitem count as edge weight):
 # the iterative-algorithm pattern, 3 unrolled iterations so a static
@@ -5881,11 +5926,15 @@ _GATE_ORDER = [
     "events_in_campaign_windows",
     "nation_trade_pagerank",
     "ann_hamming_topk",
+    # zero-evidence continuation addition: the full-dimension
+    # multi-word signature twin sits beside its 64-bit cross-check;
+    # moving_avg_3 (r1-green; rolling-frame family also covered by
+    # rolling_7d_volume and event_value_deltas) yields its slot.
+    "ann_hamming_words_topk",
     "product_profit_by_nation",
     "topk_orders_per_customer",
     "nation_market_share",
     "rank_functions",
-    "moving_avg_3",
     "cube_order_stats",
     "grouping_sets_order_stats",
     "except_nations",
@@ -5898,6 +5947,7 @@ _GATE_ORDER = [
     "region_revenue_concentration",
     "ann_hamming_rerank",
     # ---- gate-window boundary (position 50) ----
+    "moving_avg_3",
     "nation_trade_volume",
     "embedding_near_pairs",
     "null_handling",

@@ -151,6 +151,7 @@ HEADLINE = [
     "events_in_campaign_windows",
     "nation_trade_pagerank",
     "ann_hamming_topk",
+    "ann_hamming_words_topk",
     "interpolated_price_quantiles",
     "qty_price_correlation",
     "price_quantiles_cont_by_flag",

@@ -263,3 +263,73 @@ def test_mmr_zero_norm_candidate_not_dropped(spark):
     out = mmr_rerank(df, k=3, lam=0.7)
     assert out.count() == 3
     assert [r["id"] for r in out.orderBy("mmr_rank").collect()][0] == 1
+
+
+def test_sign_signature_words_covers_all_dims(spark):
+    """The multi-word variant must SIGN every dimension: a 96-dim
+    vector whose tail differs from another's must sign differently
+    (exactly where the 64-bit variant is documented to be blind), and
+    the word packing must match a numpy bit-pack reference at a
+    non-multiple-of-32 width."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.similarity import (
+        sign_signature_words,
+    )
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    rows = [(1, base + [1.0] * 36), (2, base + [-1.0] * 36)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {r["id"]: list(r["words"]) for r in sign_signature_words(df).collect()}
+    assert sigs[1] != sigs[2]
+    assert len(sigs[1]) == 4  # ceil(100 / 32)
+
+    v = np.asarray(rows[0][1], dtype="float64")
+    expect = []
+    for w in range(4):
+        word = 0
+        for i in range(32):
+            d = w * 32 + i
+            if d < len(v) and v[d] > 0:
+                word += 1 << i
+        expect.append(word)
+    assert sigs[1] == expect
+
+
+def test_ann_hamming_words_matches_brute_force_and_64bit_twin(spark):
+    """Full-dim Hamming top-k vs a numpy brute force at dim=100, and
+    result-set equality with the lo/hi variant at dim=64 (where both
+    definitions coincide)."""
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.similarity import (
+        ann_hamming_topk,
+        ann_hamming_topk_words,
+    )
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((40, 100))
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(len(V))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 3")
+    out = ann_hamming_topk_words(emb, queries, k=5).collect()
+
+    bits = V > 0
+    for qid in range(3):
+        ref = sorted(
+            (int(np.count_nonzero(bits[qid] != bits[j])), j)
+            for j in range(len(V))
+            if j != qid
+        )[:5]
+        got = sorted(
+            (r.hamming, r.vec_id) for r in out if r.query_id == qid
+        )
+        assert got == ref
+
+    V64 = V[:, :64]
+    rows64 = [(int(i), [float(x) for x in V64[i]]) for i in range(len(V64))]
+    emb64 = spark.createDataFrame(rows64, "vec_id long, embedding array<double>")
+    q64 = emb64.filter("vec_id < 3")
+    a = sorted(map(tuple, ann_hamming_topk(emb64, q64, k=5).collect()))
+    b = sorted(map(tuple, ann_hamming_topk_words(emb64, q64, k=5).collect()))
+    assert a == b

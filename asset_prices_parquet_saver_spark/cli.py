@@ -170,14 +170,15 @@ def _cmd_dedup(args) -> int:
     # same protocol as run_streaming_dedup's epochs): without it, a
     # re-run after a crash between the two commits would recompute the
     # identical survivors (the index still lacks this batch) and append
-    # them to the corpus a SECOND time. The epoch is the index version
-    # this batch was deduped against + 1 — strictly increasing across
-    # successful batches, identical on a re-run of the same batch, so
-    # the corpus append is skipped as already-applied and only the
-    # missing index append executes. Corpus commits before index: the
-    # reverse order could drop survivors (indexed but never appended).
-    epoch = (manifest.current_version(args.index) or 0) + 1
-    txn = ("cli-dedup", epoch)
+    # them to the corpus a SECOND time. The txn identity is CONTENT-
+    # addressed (batch_txn: an order-independent fingerprint of the
+    # batch's id+text rows), so BOTH replay scenarios no-op — a re-run
+    # inside the crash window (corpus landed, index didn't: the corpus
+    # append skips, the index append executes) AND a re-run of the same
+    # batch after full success (both skip; an index-version epoch would
+    # have advanced and re-appended here). Corpus commits before index:
+    # the reverse order could drop survivors (indexed, never appended).
+    txn = inc.batch_txn(docs, args.id_col, args.text_col)
     manifest.commit_append(survivors, args.output, txn=txn)
     manifest.commit_append(new_rows, args.index, txn=txn)
     n_out = survivors.count()

@@ -468,3 +468,193 @@ def gap_fill_daily(
         .withColumn("is_gap", F.col("close").isNull())
         .select(key_col, "day", "close_filled", "is_gap")
     )
+
+
+def _daily_closes(
+    ticks: DataFrame, key_col: str, ts_col: str, price_col: str, id_col: str
+) -> DataFrame:
+    """(key, day, close): the last price of each (key, day) via the same
+    combinable (ts, id, price) struct-max as ohlc_bars — one keyed
+    shuffle of per-bar partials, never a rank window over raw ticks."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
+    return (
+        ticks.select(
+            F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col)
+        )
+        .groupBy(key_col, "day")
+        .agg(F.max(sel).getField("p").alias("close"))
+    )
+
+
+def bollinger_bands(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 5,
+    width: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands over the daily-close series per key: an
+    N-day rolling mean ± width·(sample stddev), emitted only for days
+    with a full window. The canonical technical-indicator read of the
+    reference's daily-bar store (semantics per Bollinger's published
+    definition; the reference persists the bars these consume).
+
+    Scale/portability: the rolling frame is a per-key ROWS window over
+    the bar-sized rollup (entity-keyed, never a global sort), and the
+    moments are exact-decimal sums (close carries ≤2 decimals) so the
+    variance assembles from order-independent values — the stddev is
+    then one identical double expression on both engines. The mean (a
+    decimal quotient that can land on a dyadic midpoint) rounds via the
+    staged decimal path; the band edges involve sqrt (irrational) where
+    plain 6-decimal rounding is safe.
+    """
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    cd = F.col("close").cast("decimal(18,2)")
+    s = F.sum(cd).over(w).cast("double")
+    ssq = F.sum(cd * cd).over(w).cast("double")
+    cnt = F.count("close").over(w)
+    n = F.lit(float(window))
+    ma = F.col("_s") / n
+    # sample variance from exact moments; cancellation can dip a hair
+    # below zero — clamp (identical arithmetic → identical clamp on
+    # both engines)
+    var = F.greatest((F.col("_ssq") - F.col("_s") * F.col("_s") / n) / (n - 1), F.lit(0.0))
+    sd = F.sqrt(var)
+    return (
+        closes.select(
+            F.col(key_col), F.col("day"), F.col("close"),
+            s.alias("_s"), ssq.alias("_ssq"), cnt.alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == window)
+        .select(
+            F.col(key_col),
+            F.col("day"),
+            F.col("close"),
+            round6_portable(ma).alias("ma"),
+            F.round(ma + width * sd, 6).alias("upper_band"),
+            F.round(ma - width * sd, 6).alias("lower_band"),
+        )
+    )
+
+
+def rsi(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 14,
+) -> DataFrame:
+    """Relative Strength Index (simple-moving-average variant) over the
+    daily-close series per key: RSI = 100·ΣG/(ΣG+ΣL) over the last N
+    close-to-close moves — algebraically 100 − 100/(1+RS) with
+    RS = avg gain / avg loss, but assembled as ONE division of two
+    exact-decimal sums so the value is bit-identical across engines
+    before the staged 6-decimal rounding. Wilder's recursive smoothing
+    is deliberately not used: it serializes the whole history per key,
+    while the SMA variant is a ROWS window over the bar rollup. A flat
+    window (ΣG+ΣL = 0) has no defined RSI → NULL; all-gain windows
+    yield exactly 100."""
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    wlag = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    cd = F.col("close").cast("decimal(18,2)")
+    diff = (cd - F.lag(cd).over(wlag)).alias("_diff")
+    moves = closes.select(F.col(key_col), F.col("day"), diff).filter(
+        F.col("_diff").isNotNull()
+    )
+    wroll = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    gains = F.sum(F.greatest(F.col("_diff"), zero)).over(wroll).cast("double")
+    losses = F.sum(F.greatest(-F.col("_diff"), zero)).over(wroll).cast("double")
+    cnt = F.count("_diff").over(wroll)
+    return (
+        moves.select(
+            F.col(key_col), F.col("day"),
+            gains.alias("_g"), losses.alias("_l"), cnt.alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == window)
+        .select(
+            F.col(key_col),
+            F.col("day"),
+            F.when(
+                F.col("_g") + F.col("_l") > 0,
+                round6_portable(F.lit(100.0) * F.col("_g") / (F.col("_g") + F.col("_l"))),
+            ).alias("rsi"),
+        )
+    )
+
+
+def beta_vs_market(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    min_days: int = 2,
+) -> DataFrame:
+    """CAPM beta per key against the equal-weight market: slope of the
+    key's daily returns on the cross-sectional mean return,
+    cov(r_k, r_m)/var(r_m), assembled from exact-decimal moments in one
+    combinable pass (the qty_price_correlation construction — no
+    centering scan, no double-sum order sensitivity).
+
+    Plan shape at 100 TB: returns come from the bar-sized daily rollup
+    (keyed shuffle + per-key lag); the market series is one tiny
+    per-day aggregate (|days| rows) that BROADCASTS back onto the
+    returns; the moments are map-side-combinable per key. Returns are
+    staged to DECIMAL(18,6) (an identical half-away cast on both
+    engines) so every sum is exact; the final slope is one double
+    expression of identical operands. Keys with fewer than ``min_days``
+    returns or zero market variance emit NULL beta.
+    """
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    wlag = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    prev = F.lag("close").over(wlag)
+    rets = (
+        closes.select(
+            F.col(key_col),
+            F.col("day"),
+            F.when(prev != 0, (F.col("close") / prev - 1)).alias("_r"),
+        )
+        .filter(F.col("_r").isNotNull())
+        # the staging cast IS the cross-engine contract: double →
+        # DECIMAL rounds half-away-from-zero on the same exact binary
+        # value in both engines (see round6_portable)
+        .withColumn("_r", F.col("_r").cast("decimal(18,6)"))
+    )
+    market = rets.groupBy("day").agg(
+        (F.sum("_r").cast("double") / F.count("_r")).alias("_m")
+    )
+    market = market.withColumn("_m", F.col("_m").cast("decimal(18,6)"))
+    j = rets.join(F.broadcast(market), "day")
+    x, y = F.col("_r"), F.col("_m")
+    s = j.groupBy(key_col).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, syy = F.col("sxy"), F.col("syy")
+    denom = n * syy - sy * sy
+    return s.select(
+        F.col(key_col),
+        n.cast("long").alias("n_days"),
+        F.when(
+            (n >= min_days) & (denom > 0),
+            F.round((n * sxy - sx * sy) / denom, 6),
+        ).alias("beta"),
+    )

@@ -40,6 +40,7 @@ from asset_prices_parquet_saver_spark.operators.dedup import (
     banded_keys,
     shingle_arrays,
 )
+from asset_prices_parquet_saver_spark.functions.portable_hash import md5_int60
 from asset_prices_parquet_saver_spark.sources import manifest
 
 #: signature-index schema (see minhash_dedup's arrs frame)
@@ -139,6 +140,37 @@ def dedup_increment(
         survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     )
     return survivors, new_rows
+
+
+def batch_txn(docs: DataFrame, id_col: str, text_col: str) -> tuple[str, int]:
+    """Content-addressed txn identity for one dedup batch.
+
+    The CLI's crash recovery is "re-run the command". A monotone epoch
+    (index version + 1) makes the crash-window replay idempotent, but a
+    re-run of the SAME batch after a fully successful run picks a NEW
+    epoch (the index advanced) and re-appends the survivors. Keying the
+    txn by the batch's *content* instead closes that gap: the app-id is
+    a 60-bit order-independent fingerprint of the (id, text) rows — sum
+    of the portable md5-60 per-row hashes plus the row count, mod 2^60
+    — so an identical batch always maps to the same txn record and both
+    commits no-op, while any differing batch gets a fresh app-id.
+
+    Costs one extra pass over the batch (an md5 per row + a map-side-
+    combinable sum — O(batch), no shuffle of the corpus). Trade-off: the
+    manifest txn map gains one entry per unique batch ever ingested;
+    acceptable for CLI-cadence batches, and a true duplicate batch
+    (identical ids AND texts) being skipped is the desired idempotent-
+    ingest behavior.
+    """
+    fp_col = md5_int60(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.col(text_col))
+    )
+    row = docs.agg(
+        F.sum(fp_col.cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    fp = (int(row["s"] or 0) + int(row["n"])) % (1 << 60)
+    return (f"cli-dedup:{fp:015x}", 1)
 
 
 def run_incremental_dedup(

@@ -4789,6 +4789,139 @@ def daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.daily_returns(e)
 
 
+#: shared oracle CTE: last tick of each (user, day) = the daily close
+_CLOSES_CTE = """
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ), c AS (
+      SELECT user_id, day, MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM w GROUP BY user_id, day
+    )"""
+
+
+@q(
+    "bollinger_bands",
+    _CLOSES_CTE
+    + """
+    , m AS (
+      SELECT user_id, day, close,
+             CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s,
+             CAST(SUM(CAST(close AS DECIMAL(18,2))
+                      * CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS ssq,
+             COUNT(close) OVER win AS cnt
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, close,
+           CAST(CAST(s / 5.0 AS DECIMAL(38,6)) AS DOUBLE) AS ma,
+           round(s / 5.0 + 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)), 6)
+             AS upper_band,
+           round(s / 5.0 - 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)), 6)
+             AS lower_band
+    FROM m WHERE cnt = 5
+    """,
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (5-day, ±2σ) per key over the daily closes the
+    reference's bar store persists — rolling mean/stddev from exact-
+    decimal window moments (order-independent sums; the stddev is one
+    identical double expression on both engines). Entity-keyed ROWS
+    window over the bar rollup; never a global sort."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.bollinger_bands(e, window=5, width=2.0)
+
+
+@q(
+    "rsi_indicator",
+    _CLOSES_CTE
+    + """
+    , d AS (
+      SELECT user_id, day,
+             CAST(close AS DECIMAL(18,2)) - LAG(CAST(close AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY day) AS diff
+      FROM c
+    ), mv AS (
+      SELECT * FROM d WHERE diff IS NOT NULL
+    ), r AS (
+      SELECT user_id, day,
+             CAST(SUM(greatest(diff, CAST(0 AS DECIMAL(18,2)))) OVER win AS DOUBLE) AS g,
+             CAST(SUM(greatest(-diff, CAST(0 AS DECIMAL(18,2)))) OVER win AS DOUBLE) AS l,
+             COUNT(diff) OVER win AS cnt
+      FROM mv
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day,
+           CASE WHEN g + l > 0
+                THEN CAST(CAST(100.0 * g / (g + l) AS DECIMAL(38,6)) AS DOUBLE)
+           END AS rsi
+    FROM r WHERE cnt = 14
+    """,
+)
+def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (SMA variant) per key: 100·ΣG/(ΣG+ΣL) over exact-
+    decimal close-to-close moves — one division of order-independent
+    sums, staged-decimal rounded. Wilder's recursive smoothing is
+    deliberately avoided (it serializes each key's full history); the
+    SMA variant is a ROWS window over the daily-bar rollup."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.rsi(e, window=14)
+
+
+@q(
+    "beta_vs_market",
+    _CLOSES_CTE
+    + """
+    , r0 AS (
+      SELECT user_id, day,
+             CASE WHEN LAG(close) OVER pk <> 0
+                  THEN close / LAG(close) OVER pk - 1 END AS rr
+      FROM c
+      WINDOW pk AS (PARTITION BY user_id ORDER BY day)
+    ), rr AS (
+      SELECT user_id, day, CAST(rr AS DECIMAL(18,6)) AS r
+      FROM r0 WHERE rr IS NOT NULL
+    ), m AS (
+      SELECT day, CAST(CAST(SUM(r) AS DOUBLE) / COUNT(r) AS DECIMAL(18,6)) AS mk
+      FROM rr GROUP BY day
+    ), j AS (
+      SELECT rr.user_id, rr.r, m.mk FROM rr JOIN m USING (day)
+    ), s AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(r) AS DOUBLE) AS sx,
+             CAST(SUM(mk) AS DOUBLE) AS sy,
+             CAST(SUM(r * mk) AS DOUBLE) AS sxy,
+             CAST(SUM(mk * mk) AS DOUBLE) AS syy
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 2 AND (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy) / (n * syy - sy * sy), 6)
+           END AS beta
+    FROM s
+    """,
+)
+def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta per key vs the equal-weight market return: slope from
+    exact-decimal moments in one combinable pass (the
+    qty_price_correlation construction). The per-day market series is
+    a tiny aggregate BROADCAST back onto the returns — at 100 TB the
+    join moves |days| rows, not the tick stream."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.beta_vs_market(e)
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""

@@ -140,6 +140,9 @@ HEADLINE = [
     "duplicate_rate_by_source",
     "daily_event_digest",
     "daily_returns",
+    "bollinger_bands",
+    "rsi_indicator",
+    "beta_vs_market",
     "scd2_user_segments",
     "disjunctive_revenue",
     "suppliers_kept_waiting",

@@ -344,3 +344,74 @@ def test_zscore_preserves_input_column_types(spark):
     types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     assert types["rid"] == "int" and types["grp"] == "int"
     assert out.count() == 3
+
+
+def _day(d: int) -> dt.datetime:
+    return dt.datetime(2024, 1, d, 12, 0)
+
+
+def test_bollinger_bands_known_series(spark):
+    # one tick per day => close == value; closes 1..6 over 6 days
+    rows = [(d, _day(d), 1, "x", float(d)) for d in range(1, 7)]
+    out = {r["day"].day: r for r in an.bollinger_bands(_ev(spark, rows)).collect()}
+    # full 5-row windows exist only for days 5 and 6
+    assert sorted(out) == [5, 6]
+    b5 = out[5]  # closes 1..5: mean 3, sample sd = sqrt(2.5)
+    sd = 2.5 ** 0.5
+    assert b5["ma"] == 3.0
+    assert b5["upper_band"] == round(3 + 2 * sd, 6)
+    assert b5["lower_band"] == round(3 - 2 * sd, 6)
+    assert out[6]["ma"] == 4.0
+
+
+def test_rsi_known_gains_losses(spark):
+    # 15 closes => 14 diffs: 8 gains of +1 then 6 losses of -1
+    closes = [10.0]
+    for i in range(8):
+        closes.append(closes[-1] + 1)
+    for i in range(6):
+        closes.append(closes[-1] - 1)
+    rows = [(d + 1, _day(d + 1), 1, "x", c) for d, c in enumerate(closes)]
+    out = an.rsi(_ev(spark, rows)).collect()
+    assert len(out) == 1  # only one full 14-move window
+    assert out[0]["rsi"] == round(100 * 8 / 14, 6)
+    # strictly-rising series: RSI pegs at exactly 100
+    rows_up = [(d, _day(d), 2, "x", 10.0 + d) for d in range(1, 16)]
+    up = an.rsi(_ev(spark, rows_up)).collect()
+    assert [r["rsi"] for r in up] == [100.0]
+    # flat series: no gains, no losses -> RSI undefined (NULL)
+    rows_flat = [(d, _day(d), 3, "x", 10.0) for d in range(1, 16)]
+    flat = an.rsi(_ev(spark, rows_flat)).collect()
+    assert [r["rsi"] for r in flat] == [None]
+
+
+def test_beta_vs_market_known_slopes(spark):
+    rows = [
+        # A: +10% both days (constant return => zero covariance => beta 0)
+        (1, _day(1), 1, "x", 100.0),
+        (2, _day(2), 1, "x", 110.0),
+        (3, _day(3), 1, "x", 121.0),
+        # B: -10% then +10% (moves 2x the market) => beta 2
+        (4, _day(1), 2, "x", 100.0),
+        (5, _day(2), 2, "x", 90.0),
+        (6, _day(3), 2, "x", 99.0),
+        # C: single return, on days where no one else trades => below
+        # min_days => NULL beta (and no effect on A/B's market mean)
+        (7, _day(10), 3, "x", 50.0),
+        (8, _day(11), 3, "x", 55.0),
+    ]
+    out = {r["user_id"]: r for r in an.beta_vs_market(_ev(spark, rows)).collect()}
+    assert out[1]["beta"] == 0.0
+    assert out[2]["beta"] == 2.0
+    assert out[3]["beta"] is None and out[3]["n_days"] == 1
+
+
+def test_beta_market_side_broadcasts(spark, sf_dir):
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    plan = an.beta_vs_market(e)._jdf.queryExecution().executedPlan().toString()
+    # the |days|-row market series must broadcast back onto the
+    # returns — a shuffled join here would move the tick-derived
+    # return table twice at 100 TB
+    assert "BroadcastHashJoin" in plan

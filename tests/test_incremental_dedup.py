@@ -4,7 +4,7 @@ reference, and the index must grow by append-log commits."""
 
 import os
 
-from pyspark.sql import Row
+from pyspark.sql import DataFrame, Row
 
 from asset_prices_parquet_saver_spark.operators import incremental_dedup as inc
 from asset_prices_parquet_saver_spark.sources import manifest
@@ -350,17 +350,37 @@ def test_cli_dedup_rerun_after_crash_does_not_double_append(spark, tmp_path):
         [Row(doc_id=i, text=t) for i, t in DOCS[:3]], "doc_id long, text string"
     )
 
-    def run_batch(commit_index: bool) -> None:
+    def run_batch(batch: DataFrame, commit_index: bool) -> None:
         idx = manifest.read_versioned(spark, index, schema=inc.INDEX_SCHEMA)
-        survivors, new_rows = inc.dedup_increment(docs, idx, "doc_id", "text")
-        epoch = (manifest.current_version(index) or 0) + 1
-        txn = ("cli-dedup", epoch)
+        survivors, new_rows = inc.dedup_increment(batch, idx, "doc_id", "text")
+        txn = inc.batch_txn(batch, "doc_id", "text")  # the CLI's derivation
         manifest.commit_append(survivors.localCheckpoint(), corpus, txn=txn)
         if commit_index:
             manifest.commit_append(new_rows.localCheckpoint(), index, txn=txn)
 
-    run_batch(commit_index=False)  # crash between the two commits
+    run_batch(docs, commit_index=False)  # crash between the two commits
     n_after_crash = manifest.read_versioned(spark, corpus).count()
-    run_batch(commit_index=True)   # the documented recovery: re-run
+    run_batch(docs, commit_index=True)   # the documented recovery: re-run
     assert manifest.read_versioned(spark, corpus).count() == n_after_crash
     assert manifest.read_versioned(spark, index).count() > 0
+    n_index = manifest.read_versioned(spark, index).count()
+
+    # re-run of the SAME batch after FULL success: with the old
+    # index-version epoch this re-appended (the version had advanced);
+    # the content-addressed txn must no-op both commits
+    run_batch(docs, commit_index=True)
+    assert manifest.read_versioned(spark, corpus).count() == n_after_crash
+    assert manifest.read_versioned(spark, index).count() == n_index
+
+    # a genuinely different batch still applies (fresh content → fresh
+    # txn app-id), including a changed text under a reused id
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=100, text="an entirely new never seen document xyzzy")],
+        "doc_id long, text string",
+    )
+    run_batch(docs2, commit_index=True)
+    assert manifest.read_versioned(spark, corpus).count() == n_after_crash + 1
+    assert (
+        inc.batch_txn(docs, "doc_id", "text")
+        != inc.batch_txn(docs2, "doc_id", "text")
+    )

@@ -6070,9 +6070,12 @@ _GATE_ORDER = [
     "rank_functions",
     "cube_order_stats",
     "grouping_sets_order_stats",
-    "except_nations",
-    "intersect_nations",
-    "conditional_agg",
+    # the round-5-continuation indicator family enters with ZERO driver
+    # evidence (policy: zero-evidence promotions outrank stale-refresh)
+    # — paid for by demoting three r1-evidence set-op/agg singletons
+    "bollinger_bands",
+    "rsi_indicator",
+    "beta_vs_market",
     "dedup_exact_first_events",
     "interpolated_price_quantiles",
     "qty_price_correlation",
@@ -6080,6 +6083,9 @@ _GATE_ORDER = [
     "region_revenue_concentration",
     "ann_hamming_rerank",
     # ---- gate-window boundary (position 50) ----
+    "except_nations",
+    "intersect_nations",
+    "conditional_agg",
     "moving_avg_3",
     "nation_trade_volume",
     "embedding_near_pairs",

@@ -658,3 +658,60 @@ def beta_vs_market(
             F.round((n * sxy - sx * sy) / denom, 6),
         ).alias("beta"),
     )
+
+
+def ewma_closes(
+    ticks: DataFrame,
+    alpha: float = 0.2,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the daily closes:
+    e_0 = c_0, e_t = α·c_t + (1−α)·e_{t−1} — the EXACT recursive form
+    (what ta-lib/pandas ewm(adjust=False) computes), not a truncated-
+    window approximation.
+
+    A linear recurrence cannot be a SQL window (each value depends on
+    the previous OUTPUT), so this is the honest Spark shape for
+    per-entity sequential state: one keyed shuffle to the daily-bar
+    rollup, then an Arrow-batched applyInPandas kernel that loops each
+    key's bar series in order. Per-key state is calendar-bounded (a
+    few thousand daily bars per entity even over decades), so the
+    kernel is embarrassingly parallel across keys and no task ever
+    holds more than one entity's history — this scales to any number
+    of keys, which is the axis that grows at 100 TB.
+
+    Cross-engine determinism: the kernel runs the recurrence in IEEE
+    double with a fixed operand order (α·c + (1.0−α)·e, subtraction
+    spelled out), which any engine replaying the same order reproduces
+    bit-for-bit — the oracle is a recursive CTE stepping the identical
+    expression. Output rounds via the staged decimal path.
+    """
+    import pandas as pd
+
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    out_schema = f"{key_col} long, day date, close double, ewma double"
+    a = float(alpha)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        closes_np = pdf["close"].to_numpy(dtype="float64")
+        out = closes_np.copy()
+        e = 0.0
+        for i, c in enumerate(closes_np):
+            # fixed operand order — mirrored literally by the oracle's
+            # recursive CTE so every intermediate double is identical
+            e = c if i == 0 else a * c + (1.0 - a) * e
+            out[i] = e
+        pdf["ewma"] = out
+        return pdf[[key_col, "day", "close", "ewma"]]
+
+    res = closes.groupBy(key_col).applyInPandas(kernel, out_schema)
+    return res.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("close"),
+        round6_portable(F.col("ewma")).alias("ewma"),
+    )

@@ -34,6 +34,9 @@ PROBES = [
     "events_in_campaign_windows",  # interval explode + bucket join
     "interpolated_price_quantiles",  # global-order boundary interpolation
     "min_cost_supplier_per_part",  # double-equality min ties across partitions
+    # round-5-continuation indicator family
+    "bollinger_bands",        # exact-decimal window moments
+    "beta_vs_market",         # staged-decimal returns + broadcast market join
 ]
 
 

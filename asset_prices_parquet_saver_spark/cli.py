@@ -179,6 +179,10 @@ def _cmd_dedup(args) -> int:
     # have advanced and re-appended here). Corpus commits before index:
     # the reverse order could drop survivors (indexed, never appended).
     txn = inc.batch_txn(docs, args.id_col, args.text_col)
+    # always print the content-addressed txn id: a replayed (or hash-
+    # colliding) batch makes both commits silently no-op, so the skip
+    # must at least be observable/grep-able against the manifest txn map
+    print(f"txn {txn[0]} epoch {txn[1]}")
     manifest.commit_append(survivors, args.output, txn=txn)
     manifest.commit_append(new_rows, args.index, txn=txn)
     n_out = survivors.count()

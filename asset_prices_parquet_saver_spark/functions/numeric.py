@@ -56,24 +56,44 @@ def round6(col: Column | str) -> Column:
 
 
 def round6_portable(col: Column | str) -> Column:
-    """6-decimal rounding with a GUARANTEED cross-engine midpoint rule:
-    stage through DECIMAL(38,6) and back to double.
+    """6-decimal rounding built ONLY from exactly-specified IEEE-754
+    operations: ``floor(x * 1e6 + 0.5) / 1e6`` (round-half-up at the
+    6th decimal).
 
-    ``F.round`` (Spark: HALF_UP on the exact double) and DuckDB's
-    ``round`` (multiply-then-half-away) can disagree when the double's
-    exact decimal expansion terminates in 5 at the 7th digit — possible
-    for coarse dyadic values like 1/2^7 = 0.0078125, i.e. exactly the
-    quotients of low-scale decimal inputs. Both engines convert
-    double→DECIMAL(38,6) by rounding the SAME exact binary value
-    half-away-from-zero (verified: 0.0078125 → 0.007813 on both), and
-    decimal→double is IEEE nearest on both, so the staged form is
-    bit-identical across engines — no reliance on the hash harness's
-    %.6g float canonicalization. Use for quotients/differences of
-    decimal-scale inputs; plain :func:`round6` remains fine for
-    irrational statistics (stddev, corr, cosine) which cannot land on
-    a dyadic midpoint.
+    Why not engine ``round()``: Spark HALF_UP and DuckDB
+    multiply-then-half-away disagree when the double's exact decimal
+    expansion terminates in 5 at the 7th digit — possible for coarse
+    dyadic values like 1/2^7 = 0.0078125, i.e. exactly the quotients of
+    low-scale decimal inputs. Why not staging through DECIMAL(38,6)
+    (the previous contract): double→decimal conversion is ENGINE
+    LIBRARY CODE whose midpoint behavior changed between DuckDB builds
+    — CORRECTNESS_r05 `daily_returns` went red against a driver DuckDB
+    whose (38,6) cast rounded the same midpoint differently than the
+    local build the contract was verified on.
 
-    SQL mirror: ``CAST(CAST(x AS DECIMAL(38,6)) AS DOUBLE)``.
+    This form has no engine discretion anywhere: `*` and `+` are IEEE
+    correctly-rounded, `floor` is exact, and the final division of an
+    integer-valued double by 1000000.0 is IEEE correctly-rounded — any
+    two IEEE-754 engines produce the identical bit pattern. Domain:
+    |x| < 9e12 (Spark's floor yields LONG); every call site is a
+    ratio/return/percentage far below that.
+
+    SQL mirror: :func:`round6_sql` → ``FLOOR(x * 1000000.0 + 0.5) /
+    1000000.0``. Use for quotients/differences of decimal-scale
+    inputs; plain :func:`round6` remains fine for irrational
+    statistics (stddev, corr, cosine) which cannot land on a dyadic
+    midpoint.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(38,6)").cast("double")
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+
+
+def round6_sql(expr: str) -> str:
+    """Oracle-SQL mirror of :func:`round6_portable` — the literally
+    identical IEEE expression (DuckDB FLOOR(double) returns an
+    integer-valued double; dividing it by 1000000.0 is the same
+    correctly-rounded operation Spark performs on the LONG→DOUBLE
+    promoted floor result)."""
+    return f"FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0"

@@ -328,12 +328,11 @@ def daily_returns(
         F.col("day"),
         F.col("close"),
         prev.alias("prev_close"),
-        # round6_portable (decimal-staged) rather than F.round: closes
-        # carry ≤2 decimals, so the return quotient CAN land on a coarse
-        # dyadic .xxxxxx5 midpoint where Spark round and DuckDB round
-        # disagree; the shared double→DECIMAL(38,6) conversion makes
-        # the result bit-identical across engines with no reliance on
-        # the hash harness's %.6g canonicalization.
+        # round6_portable (IEEE floor construction) rather than
+        # F.round: closes carry ≤2 decimals, so the return quotient CAN
+        # land on a coarse dyadic .xxxxxx5 midpoint where Spark round
+        # and DuckDB round disagree — and the previous DECIMAL(38,6)
+        # staging proved build-dependent (CORRECTNESS_r05 red row).
         F.when(prev != 0, round6_portable(F.col("close") / prev - 1)).alias("ret"),
     )
 
@@ -539,8 +538,15 @@ def bollinger_bands(
             F.col("day"),
             F.col("close"),
             round6_portable(ma).alias("ma"),
-            F.round(ma + width * sd, 6).alias("upper_band"),
-            F.round(ma - width * sd, 6).alias("lower_band"),
+            # round6_portable on the bands too (not plain round): when a
+            # key's window is flat the clamped variance is exactly 0, sd
+            # is exactly 0.0, and the band COLLAPSES TO ma — the decimal
+            # quotient whose midpoint the staged path exists for. The
+            # sqrt term costs nothing under the IEEE-floor construction
+            # (sqrt is correctly rounded, so the operand is identical on
+            # both engines either way).
+            round6_portable(ma + width * sd).alias("upper_band"),
+            round6_portable(ma - width * sd).alias("lower_band"),
         )
     )
 
@@ -614,8 +620,9 @@ def beta_vs_market(
     (keyed shuffle + per-key lag); the market series is one tiny
     per-day aggregate (|days| rows) that BROADCASTS back onto the
     returns; the moments are map-side-combinable per key. Returns are
-    staged to DECIMAL(18,6) (an identical half-away cast on both
-    engines) so every sum is exact; the final slope is one double
+    rounded via the IEEE-floor contract then staged to DECIMAL(18,6)
+    (unambiguous, the rounded value sits ~1e-16 from a 6-decimal
+    point) so every sum is exact; the final slope is one double
     expression of identical operands. Keys with fewer than ``min_days``
     returns or zero market variance emit NULL beta.
     """
@@ -629,15 +636,20 @@ def beta_vs_market(
             F.when(prev != 0, (F.col("close") / prev - 1)).alias("_r"),
         )
         .filter(F.col("_r").isNotNull())
-        # the staging cast IS the cross-engine contract: double →
-        # DECIMAL rounds half-away-from-zero on the same exact binary
-        # value in both engines (see round6_portable)
-        .withColumn("_r", F.col("_r").cast("decimal(18,6)"))
+        # round via the IEEE-floor contract FIRST, then stage to exact
+        # decimal: the rounded double sits ~1e-16 from a 6-decimal
+        # value, so the double→DECIMAL(18,6) conversion is unambiguous
+        # on any engine (a raw-quotient cast would re-expose the
+        # engine-library midpoint divergence that broke daily_returns
+        # in CORRECTNESS_r05).
+        .withColumn("_r", round6_portable(F.col("_r")).cast("decimal(18,6)"))
     )
     market = rets.groupBy("day").agg(
         (F.sum("_r").cast("double") / F.count("_r")).alias("_m")
     )
-    market = market.withColumn("_m", F.col("_m").cast("decimal(18,6)"))
+    market = market.withColumn(
+        "_m", round6_portable(F.col("_m")).cast("decimal(18,6)")
+    )
     j = rets.join(F.broadcast(market), "day")
     x, y = F.col("_r"), F.col("_m")
     s = j.groupBy(key_col).agg(
@@ -655,7 +667,11 @@ def beta_vs_market(
         n.cast("long").alias("n_days"),
         F.when(
             (n >= min_days) & (denom > 0),
-            F.round((n * sxy - sx * sy) / denom, 6),
+            # round6_portable, not F.round: beta is a pure rational
+            # quotient of decimal-staged sums (no irrational term), the
+            # exact class that can land on a dyadic .xxxxxx5 midpoint
+            # where engine round() rules diverge.
+            round6_portable((n * sxy - sx * sy) / denom),
         ).alias("beta"),
     )
 
@@ -690,10 +706,26 @@ def ewma_closes(
     expression. Output rounds via the staged decimal path.
     """
     import pandas as pd
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
 
     closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
-    out_schema = f"{key_col} long, day date, close double, ewma double"
+    # key type comes from the INPUT schema — hardcoding long corrupts
+    # or breaks any string/int keyed caller
+    out_schema = StructType(
+        [
+            StructField(key_col, closes.schema[key_col].dataType),
+            StructField("day", DateType()),
+            StructField("close", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
     a = float(alpha)
+    b = 1.0 - a  # precomputed so kernel and oracle share the literal
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
@@ -703,7 +735,7 @@ def ewma_closes(
         for i, c in enumerate(closes_np):
             # fixed operand order — mirrored literally by the oracle's
             # recursive CTE so every intermediate double is identical
-            e = c if i == 0 else a * c + (1.0 - a) * e
+            e = c if i == 0 else a * c + b * e
             out[i] = e
         pdf["ewma"] = out
         return pdf[[key_col, "day", "close", "ewma"]]

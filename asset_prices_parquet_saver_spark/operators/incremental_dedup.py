@@ -155,22 +155,48 @@ def batch_txn(docs: DataFrame, id_col: str, text_col: str) -> tuple[str, int]:
     — so an identical batch always maps to the same txn record and both
     commits no-op, while any differing batch gets a fresh app-id.
 
-    Costs one extra pass over the batch (an md5 per row + a map-side-
-    combinable sum — O(batch), no shuffle of the corpus). Trade-off: the
-    manifest txn map gains one entry per unique batch ever ingested;
-    acceptable for CLI-cadence batches, and a true duplicate batch
-    (identical ids AND texts) being skipped is the desired idempotent-
-    ingest behavior.
+    Collision hardening: the per-row hash makes NULL text EXPLICIT
+    (coalesce to "" plus a null-flag lane — bare concat_ws drops NULLs,
+    so a NULL-text row would fingerprint identically to its bare id),
+    and the combiner folds TWO independent order-invariant lanes — Σh
+    and Σ(h² mod 2^60) — plus the row count. A multiset of rows that
+    collides on the sum lane (trivial to hit by swapping rows between
+    batches) must simultaneously collide on the second-moment lane,
+    which requires a genuine 60-bit second preimage. An accidental
+    collision silently no-ops a whole batch (the worst ingest failure),
+    so the id is also worth logging at the call site — the CLI prints
+    it per run.
+
+    Costs one extra pass over the batch (an md5 per row + map-side-
+    combinable sums — O(batch), no shuffle of the corpus). Trade-off:
+    the manifest txn map gains one entry per unique batch ever
+    ingested; acceptable for CLI-cadence batches, and a true duplicate
+    batch (identical ids AND texts) being skipped is the desired
+    idempotent-ingest behavior.
     """
     fp_col = md5_int60(
-        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.col(text_col))
+        F.concat_ws(
+            "\x1f",
+            F.col(id_col).cast("string"),
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.col(text_col).isNull().cast("int").cast("string"),
+        )
     )
+    # h² mod 2^60 in overflow-free LONG arithmetic: split h = hi·2^30
+    # + lo (hi, lo < 2^30); h² ≡ ((2·hi·lo) mod 2^30)·2^30 + lo²
+    # (mod 2^60), every intermediate < 2^61.
+    hi = F.shiftright(fp_col, 30)
+    lo = fp_col.bitwiseAND(F.lit((1 << 30) - 1))
+    sq = ((hi * lo * 2) % F.lit(1 << 30)) * F.lit(1 << 30) + lo * lo
     row = docs.agg(
         F.sum(fp_col.cast("decimal(38,0)")).alias("s"),
+        F.sum(sq.cast("decimal(38,0)")).alias("s2"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    fp = (int(row["s"] or 0) + int(row["n"])) % (1 << 60)
-    return (f"cli-dedup:{fp:015x}", 1)
+    n = int(row["n"])
+    fp = (int(row["s"] or 0) + n) % (1 << 60)
+    fp2 = (int(row["s2"] or 0) + n) % (1 << 60)
+    return (f"cli-dedup:{fp:015x}{fp2:015x}", 1)
 
 
 def run_incremental_dedup(

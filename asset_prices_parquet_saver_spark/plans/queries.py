@@ -3462,10 +3462,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM acts GROUP BY cohort_week, week_offset
     )
     SELECT cohort_week, week_offset, users,
-           CAST(CAST(CAST(users AS DOUBLE)
-                     / MAX(CASE WHEN week_offset = 0 THEN users END)
-                       OVER (PARTITION BY cohort_week)
-                AS DECIMAL(38,6)) AS DOUBLE) AS retention
+           FLOOR(CAST(users AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN users END)
+                   OVER (PARTITION BY cohort_week)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention
     FROM grid
     """,
 )
@@ -3918,8 +3918,8 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, day,
-           CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
-                 / CAST(SUM(dt) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS twap,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS twap,
            CAST(SUM(dt) AS BIGINT) AS span_micros,
            CAST(COUNT(*) AS BIGINT) AS n_intervals
     FROM t WHERE dt IS NOT NULL
@@ -4770,9 +4770,9 @@ def daily_event_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, day, close,
            LAG(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close,
            CASE WHEN LAG(close) OVER (PARTITION BY user_id ORDER BY day) <> 0
-                THEN CAST(CAST(close / LAG(close) OVER (
-                       PARTITION BY user_id ORDER BY day) - 1
-                     AS DECIMAL(38,6)) AS DOUBLE)
+                THEN FLOOR((close / LAG(close) OVER (
+                       PARTITION BY user_id ORDER BY day) - 1)
+                     * 1000000.0 + 0.5) / 1000000.0
            END AS ret
     FROM c
     """,
@@ -4818,11 +4818,11 @@ _CLOSES_CTE = """
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, day, close,
-           CAST(CAST(s / 5.0 AS DECIMAL(38,6)) AS DOUBLE) AS ma,
-           round(s / 5.0 + 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)), 6)
-             AS upper_band,
-           round(s / 5.0 - 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)), 6)
-             AS lower_band
+           FLOOR(s / 5.0 * 1000000.0 + 0.5) / 1000000.0 AS ma,
+           FLOOR((s / 5.0 + 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS upper_band,
+           FLOOR((s / 5.0 - 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lower_band
     FROM m WHERE cnt = 5
     """,
 )
@@ -4860,7 +4860,7 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, day,
            CASE WHEN g + l > 0
-                THEN CAST(CAST(100.0 * g / (g + l) AS DECIMAL(38,6)) AS DOUBLE)
+                THEN FLOOR(100.0 * g / (g + l) * 1000000.0 + 0.5) / 1000000.0
            END AS rsi
     FROM r WHERE cnt = 14
     """,
@@ -4888,10 +4888,14 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
       WINDOW pk AS (PARTITION BY user_id ORDER BY day)
     ), rr AS (
-      SELECT user_id, day, CAST(rr AS DECIMAL(18,6)) AS r
+      SELECT user_id, day,
+             CAST(FLOOR(rr * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6)) AS r
       FROM r0 WHERE rr IS NOT NULL
     ), m AS (
-      SELECT day, CAST(CAST(SUM(r) AS DOUBLE) / COUNT(r) AS DECIMAL(18,6)) AS mk
+      SELECT day,
+             CAST(FLOOR(CAST(SUM(r) AS DOUBLE) / COUNT(r) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6)) AS mk
       FROM rr GROUP BY day
     ), j AS (
       SELECT rr.user_id, rr.r, m.mk FROM rr JOIN m USING (day)
@@ -4905,7 +4909,8 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_days,
            CASE WHEN n >= 2 AND (n * syy - sy * sy) > 0
-                THEN round((n * sxy - sx * sy) / (n * syy - sy * sy), 6)
+                THEN FLOOR((n * sxy - sx * sy) / (n * syy - sy * sy)
+                           * 1000000.0 + 0.5) / 1000000.0
            END AS beta
     FROM s
     """,
@@ -4920,6 +4925,44 @@ def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return an_ops.beta_vs_market(e)
+
+
+@q(
+    "ewma_closes",
+    _CLOSES_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , nseq AS (
+      SELECT user_id, day, close,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM c
+    ), ew AS (
+      SELECT user_id, day, close, close AS ewma, rn FROM nseq WHERE rn = 1
+      UNION ALL
+      SELECT nseq.user_id, nseq.day, nseq.close,
+             CAST(0.2 AS DOUBLE) * nseq.close
+               + CAST(0.8 AS DOUBLE) * ew.ewma,
+             nseq.rn
+      FROM nseq JOIN ew ON nseq.user_id = ew.user_id AND nseq.rn = ew.rn + 1
+    )
+    SELECT user_id, day, close,
+           FLOOR(ewma * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM ew
+    """,
+)
+def ewma_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over the daily closes — the exact recursive form
+    (pandas ewm(adjust=False)), e_t = α·c_t + (1−α)·e_{t−1}. A linear
+    recurrence can't be a SQL window (each value depends on the prior
+    OUTPUT), so the engine side is an Arrow-batched applyInPandas
+    kernel over the per-key bar rollup (keyed shuffle; state bounded
+    by one entity's calendar) while the oracle replays the IDENTICAL
+    IEEE operand order (0.2·c + 0.8·e, 1.0−0.2 == 0.8 bitwise) in a
+    recursive CTE — every intermediate double matches bit-for-bit,
+    then both sides round via the IEEE-floor contract."""
+    e = read_table(spark, sf_dir, "events")
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    return an_ops.ewma_closes(e, alpha=0.2)
 
 
 def _weighted_sample_oracle() -> str:

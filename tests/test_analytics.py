@@ -415,3 +415,45 @@ def test_beta_market_side_broadcasts(spark, sf_dir):
     # returns — a shuffled join here would move the tick-derived
     # return table twice at 100 TB
     assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    """ewma_closes must reproduce pandas ewm(adjust=False).mean() over
+    each key's daily-close series (one close per day here, so the
+    rollup is the identity)."""
+    import pandas as pd
+
+    rows = []
+    prices = {1: [10.0, 12.0, 11.0, 15.0, 14.5], 2: [100.0, 90.0, 95.0]}
+    eid = 0
+    for uid, ps in prices.items():
+        for d, p in enumerate(ps):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1 + d, 12), uid, "x", p))
+    out = an.ewma_closes(_ev(spark, rows), alpha=0.2)
+    got = {
+        (r["user_id"], r["day"].day): r["ewma"] for r in out.collect()
+    }
+    for uid, ps in prices.items():
+        exp = pd.Series(ps).ewm(alpha=0.2, adjust=False).mean()
+        for d, e in enumerate(exp):
+            assert abs(got[(uid, 1 + d)] - round(e, 6)) < 1e-9, (uid, d)
+
+
+def test_ewma_respects_key_column_type(spark):
+    """The applyInPandas out-schema derives the key field's type from
+    the input — a string-keyed frame must round-trip, not corrupt."""
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), "AAPL", "x", 10.0),
+            (2, dt.datetime(2024, 1, 2), "AAPL", "x", 20.0),
+            (3, dt.datetime(2024, 1, 1), "MSFT", "x", 5.0),
+        ],
+        "event_id long, ts timestamp, sym string, event_type string, value double",
+    )
+    out = an.ewma_closes(df, alpha=0.2, key_col="sym")
+    assert dict(out.dtypes)["sym"] == "string"
+    got = {(r["sym"], r["day"].day): r["ewma"] for r in out.collect()}
+    assert got[("AAPL", 1)] == 10.0
+    assert abs(got[("AAPL", 2)] - 12.0) < 1e-9  # 0.2*20 + 0.8*10
+    assert got[("MSFT", 1)] == 5.0

@@ -384,3 +384,34 @@ def test_cli_dedup_rerun_after_crash_does_not_double_append(spark, tmp_path):
         inc.batch_txn(docs, "doc_id", "text")
         != inc.batch_txn(docs2, "doc_id", "text")
     )
+
+
+def test_batch_txn_null_text_distinct_from_empty_and_id_only(spark):
+    """concat_ws silently drops NULLs, so without an explicit null-flag
+    lane a (id, NULL) row fingerprints like the bare id string — and a
+    colliding fingerprint silently no-ops a whole batch. NULL, empty,
+    and absent-text batches must all produce distinct txn ids."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t_null = inc.batch_txn(mk([(1, None)]), "doc_id", "text")
+    t_empty = inc.batch_txn(mk([(1, "")]), "doc_id", "text")
+    t_text = inc.batch_txn(mk([(1, "x")]), "doc_id", "text")
+    assert len({t_null[0], t_empty[0], t_text[0]}) == 3
+
+
+def test_batch_txn_order_invariant_but_multiset_sensitive(spark):
+    """The fingerprint must ignore row ORDER (Spark partial-agg order is
+    nondeterministic) while the two-lane combiner (Σh, Σh²) separates
+    multisets that a single additive lane could conflate."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    assert (
+        inc.batch_txn(mk(a), "doc_id", "text")
+        == inc.batch_txn(mk(list(reversed(a))), "doc_id", "text")
+    )
+    # duplicated row vs distinct rows with the same count
+    t_dup = inc.batch_txn(mk([(1, "alpha"), (1, "alpha")]), "doc_id", "text")
+    t_two = inc.batch_txn(mk([(1, "alpha"), (2, "beta")]), "doc_id", "text")
+    assert t_dup[0] != t_two[0]
+    # the second-moment lane is present and independent: id carries
+    # both 15-hex-digit lanes
+    assert len(t_dup[0]) == len("cli-dedup:") + 30

@@ -84,3 +84,63 @@ def test_hypothesis_python_vs_duckdb_agree():
         assert got == ph.py_md5_int60(s)
 
     check()
+
+
+class TestRound6Portable:
+    """The 6-decimal rounding contract (numeric.round6_portable /
+    round6_sql) must produce identical values on Spark and DuckDB for
+    the adversarial class that broke CORRECTNESS_r05's daily_returns:
+    quotients of low-scale decimals that land exactly on a dyadic
+    .xxxxxx5 midpoint, where engine round()/decimal-cast midpoint
+    rules have diverged between builds. The IEEE-floor construction
+    (floor(x*1e6 + 0.5)/1e6) uses only exactly-specified IEEE-754
+    operations, so any two conforming engines must agree bit-for-bit."""
+
+    # exact dyadic midpoints (1/2^7, 3/2^8, ...), near-midpoints from
+    # both sides, negatives, zero, and plain values
+    CASES = [
+        0.0078125, -0.0078125, 0.01171875, 3.0078125, -2.0046875,
+        0.0000005, -0.0000005, 0.0000004999999, 0.0000015,
+        0.1234565, -0.1234565, 0.123456789, -98.7654321,
+        0.0, 1.0, -1.0, 100.0, 0.5, 1e-7, -1e-7,
+    ]
+
+    def test_spark_vs_duckdb_bitwise(self, spark):
+        from asset_prices_parquet_saver_spark.functions.numeric import (
+            round6_portable,
+            round6_sql,
+        )
+
+        df = spark.createDataFrame([(x,) for x in self.CASES], "x double")
+        got_spark = {
+            r["x"]: r["y"]
+            for r in df.select("x", round6_portable("x").alias("y")).collect()
+        }
+        con = duckdb.connect()
+        for x in self.CASES:
+            got_duck = con.execute(
+                f"SELECT {round6_sql('x')} FROM (SELECT CAST(? AS DOUBLE) AS x)",
+                [x],
+            ).fetchone()[0]
+            assert got_spark[x].hex() == got_duck.hex(), (
+                x, got_spark[x], got_duck
+            )
+
+    def test_half_up_semantics(self, spark):
+        """Pin the documented tie rule: midpoints round half-UP (toward
+        +inf) — 0.0000005 -> 1e-6, -0.0000005 -> -0.0 -> 0.0 — and
+        no -0.0 ever escapes (the gate's %.6g canon distinguishes it)."""
+        from asset_prices_parquet_saver_spark.functions.numeric import (
+            round6_portable,
+        )
+
+        df = spark.createDataFrame(
+            [(0.0000005,), (-0.0000005,), (0.0078125,)], "x double"
+        )
+        out = {
+            r["x"]: r["y"]
+            for r in df.select("x", round6_portable("x").alias("y")).collect()
+        }
+        assert out[0.0000005] == 1e-06
+        assert out[-0.0000005] == 0.0 and str(out[-0.0000005]) == "0.0"
+        assert out[0.0078125] == 0.007813

@@ -43,6 +43,12 @@ from asset_prices_parquet_saver_spark.operators.dedup import (
 from asset_prices_parquet_saver_spark.functions.portable_hash import md5_int60
 from asset_prices_parquet_saver_spark.sources import manifest
 
+#: fault-injection seam (tests only): runs between the staging rewrite
+#: and the pre-publish drift check of :func:`compact_band_index`, i.e.
+#: inside the window where a concurrent append would historically have
+#: been lost.
+_test_pre_publish_hook = None
+
 #: signature-index schema (see minhash_dedup's arrs frame)
 INDEX_SCHEMA = "id long, arr array<long>, n_sh int, sig array<long>"
 
@@ -393,13 +399,23 @@ def compact_band_index(
     emits a single file for it. Repartitioning on the raw key columns
     is NOT equivalent: the write-side task layout doesn't preserve the
     shuffle's partition-per-bucket mapping, and each task then spills
-    one file per bucket it happens to hold. The swap is a metastore
-    DROP + RENAME — same single-writer assumption the append path
-    already documents; on an Iceberg / Delta catalog this whole
+    one file per bucket it happens to hold.
+
+    Multi-writer safety: the swap is a metastore DROP + RENAME, and a
+    batch APPENDED to the index during the rewrite would be silently
+    dropped from the folded table — the lost-update the manifest CAS
+    exists for. So the compactor records the table's file listing at
+    read time and re-verifies it immediately before the DROP: drift
+    raises :class:`~..sources.manifest.CommitConflict`, the staging
+    table is discarded, and the live index (WITH the concurrent
+    append) is untouched — compaction is best-effort maintenance, the
+    caller just re-runs. On an Iceberg / Delta catalog this whole
     function is a rewrite-data-files action with a snapshot commit
-    instead.
+    and a zero-width window instead.
 
     Returns ``(files_before, files_after)``."""
+    from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
+
     staging = f"{table}_compacting"
     # Recover a crashed predecessor FIRST: if the index is gone but the
     # staging table exists, the previous compaction died between DROP
@@ -410,7 +426,8 @@ def compact_band_index(
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     cur = spark.table(table)
-    files_before = len(cur.inputFiles())
+    expect = sorted(cur.inputFiles())
+    files_before = len(expect)
     bucket_id = F.pmod(F.hash("band", "bucket"), F.lit(num_buckets))
     (
         cur.repartition(num_buckets, bucket_id)
@@ -419,6 +436,18 @@ def compact_band_index(
         .mode("overwrite")
         .saveAsTable(staging)
     )
+    if _test_pre_publish_hook is not None:
+        _test_pre_publish_hook()
+    # refresh first: the catalog caches the relation's file index, and
+    # a stale listing here would false-pass the drift check
+    spark.catalog.refreshTable(table)
+    if sorted(spark.table(table).inputFiles()) != expect:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        raise CommitConflict(
+            f"{table}: index files changed during compaction — a "
+            "concurrent append landed; the rewrite was discarded "
+            "(re-run to compact the new state)"
+        )
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     return files_before, len(spark.table(table).inputFiles())

@@ -170,6 +170,55 @@ def scd2_apply(
     return untouched.unionByName(rebuilt)
 
 
+def scd2_apply_with_log(
+    dim: DataFrame,
+    log: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Opt-in EXACT variant of :func:`scd2_apply`: retain the raw
+    observation log beside the version table so arbitrarily late data
+    rebuilds exactly.
+
+    :func:`scd2_apply` folds version rows back into changelog form,
+    which keeps each version's opener and last confirmation but loses
+    INTERIOR collapsed repeats — so a late observation landing between
+    a version's opener and an interior repeat can date the re-opened
+    version from the retained confirmation instead of the true repeat
+    (documented there; found by hypothesis). Retaining the log closes
+    that gap: affected keys rebuild from the full observation history,
+    so the result EQUALS the one-shot full-log build for ANY batch
+    order (property-asserted in tests/test_scd_properties.py).
+
+    Returns ``(new_dim, new_log)``. The log grows by O(batch) per
+    apply (exact replays collapse via distinct); persist it beside the
+    dimension with ``manifest.commit_append`` — an O(batch) segment per
+    apply — and the dimension with ``commit_versioned``. Storage is the
+    honest price of exact late-data replay; the default
+    :func:`scd2_apply` remains the cheap mode for event-time-ordered
+    (watermarked) feeds, which it already rebuilds exactly.
+
+    Scale shape: identical to :func:`scd2_apply` — only keys present
+    in the batch are touched (semi/anti split), the rebuild window
+    shuffles once on the key, and the log union/dedup is keyed on the
+    same columns.
+    """
+    cols = [key_col, ts_col, tiebreak_col, *attr_cols]
+    new_log = (
+        log.select(*cols).unionByName(batch.select(*cols)).distinct()
+    )
+    keys = batch.select(key_col).distinct()
+    untouched = dim.join(keys, key_col, "left_anti")
+    affected_log = new_log.join(keys, key_col, "left_semi")
+    rebuilt = scd2_from_changelog(
+        affected_log, key_col, ts_col, attr_cols, tiebreak_col
+    )
+    return untouched.unionByName(rebuilt), new_log
+
+
 def scd2_asof_lookup(
     facts: DataFrame,
     dim: DataFrame,

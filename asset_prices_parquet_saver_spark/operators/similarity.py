@@ -1290,27 +1290,22 @@ def ann_ivf_topk_from_index(
 def sign_signatures(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """64-dim → one 64-bit sign signature per vector, stored as two
-    32-bit halves (lo/hi BIGINTs): bit i = 1 iff v[i] > 0. Packing via
-    b·2^i with pow staged through exact doubles (2^i exact for i ≤ 52)
-    instead of shifts — identical arithmetic on every engine, and no
-    signed-overflow edge at bit 63. 8 bytes/vector = a 32× compression
-    of float32[64]; at 100 TB the signature table is the only thing a
-    first-pass scan touches.
-
-    Only the FIRST 64 dimensions are signed (the signature is 64 bits
-    by definition): dimensions past 64 are excluded explicitly — the
-    ``i % 32`` word-packing would otherwise FOLD them onto already-used
-    bit weights and the sum would carry across bits, turning lo/hi into
-    arithmetic garbage rather than bitmasks, with no error anywhere."""
-    comp = emb.select(
-        F.col(id_col).alias("id"), F.posexplode(to_double_array(vec_col)).alias("i", "x")
-    ).filter(F.col("i") < 64)
-    bit = F.when(F.col("x") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-    word = F.pow(F.lit(2.0), (F.col("i") % 32).cast("double")).cast("long")
-    return comp.groupBy("id").agg(
-        F.sum(F.when(F.col("i") < 32, bit * word).otherwise(F.lit(0))).alias("lo"),
-        F.sum(F.when(F.col("i") >= 32, bit * word).otherwise(F.lit(0))).alias("hi"),
+    """64-bit sign signature per vector as two 32-bit halves (lo/hi
+    BIGINTs) — a PROJECTION of the single full-dimension packing
+    kernel (:func:`sign_signature_words`): lo/hi are words 0 and 1.
+    One kernel to keep correct; this view exists for the two-machine-
+    word Hamming fast path and its oracle cross-check. Truncation to
+    the first 64 dims is inherent to a 64-bit signature, not a kernel
+    limitation — the words variant signs every dimension. Vectors
+    shorter than 33 dims get hi = 0 (no second word). As a narrow map
+    over the vector column this also drops the old explode+groupBy
+    shuffle: signatures now cost zero exchanges."""
+    w = sign_signature_words(emb, id_col, vec_col)
+    zero = F.lit(0).cast("long")
+    return w.select(
+        "id",
+        F.coalesce(F.element_at("words", 1), zero).alias("lo"),
+        F.coalesce(F.element_at("words", 2), zero).alias("hi"),
     )
 
 

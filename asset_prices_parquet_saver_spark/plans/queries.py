@@ -1837,6 +1837,50 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "approx_user_stats_bound",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
+           TRUE AS hll_within_3sigma,
+           TRUE AS median_within_rank_band
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_user_stats_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-certifiable companion to the rows-only approx_user_stats:
+    the sketch VALUES are engine-internal, but their ERROR BOUNDS are
+    not. This query computes both the sketch and the exact statistic in
+    Spark and emits the bound checks as booleans; the oracle pins the
+    exact distinct count and expects TRUE — so a driver hash match
+    certifies that HLL landed within 3σ of exact (default rsd = 0.05 →
+    15%) and that the 10k-accuracy quantile sketch's median sits inside
+    the exact [45th, 55th] percentile band. One-sided by construction:
+    the oracle can't recompute the sketch, but it CAN falsify the
+    bound — a sketch regression turns a boolean FALSE and the row hash
+    red. The exact percentile band stays Spark-side inside the boolean
+    (interpolated doubles don't cross the engine boundary)."""
+    ev = read_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("users_exact"),
+        F.approx_count_distinct("user_id").alias("_a"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_m"),
+        F.percentile("value", F.lit(0.45)).alias("_lo"),
+        F.percentile("value", F.lit(0.55)).alias("_hi"),
+    )
+    return g.select(
+        "event_type",
+        "users_exact",
+        (
+            F.abs(F.col("_a") - F.col("users_exact")) / F.col("users_exact")
+            <= 0.15
+        ).alias("hll_within_3sigma"),
+        (
+            (F.col("_m") >= F.col("_lo")) & (F.col("_m") <= F.col("_hi"))
+        ).alias("median_within_rank_band"),
+    )
+
+
 # --- TPC-H-Q7-shaped: two-nation shipping volume (multiway join with
 # a symmetric nation-pair predicate + year rollup).
 @q(
@@ -6054,14 +6098,67 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-5 window: flagship (entry() smoke-checks it), then
-    # every query with NO driver hash evidence yet — the three round-4
-    # red rows re-enter first with their array-column outputs
-    # flattened to scalars, followed by the round-4 additions that sat
-    # below the window, then the stalest single-round evidence
-    # (r1-only / r2-only / r3-only). approx_user_stats is rows-only by
-    # design (approx sketches have no static SQL mirror).
+    # ---- round-6 window: flagship (entry() smoke-checks it); the
+    # r5 red row daily_returns plus every query whose ROUNDING
+    # CONTRACT changed this round (IEEE-floor replacing the
+    # build-dependent DECIMAL(38,6) cast: cohort/twap/indicators);
+    # the two zero-evidence round-6 additions (ewma_closes,
+    # approx_user_stats_bound — the bound companion replaces
+    # approx_user_stats' rows-only slot with a hash-checkable row);
+    # then the stalest evidence: all ten r1-only entries, the one
+    # r2-only, and 30 of the 47 r3-only (alphabetical; the other 17
+    # rotate next round).
     "flagship_pricing_summary",
+    "daily_returns",
+    "ewma_closes",
+    "approx_user_stats_bound",
+    "cohort_retention",
+    "twap_daily",
+    "bollinger_bands",
+    "rsi_indicator",
+    "beta_vs_market",
+    "above_avg_parts",
+    "conditional_agg",
+    "date_arithmetic",
+    "event_type_journey",
+    "except_nations",
+    "intersect_nations",
+    "moving_avg_3",
+    "nation_trade_volume",
+    "null_handling",
+    "value_dispersion_stats",
+    "embedding_near_pairs",
+    "ann_lsh_topk",
+    "anti_join_inactive_customers",
+    "argmax_per_nation",
+    "asof_last_purchase",
+    "asof_price_lookup",
+    "category_universe",
+    "cosine_topk",
+    "daily_rollup",
+    "dedup_exact_documents",
+    "document_fingerprints",
+    "embedding_near_pairs_lsh",
+    "event_value_deltas",
+    "events_head_tail",
+    "filter_project_compute",
+    "jaccard_near_dup_pairs",
+    "json_extract_agg",
+    "language_id",
+    "last_event_per_user",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_payload_meta",
+    "minhash_lsh_pairs",
+    "minute_floor_counts",
+    "normalize_case_rename",
+    "ntile_price_bands",
+    "null_pad_schema",
+    "order_priority_stats",
+    "pack_training_shards",
+    "parse_error_message",
+    "pivot_linestatus",
+    # ---- gate-window boundary (position 50) ----
     "media_features",
     "inverted_index",
     "embedding_int8_quantization",
@@ -6081,20 +6178,12 @@ _GATE_ORDER = [
     "revenue_pareto",
     "duplicate_rate_by_source",
     "daily_event_digest",
-    "daily_returns",
-    # round-5 additions: SCD2 + the last classic TPC-H shapes
-    # (Q19/Q21/Q16/Q14/Q11) — first driver evidence.
     "scd2_user_segments",
     "disjunctive_revenue",
     "suppliers_kept_waiting",
     "supplier_count_by_part",
     "promo_revenue_share",
     "important_parts_value",
-    # Q20/Q2 shapes added after the round-5 close — zero evidence, so
-    # they take the window slots of the two stale entries whose operator
-    # surfaces are already driver-proven by in-window or multi-round
-    # siblings (nation_trade_volume ← nation_trade_pagerank;
-    # embedding_near_pairs ← its r1-3-green LSH twin).
     "dominant_share_suppliers",
     "min_cost_supplier_per_part",
     "event_segment_asof",
@@ -6102,10 +6191,6 @@ _GATE_ORDER = [
     "events_in_campaign_windows",
     "nation_trade_pagerank",
     "ann_hamming_topk",
-    # zero-evidence continuation addition: the full-dimension
-    # multi-word signature twin sits beside its 64-bit cross-check;
-    # moving_avg_3 (r1-green; rolling-frame family also covered by
-    # rolling_7d_volume and event_value_deltas) yields its slot.
     "ann_hamming_words_topk",
     "product_profit_by_nation",
     "topk_orders_per_customer",
@@ -6113,44 +6198,17 @@ _GATE_ORDER = [
     "rank_functions",
     "cube_order_stats",
     "grouping_sets_order_stats",
-    # the round-5-continuation indicator family enters with ZERO driver
-    # evidence (policy: zero-evidence promotions outrank stale-refresh)
-    # — paid for by demoting three r1-evidence set-op/agg singletons
-    "bollinger_bands",
-    "rsi_indicator",
-    "beta_vs_market",
     "dedup_exact_first_events",
     "interpolated_price_quantiles",
     "qty_price_correlation",
     "price_quantiles_cont_by_flag",
     "region_revenue_concentration",
     "ann_hamming_rerank",
-    # ---- gate-window boundary (position 50) ----
-    "except_nations",
-    "intersect_nations",
-    "conditional_agg",
-    "moving_avg_3",
-    "nation_trade_volume",
-    "embedding_near_pairs",
-    "null_handling",
-    "above_avg_parts",
-    "event_type_journey",
-    "date_arithmetic",
-    "value_dispersion_stats",
     "user_sessions",
     "stratified_event_sample",
     "simhash_fingerprints",
-    "ann_lsh_topk",
-    "embedding_near_pairs_lsh",
-    "minhash_lsh_pairs",
     "tfidf_top_terms",
-    "pack_training_shards",
-    "asof_price_lookup",
     "text_quality_stats",
-    "cosine_topk",
-    # Demoted: every query below has driver-green evidence from round
-    # 4 (or multiple rounds) and stays registered, tested, and
-    # hash-checked by the local gate clone (scripts/oracle_check.py).
     "fuzzy_dedup_documents",
     "ann_ivf_topk",
     "simhash_near_dup_pairs",
@@ -6180,7 +6238,6 @@ _GATE_ORDER = [
     "skew_salted_agg",
     "skew_distinct_users",
     "funnel_conversion",
-    "cohort_retention",
     "max_drawdown",
     "table_profile",
     "price_histogram",
@@ -6189,7 +6246,6 @@ _GATE_ORDER = [
     "mmr_rerank",
     "bigram_logppl",
     "ohlc_bars",
-    "twap_daily",
     "dq_report",
     "gap_fill_daily",
     "rolling_7d_volume",
@@ -6197,42 +6253,18 @@ _GATE_ORDER = [
     "idle_rich_customers",
     "median_value_per_type",
     "weighted_doc_sample",
-    "media_frame_sample",
-    "dedup_exact_documents",
-    "document_fingerprints",
-    "language_id",
-    "media_payload_meta",
-    "media_decode_meta",
-    "asof_last_purchase",
-    "filter_project_compute",
-    "anti_join_inactive_customers",
-    "normalize_case_rename",
-    "json_extract_agg",
-    "daily_rollup",
     "upsert_keep_latest_per_day",
     "source_diff",
-    "category_universe",
     "string_functions",
-    "argmax_per_nation",
     "translate_brand",
-    "null_pad_schema",
-    "minute_floor_counts",
     "semi_join_building_buyers",
-    "last_event_per_user",
     "union_distinct_nations",
     "top_orders",
-    "events_head_tail",
-    "order_priority_stats",
     "rollup_returns",
-    "pivot_linestatus",
-    "event_value_deltas",
     "region_revenue",
     "top_building_orders",
-    "parse_error_message",
-    "ntile_price_bands",
     "zscore_per_segment",
     "weighted_avg_price",
-    "jaccard_near_dup_pairs",
 ]
 
 

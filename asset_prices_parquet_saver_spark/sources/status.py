@@ -48,12 +48,37 @@ def append_status(
     return merged
 
 
+#: fault-injection seam (tests only): runs between the snapshot read
+#: and the CAS commit — the window where a concurrent writer's rows
+#: would historically have been folded away.
+_test_pre_commit_hook = None
+
+
 def write_status(spark: SparkSession, path: str, rows: DataFrame) -> int:
     """Merge ``rows`` into the status table and persist atomically: the
     manifest commit writes a NEW immutable segment while the merge plan
     lazily reads the old one (no read-under-overwrite window, no
     tmp+rename dance for callers to rediscover). Returns the committed
-    version."""
+    version.
+
+    Multi-writer safe: the merge is a read-fold-rewrite, so the commit
+    carries ``expect_version`` (the version the merge read) — a
+    concurrent status writer landing in between raises CommitConflict
+    inside the manifest and the merge is RETRIED against the fresh
+    snapshot instead of silently discarding the other writer's rows
+    (two blacklist appenders racing would otherwise lose one side's
+    bad-symbol marks and re-fetch known-bad symbols forever)."""
     from asset_prices_parquet_saver_spark.sources import manifest
 
-    return manifest.commit_versioned(append_status(spark, path, rows), path)
+    last_err: Exception | None = None
+    for _ in range(5):
+        v = manifest.current_version(path)
+        merged = append_status(spark, path, rows)
+        if _test_pre_commit_hook is not None:
+            _test_pre_commit_hook()
+        try:
+            return manifest.commit_versioned(merged, path, expect_version=v)
+        except manifest.CommitConflict as e:
+            last_err = e
+            continue
+    raise last_err

@@ -162,6 +162,8 @@ HEADLINE = [
     "ann_hamming_rerank",
     "dominant_share_suppliers",
     "min_cost_supplier_per_part",
+    "ewma_closes",
+    "approx_user_stats_bound",
 ]
 
 
@@ -170,8 +172,17 @@ def _sf_of(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
-def _time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
+def _time_queries(
+    spark, sf_dir: str, runs: int
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (median timings, per-query spread). The spread —
+    max−min over the sample set — quantifies how much host weather
+    (VM-migration churn, NOTES.md) polluted each median: cross-round
+    per-query comparisons are only meaningful where spread ≪ median,
+    which the recorded column makes checkable without same-minute A/B
+    discipline."""
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -197,7 +208,8 @@ def _time_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
             timings[name] = round(min(samples), 3)
         else:
             timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-    return timings
+        spreads[name] = round(max(samples) - min(samples), 3)
+    return timings, spreads
 
 
 def main() -> None:
@@ -217,7 +229,7 @@ def main() -> None:
     QUERIES["embedding_near_pairs_lsh"](spark, sf_dir).count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings = _time_queries(spark, sf_dir, runs)
+    timings, spreads = _time_queries(spark, sf_dir, runs)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -227,6 +239,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
+        # max−min across the median-of-N samples, per query: the noise
+        # floor for cross-round comparisons (detail file only)
+        "spread": spreads,
     }
 
     # Second scale factor: the cheapest local proxy for the 100x
@@ -237,7 +252,8 @@ def main() -> None:
     sf2_dir = os.environ.get("SPARK_GRAFT_BENCH_SF2", "/root/testdata/sf0.01")
     sf2 = _sf_of(sf2_dir) if sf2_dir else None
     if sf2 and sf and sf2 != sf and os.path.isdir(sf2_dir):
-        timings2 = _time_queries(spark, sf2_dir, runs)
+        timings2, spreads2 = _time_queries(spark, sf2_dir, runs)
+        out["spread_sf2"] = spreads2
         import math
 
         ratio = (sf / sf2) if sf > sf2 else (sf2 / sf)
@@ -267,6 +283,8 @@ def main() -> None:
 
     line_out = dict(out)
     line_out.pop("queries_sf2", None)
+    line_out.pop("spread", None)
+    line_out.pop("spread_sf2", None)
     if "scaling" in line_out:
         line_out["scaling"] = {"superlinear": out["scaling"]["superlinear"]}
     by_cost = sorted(timings, key=timings.__getitem__, reverse=True)

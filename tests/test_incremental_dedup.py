@@ -415,3 +415,59 @@ def test_batch_txn_order_invariant_but_multiset_sensitive(spark):
     # the second-moment lane is present and independent: id carries
     # both 15-hex-digit lanes
     assert len(t_dup[0]) == len("cli-dedup:") + 30
+
+
+def test_compact_band_index_detects_concurrent_append(spark):
+    """An index append landing during the compaction rewrite was
+    historically dropped by the DROP+RENAME swap (lost update). The
+    pre-publish drift check must abort with CommitConflict, keep the
+    appended batch, and let a retry fold the merged state."""
+    import pytest
+
+    from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
+
+    tbl = "sigband_test_cas"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+    try:
+        for batch in (DOCS[:3], DOCS[3:7]):
+            df = spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in batch],
+                "doc_id long, text string",
+            )
+            inc.dedup_increment_bucketed(
+                spark, df, tbl, threshold=0.5, bands=32, num_buckets=4
+            )
+
+        def concurrent_append():
+            late = spark.createDataFrame(
+                [Row(doc_id=777, text="a wholly novel concurrent document")],
+                "doc_id long, text string",
+            )
+            inc.dedup_increment_bucketed(
+                spark, late, tbl, threshold=0.5, bands=32, num_buckets=4
+            )
+
+        inc._test_pre_publish_hook = concurrent_append
+        try:
+            with pytest.raises(CommitConflict):
+                inc.compact_band_index(spark, tbl, num_buckets=4)
+        finally:
+            inc._test_pre_publish_hook = None
+
+        ids = {r["id"] for r in spark.table(tbl).select("id").distinct().collect()}
+        assert 777 in ids  # the concurrent append survived
+        assert not spark.catalog.tableExists(f"{tbl}_compacting")
+
+        rows_before = sorted(
+            (r["band"], r["bucket"], r["id"]) for r in spark.table(tbl).collect()
+        )
+        before, after = inc.compact_band_index(spark, tbl, num_buckets=4)
+        assert before > after
+        rows_after = sorted(
+            (r["band"], r["bucket"], r["id"]) for r in spark.table(tbl).collect()
+        )
+        assert rows_after == rows_before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")

@@ -344,3 +344,49 @@ def test_status_write_read_roundtrip(spark, tmp_path):
     assert len(got) == 2
     import datetime as dt2
     assert got[("AAPL", "invalid")] == dt2.datetime(2024, 2, 1)
+
+
+def test_status_concurrent_writer_retries_not_lost(spark, tmp_path):
+    """Two status writers racing: the second's read-fold-rewrite must
+    NOT fold away the first's rows. The seam lands a concurrent commit
+    between the merge read and the CAS publish — expect_version
+    conflicts, write_status retries against the fresh snapshot, and
+    BOTH writers' rows survive."""
+    import datetime as dt
+
+    from asset_prices_parquet_saver_spark.sources import status as st
+
+    path = str(tmp_path / "symbol_status")
+    st.write_status(spark, path, spark.createDataFrame(
+        [("AAPL", "alpaca", "invalid", dt.datetime(2024, 1, 1))],
+        "symbol string, source string, status string, updated_at timestamp",
+    ))
+
+    other = spark.createDataFrame(
+        [("TSLA", "alpaca", "no_data", dt.datetime(2024, 1, 2))],
+        "symbol string, source string, status string, updated_at timestamp",
+    )
+    fired = []
+
+    def concurrent_commit():
+        if not fired:  # only on the FIRST attempt — the retry must win
+            fired.append(1)
+            hook, st._test_pre_commit_hook = st._test_pre_commit_hook, None
+            try:
+                st.write_status(spark, path, other)
+            finally:
+                st._test_pre_commit_hook = hook
+
+    mine = spark.createDataFrame(
+        [("MSFT", "yfinance", "invalid", dt.datetime(2024, 1, 3))],
+        "symbol string, source string, status string, updated_at timestamp",
+    )
+    st._test_pre_commit_hook = concurrent_commit
+    try:
+        st.write_status(spark, path, mine)
+    finally:
+        st._test_pre_commit_hook = None
+
+    got = {(r["symbol"], r["source"]) for r in st.read_status(spark, path).collect()}
+    assert got == {("AAPL", "alpaca"), ("TSLA", "alpaca"), ("MSFT", "yfinance")}
+    assert fired  # the race actually happened

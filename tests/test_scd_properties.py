@@ -137,3 +137,69 @@ def test_apply_arbitrary_split_preserves_version_sequence(spark, obs, cut):
     observed = {(k, ts, oid, a) for k, ts, oid, a in rows}
     for r in incremental.collect():
         assert (r["key"], r["valid_from"], r["opened_by"], r["attr"]) in observed
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(obs=obs_strategy, cut=st.integers(min_value=0, max_value=12))
+def test_apply_with_log_arbitrary_split_is_exact(spark, obs, cut):
+    """With raw-log retention on, ANY split — including arbitrarily
+    late second batches — rebuilds EXACTLY equal to the one-shot
+    full-log build (the gap scd2_apply documents is closed)."""
+    rows = _rows(obs)
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    if not first or not second:
+        return
+    dim2, log2 = scd.scd2_apply_with_log(
+        _build(spark, first), _mk(spark, first), _mk(spark, second),
+        "key", "ts", ["attr"], "obs_id",
+    )
+    assert _canon(dim2) == _canon(_build(spark, rows))
+    # the returned log is the full observation multiset (deduped)
+    assert sorted(
+        (r["key"], r["ts"], r["obs_id"], r["attr"]) for r in log2.collect()
+    ) == sorted(set(rows))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    obs=obs_strategy,
+    cuts=st.lists(st.integers(min_value=0, max_value=12), min_size=2, max_size=3),
+)
+def test_apply_with_log_chained_batches_and_replay(spark, obs, cuts):
+    """Chained applies over a shuffled log, WITH a replayed batch in
+    the middle, still converge to the one-shot build — replays collapse
+    in the log's distinct, so retention is idempotent."""
+    rows = _rows(obs)
+    if len(rows) < 2:
+        return
+    # deterministic shuffle: interleave halves to force late arrivals
+    shuffled = rows[1::2] + rows[0::2]
+    bounds = sorted(min(c, len(shuffled)) for c in cuts)
+    pieces, prev = [], 0
+    for b in [*bounds, len(shuffled)]:
+        if b > prev:
+            pieces.append(shuffled[prev:b])
+            prev = b
+    if len(pieces) < 2:
+        return
+    dim = _build(spark, pieces[0])
+    log = _mk(spark, pieces[0])
+    for piece in pieces[1:]:
+        dim, log = scd.scd2_apply_with_log(
+            dim, log, _mk(spark, piece), "key", "ts", ["attr"], "obs_id"
+        )
+        dim, log = dim.localCheckpoint(), log.localCheckpoint()
+    # replay the LAST batch verbatim — must be a no-op
+    dim, log = scd.scd2_apply_with_log(
+        dim, log, _mk(spark, pieces[-1]), "key", "ts", ["attr"], "obs_id"
+    )
+    assert _canon(dim) == _canon(_build(spark, rows))

@@ -169,3 +169,77 @@ def test_salted_sum_preserves_subcent_precision(spark):
     )
     [r] = skew.salted_sum_count(df, ["g"], "v").collect()
     assert abs(r["total"] - 1.0469) < 1e-9
+
+
+def _bar(i: int, sym: str = None) -> Row:
+    return Row(
+        source="alpaca",
+        symbol=sym or f"SYM{i % 3}",
+        timestamp=datetime.datetime(2024, 2, 1 + i % 27),
+        open=1.0,
+        high=2.0,
+        low=0.5,
+        adj_close=float(i),
+        volume=1.0,
+        trade_count=None,
+        vwap=None,
+    )
+
+
+def test_compact_prices_detects_concurrent_writer(spark, tmp_path):
+    """A write landing between the staging rewrite and the swap was
+    historically DISCARDED (single-writer by protocol). The CAS check
+    must abort with CommitConflict, keep the concurrent write, and let
+    a retry compact the merged state."""
+    from asset_prices_parquet_saver_spark.sources import prices as prices_mod
+    from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
+    import pytest
+
+    path = str(tmp_path / "prices")
+    df = spark.createDataFrame([_bar(i) for i in range(30)], BAR_SCHEMA)
+    for i in range(3):
+        write_prices(df.filter(F.col("adj_close") % 3 == i), path, mode="append")
+    base_rows = {(r.symbol, r.timestamp, r.adj_close) for r in read_prices(spark, path).collect()}
+
+    late = spark.createDataFrame([_bar(1000, "LATE")], BAR_SCHEMA)
+    prices_mod._test_pre_swap_hook = lambda: write_prices(late, path, mode="append")
+    try:
+        with pytest.raises(CommitConflict):
+            compact_prices(spark, path)
+    finally:
+        prices_mod._test_pre_swap_hook = None
+
+    # nothing lost: the original rows AND the concurrent write are live,
+    # the staging dir is gone, and the lock was released
+    got = {(r.symbol, r.timestamp, r.adj_close) for r in read_prices(spark, path).collect()}
+    assert got == base_rows | {("LATE", datetime.datetime(2024, 2, 2), 1000.0)}
+    import os
+    assert not os.path.exists(path + ".compact")
+    assert not os.path.exists(path + ".compact.lock")
+
+    # retry on the quiesced table succeeds and keeps everything
+    compact_prices(spark, path)
+    got2 = {(r.symbol, r.timestamp, r.adj_close) for r in read_prices(spark, path).collect()}
+    assert got2 == got
+
+
+def test_compact_prices_lock_excludes_second_compactor(spark, tmp_path):
+    """Two concurrent compactions interleaving their renames would
+    destroy the dataset; the O_EXCL lock must make the second fail
+    fast with CommitConflict."""
+    from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
+    import os
+    import pytest
+
+    path = str(tmp_path / "prices")
+    write_prices(spark.createDataFrame([_bar(i) for i in range(5)], BAR_SCHEMA), path)
+    lock = path + ".compact.lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        with pytest.raises(CommitConflict):
+            compact_prices(spark, path)
+    finally:
+        os.remove(lock)
+    compact_prices(spark, path)  # lock released -> works again
+    assert read_prices(spark, path).count() == 5

@@ -747,3 +747,88 @@ def ewma_closes(
         F.col("close"),
         round6_portable(F.col("ewma")).alias("ewma"),
     )
+
+
+def macd(
+    ticks: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """MACD over the daily closes — the standard momentum indicator a
+    bar store's consumers compute next after EWMA: macd = EMA_fast −
+    EMA_slow, signal = EMA_signal(macd), histogram = macd − signal,
+    all in the exact recursive (adjust=False) form with period n ⇒
+    α = 2/(n+1), seeded at the first close (EMA_0 = c_0, so macd_0 =
+    0 and signal_0 = 0 — the ta-lib/pandas-ewm convention).
+
+    Same engine shape as :func:`ewma_closes` (three linear recurrences
+    cannot be SQL windows): one keyed shuffle to the bar rollup, an
+    Arrow-batched applyInPandas kernel looping each key's calendar-
+    bounded series. Cross-engine determinism: α and 1−α are
+    precomputed Python doubles whose shortest reprs the oracle inlines,
+    and every step is the fixed IEEE expression ``α·c + β·e`` /
+    ``ef − es`` — a recursive CTE replaying that order reproduces
+    every intermediate bit-for-bit; outputs round via the IEEE-floor
+    contract."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    out_schema = StructType(
+        [
+            StructField(key_col, closes.schema[key_col].dataType),
+            StructField("day", DateType()),
+            StructField("close", DoubleType()),
+            StructField("macd", DoubleType()),
+            StructField("signal", DoubleType()),
+            StructField("histogram", DoubleType()),
+        ]
+    )
+    af, asig = 2.0 / (fast + 1), 2.0 / (signal + 1)
+    asl = 2.0 / (slow + 1)
+    bf, bsl, bsig = 1.0 - af, 1.0 - asl, 1.0 - asig
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        closes_np = pdf["close"].to_numpy(dtype="float64")
+        m = closes_np.copy()
+        s = closes_np.copy()
+        ef = es = sig = 0.0
+        for i, c in enumerate(closes_np):
+            # fixed operand order — mirrored literally by the oracle's
+            # recursive CTE so every intermediate double is identical
+            if i == 0:
+                ef = es = c
+                md = ef - es  # exactly 0.0
+                sig = md
+            else:
+                ef = af * c + bf * ef
+                es = asl * c + bsl * es
+                md = ef - es
+                sig = asig * md + bsig * sig
+            m[i] = md
+            s[i] = sig
+        pdf["macd"] = m
+        pdf["signal"] = s
+        pdf["histogram"] = m - s
+        return pdf[[key_col, "day", "close", "macd", "signal", "histogram"]]
+
+    res = closes.groupBy(key_col).applyInPandas(kernel, out_schema)
+    return res.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("close"),
+        round6_portable(F.col("macd")).alias("macd"),
+        round6_portable(F.col("signal")).alias("signal"),
+        round6_portable(F.col("histogram")).alias("histogram"),
+    )

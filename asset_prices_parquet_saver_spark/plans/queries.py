@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asset_prices_parquet_saver_spark.functions import portable_hash as ph
-from asset_prices_parquet_saver_spark.functions.numeric import davg, dec, dsum
+from asset_prices_parquet_saver_spark.functions.numeric import davg, dec, double_lit, dsum
 from asset_prices_parquet_saver_spark.operators import (
     asof as asof_ops,
     compare as compare_ops,
@@ -1221,7 +1221,7 @@ def _pq_oracle_sql(k: int) -> str:
     )
 
     values = ",\n      ".join(
-        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        f"({j}, {c}, [" + ", ".join(double_lit(x) for x in row) + "])"
         for j, book in enumerate(PINNED_PQ_CODEBOOKS)
         for c, row in enumerate(book)
     )
@@ -1291,11 +1291,11 @@ def _ivfpq_oracle_sql(nprobe: int, k: int) -> str:
     )
 
     cent_values = ",\n      ".join(
-        f"({j}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        f"({j}, [" + ", ".join(double_lit(x) for x in row) + "])"
         for j, row in enumerate(PINNED_IVF_CENTROIDS)
     )
     cb_values = ",\n      ".join(
-        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        f"({j}, {c}, [" + ", ".join(double_lit(x) for x in row) + "])"
         for j, book in enumerate(PINNED_PQ_CODEBOOKS)
         for c, row in enumerate(book)
     )
@@ -1397,11 +1397,11 @@ def _ivfadc_oracle_sql(nprobe: int, k: int) -> str:
     )
 
     cent_values = ",\n      ".join(
-        f"({j}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        f"({j}, [" + ", ".join(double_lit(x) for x in row) + "])"
         for j, row in enumerate(PINNED_IVF_CENTROIDS)
     )
     cb_values = ",\n      ".join(
-        f"({j}, {c}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        f"({j}, {c}, [" + ", ".join(double_lit(x) for x in row) + "])"
         for j, book in enumerate(PINNED_RES_CODEBOOKS)
         for c, row in enumerate(book)
     )
@@ -2885,7 +2885,7 @@ def _lsh_bucket_union_sql(num_planes: int, num_tables: int) -> str:
     for t in range(num_tables):
         terms = " + ".join(
             "(CASE WHEN list_dot_product(v, ["
-            + ", ".join(repr(float(x)) for x in planes[t][p])
+            + ", ".join(double_lit(x) for x in planes[t][p])
             + f"]) > 0 THEN {1 << p} ELSE 0 END)"
             for p in range(num_planes)
         )
@@ -3012,7 +3012,7 @@ def _ivf_oracle_sql(nprobe: int, k: int) -> str:
     )
 
     values = ",\n      ".join(
-        f"({j}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        f"({j}, [" + ", ".join(double_lit(x) for x in row) + "])"
         for j, row in enumerate(PINNED_IVF_CENTROIDS)
     )
     return f"""
@@ -3328,7 +3328,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numpy-vs-fold norm skew both sit ~9 orders below the driver's .6g
 # float canonicalization), then normalize. Determinism + composition
 # with the ANN stack are asserted in tests/test_similarity_multimodal.
-_POW16_DESC = ", ".join(repr(float(16 ** (15 - j))) for j in range(16))
+_POW16_DESC = ", ".join(double_lit(16 ** (15 - j)) for j in range(16))
 
 
 @q(
@@ -5043,9 +5043,16 @@ def _macd_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
     matches the kernel bit-for-bit."""
     af, asl, asig = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
     bf, bsl, bsig = 1.0 - af, 1.0 - asl, 1.0 - asig
-    A, B = f"CAST({af!r} AS DOUBLE)", f"CAST({bf!r} AS DOUBLE)"
-    C, D = f"CAST({asl!r} AS DOUBLE)", f"CAST({bsl!r} AS DOUBLE)"
-    E, G = f"CAST({asig!r} AS DOUBLE)", f"CAST({bsig!r} AS DOUBLE)"
+    # `e0` suffix: a literal WITH an exponent parses as DOUBLE via
+    # strtod (correctly rounded, round-trips Python's shortest repr
+    # exactly). A bare 17-digit literal would parse as DECIMAL(18,17)
+    # and reach double through the engine's decimal→double conversion
+    # — mantissa > 2^53, so that path can be off by one ulp and is
+    # build-dependent (the daily_returns lesson, round 5).
+    lit = lambda x: f"CAST({x!r}e0 AS DOUBLE)"  # noqa: E731
+    A, B = lit(af), lit(bf)
+    C, D = lit(asl), lit(bsl)
+    E, G = lit(asig), lit(bsig)
     ef = f"{A} * n.close + {B} * st.ef"
     es = f"{C} * n.close + {D} * st.es"
     md = f"({ef}) - ({es})"

@@ -178,7 +178,12 @@ def _cmd_dedup(args) -> int:
     # batch after full success (both skip; an index-version epoch would
     # have advanced and re-appended here). Corpus commits before index:
     # the reverse order could drop survivors (indexed, never appended).
-    txn = inc.batch_txn(docs, args.id_col, args.text_col)
+    # params fold into the txn id: the SAME batch re-run with a
+    # corrected --threshold computes different survivors and must not
+    # no-op against the prior run's txn record
+    txn = inc.batch_txn(
+        docs, args.id_col, args.text_col, params=(args.threshold,)
+    )
     # always print the content-addressed txn id: a replayed (or hash-
     # colliding) batch makes both commits silently no-op, so the skip
     # must at least be observable/grep-able against the manifest txn map

@@ -148,8 +148,16 @@ def dedup_increment(
     return survivors, new_rows
 
 
-def batch_txn(docs: DataFrame, id_col: str, text_col: str) -> tuple[str, int]:
+def batch_txn(
+    docs: DataFrame, id_col: str, text_col: str, params: tuple = ()
+) -> tuple[str, int]:
     """Content-addressed txn identity for one dedup batch.
+
+    ``params`` folds the RUN CONFIGURATION into the identity (the CLI
+    passes the dedup threshold): the same input batch re-run with a
+    corrected threshold computes DIFFERENT survivors, so it must map
+    to a fresh txn — keying on content alone would silently no-op the
+    corrected run and discard its results.
 
     The CLI's crash recovery is "re-run the command". A monotone epoch
     (index version + 1) makes the crash-window replay idempotent, but a
@@ -202,7 +210,10 @@ def batch_txn(docs: DataFrame, id_col: str, text_col: str) -> tuple[str, int]:
     n = int(row["n"])
     fp = (int(row["s"] or 0) + n) % (1 << 60)
     fp2 = (int(row["s2"] or 0) + n) % (1 << 60)
-    return (f"cli-dedup:{fp:015x}{fp2:015x}", 1)
+    import hashlib
+
+    pfp = hashlib.md5(repr(tuple(params)).encode()).hexdigest()[:8]
+    return (f"cli-dedup:{fp:015x}{fp2:015x}:{pfp}", 1)
 
 
 def run_incremental_dedup(

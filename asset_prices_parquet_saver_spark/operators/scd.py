@@ -193,11 +193,16 @@ def scd2_apply_with_log(
     so the result EQUALS the one-shot full-log build for ANY batch
     order (property-asserted in tests/test_scd_properties.py).
 
-    Returns ``(new_dim, new_log)``. The log grows by O(batch) per
-    apply (exact replays collapse via distinct); persist it beside the
-    dimension with ``manifest.commit_append`` — an O(batch) segment per
-    apply — and the dimension with ``commit_versioned``. Storage is the
-    honest price of exact late-data replay; the default
+    Returns ``(new_dim, new_log)`` where ``new_log`` is the FULL
+    accumulated observation log (convenient for chaining applies). The
+    log grows by O(batch) per apply (exact replays collapse via
+    distinct). To persist it beside the dimension, append ONLY the
+    batch's new rows — :func:`scd2_log_delta` computes that O(batch)
+    segment for ``manifest.commit_append`` — or rewrite the full log
+    with ``commit_versioned``; appending ``new_log`` itself would
+    re-append the entire history every apply (O(k·|log|) storage after
+    k applies). The dimension goes through ``commit_versioned``.
+    Storage is the honest price of exact late-data replay; the default
     :func:`scd2_apply` remains the cheap mode for event-time-ordered
     (watermarked) feeds, which it already rebuilds exactly.
 
@@ -217,6 +222,27 @@ def scd2_apply_with_log(
         affected_log, key_col, ts_col, attr_cols, tiebreak_col
     )
     return untouched.unionByName(rebuilt), new_log
+
+
+def scd2_log_delta(
+    log: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """The O(batch) appendable log segment for one apply: batch
+    observations not already present in the persisted log (exact
+    replays produce an EMPTY delta). ``commit_append`` this beside the
+    dimension instead of the full accumulated log
+    :func:`scd2_apply_with_log` returns — see its docstring."""
+    cols = [key_col, ts_col, tiebreak_col, *attr_cols]
+    return (
+        batch.select(*cols)
+        .distinct()
+        .join(log.select(*cols), cols, "left_anti")
+    )
 
 
 def scd2_asof_lookup(

@@ -1302,10 +1302,14 @@ def sign_signatures(
     shuffle: signatures now cost zero exchanges."""
     w = sign_signature_words(emb, id_col, vec_col)
     zero = F.lit(0).cast("long")
+    # try_element_at, not element_at: under Spark 4's default ANSI mode
+    # element_at THROWS on an out-of-bounds index, so a <=32-dim vector
+    # (a one-word signature) would abort the job instead of reaching
+    # the coalesce that supplies hi = 0.
     return w.select(
         "id",
-        F.coalesce(F.element_at("words", 1), zero).alias("lo"),
-        F.coalesce(F.element_at("words", 2), zero).alias("hi"),
+        F.coalesce(F.try_element_at("words", F.lit(1)), zero).alias("lo"),
+        F.coalesce(F.try_element_at("words", F.lit(2)), zero).alias("hi"),
     )
 
 

@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asset_prices_parquet_saver_spark.functions import portable_hash as ph
-from asset_prices_parquet_saver_spark.functions.numeric import davg, dec, double_lit, dsum
+from asset_prices_parquet_saver_spark.functions.numeric import (
+    davg,
+    dec,
+    double_lit,
+    dsum,
+    round6_sql,
+)
 from asset_prices_parquet_saver_spark.operators import (
     asof as asof_ops,
     compare as compare_ops,
@@ -3532,12 +3538,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM acts GROUP BY cohort_week, week_offset
     )
     SELECT cohort_week, week_offset, users,
-           FLOOR(CAST(users AS DOUBLE)
-                 / MAX(CASE WHEN week_offset = 0 THEN users END)
-                   OVER (PARTITION BY cohort_week)
-                 * 1000000.0 + 0.5) / 1000000.0 AS retention
+           {r6} AS retention
     FROM grid
-    """,
+    """.format(
+        r6=round6_sql(
+            "CAST(users AS DOUBLE) / MAX(CASE WHEN week_offset = 0 "
+            "THEN users END) OVER (PARTITION BY cohort_week)"
+        )
+    ),
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention grid. First-event week per user is a
@@ -3988,13 +3996,17 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, day,
-           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
-                 / CAST(SUM(dt) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS twap,
+           {r6} AS twap,
            CAST(SUM(dt) AS BIGINT) AS span_micros,
            CAST(COUNT(*) AS BIGINT) AS n_intervals
     FROM t WHERE dt IS NOT NULL
     GROUP BY user_id, day
-    """,
+    """.format(
+        r6=round6_sql(
+            "CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)"
+            " / CAST(SUM(dt) AS DOUBLE)"
+        )
+    ),
 )
 def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average price per (key, day): prices weighted by
@@ -4840,12 +4852,15 @@ def daily_event_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, day, close,
            LAG(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close,
            CASE WHEN LAG(close) OVER (PARTITION BY user_id ORDER BY day) <> 0
-                THEN FLOOR((close / LAG(close) OVER (
-                       PARTITION BY user_id ORDER BY day) - 1)
-                     * 1000000.0 + 0.5) / 1000000.0
+                THEN {r6}
            END AS ret
     FROM c
-    """,
+    """.format(
+        r6=round6_sql(
+            "close / LAG(close) OVER ("
+            "PARTITION BY user_id ORDER BY day) - 1"
+        )
+    ),
 )
 def daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close-to-close daily simple return per key — the canonical
@@ -4888,13 +4903,19 @@ _CLOSES_CTE = """
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     )
     SELECT user_id, day, close,
-           FLOOR(s / 5.0 * 1000000.0 + 0.5) / 1000000.0 AS ma,
-           FLOOR((s / 5.0 + 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS upper_band,
-           FLOOR((s / 5.0 - 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS lower_band
+           {ma} AS ma,
+           {up} AS upper_band,
+           {lo} AS lower_band
     FROM m WHERE cnt = 5
-    """,
+    """.format(
+        ma=round6_sql("s / 5.0"),
+        up=round6_sql(
+            "s / 5.0 + 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0))"
+        ),
+        lo=round6_sql(
+            "s / 5.0 - 2.0 * sqrt(greatest((ssq - s * s / 5.0) / 4.0, 0.0))"
+        ),
+    ),
 )
 def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands (5-day, ±2σ) per key over the daily closes the
@@ -4930,10 +4951,10 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, day,
            CASE WHEN g + l > 0
-                THEN FLOOR(100.0 * g / (g + l) * 1000000.0 + 0.5) / 1000000.0
+                THEN {r6}
            END AS rsi
     FROM r WHERE cnt = 14
-    """,
+    """.format(r6=round6_sql("100.0 * g / (g + l)")),
 )
 def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-day RSI (SMA variant) per key: 100·ΣG/(ΣG+ΣL) over exact-
@@ -4959,13 +4980,11 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW pk AS (PARTITION BY user_id ORDER BY day)
     ), rr AS (
       SELECT user_id, day,
-             CAST(FLOOR(rr * 1000000.0 + 0.5) / 1000000.0
-                  AS DECIMAL(18,6)) AS r
+             CAST({rret} AS DECIMAL(18,6)) AS r
       FROM r0 WHERE rr IS NOT NULL
     ), m AS (
       SELECT day,
-             CAST(FLOOR(CAST(SUM(r) AS DOUBLE) / COUNT(r) * 1000000.0 + 0.5)
-                  / 1000000.0 AS DECIMAL(18,6)) AS mk
+             CAST({rmkt} AS DECIMAL(18,6)) AS mk
       FROM rr GROUP BY day
     ), j AS (
       SELECT rr.user_id, rr.r, m.mk FROM rr JOIN m USING (day)
@@ -4979,11 +4998,14 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_days,
            CASE WHEN n >= 2 AND (n * syy - sy * sy) > 0
-                THEN FLOOR((n * sxy - sx * sy) / (n * syy - sy * sy)
-                           * 1000000.0 + 0.5) / 1000000.0
+                THEN {rbeta}
            END AS beta
     FROM s
-    """,
+    """.format(
+        rret=round6_sql("rr"),
+        rmkt=round6_sql("CAST(SUM(r) AS DOUBLE) / COUNT(r)"),
+        rbeta=round6_sql("(n * sxy - sx * sy) / (n * syy - sy * sy)"),
+    ),
 )
 def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPM beta per key vs the equal-weight market return: slope from
@@ -5015,9 +5037,9 @@ def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nseq JOIN ew ON nseq.user_id = ew.user_id AND nseq.rn = ew.rn + 1
     )
     SELECT user_id, day, close,
-           FLOOR(ewma * 1000000.0 + 0.5) / 1000000.0 AS ewma
+           {r6} AS ewma
     FROM ew
-    """,
+    """.format(r6=round6_sql("ewma")),
 )
 def ewma_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA over the daily closes — the exact recursive form
@@ -5049,7 +5071,9 @@ def _macd_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
     # and reach double through the engine's decimal→double conversion
     # — mantissa > 2^53, so that path can be off by one ulp and is
     # build-dependent (the daily_returns lesson, round 5).
-    lit = lambda x: f"CAST({x!r}e0 AS DOUBLE)"  # noqa: E731
+    # double_lit handles reprs that already carry an exponent (a bare
+    # "...e-06e0" would be a syntax error); CAST is belt-and-braces
+    lit = lambda x: f"CAST({double_lit(x)} AS DOUBLE)"  # noqa: E731
     A, B = lit(af), lit(bf)
     C, D = lit(asl), lit(bsl)
     E, G = lit(asig), lit(bsig)
@@ -5077,9 +5101,9 @@ def _macd_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
       FROM nseq n JOIN st ON n.user_id = st.user_id AND n.rn = st.rn + 1
     )
     SELECT user_id, day, close,
-           FLOOR(macd * 1000000.0 + 0.5) / 1000000.0 AS macd,
-           FLOOR(sig * 1000000.0 + 0.5) / 1000000.0 AS signal,
-           FLOOR((macd - sig) * 1000000.0 + 0.5) / 1000000.0 AS histogram
+           {round6_sql("macd")} AS macd,
+           {round6_sql("sig")} AS signal,
+           {round6_sql("macd - sig")} AS histogram
     FROM st
     """
     )

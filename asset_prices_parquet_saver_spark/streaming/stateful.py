@@ -106,14 +106,16 @@ def _make_ewma_update(alpha: float):
             ewma, last_ts_us, n_ticks = state.get
         else:
             ewma, last_ts_us, n_ticks = None, None, 0
-        for pdf in pdf_iter:
-            pdf = pdf.dropna(subset=["price", "ts"])
-            if not len(pdf):
-                continue
-            # deterministic fold order under replay: (ts, price) sort —
-            # Arrow's arbitrary row order within a batch must not reach
-            # an order-sensitive recurrence, or an epoch replay could
-            # checkpoint a different state than the original attempt
+        # deterministic fold order under replay: ONE (ts, price) sort
+        # over the key's WHOLE micro-batch — Arrow chunk boundaries are
+        # nondeterministic (maxRecordsPerBatch splits), so sorting each
+        # chunk independently would fold in a chunk-dependent order and
+        # an epoch replay could checkpoint a different state than the
+        # original attempt
+        chunks = [pdf.dropna(subset=["price", "ts"]) for pdf in pdf_iter]
+        chunks = [c for c in chunks if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "price"]).reset_index(drop=True)
             ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
             for p in pdf["price"].to_numpy(dtype="float64"):

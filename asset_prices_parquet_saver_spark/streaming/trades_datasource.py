@@ -79,7 +79,11 @@ class LiveTradesSimpleReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         # crash-replay path: regenerate every epoch in [start, end) —
         # exact for the fake provider; empty for a network provider
-        # whose past polls are unrepeatable (sink idempotence covers it)
+        # whose past polls are unrepeatable (re-polling NOW would
+        # attribute current prices to past offsets — duplicate rows
+        # with wrong event times; sink idempotence covers the gap)
+        if self.provider != "fake":
+            return []
         out = []
         for epoch in range(int(start["epoch"]), int(end["epoch"])):
             out.extend(self._ticks(epoch))

@@ -413,8 +413,21 @@ def test_batch_txn_order_invariant_but_multiset_sensitive(spark):
     t_two = inc.batch_txn(mk([(1, "alpha"), (2, "beta")]), "doc_id", "text")
     assert t_dup[0] != t_two[0]
     # the second-moment lane is present and independent: id carries
-    # both 15-hex-digit lanes
-    assert len(t_dup[0]) == len("cli-dedup:") + 30
+    # both 15-hex-digit lanes plus the 8-hex params lane
+    assert len(t_dup[0]) == len("cli-dedup:") + 30 + 9
+
+
+def test_batch_txn_params_change_txn_identity(spark):
+    """The SAME batch re-run with a corrected threshold computes
+    different survivors — it must map to a FRESH txn, or the corrected
+    run's commits silently no-op against the prior txn record."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    docs = mk([(1, "alpha"), (2, "beta")])
+    t07 = inc.batch_txn(docs, "doc_id", "text", params=(0.7,))
+    t09 = inc.batch_txn(docs, "doc_id", "text", params=(0.9,))
+    assert t07[0] != t09[0]
+    # and identical params stay idempotent
+    assert t07 == inc.batch_txn(docs, "doc_id", "text", params=(0.7,))
 
 
 def test_compact_band_index_detects_concurrent_append(spark):

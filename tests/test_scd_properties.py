@@ -203,3 +203,39 @@ def test_apply_with_log_chained_batches_and_replay(spark, obs, cuts):
         dim, log, _mk(spark, pieces[-1]), "key", "ts", ["attr"], "obs_id"
     )
     assert _canon(dim) == _canon(_build(spark, rows))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(obs=obs_strategy, cut=st.integers(min_value=1, max_value=11))
+def test_log_delta_append_reconstructs_full_log(spark, obs, cut):
+    """Persisting the log as append-only DELTA segments (the documented
+    commit_append protocol via scd2_log_delta) reconstructs exactly the
+    full accumulated log — and a replayed batch yields an EMPTY delta,
+    so appends stay idempotent."""
+    rows = _rows(obs)
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    if not first or not second:
+        return
+    log = _mk(spark, first)
+    delta = scd.scd2_log_delta(
+        log, _mk(spark, second), "key", "ts", ["attr"], "obs_id"
+    )
+    appended = log.unionByName(delta)
+    _, full_log = scd.scd2_apply_with_log(
+        _build(spark, first), log, _mk(spark, second),
+        "key", "ts", ["attr"], "obs_id",
+    )
+    canon = lambda df: sorted(
+        (r["key"], r["ts"], r["obs_id"], r["attr"]) for r in df.collect()
+    )
+    assert canon(appended) == canon(full_log)
+    # replayed batch → empty delta
+    replay = scd.scd2_log_delta(
+        appended, _mk(spark, second), "key", "ts", ["attr"], "obs_id"
+    )
+    assert replay.count() == 0

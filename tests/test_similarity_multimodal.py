@@ -248,6 +248,21 @@ def test_sign_signatures_ignore_dims_past_64(spark):
     assert sigs[1] == sigs[2]
 
 
+def test_sign_signatures_short_vectors_get_zero_hi(spark):
+    """A <=32-dim vector packs to ONE word; the lo/hi projection must
+    supply hi = 0 instead of aborting — under Spark 4's default ANSI
+    mode a plain element_at(words, 2) THROWS on the missing index
+    before coalesce can see it (regression: the explode-era path
+    yielded hi = 0)."""
+    from asset_prices_parquet_saver_spark.operators.similarity import sign_signatures
+
+    rows = [(1, [1.0, -1.0, 1.0, 1.0]), (2, [-1.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {r["id"]: (r["lo"], r["hi"]) for r in sign_signatures(df).collect()}
+    assert sigs[1] == (0b1101, 0)
+    assert sigs[2] == (0, 0)
+
+
 def test_mmr_zero_norm_candidate_not_dropped(spark):
     """A zero-norm candidate has no similarity rows (dropped by the
     cosine kernel); it must still be rankable with penalty 0 — the old

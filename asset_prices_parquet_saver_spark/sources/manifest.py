@@ -149,11 +149,17 @@ def _all_version_dirs(table: str) -> list[int]:
 
 def _legacy_files(table: str) -> list[str]:
     """Loose pre-manifest data files, including Hive-partitioned
-    (``key=value``) subdirectories — everything except snapshot dirs."""
+    (``key=value``) subdirectories — everything except snapshot dirs
+    and the DataSource writer's ``_staging`` scratch space."""
     out: list[str] = []
     for root, dirs, files in os.walk(table):
         if root == table:
-            dirs[:] = [d for d in dirs if not (d.startswith("v") and d[1:].isdigit())]
+            dirs[:] = [
+                d
+                for d in dirs
+                if not (d.startswith("v") and d[1:].isdigit())
+                and d != "_staging"
+            ]
         out.extend(
             os.path.join(root, f) for f in files if f.endswith(".parquet")
         )
@@ -328,6 +334,26 @@ def _commit_under_lock(
     stats_cols: list[str] | None = None,
     expect_version: int | None = None,
 ) -> int:
+    return _publish_under_lock(
+        lambda seg_path: df.write.mode("overwrite").parquet(seg_path),
+        table, append, txn, stats_cols, expect_version,
+    )
+
+
+def _publish_under_lock(
+    materialize,
+    table: str,
+    append: bool,
+    txn: tuple[str, int] | None,
+    stats_cols: list[str] | None = None,
+    expect_version: int | None = None,
+) -> int:
+    """The commit sequence with segment materialization abstracted:
+    ``materialize(seg_path)`` must populate the new segment directory —
+    either a Spark parquet write (:func:`_commit_under_lock`) or a move
+    of executor-staged files (:func:`commit_staged_files`). Everything
+    else (txn idempotence, version numbering, manifest publish, GC) is
+    identical."""
     prev = _read_manifest(table)
     if expect_version is not None:
         cur = None if prev is None else int(prev["version"])
@@ -352,7 +378,7 @@ def _commit_under_lock(
     # the segment lands directly at its final, never-reused path; the
     # source-of-truth for readers is still the old manifest until the
     # publish below, so a failure anywhere in this write is invisible
-    df.write.mode("overwrite").parquet(os.path.join(table, new_seg))
+    materialize(os.path.join(table, new_seg))
     segments = [*prev_segments, new_seg] if append else [new_seg]
     doc = {"version": new_v, "segments": segments}
     # segment-level zone map: carried forward on append (old segments
@@ -392,6 +418,10 @@ def _commit_under_lock(
             if n == MANIFEST or n.startswith(MANIFEST + "."):
                 continue
             if n.startswith("v") and n[1:].isdigit():
+                continue
+            if n == "_staging":
+                # DataSource-writer scratch: may hold ANOTHER in-flight
+                # write's staged files — each writer cleans its own
                 continue
             p = os.path.join(table, n)
             try:
@@ -435,6 +465,36 @@ def commit_append(
     into one segment when small files accumulate. Pass
     ``txn=(app_id, epoch)`` from foreachBatch for exactly-once appends."""
     return _commit(df, table, append=True, txn=txn, stats_cols=stats_cols)
+
+
+def commit_staged_files(
+    files: list[str],
+    table: str,
+    append: bool = True,
+    txn: tuple[str, int] | None = None,
+) -> int | None:
+    """Commit executor-staged parquet files as the next segment — the
+    publish half of a DataSourceV2-style write (the Iceberg shape: tasks
+    write immutable data files, ONE driver-side metadata swap commits
+    them all). ``files`` are moved (``os.replace``, same filesystem)
+    into the new immutable segment directory under the commit lock,
+    then the manifest publishes exactly as a DataFrame commit would —
+    txn idempotence, version numbering, GC included.
+
+    Returns the new version, or None when ``files`` is empty (nothing
+    to commit — no manifest touch, so replayed empty epochs stay
+    no-ops without spending a txn record)."""
+    if not files:
+        return None
+
+    def materialize(seg_path: str) -> None:
+        os.makedirs(seg_path, exist_ok=True)
+        for f in files:
+            os.replace(f, os.path.join(seg_path, os.path.basename(f)))
+
+    os.makedirs(table, exist_ok=True)
+    with _commit_lock(table):
+        return _publish_under_lock(materialize, table, append, txn)
 
 
 def compact_versioned(

@@ -602,6 +602,125 @@ def rsi(
     )
 
 
+def atr(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 14,
+) -> DataFrame:
+    """Average True Range (SMA variant) per key over daily OHLC bars:
+    TR_t = greatest(high−low, |high−prev_close|, |low−prev_close|)
+    (first bar: high−low, Wilder's convention), ATR = N-day simple
+    mean of TR, emitted only for full windows. Wilder's recursive
+    smoothing is deliberately avoided for the same reason as RSI's
+    (it serializes each key's full history); the SMA variant keeps the
+    indicator one combinable window pass.
+
+    Portability: prices carry ≤2 decimals, so TR is EXACT in
+    DECIMAL(18,2) (differences only — no products, no overflow class)
+    and the window sum is order-independent; the final sum/N quotient
+    is the rational class that rounds via the IEEE-floor contract.
+    Scale: OHLC rollup (one (key, day) shuffle of combinable partials)
+    → per-key lag + ROWS window over the bar-sized series."""
+    bars = ohlc_bars(ticks, key_col, ts_col, price_col, id_col)
+    wlag = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    h = F.col("high").cast("decimal(18,2)")
+    l = F.col("low").cast("decimal(18,2)")
+    pc = F.lag(F.col("close").cast("decimal(18,2)")).over(wlag)
+    tr = F.when(pc.isNull(), h - l).otherwise(
+        F.greatest(h - l, F.abs(h - pc), F.abs(l - pc))
+    )
+    wnd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    t = bars.select(F.col(key_col), F.col("day"), tr.alias("_tr"))
+    return (
+        t.select(
+            F.col(key_col),
+            F.col("day"),
+            F.col("_tr"),
+            F.sum("_tr").over(wnd).cast("double").alias("_s"),
+            F.count("_tr").over(wnd).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == window)
+        .select(
+            F.col(key_col),
+            F.col("day"),
+            F.col("_tr").cast("double").alias("true_range"),
+            round6_portable(F.col("_s") / F.lit(float(window))).alias("atr"),
+        )
+    )
+
+
+def stochastic_oscillator(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    k_window: int = 14,
+    d_window: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator per key over daily OHLC bars:
+    %K = 100·(close − min low)/(max high − min low) over the trailing
+    ``k_window`` days, %D = ``d_window``-day simple mean of %K. Rows
+    emit only for full %K windows; a flat range (max == min) yields
+    NULL %K, and %D requires ``d_window`` consecutive NON-NULL %K.
+
+    Portability: extrema and differences are exact in DECIMAL(18,2);
+    %K is a pure rational quotient (the midpoint class → IEEE-floor
+    rounding), staged to DECIMAL(10,6) so the %D mean assembles from
+    exact order-independent sums before its own staged rounding.
+    Scale: same shape as atr — bar rollup shuffle, then entity-keyed
+    ROWS windows only."""
+    bars = ohlc_bars(ticks, key_col, ts_col, price_col, id_col)
+    wk = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(k_window - 1), 0)
+    )
+    h = F.col("high").cast("decimal(18,2)")
+    l = F.col("low").cast("decimal(18,2)")
+    c = F.col("close").cast("decimal(18,2)")
+    hh = F.max(h).over(wk)
+    ll = F.min(l).over(wk)
+    base = bars.select(
+        F.col(key_col),
+        F.col("day"),
+        (c - ll).alias("_num"),
+        (hh - ll).alias("_den"),
+        F.count("high").over(wk).alias("_cnt"),
+    ).filter(F.col("_cnt") == k_window)
+    k = F.when(
+        F.col("_den") != 0,
+        round6_portable(
+            F.lit(100.0) * F.col("_num").cast("double") / F.col("_den").cast("double")
+        ),
+    ).cast("decimal(10,6)")
+    wd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(d_window - 1), 0)
+    )
+    kd = base.select(F.col(key_col), F.col("day"), k.alias("_k"))
+    return kd.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("_k").cast("double").alias("pct_k"),
+        F.when(
+            (F.count("*").over(wd) == d_window)
+            & (F.count("_k").over(wd) == d_window),
+            round6_portable(
+                F.sum("_k").over(wd).cast("double") / F.lit(float(d_window))
+            ),
+        ).alias("pct_d"),
+    )
+
+
 def beta_vs_market(
     ticks: DataFrame,
     key_col: str = "user_id",
@@ -626,24 +745,7 @@ def beta_vs_market(
     expression of identical operands. Keys with fewer than ``min_days``
     returns or zero market variance emit NULL beta.
     """
-    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
-    wlag = Window.partitionBy(key_col).orderBy(F.col("day").asc())
-    prev = F.lag("close").over(wlag)
-    rets = (
-        closes.select(
-            F.col(key_col),
-            F.col("day"),
-            F.when(prev != 0, (F.col("close") / prev - 1)).alias("_r"),
-        )
-        .filter(F.col("_r").isNotNull())
-        # round via the IEEE-floor contract FIRST, then stage to exact
-        # decimal: the rounded double sits ~1e-16 from a 6-decimal
-        # value, so the double→DECIMAL(18,6) conversion is unambiguous
-        # on any engine (a raw-quotient cast would re-expose the
-        # engine-library midpoint divergence that broke daily_returns
-        # in CORRECTNESS_r05).
-        .withColumn("_r", round6_portable(F.col("_r")).cast("decimal(18,6)"))
-    )
+    rets = _staged_daily_returns(ticks, key_col, ts_col, price_col, id_col)
     market = rets.groupBy("day").agg(
         (F.sum("_r").cast("double") / F.count("_r")).alias("_m")
     )
@@ -673,6 +775,163 @@ def beta_vs_market(
             # where engine round() rules diverge.
             round6_portable((n * sxy - sx * sy) / denom),
         ).alias("beta"),
+    )
+
+
+def _staged_daily_returns(
+    ticks: DataFrame, key_col: str, ts_col: str, price_col: str, id_col: str
+) -> DataFrame:
+    """(key, day, _r): daily simple returns rounded via the IEEE-floor
+    contract then staged to exact DECIMAL(18,6) — the shared front end
+    of every moment-based return statistic (beta, Sharpe, pairwise
+    corr): sums over _r are order-independent, and the rounded double
+    sits ~1e-16 from a 6-decimal point so the double→decimal cast is
+    unambiguous on any engine."""
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    wlag = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    prev = F.lag("close").over(wlag)
+    return (
+        closes.select(
+            F.col(key_col),
+            F.col("day"),
+            F.when(prev != 0, (F.col("close") / prev - 1)).alias("_r"),
+        )
+        .filter(F.col("_r").isNotNull())
+        .withColumn("_r", round6_portable(F.col("_r")).cast("decimal(18,6)"))
+    )
+
+
+def sharpe_ratio(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    periods_per_year: int = 252,
+    min_days: int = 2,
+) -> DataFrame:
+    """Annualized Sharpe ratio per key (risk-free rate 0):
+    mean(r)/sd(r) · √periods over the daily simple returns — with
+    max_drawdown and beta, the third canonical risk read of the
+    reference's bar store (download_historical_price.py's output).
+
+    Mean and SAMPLE variance assemble from decimal-exact moments in one
+    map-side-combinable pass per key (the qty_price_correlation
+    construction); the final expression contains √variance — the
+    irrational class where plain round-to-6 is engine-safe (a dyadic
+    midpoint has measure zero; see functions/numeric.round6). Keys
+    with < ``min_days`` returns or zero variance emit NULL.
+
+    Scale shape: daily rollup (one keyed shuffle) → per-key lag →
+    per-key combinable sums. Nothing global, nothing per-tick past the
+    first rollup."""
+    rets = _staged_daily_returns(ticks, key_col, ts_col, price_col, id_col)
+    x = F.col("_r")
+    s = rets.groupBy(key_col).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var_num = n * sxx - sx * sx  # n·(n−1)·sample-variance
+    ann = F.lit(float(periods_per_year))
+    return s.select(
+        F.col(key_col),
+        n.cast("long").alias("n_days"),
+        F.when(
+            (n >= min_days) & (var_num > 0),
+            F.round(
+                (sx / n)
+                / F.sqrt(var_num / (n * (n - F.lit(1.0))))
+                * F.sqrt(ann),
+                6,
+            ),
+        ).alias("sharpe"),
+    )
+
+
+def return_correlations(
+    ticks: DataFrame,
+    top_k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    min_days: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) between the
+    daily return series of the ``top_k`` most-observed keys — the
+    portfolio-construction read of the bar store.
+
+    All-pairs correlation over every entity is quadratic by nature, so
+    the operator is explicitly BOUNDED: the universe is the top-k keys
+    by return-day count (ties broken by key for determinism), chosen
+    with one tiny aggregate that BROADCASTS back as a semi-join filter.
+    Day-aligned pairs then come from a per-day pair expansion over the
+    ≤ k filtered rows of each day — collect the day's (key, r) structs
+    (bounded state: k elements) and explode the k²/2 ordered
+    combinations with higher-order array functions, entirely JVM-side.
+    A day-keyed SELF-JOIN would be semantically identical but
+    re-evaluates the tick-scan lineage once per join side (Spark does
+    not share unpersisted subtrees); the array expansion reads the
+    fact table exactly twice (top-k pass + pair pass) with no cache.
+    Moments are decimal-exact and combinable per pair; the final corr
+    contains √·√ (irrational class → plain round-to-6 is engine-safe).
+    Pairs with < ``min_days`` common days or a zero variance emit NULL.
+    """
+    rets = _staged_daily_returns(ticks, key_col, ts_col, price_col, id_col)
+    top = (
+        rets.groupBy(key_col)
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col(key_col).asc())
+        .limit(top_k)
+        .select(key_col)
+    )
+    sel = rets.join(F.broadcast(top), key_col, "left_semi")
+    byday = sel.groupBy("day").agg(
+        F.collect_list(F.struct(F.col(key_col).alias("k"), F.col("_r").alias("r"))).alias("xs")
+    )
+    pairs = byday.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "xs",
+                    lambda a: F.filter(
+                        F.transform(
+                            "xs",
+                            lambda b: F.struct(
+                                a["k"].alias("key_a"),
+                                b["k"].alias("key_b"),
+                                a["r"].alias("_x"),
+                                b["r"].alias("_y"),
+                            ),
+                        ),
+                        lambda p: p["key_a"] < p["key_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.key_a", "p.key_b", "p._x", "p._y")
+    x, y = F.col("_x"), F.col("_y")
+    s = pairs.groupBy("key_a", "key_b").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return s.select(
+        "key_a",
+        "key_b",
+        n.cast("long").alias("n_days"),
+        F.when(
+            (n >= min_days) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("corr"),
     )
 
 

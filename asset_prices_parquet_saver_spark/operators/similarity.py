@@ -1425,3 +1425,61 @@ def ann_hamming_topk_words(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "hamming", "rank")
     )
+
+
+def pca_project(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    components=None,
+    mean=None,
+) -> DataFrame:
+    """Project embeddings onto a pinned PCA basis (the FAISS
+    PCAMatrix / OPQ pre-transform workflow: train the basis ONCE
+    offline, ship it as an artifact, project everywhere as a pure
+    matmul against constants — scripts/gen_pca_components.py is the
+    trainer, operators/pca_components.py the artifact).
+
+    Scale shape: embarrassingly parallel — one Arrow-batched numpy
+    matmul per batch ((V − μ)·Cᵀ), no shuffle, no state; the basis
+    rides the task closure like a literal. Scores round to 6 decimals
+    JVM-side; summation-order noise vs a sequential SQL fold lives at
+    1e-15, three orders below the rounding grain (the cosine-kernel
+    precedent at the top of this module).
+
+    Returns (id, pc1..pck); ``components``/``mean`` default to the
+    pinned artifact so Spark kernels and SQL oracles share constants.
+    """
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.pca_components import (
+        PINNED_PCA_COMPONENTS,
+        PINNED_PCA_MEAN,
+    )
+
+    C = np.array(
+        PINNED_PCA_COMPONENTS if components is None else components,
+        dtype=np.float64,
+    )
+    mu = np.array(PINNED_PCA_MEAN if mean is None else mean, dtype=np.float64)
+    k = C.shape[0]
+    src = e.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("_v"))
+    id_type = src.schema[id_col].dataType.simpleString()
+    pc_cols = [f"pc{j + 1}" for j in range(k)]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            S = (V - mu) @ C.T
+            out = pdf[[id_col]].copy()
+            for j, name in enumerate(pc_cols):
+                out[name] = S[:, j]
+            yield out
+
+    schema = f"{id_col} {id_type}, " + ", ".join(f"{c} double" for c in pc_cols)
+    proj = src.mapInPandas(gen, schema)
+    return proj.select(
+        F.col(id_col), *[F.round(F.col(c), 6).alias(c) for c in pc_cols]
+    )

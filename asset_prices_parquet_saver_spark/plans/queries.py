@@ -3243,6 +3243,49 @@ def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+# --- X3 dimensionality reduction: projection onto a pinned PCA basis
+# (the FAISS PCAMatrix/OPQ pre-transform workflow — train offline,
+# ship constants; scripts/gen_pca_components.py). The oracle inlines
+# the identical float64 literals; centering folds into a per-component
+# constant (dot(v−μ, c) = dot(v, c) − dot(μ, c)), and summation-order
+# noise between the numpy matmul and DuckDB's sequential fold lives at
+# 1e-15, three orders below the 6-decimal rounding grain (the
+# cosine-kernel precedent).
+def _pca_oracle() -> str:
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.pca_components import (
+        PINNED_PCA_COMPONENTS,
+        PINNED_PCA_MEAN,
+    )
+
+    C = np.array(PINNED_PCA_COMPONENTS, dtype=np.float64)
+    mu = np.array(PINNED_PCA_MEAN, dtype=np.float64)
+    cols = []
+    for j, c in enumerate(C):
+        lits = ", ".join(double_lit(x) for x in c)
+        const = double_lit(float(mu @ c))
+        cols.append(
+            f"round(list_dot_product(v, [{lits}]) - {const}, 6) AS pc{j + 1}"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)\nSELECT vec_id, "
+        + ",\n       ".join(cols)
+        + " FROM e"
+    )
+
+
+@q("pca_projection", _pca_oracle())
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-basis PCA projection of the embedding corpus: one
+    Arrow-batched numpy matmul per batch, no shuffle — the
+    dimensionality-reduction front end an ANN/visualization pipeline
+    runs before indexing."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return sim_ops.pca_project(e)
+
+
 # --- X3 storage compression: per-dimension int8 scalar quantization
 # with an in-pass reconstruction-MSE audit. Pure exact relational
 # arithmetic — codes and the error report are bit-reproducible with no
@@ -4895,8 +4938,11 @@ _CLOSES_CTE = """
     , m AS (
       SELECT user_id, day, close,
              CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s,
-             CAST(SUM(CAST(close AS DECIMAL(18,2))
-                      * CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS ssq,
+             -- width 19 on the squared term: forces DuckDB's hugeint
+             -- kernel (an 18-wide product multiplies in int64 and
+             -- overflows past |close| ~3e7 — value-identical below it)
+             CAST(SUM(CAST(close AS DECIMAL(19,2))
+                      * CAST(close AS DECIMAL(19,2))) OVER win AS DOUBLE) AS ssq,
              COUNT(close) OVER win AS cnt
       FROM c
       WINDOW win AS (PARTITION BY user_id ORDER BY day
@@ -4968,6 +5014,111 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.rsi(e, window=14)
 
 
+#: shared oracle CTE: daily OHLC bars (rank-window statement of the
+#: combinable struct-extrema rollup in operators/analytics.ohlc_bars)
+_BARS_CTE = """
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events
+    ), w AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM t
+    ), b AS (
+      SELECT user_id, day,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM w GROUP BY user_id, day
+    )"""
+
+
+@q(
+    "atr_indicator",
+    _BARS_CTE
+    + """
+    , tr0 AS (
+      SELECT user_id, day,
+             CAST(high AS DECIMAL(18,2)) AS h,
+             CAST(low AS DECIMAL(18,2)) AS l,
+             LAG(CAST(close AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY day) AS pc
+      FROM b
+    ), trr AS (
+      SELECT user_id, day,
+             CASE WHEN pc IS NULL THEN h - l
+                  ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS tr
+      FROM tr0
+    ), s AS (
+      SELECT user_id, day, tr,
+             CAST(SUM(tr) OVER win AS DOUBLE) AS s,
+             COUNT(tr) OVER win AS cnt
+      FROM trr
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, CAST(tr AS DOUBLE) AS true_range,
+           {r6} AS atr
+    FROM s WHERE cnt = 14
+    """.format(r6=round6_sql("s / 14.0")),
+)
+def atr_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day ATR (SMA variant) per key: true range is EXACT in
+    DECIMAL(18,2) (differences of ≤2-decimal prices — no product, no
+    overflow class), the window sum order-independent, and the final
+    sum/N quotient rounds via the IEEE-floor contract. OHLC rollup →
+    per-key lag + ROWS window; never a global sort."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.atr(e, window=14)
+
+
+@q(
+    "stochastic_oscillator",
+    _BARS_CTE
+    + """
+    , m AS (
+      SELECT user_id, day,
+             CAST(close AS DECIMAL(18,2))
+               - MIN(CAST(low AS DECIMAL(18,2))) OVER wk AS num,
+             MAX(CAST(high AS DECIMAL(18,2))) OVER wk
+               - MIN(CAST(low AS DECIMAL(18,2))) OVER wk AS den,
+             COUNT(high) OVER wk AS cnt
+      FROM b
+      WINDOW wk AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), kk AS (
+      SELECT user_id, day,
+             CAST(CASE WHEN den <> 0 THEN {rk} END AS DECIMAL(10,6)) AS k
+      FROM m WHERE cnt = 14
+    )
+    SELECT user_id, day, CAST(k AS DOUBLE) AS pct_k,
+           CASE WHEN COUNT(*) OVER wd = 3 AND COUNT(k) OVER wd = 3
+                THEN {rd} END AS pct_d
+    FROM kk
+    WINDOW wd AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """.format(
+        rk=round6_sql("100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"),
+        rd=round6_sql("CAST(SUM(k) OVER wd AS DOUBLE) / 3.0"),
+    ),
+)
+def stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic %K/%D(14,3) per key: %K is a pure rational quotient
+    of exact-decimal extrema differences (the midpoint class →
+    IEEE-floor rounding, staged to DECIMAL(10,6) so the %D mean
+    assembles from exact sums); flat 14-day ranges yield NULL %K and
+    %D requires 3 consecutive non-NULL %K. Bar rollup + entity-keyed
+    ROWS windows only."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.stochastic_oscillator(e, k_window=14, d_window=3)
+
+
 @q(
     "beta_vs_market",
     _CLOSES_CTE
@@ -4980,11 +5131,11 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW pk AS (PARTITION BY user_id ORDER BY day)
     ), rr AS (
       SELECT user_id, day,
-             CAST({rret} AS DECIMAL(18,6)) AS r
+             CAST({rret} AS DECIMAL(19,6)) AS r
       FROM r0 WHERE rr IS NOT NULL
     ), m AS (
       SELECT day,
-             CAST({rmkt} AS DECIMAL(18,6)) AS mk
+             CAST({rmkt} AS DECIMAL(19,6)) AS mk
       FROM rr GROUP BY day
     ), j AS (
       SELECT rr.user_id, rr.r, m.mk FROM rr JOIN m USING (day)
@@ -5017,6 +5168,105 @@ def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return an_ops.beta_vs_market(e)
+
+
+#: shared oracle CTE: per-key daily simple returns, IEEE-floor rounded
+#: and staged to exact DECIMAL(19,6) — width 19 forces DuckDB's
+#: hugeint decimal kernels (an 18-wide product runs in int64 and
+#: OVERFLOWS for returns above ~3000x); the value set is identical
+#: to the Spark side's DECIMAL(18,6) staging. Literal SQL mirror of
+#: operators/analytics._staged_daily_returns (same construction the
+#: beta_vs_market oracle inlines).
+_RETURNS_CTE = (
+    _CLOSES_CTE
+    + """
+    , r0 AS (
+      SELECT user_id, day,
+             CASE WHEN LAG(close) OVER pk <> 0
+                  THEN close / LAG(close) OVER pk - 1 END AS rr
+      FROM c
+      WINDOW pk AS (PARTITION BY user_id ORDER BY day)
+    ), rr AS (
+      SELECT user_id, day,
+             CAST({r6} AS DECIMAL(19,6)) AS r
+      FROM r0 WHERE rr IS NOT NULL
+    )""".format(r6=round6_sql("rr"))
+)
+
+
+@q(
+    "sharpe_ratio",
+    _RETURNS_CTE
+    + """
+    , s AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(r) AS DOUBLE) AS sx,
+             CAST(SUM(r * r) AS DOUBLE) AS sxx
+      FROM rr GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                THEN round((sx / n)
+                           / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+                           * sqrt(CAST(252 AS DOUBLE)), 6)
+           END AS sharpe
+    FROM s
+    """,
+)
+def sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe per key from decimal-exact return moments —
+    mean/sd assemble in one combinable pass; the final expression
+    contains √variance·√252 (irrational class → plain round-to-6 is
+    engine-safe), replayed operand-for-operand in the oracle."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.sharpe_ratio(e)
+
+
+@q(
+    "return_correlations",
+    _RETURNS_CTE
+    + """
+    , cnt AS (
+      SELECT user_id, COUNT(*) AS c FROM rr GROUP BY user_id
+    ), top AS (
+      SELECT user_id FROM cnt ORDER BY c DESC, user_id ASC LIMIT 20
+    ), sel AS (
+      SELECT rr.user_id, rr.day, rr.r FROM rr
+      WHERE rr.user_id IN (SELECT user_id FROM top)
+    ), p AS (
+      SELECT a.user_id AS key_a, b.user_id AS key_b,
+             a.r AS x, b.r AS y
+      FROM sel a JOIN sel b ON a.day = b.day AND a.user_id < b.user_id
+    ), s AS (
+      SELECT key_a, key_b, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM p GROUP BY key_a, key_b
+    )
+    SELECT key_a, key_b, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                     AND (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6)
+           END AS corr
+    FROM s
+    """,
+)
+def return_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the daily return series of
+    the 20 most-observed keys (count-desc, key-asc tie-break — the
+    identical deterministic top-k on both engines). The quadratic
+    surface is bounded to the k-filtered bar rollup; the fact table
+    never self-joins. Final corr contains √·√ (irrational class)."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.return_correlations(e, top_k=20)
 
 
 @q(
@@ -6227,6 +6477,11 @@ _GATE_ORDER = [
     "flagship_pricing_summary",
     "daily_returns",
     "ewma_closes",
+    "sharpe_ratio",
+    "return_correlations",
+    "atr_indicator",
+    "stochastic_oscillator",
+    "pca_projection",
     "approx_user_stats_bound",
     "cohort_retention",
     "twap_daily",
@@ -6268,15 +6523,18 @@ _GATE_ORDER = [
     "minhash_lsh_pairs",
     "minute_floor_counts",
     "normalize_case_rename",
+    # macd_closes / sharpe_ratio / return_correlations / atr_indicator
+    # / stochastic_oscillator (round-6 adds, zero evidence) take the
+    # last slots; null_pad_schema + order_priority_stats +
+    # pack_training_shards + parse_error_message + pivot_linestatus
+    # (r3) rotate below with the other 17 r3 holdovers
+    "macd_closes",
+    # ---- gate-window boundary (position 50) ----
     "ntile_price_bands",
     "null_pad_schema",
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
-    # macd_closes (round-6 add, zero evidence) takes the 50th slot;
-    # pivot_linestatus (r3) rotates below with the other 17 r3 holdovers
-    "macd_closes",
-    # ---- gate-window boundary (position 50) ----
     "pivot_linestatus",
     "media_features",
     "inverted_index",

@@ -165,6 +165,11 @@ HEADLINE = [
     "ewma_closes",
     "approx_user_stats_bound",
     "macd_closes",
+    "sharpe_ratio",
+    "return_correlations",
+    "atr_indicator",
+    "stochastic_oscillator",
+    "pca_projection",
 ]
 
 

@@ -479,3 +479,118 @@ def test_macd_matches_pandas_adjust_false(spark):
         em, es, eh = round(m[i], 6), round(sig[i], 6), round(m[i] - sig[i], 6)
         gm, gs, gh = got[1 + i]
         assert abs(gm - em) < 1e-9 and abs(gs - es) < 1e-9 and abs(gh - eh) < 1e-9, i
+
+
+def test_sharpe_ratio_known_series(spark):
+    import math
+
+    rows = [
+        # A: returns 0.1 then 0.2 -> mean .15, sample sd sqrt(.005)
+        (1, _day(1), 1, "x", 100.0),
+        (2, _day(2), 1, "x", 110.0),
+        (3, _day(3), 1, "x", 132.0),
+        # B: constant +10% -> zero variance -> NULL sharpe
+        (4, _day(1), 2, "x", 100.0),
+        (5, _day(2), 2, "x", 110.0),
+        (6, _day(3), 2, "x", 121.0),
+        # C: one return only -> below min_days -> NULL
+        (7, _day(1), 3, "x", 50.0),
+        (8, _day(2), 3, "x", 55.0),
+    ]
+    out = {r["user_id"]: r for r in an.sharpe_ratio(_ev(spark, rows)).collect()}
+    exp = (0.3 / 2) / math.sqrt((2 * 0.05 - 0.3 * 0.3) / 2.0) * math.sqrt(252.0)
+    assert abs(out[1]["sharpe"] - exp) < 1e-6 and out[1]["n_days"] == 2
+    assert out[2]["sharpe"] is None and out[2]["n_days"] == 2
+    assert out[3]["sharpe"] is None and out[3]["n_days"] == 1
+
+
+def test_return_correlations_signs_and_bound(spark):
+    rows = [
+        # A and B: perfectly positively correlated returns
+        (1, _day(1), 1, "x", 100.0),
+        (2, _day(2), 1, "x", 110.0),
+        (3, _day(3), 1, "x", 132.0),
+        (4, _day(1), 2, "x", 50.0),
+        (5, _day(2), 2, "x", 60.0),
+        (6, _day(3), 2, "x", 84.0),
+        # C: perfectly anti-correlated with A, but only 2 common days
+        (7, _day(1), 3, "x", 100.0),
+        (8, _day(2), 3, "x", 90.0),
+        (9, _day(3), 3, "x", 72.0),
+    ]
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in an.return_correlations(_ev(spark, rows), top_k=3).collect()
+    }
+    assert out[(1, 2)]["corr"] == 1.0
+    assert out[(1, 3)]["corr"] == -1.0
+    assert out[(2, 3)]["corr"] == -1.0
+    assert all(r["n_days"] == 2 for r in out.values())
+
+    # top_k bounds the universe: with top_k=2 only the two
+    # most-observed keys pair up (count tie -> key-asc tie-break)
+    bounded = an.return_correlations(_ev(spark, rows), top_k=2).collect()
+    assert [(r["key_a"], r["key_b"]) for r in bounded] == [(1, 2)]
+
+
+def test_return_correlations_zero_variance_is_null(spark):
+    rows = [
+        # A: constant +10% -> zero variance
+        (1, _day(1), 1, "x", 100.0),
+        (2, _day(2), 1, "x", 110.0),
+        (3, _day(3), 1, "x", 121.0),
+        # B: varying returns
+        (4, _day(1), 2, "x", 100.0),
+        (5, _day(2), 2, "x", 110.0),
+        (6, _day(3), 2, "x", 132.0),
+    ]
+    out = an.return_correlations(_ev(spark, rows), top_k=2).collect()
+    assert len(out) == 1
+    assert out[0]["corr"] is None and out[0]["n_days"] == 2
+
+
+def test_atr_known_series(spark):
+    # one tick/day => high == low == close => TR_1 = 0, TR_t = |Δclose|
+    closes = [10.0, 12.0, 11.0, 15.0]
+    rows = [(d, _day(d), 1, "x", c) for d, c in enumerate(closes, start=1)]
+    out = {r["day"].day: r for r in an.atr(_ev(spark, rows), window=3).collect()}
+    assert sorted(out) == [3, 4]  # full 3-day windows only
+    assert out[3]["true_range"] == 1.0
+    assert abs(out[3]["atr"] - (0 + 2 + 1) / 3) < 1e-6
+    assert out[4]["true_range"] == 4.0
+    assert abs(out[4]["atr"] - (2 + 1 + 4) / 3) < 1e-6
+
+
+def test_atr_gap_uses_prev_close(spark):
+    # day2 gaps ABOVE day1's close: TR = |high - prev_close|, not h-l
+    rows = [
+        (1, _day(1), 1, "x", 10.0),
+        # day2: intraday range 20..21, prev close 10 => TR = 21-10 = 11
+        (2, dt.datetime(2024, 1, 2, 10), 1, "x", 20.0),
+        (3, dt.datetime(2024, 1, 2, 11), 1, "x", 21.0),
+    ]
+    out = {r["day"].day: r for r in an.atr(_ev(spark, rows), window=2).collect()}
+    assert out[2]["true_range"] == 11.0
+    assert abs(out[2]["atr"] - (0 + 11) / 2) < 1e-9
+
+
+def test_stochastic_known_series(spark):
+    closes = [10.0, 20.0, 30.0, 25.0]
+    rows = [(d, _day(d), 1, "x", c) for d, c in enumerate(closes, start=1)]
+    out = {
+        r["day"].day: r
+        for r in an.stochastic_oscillator(
+            _ev(spark, rows), k_window=3, d_window=2
+        ).collect()
+    }
+    assert sorted(out) == [3, 4]
+    assert out[3]["pct_k"] == 100.0
+    assert out[3]["pct_d"] is None  # first %K row: no full %D window
+    assert out[4]["pct_k"] == 50.0
+    assert out[4]["pct_d"] == 75.0
+
+
+def test_stochastic_flat_range_is_null(spark):
+    rows = [(d, _day(d), 1, "x", 10.0) for d in range(1, 5)]
+    out = an.stochastic_oscillator(_ev(spark, rows), k_window=3, d_window=2).collect()
+    assert all(r["pct_k"] is None and r["pct_d"] is None for r in out)

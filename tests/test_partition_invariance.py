@@ -37,6 +37,9 @@ PROBES = [
     # round-5-continuation indicator family
     "bollinger_bands",        # exact-decimal window moments
     "beta_vs_market",         # staged-decimal returns + broadcast market join
+    # round-6 indicator family
+    "return_correlations",    # deterministic top-k + per-day pair expansion
+    "stochastic_oscillator",  # window extrema + staged %K feeding %D sums
 ]
 
 

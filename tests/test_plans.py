@@ -416,3 +416,26 @@ def test_q7_two_nation_filter_below_fact_join(spark, sf_dir):
     head = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
     # at least one nation filter is in the build side below the join
     assert "NATION_1" in plan and "NATION_2" in plan
+
+
+def test_return_correlations_no_selfjoin_recompute(spark, sf_dir):
+    """return_correlations must expand pairs from per-day collected
+    arrays, not a day-keyed self-join: Spark re-evaluates unpersisted
+    subtrees per join side, so the self-join shape reads the fact
+    table four times (two join sides + the top-k pass re-deriving the
+    same returns). The array shape reads it exactly twice and the
+    k-bounded universe BROADCASTS back as the semi-join filter."""
+    plan = _plan(QUERIES["return_correlations"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan
+
+
+def test_sharpe_single_keyed_shuffle_chain(spark, sf_dir):
+    """sharpe_ratio: one fact scan, the (key, day) rollup + per-key lag
+    exchanges, and a partially-aggregated (map-side combinable) moment
+    pass — no join, no global window."""
+    plan = _plan(QUERIES["sharpe_ratio"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

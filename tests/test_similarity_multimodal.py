@@ -348,3 +348,65 @@ def test_ann_hamming_words_matches_brute_force_and_64bit_twin(spark):
     a = sorted(map(tuple, ann_hamming_topk(emb64, q64, k=5).collect()))
     b = sorted(map(tuple, ann_hamming_topk_words(emb64, q64, k=5).collect()))
     assert a == b
+
+
+def test_pinned_pca_basis_is_orthonormal_and_ordered():
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.pca_components import (
+        PINNED_PCA_COMPONENTS,
+        PINNED_PCA_DIM,
+        PINNED_PCA_EXPLAINED_VAR,
+        PINNED_PCA_MEAN,
+    )
+
+    C = np.array(PINNED_PCA_COMPONENTS)
+    assert C.shape[1] == PINNED_PCA_DIM == len(PINNED_PCA_MEAN)
+    # orthonormal rows
+    g = C @ C.T
+    assert np.allclose(g, np.eye(C.shape[0]), atol=1e-10)
+    # eigenvalues descend and are positive
+    ev = PINNED_PCA_EXPLAINED_VAR
+    assert all(a >= b for a, b in zip(ev, ev[1:])) and ev[-1] > 0
+    # sign convention: largest-|coef| coordinate positive (rebuild-stable)
+    for row in C:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_project_known_basis(spark):
+    from asset_prices_parquet_saver_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in pca_project(
+            df, components=[[1.0, 0.0], [0.0, 1.0]], mean=[1.0, 2.0]
+        ).collect()
+    }
+    assert out[1]["pc1"] == 2.0 and out[1]["pc2"] == 2.0
+    assert out[2]["pc1"] == 0.0 and out[2]["pc2"] == 0.0
+
+
+def test_pca_scores_match_numpy_on_corpus(spark, sf_dir):
+    import numpy as np
+
+    from asset_prices_parquet_saver_spark.operators.pca_components import (
+        PINNED_PCA_COMPONENTS,
+        PINNED_PCA_MEAN,
+    )
+    from asset_prices_parquet_saver_spark.operators.similarity import pca_project
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    S = (V - np.array(PINNED_PCA_MEAN)) @ np.array(PINNED_PCA_COMPONENTS).T
+    exp = {r["vec_id"]: S[i] for i, r in enumerate(rows)}
+    got = pca_project(e).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        want = exp[r["vec_id"]]
+        for j in range(len(want)):
+            assert abs(r[f"pc{j + 1}"] - want[j]) < 1e-6

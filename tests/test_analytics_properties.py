@@ -95,3 +95,122 @@ def test_drawdown_matches_reference(spark, rows):
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) <= 1.01e-6
         assert abs(got[u][2] - want[u][2]) <= 1.01e-6
+
+
+def _round6p(x: float) -> float:
+    """Python replica of the IEEE-floor rounding contract."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+tick_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),           # user_id
+        st.integers(min_value=1, max_value=8),           # day
+        st.integers(min_value=0, max_value=23),          # hour
+        st.integers(min_value=1, max_value=50000),       # price in cents
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+def _mk_days(spark, rows):
+    data = [
+        (i, dt.datetime(2024, 1, d, h), u, "x", c / 100.0)
+        for i, (u, d, h, c) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _returns_ref(rows):
+    """Per user: daily close = last (ts, event_id) tick of the day;
+    simple returns, IEEE-floor rounded to 6 dp (skipping zero closes)."""
+    closes: dict[tuple, tuple] = {}
+    for i, (u, d, h, c) in enumerate(rows):
+        key = (u, d)
+        cand = (h, i, c / 100.0)
+        if key not in closes or cand > closes[key]:
+            closes[key] = cand
+    rets: dict[int, list[float]] = {}
+    for u in sorted({k[0] for k in closes}):
+        days = sorted(d for (uu, d) in closes if uu == u)
+        for prev, cur in zip(days, days[1:]):
+            p, c = closes[(u, prev)][2], closes[(u, cur)][2]
+            if p != 0:
+                rets.setdefault(u, []).append(_round6p(c / p - 1))
+    return rets
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tick_strategy)
+def test_sharpe_matches_reference(spark, rows):
+    import math
+
+    out = {r["user_id"]: r for r in an.sharpe_ratio(_mk_days(spark, rows)).collect()}
+    rets = _returns_ref(rows)
+    for u, r in out.items():
+        rs = rets.get(u, [])
+        assert r["n_days"] == len(rs)
+        n = len(rs)
+        if n < 2:
+            assert r["sharpe"] is None
+            continue
+        sx, sxx = sum(rs), sum(x * x for x in rs)
+        var_num = n * sxx - sx * sx
+        if var_num <= 0:
+            assert r["sharpe"] is None
+            continue
+        exp = (sx / n) / math.sqrt(var_num / (n * (n - 1.0))) * math.sqrt(252.0)
+        assert abs(r["sharpe"] - exp) < 1e-5, (u, rs)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tick_strategy)
+def test_return_correlations_match_reference(spark, rows):
+    import math
+
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in an.return_correlations(_mk_days(spark, rows), top_k=3).collect()
+    }
+    # reference: returns per (user, day), pair-aligned on common days
+    closes: dict[tuple, tuple] = {}
+    for i, (u, d, h, c) in enumerate(rows):
+        key = (u, d)
+        cand = (h, i, c / 100.0)
+        if key not in closes or cand > closes[key]:
+            closes[key] = cand
+    byday: dict[int, dict[int, float]] = {}
+    for u in {k[0] for k in closes}:
+        days = sorted(d for (uu, d) in closes if uu == u)
+        for prev, cur in zip(days, days[1:]):
+            p, c = closes[(u, prev)][2], closes[(u, cur)][2]
+            if p != 0:
+                byday.setdefault(u, {})[cur] = _round6p(c / p - 1)
+    users = sorted(byday)
+    expected_pairs = set()
+    for i, a in enumerate(users):
+        for b in users[i + 1 :]:
+            common = sorted(set(byday[a]) & set(byday[b]))
+            if not common:
+                continue
+            expected_pairs.add((a, b))
+            xs = [byday[a][d] for d in common]
+            ys = [byday[b][d] for d in common]
+            r = out[(a, b)]
+            n = len(common)
+            assert r["n_days"] == n
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            if n < 2 or vx <= 0 or vy <= 0:
+                assert r["corr"] is None
+            else:
+                exp = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+                assert abs(r["corr"] - exp) < 1e-5
+    assert set(out) == expected_pairs

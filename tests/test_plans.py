@@ -439,3 +439,14 @@ def test_sharpe_single_keyed_shuffle_chain(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
     assert "partial_sum" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_ohlc_indicators_single_scan_no_join(spark, sf_dir):
+    """atr/stochastic: ONE fact scan into the combinable (key, day)
+    OHLC rollup, then entity-keyed ROWS windows — no join, no global
+    (empty-partitionBy) window anywhere."""
+    for name in ("atr_indicator", "stochastic_oscillator"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, name
+        assert "Join" not in plan, name
+        assert "partial_" in plan, name  # map-side combine on the rollup

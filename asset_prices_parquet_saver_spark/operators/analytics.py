@@ -602,6 +602,66 @@ def rsi(
     )
 
 
+def adjusted_closes(
+    ticks: DataFrame,
+    actions: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    action_day_col: str = "aday",
+    ratio_col: str = "ratio",
+) -> DataFrame:
+    """Back-adjust the daily close series for corporate actions — the
+    yfinance ``auto_adjust`` semantics the reference ingests
+    pre-applied (download_historical_price.py requests adjusted bars);
+    this operator lets the engine DERIVE the adjusted series from raw
+    closes + an action table, so re-adjustment after a late-arriving
+    action is a query, not a re-download.
+
+    ``actions`` rows are (key, action day, ratio) where ratio is the
+    multiplicative back-adjustment applied to all STRICTLY EARLIER
+    closes (a 2:1 split contributes 0.5): adj_close(t) = close(t) ×
+    Π_{a.day > t} a.ratio.
+
+    Scale/portability: corporate actions are RARE by domain (dozens
+    per key over decades), so the per-key action list is a bounded
+    array — one groupBy over the tiny action table, one key-equi join
+    onto the bar rollup (AQE broadcasts the small side), then a
+    day-sorted sequential double fold per row. The fold order is
+    pinned (sort_array ascending, initial 1.0), so the oracle replays
+    the IDENTICAL IEEE multiply sequence with list_sort +
+    list_reduce(list_prepend(1.0, ...)) — bit-identical before the
+    IEEE-floor rounding (products of decimal-scale ratios are the
+    rational midpoint class, so plain round is NOT safe here)."""
+    closes = _daily_closes(ticks, key_col, ts_col, price_col, id_col)
+    acts = actions.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(action_day_col).alias("d"),
+                    F.col(ratio_col).alias("r"),
+                )
+            )
+        ).alias("_acts")
+    )
+    j = closes.join(acts, key_col, "left")
+    suffix = F.aggregate(
+        F.filter(F.col("_acts"), lambda a: a["d"] > F.col("day")),
+        F.lit(1.0),
+        lambda acc, a: acc * a["r"],
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("close"),
+        round6_portable(F.coalesce(suffix, F.lit(1.0))).alias("adj_factor"),
+        round6_portable(
+            F.col("close") * F.coalesce(suffix, F.lit(1.0))
+        ).alias("adj_close"),
+    )
+
+
 def atr(
     ticks: DataFrame,
     key_col: str = "user_id",

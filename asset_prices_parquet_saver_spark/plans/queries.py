@@ -5014,6 +5014,60 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.rsi(e, window=14)
 
 
+@q(
+    "adjusted_closes",
+    _CLOSES_CTE
+    + """
+    , a AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS aday,
+             CAST(1 AS DOUBLE)
+               + CAST(MAX(event_id) % 7 AS DOUBLE) / 100.0 AS ratio
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ), al AS (
+      SELECT user_id, list_sort(list({{'d': aday, 'r': ratio}})) AS acts
+      FROM a GROUP BY user_id
+    ), f AS (
+      SELECT c.user_id, c.day, c.close,
+             COALESCE(list_reduce(
+               list_prepend(CAST(1 AS DOUBLE),
+                 list_transform(
+                   list_filter(al.acts, s -> s.d > c.day), s -> s.r)),
+               (acc, x) -> acc * x), CAST(1 AS DOUBLE)) AS factor
+      FROM c LEFT JOIN al USING (user_id)
+    )
+    SELECT user_id, day, close,
+           {f6} AS adj_factor,
+           {c6} AS adj_close
+    FROM f
+    """.format(f6=round6_sql("factor"), c6=round6_sql("close * factor")),
+)
+def adjusted_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corporate-action back-adjustment of the daily close series
+    (yfinance auto_adjust semantics, derived in-engine instead of
+    re-downloaded): adj_close(t) = close(t) × Π over later action
+    ratios. Actions here are a deterministic sparse derivation from
+    signup events (per-key-day ratio 1 + (max id mod 7)/100); the
+    day-sorted sequential double fold is replayed operand-for-operand
+    by the oracle's list_reduce, and products of decimal-scale ratios
+    are the rational midpoint class → IEEE-floor rounding."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    acts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", day.alias("aday"))
+        .agg(
+            (
+                F.lit(1.0)
+                + (F.max("event_id") % 7).cast("double") / F.lit(100.0)
+            ).alias("ratio")
+        )
+    )
+    return an_ops.adjusted_closes(e, acts)
+
+
 #: shared oracle CTE: daily OHLC bars (rank-window statement of the
 #: combinable struct-extrema rollup in operators/analytics.ohlc_bars)
 _BARS_CTE = """
@@ -6482,6 +6536,7 @@ _GATE_ORDER = [
     "atr_indicator",
     "stochastic_oscillator",
     "pca_projection",
+    "adjusted_closes",
     "approx_user_stats_bound",
     "cohort_retention",
     "twap_daily",
@@ -6522,7 +6577,6 @@ _GATE_ORDER = [
     "media_payload_meta",
     "minhash_lsh_pairs",
     "minute_floor_counts",
-    "normalize_case_rename",
     # macd_closes / sharpe_ratio / return_correlations / atr_indicator
     # / stochastic_oscillator (round-6 adds, zero evidence) take the
     # last slots; null_pad_schema + order_priority_stats +
@@ -6530,6 +6584,7 @@ _GATE_ORDER = [
     # (r3) rotate below with the other 17 r3 holdovers
     "macd_closes",
     # ---- gate-window boundary (position 50) ----
+    "normalize_case_rename",
     "ntile_price_bands",
     "null_pad_schema",
     "order_priority_stats",

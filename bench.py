@@ -170,6 +170,7 @@ HEADLINE = [
     "atr_indicator",
     "stochastic_oscillator",
     "pca_projection",
+    "adjusted_closes",
 ]
 
 

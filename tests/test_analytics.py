@@ -594,3 +594,43 @@ def test_stochastic_flat_range_is_null(spark):
     rows = [(d, _day(d), 1, "x", 10.0) for d in range(1, 5)]
     out = an.stochastic_oscillator(_ev(spark, rows), k_window=3, d_window=2).collect()
     assert all(r["pct_k"] is None and r["pct_d"] is None for r in out)
+
+
+def test_adjusted_closes_suffix_product(spark):
+    rows = [
+        (1, _day(1), 1, "x", 100.0),
+        (2, _day(2), 1, "x", 102.0),
+        (3, _day(3), 1, "x", 51.0),   # post-split price level
+        (4, _day(4), 1, "x", 52.0),
+        # key 2: no actions at all -> factor 1, adj == close
+        (5, _day(1), 2, "x", 10.0),
+    ]
+    # 2:1 split effective day 3: back-multiplier 0.5 on days < 3
+    acts = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 3), 0.5)], "user_id long, aday date, ratio double"
+    )
+    out = {
+        (r["user_id"], r["day"].day): r
+        for r in an.adjusted_closes(_ev(spark, rows), acts).collect()
+    }
+    assert out[(1, 1)]["adj_close"] == 50.0 and out[(1, 1)]["adj_factor"] == 0.5
+    assert out[(1, 2)]["adj_close"] == 51.0
+    # the action day itself and later days are NOT adjusted (strict >)
+    assert out[(1, 3)]["adj_close"] == 51.0 and out[(1, 3)]["adj_factor"] == 1.0
+    assert out[(1, 4)]["adj_close"] == 52.0
+    assert out[(2, 1)]["adj_close"] == 10.0 and out[(2, 1)]["adj_factor"] == 1.0
+
+
+def test_adjusted_closes_stacks_multiple_actions(spark):
+    rows = [(d, _day(d), 1, "x", 100.0) for d in range(1, 5)]
+    acts = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 2), 0.5), (1, dt.date(2024, 1, 4), 0.25)],
+        "user_id long, aday date, ratio double",
+    )
+    out = {
+        r["day"].day: r for r in an.adjusted_closes(_ev(spark, rows), acts).collect()
+    }
+    assert out[1]["adj_factor"] == 0.125  # both later actions stack
+    assert out[2]["adj_factor"] == 0.25   # only the day-4 action
+    assert out[3]["adj_factor"] == 0.25
+    assert out[4]["adj_factor"] == 1.0

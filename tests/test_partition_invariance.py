@@ -40,6 +40,7 @@ PROBES = [
     # round-6 indicator family
     "return_correlations",    # deterministic top-k + per-day pair expansion
     "stochastic_oscillator",  # window extrema + staged %K feeding %D sums
+    "adjusted_closes",        # collect_list arrival order (sort_array) + fold
 ]
 
 

@@ -4046,7 +4046,7 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, day
     """.format(
         r6=round6_sql(
-            "CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)"
+            "CAST(SUM(CAST(value AS DECIMAL(19,2)) * dt) AS DOUBLE)"
             " / CAST(SUM(dt) AS DOUBLE)"
         )
     ),
@@ -4450,8 +4450,11 @@ def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, value,
              COUNT(*) OVER w AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))
-                      * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+             -- width 19 on the square: DuckDB caps <=18-wide products
+             -- at DECIMAL(18) and multiplies in int64 (overflows past
+             -- |value| ~3e7); 19 forces hugeint, value-identical below
+             CAST(SUM(CAST(value AS DECIMAL(19,2))
+                      * CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE) AS s2
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)

@@ -230,17 +230,23 @@ def ohlc_bars(
     ts_col: str = "ts",
     price_col: str = "value",
     id_col: str = "event_id",
+    period: str = "day",
 ) -> DataFrame:
-    """Daily OHLC bar resampling — the reference domain's core rollup
-    (tick stream -> bar table). open/close are the prices at the
-    first/last (ts, id) of the day, selected via min/max over a
-    (ts, id, price) struct: unlike the rank-window formulation this is
-    a PLAIN combinable aggregate — partials form map-side, so the one
-    (key, day) shuffle moves per-bar partial states, never raw ticks.
-    (Struct min/max plans as SortAggregate; that sort is on the group
-    keys only, per-partition, not an ordering of the tick stream.)
-    The id tie-break makes same-timestamp ticks deterministic."""
-    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    """OHLC bar resampling at any calendar granularity — the reference
+    domain's core rollup (tick stream -> bar table); ``period`` is a
+    date_trunc unit (day/week/month/quarter/year), so one operator
+    serves every bar table a charting stack asks for. open/close are
+    the prices at the first/last (ts, id) of the period, selected via
+    min/max over a (ts, id, price) struct: unlike the rank-window
+    formulation this is a PLAIN combinable aggregate — partials form
+    map-side, so the one (key, period) shuffle moves per-bar partial
+    states, never raw ticks. (Struct min/max plans as SortAggregate;
+    that sort is on the group keys only, per-partition, not an
+    ordering of the tick stream.) The id tie-break makes
+    same-timestamp ticks deterministic. The bucket column is always
+    named ``day`` (the period's first date) so downstream indicator
+    operators compose unchanged at any granularity."""
+    day = F.date_trunc(period, F.col(ts_col)).cast("date").alias("day")
     sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
     return (
         ticks.select(F.col(key_col), day, F.col(ts_col), F.col(id_col), F.col(price_col))

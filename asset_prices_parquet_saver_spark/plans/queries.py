@@ -5018,6 +5018,41 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "weekly_ohlc_bars",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events
+    ), w AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM t
+    )
+    SELECT user_id, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM w GROUP BY user_id, day
+    """,
+)
+def weekly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC resample — the same combinable struct-extrema
+    rollup as ohlc_bars at ISO-week granularity (date_trunc('week') is
+    Monday-start on both engines), exercising the period-parametrized
+    operator a charting stack uses for every zoom level."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.ohlc_bars(e, period="week")
+
+
+@q(
     "adjusted_closes",
     _CLOSES_CTE
     + """
@@ -6540,6 +6575,7 @@ _GATE_ORDER = [
     "stochastic_oscillator",
     "pca_projection",
     "adjusted_closes",
+    "weekly_ohlc_bars",
     "approx_user_stats_bound",
     "cohort_retention",
     "twap_daily",
@@ -6579,7 +6615,6 @@ _GATE_ORDER = [
     "media_frame_sample",
     "media_payload_meta",
     "minhash_lsh_pairs",
-    "minute_floor_counts",
     # macd_closes / sharpe_ratio / return_correlations / atr_indicator
     # / stochastic_oscillator (round-6 adds, zero evidence) take the
     # last slots; null_pad_schema + order_priority_stats +
@@ -6587,6 +6622,7 @@ _GATE_ORDER = [
     # (r3) rotate below with the other 17 r3 holdovers
     "macd_closes",
     # ---- gate-window boundary (position 50) ----
+    "minute_floor_counts",
     "normalize_case_rename",
     "ntile_price_bands",
     "null_pad_schema",

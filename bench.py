@@ -171,6 +171,7 @@ HEADLINE = [
     "stochastic_oscillator",
     "pca_projection",
     "adjusted_closes",
+    "weekly_ohlc_bars",
 ]
 
 

@@ -634,3 +634,21 @@ def test_adjusted_closes_stacks_multiple_actions(spark):
     assert out[2]["adj_factor"] == 0.25   # only the day-4 action
     assert out[3]["adj_factor"] == 0.25
     assert out[4]["adj_factor"] == 1.0
+
+
+def test_ohlc_weekly_period(spark):
+    # Mon Jan 1 2024 .. Mon Jan 8: two ISO weeks; open/close follow
+    # (ts, id) order inside each week
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "x", 10.0),
+        (2, dt.datetime(2024, 1, 3, 9), 1, "x", 30.0),
+        (3, dt.datetime(2024, 1, 7, 9), 1, "x", 5.0),   # Sunday, same week
+        (4, dt.datetime(2024, 1, 8, 9), 1, "x", 7.0),   # next Monday
+    ]
+    out = {r["day"]: r for r in an.ohlc_bars(_ev(spark, rows), period="week").collect()}
+    w1, w2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert sorted(out) == [w1, w2]
+    b = out[w1]
+    assert (b["open"], b["high"], b["low"], b["close"], b["n_ticks"]) == (
+        10.0, 30.0, 5.0, 5.0, 3)
+    assert out[w2]["open"] == 7.0 and out[w2]["n_ticks"] == 1

@@ -307,6 +307,7 @@ def daily_returns(
     ts_col: str = "ts",
     price_col: str = "value",
     id_col: str = "event_id",
+    period: str = "day",
 ) -> DataFrame:
     """Close-to-close daily simple returns per key — the canonical
     downstream read of a daily-bar price store (the reference persists
@@ -317,8 +318,11 @@ def daily_returns(
     bar-sized rollup — entity-keyed window over ~days-per-key rows,
     never a global sort, never the raw tick stream. Zero closes guard
     the division (NULL return, matching SQL CASE semantics), and the
-    quotient rounds to 6 decimals so it hashes across engines."""
-    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    quotient rounds to 6 decimals so it hashes across engines.
+    ``period`` generalizes the bucket to any date_trunc unit (monthly
+    performance tables use "month"); the bucket column stays named
+    ``day`` so consumers compose unchanged."""
+    day = F.date_trunc(period, F.col(ts_col)).cast("date").alias("day")
     sel = F.struct(F.col(ts_col), F.col(id_col), F.col(price_col).alias("p"))
     closes = (
         ticks.select(

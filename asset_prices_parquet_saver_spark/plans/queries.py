@@ -5018,6 +5018,44 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "monthly_returns",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(date_trunc('month', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ), c AS (
+      SELECT user_id, day, MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM w GROUP BY user_id, day
+    )
+    SELECT user_id, day, close,
+           LAG(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close,
+           CASE WHEN LAG(close) OVER (PARTITION BY user_id ORDER BY day) <> 0
+                THEN {r6}
+           END AS ret
+    FROM c
+    """.format(
+        r6=round6_sql(
+            "close / LAG(close) OVER ("
+            "PARTITION BY user_id ORDER BY day) - 1"
+        )
+    ),
+)
+def monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end close-to-close returns per key — the monthly
+    performance table, via the period-parametrized returns operator
+    (date_trunc('month') truncates to the 1st on both engines). Same
+    combinable close rollup + entity-keyed lag + IEEE-floor rounding
+    as daily_returns, at ~days/30 the row count."""
+    e = read_table(spark, sf_dir, "events")
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    return an_ops.daily_returns(e, period="month")
+
+
+@q(
     "weekly_ohlc_bars",
     """
     WITH t AS (
@@ -6576,6 +6614,7 @@ _GATE_ORDER = [
     "pca_projection",
     "adjusted_closes",
     "weekly_ohlc_bars",
+    "monthly_returns",
     "approx_user_stats_bound",
     "cohort_retention",
     "twap_daily",
@@ -6614,7 +6653,6 @@ _GATE_ORDER = [
     "media_decode_meta",
     "media_frame_sample",
     "media_payload_meta",
-    "minhash_lsh_pairs",
     # macd_closes / sharpe_ratio / return_correlations / atr_indicator
     # / stochastic_oscillator (round-6 adds, zero evidence) take the
     # last slots; null_pad_schema + order_priority_stats +
@@ -6622,6 +6660,7 @@ _GATE_ORDER = [
     # (r3) rotate below with the other 17 r3 holdovers
     "macd_closes",
     # ---- gate-window boundary (position 50) ----
+    "minhash_lsh_pairs",
     "minute_floor_counts",
     "normalize_case_rename",
     "ntile_price_bands",

@@ -172,6 +172,7 @@ HEADLINE = [
     "pca_projection",
     "adjusted_closes",
     "weekly_ohlc_bars",
+    "monthly_returns",
 ]
 
 

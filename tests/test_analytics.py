@@ -652,3 +652,20 @@ def test_ohlc_weekly_period(spark):
     assert (b["open"], b["high"], b["low"], b["close"], b["n_ticks"]) == (
         10.0, 30.0, 5.0, 5.0, 3)
     assert out[w2]["open"] == 7.0 and out[w2]["n_ticks"] == 1
+
+
+def test_returns_monthly_period(spark):
+    rows = [
+        # Jan: two ticks, close 110 (later ts wins); Feb: close 121
+        (1, dt.datetime(2024, 1, 5, 9), 1, "x", 100.0),
+        (2, dt.datetime(2024, 1, 20, 9), 1, "x", 110.0),
+        (3, dt.datetime(2024, 2, 10, 9), 1, "x", 121.0),
+    ]
+    out = {
+        r["day"]: r
+        for r in an.daily_returns(_ev(spark, rows), period="month").collect()
+    }
+    jan, feb = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    assert sorted(out) == [jan, feb]
+    assert out[jan]["close"] == 110.0 and out[jan]["ret"] is None
+    assert out[feb]["prev_close"] == 110.0 and out[feb]["ret"] == 0.1

@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from asset_prices_parquet_saver_spark.functions import portable_hash as ph
+from asset_prices_parquet_saver_spark.functions.hints import (
+    bounded_broadcast,
+    scaled_dim,
+)
 from asset_prices_parquet_saver_spark.functions.numeric import (
     davg,
     dec,
@@ -629,9 +633,14 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
         .alias("_rev")
     )
-    dims = F.broadcast(
-        r.join(n, n.n_regionkey == r.r_regionkey).join(
-            c, c.c_nationkey == n.n_nationkey
+    # region x nation is bounded (5 x 25) and keeps its hint; customer
+    # scales with sf, so the customer-wide dim relation enters the fact
+    # join UN-hinted (scaled_dim) — the optimizer broadcasts it at small
+    # scale and shuffle-joins it at 100 TB.
+    dims = scaled_dim(
+        c.join(
+            bounded_broadcast(r.join(n, n.n_regionkey == r.r_regionkey)),
+            c.c_nationkey == n.n_nationkey,
         )
     )
     return (
@@ -673,7 +682,7 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(scaled_dim(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"), 8, 4))
@@ -1936,22 +1945,26 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Push the two-nation restriction INTO each dimension before the
     # fact join (the classic Q7 plan): the disjunctive pair predicate
     # references BOTH sides, so Catalyst cannot push it below the join
-    # on its own — filtered here, the broadcast supplier/customer maps
-    # prune lineitem and orders to the 2/25-nation slice before the
-    # one fact-fact shuffle; only the cross pair filter remains above.
+    # on its own — filtered here, the supplier/customer maps prune
+    # lineitem and orders to the 2/25-nation slice before the one
+    # fact-fact shuffle; only the cross pair filter remains above.
+    # (The nation slices are bounded and hinted; the supplier/customer
+    # maps scale with sf, so their join strategy is the optimizer's.)
     nations = ["NATION_1", "NATION_2"]
     s2 = (
-        s.join(F.broadcast(n1.filter(F.col("supp_nation").isin(nations))),
+        s.join(bounded_broadcast(n1.filter(F.col("supp_nation").isin(nations))),
                s.s_nationkey == F.col("n1_key"))
         .select("s_suppkey", "supp_nation")
     )
     c2 = (
-        c.join(F.broadcast(n2.filter(F.col("cust_nation").isin(nations))),
+        c.join(bounded_broadcast(n2.filter(F.col("cust_nation").isin(nations))),
                c.c_nationkey == F.col("n2_key"))
         .select("c_custkey", "cust_nation")
     )
-    li2 = li.join(F.broadcast(s2), li.l_suppkey == F.col("s_suppkey"))
-    o2 = o.join(F.broadcast(c2), o.o_custkey == F.col("c_custkey"))
+    # s2/c2 are 2/25-nation slices of sf-scaling relations — pruned but
+    # still linear in sf, so no forced hint on the fact joins.
+    li2 = li.join(scaled_dim(s2), li.l_suppkey == F.col("s_suppkey"))
+    o2 = o.join(scaled_dim(c2), o.o_custkey == F.col("c_custkey"))
     return (
         li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair)
@@ -2019,12 +2032,12 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(scaled_dim(p), li.l_partkey == p.p_partkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .join(bounded_broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(bounded_broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(scaled_dim(s), li.l_suppkey == s.s_suppkey)
+        .join(bounded_broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             rev.alias("rev"),
@@ -2074,10 +2087,10 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = dec("l_extendedprice", 12, 2) * dec(F.lit(1) - F.col("l_discount"), 8, 4)
     cost = dec("p_retailprice", 12, 2) * dec("l_quantity", 12, 2)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
+        .join(scaled_dim(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bounded_broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -4712,9 +4725,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = sr.agg(F.max("rev_dec").alias("m"))
     return (
-        sr.crossJoin(F.broadcast(mx))
+        sr.crossJoin(bounded_broadcast(mx))
         .filter(F.col("rev_dec") == F.col("m"))
-        .join(F.broadcast(s), sr.l_suppkey == s.s_suppkey)
+        .join(scaled_dim(s), sr.l_suppkey == s.s_suppkey)
         .select(
             "s_name",
             F.col("l_suppkey").alias("s_suppkey"),
@@ -5780,9 +5793,12 @@ def region_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     s = read_table(spark, sf_dir, "supplier")
     li = read_table(spark, sf_dir, "lineitem")
-    dims = F.broadcast(
-        r.join(n, n.n_regionkey == r.r_regionkey).join(
-            s, s.s_nationkey == n.n_nationkey
+    # region x nation keeps its (bounded) hint; supplier scales with sf
+    # so the supplier-wide dim relation enters the fact join un-hinted.
+    dims = scaled_dim(
+        s.join(
+            bounded_broadcast(r.join(n, n.n_regionkey == r.r_regionkey)),
+            s.s_nationkey == n.n_nationkey,
         )
     )
     nr = (
@@ -6114,10 +6130,10 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(scaled_dim(s), li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(bounded_broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(bounded_broadcast(cn), F.col("c_nationkey") == F.col("ck"))
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
     )
@@ -6274,7 +6290,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
     branch = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 15)
@@ -6340,7 +6356,7 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti"
     )
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        waiting.join(scaled_dim(s), waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -6364,20 +6380,22 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape (lineitem as the part↔supplier bridge; negative
-    acctbal as the complaints stand-in): broadcast anti-join against
-    the excluded suppliers, broadcast dim join, distinct-agg."""
+    acctbal as the complaints stand-in): keyed anti-join against the
+    excluded suppliers, dim join, distinct-agg. Both dims are
+    constant-fraction slices of sf-scaling relations, so neither is
+    hint-forced — the optimizer broadcasts them while they fit."""
     p = read_table(spark, sf_dir, "part")
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.join(
-            F.broadcast(excluded),
+            scaled_dim(excluded),
             li.l_suppkey == excluded.s_suppkey,
             "left_anti",
         )
         .join(
-            F.broadcast(p.filter(~F.col("p_type").like("PROMO%"))),
+            scaled_dim(p.filter(~F.col("p_type").like("PROMO%"))),
             li.l_partkey == p.p_partkey,
         )
         .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
@@ -6414,7 +6432,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     total = F.sum(rev).cast("double")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
         .groupBy(
             F.date_trunc("month", F.col("l_shipdate"))
             .cast("date")
@@ -6508,7 +6526,7 @@ def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(scaled_dim(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -6554,7 +6572,8 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-MIN subquery becomes a window-min over the (partkey,
     suppkey) rollup — one narrow shuffle, never a self-join; part is
     filtered BEFORE the fact join so the scan only aggregates ~2% of
-    lineitem; part/supplier/nation all broadcast. The equality filter
+    lineitem; nation is bounded and hinted, part/supplier scale with
+    sf so their strategy is size-decided. The equality filter
     compares doubles each engine computed from identical operands
     (price/qty then MIN), so it is exact, and ties keep every minimal
     supplier exactly as the correlated form does."""
@@ -6563,7 +6582,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     cost = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(scaled_dim(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -6572,9 +6591,9 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unit_cost") == F.col("best_cost")
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        best.join(scaled_dim(p), best.l_partkey == p.p_partkey)
+        .join(scaled_dim(s), best.l_suppkey == s.s_suppkey)
+        .join(bounded_broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("p_name").alias("part_name"),

@@ -39,6 +39,10 @@ def test_column_pruning_in_scan(spark, sf_dir):
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
+    # region x nation is bounded and hint-broadcast at ANY scale; the
+    # customer-wide dim is un-hinted (it scales with sf) and the
+    # optimizer picks broadcast here because the test relation is tiny.
+    # The at-scale (forced shuffle) half lives in test_scale_broadcasts.
     plan = _plan(QUERIES["region_revenue"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
@@ -365,14 +369,15 @@ def test_dominant_share_suppliers_windows_over_rollup(spark, sf_dir):
 
 def test_min_cost_supplier_filters_part_before_fact_join(spark, sf_dir):
     """Q2 shape: the p_size predicate reaches the part scan (the fact
-    join aggregates ~2% of lineitem, not all of it), the correlated
-    MIN is a window over the rollup (no rollup self-join), and every
-    dim side broadcasts."""
+    join aggregates ~2% of lineitem, not all of it) and the correlated
+    MIN is a window over the rollup (no rollup self-join). The dim
+    join strategy is deliberately NOT pinned: part/supplier scale with
+    sf, so the optimizer broadcasts them at test scale and shuffle-
+    joins at 100 TB (tests/test_scale_broadcasts.py pins that half)."""
     plan = _plan(QUERIES["min_cost_supplier_per_part"](spark, sf_dir))
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
     assert any("EqualTo(p_size,15" in s for s in pushed), pushed
     assert "CartesianProduct" not in plan
-    assert plan.count("SortMergeJoin") == 0  # all dim joins broadcast
 
 
 def test_sketch_bound_query_keeps_sketches_out_of_distinct_rewrite(spark, sf_dir):

@@ -279,12 +279,23 @@ def minute_floor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_inactive_customers",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                        AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
     """,
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders in 1995 (the skip-list shape bounded to
+    a window so the result is NON-empty at every sf — every customer
+    has *some* order, so the unwindowed variant certified only that
+    both engines agree on the empty set). The date range pushes into
+    the orders scan before the anti-join."""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -377,15 +388,22 @@ def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_suppkey < 20
     """,
 )
 def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer nations not covered by the first-20-key supplier slice.
+    The unfiltered variant returned 0 rows at every sf (all 25 nations
+    appear on both sides), so its green hash certified only agreement
+    on empty; the key-range slice is bounded (≤20 rows at ANY scale)
+    and leaves a non-empty EXCEPT at every tested sf."""
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    s = read_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 20)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.distinct().exceptAll(s.distinct())
 
@@ -6613,17 +6631,69 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-6 window: flagship (entry() smoke-checks it); the
-    # r5 red row daily_returns plus every query whose ROUNDING
-    # CONTRACT changed this round (IEEE-floor replacing the
-    # build-dependent DECIMAL(38,6) cast: cohort/twap/indicators);
-    # the two zero-evidence round-6 additions (ewma_closes,
-    # approx_user_stats_bound — the bound companion replaces
-    # approx_user_stats' rows-only slot with a hash-checkable row);
-    # then the stalest evidence: all ten r1-only entries, the one
-    # r2-only, and 30 of the 47 r3-only (alphabetical; the other 17
-    # rotate next round).
+    # ---- round-7 window: flagship first (entry() smoke-checks it);
+    # then the full stale-evidence rotation queue from VERDICT r6 #3 —
+    # all 26 queries whose latest driver evidence is round 3 (the 8
+    # demoted holdovers + the 18 other r3-only entries); the two
+    # de-vacuized queries whose predicates changed this round
+    # (anti_join_inactive_customers / except_nations now return >0
+    # rows at every sf); the 12 broadcast-gated star-join queries
+    # whose hint plumbing changed this round (region_revenue +
+    # top_building_orders are already in the r3 block); and the first
+    # 9 round-4-evidence entries alphabetically. Demotions below the
+    # position-50 marker all have r5/r6 driver-green evidence and stay
+    # hash-checked by scripts/oracle_check.py.
     "flagship_pricing_summary",
+    "minhash_lsh_pairs",
+    "minute_floor_counts",
+    "normalize_case_rename",
+    "ntile_price_bands",
+    "null_pad_schema",
+    "order_priority_stats",
+    "pack_training_shards",
+    "parse_error_message",
+    "pivot_linestatus",
+    "region_revenue",
+    "rollup_returns",
+    "semi_join_building_buyers",
+    "simhash_fingerprints",
+    "source_diff",
+    "stratified_event_sample",
+    "string_functions",
+    "text_quality_stats",
+    "tfidf_top_terms",
+    "top_building_orders",
+    "top_orders",
+    "translate_brand",
+    "union_distinct_nations",
+    "upsert_keep_latest_per_day",
+    "user_sessions",
+    "weighted_avg_price",
+    "zscore_per_segment",
+    "anti_join_inactive_customers",
+    "except_nations",
+    "nation_trade_volume",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "top_supplier_revenue",
+    "region_revenue_concentration",
+    "nation_trade_pagerank",
+    "suppliers_kept_waiting",
+    "disjunctive_revenue",
+    "supplier_count_by_part",
+    "promo_revenue_share",
+    "dominant_share_suppliers",
+    "min_cost_supplier_per_part",
+    "ann_ivf_topk",
+    "ann_ivfadc_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benchmark_contamination",
+    "bigram_logppl",
+    "bm25_search",
+    "chunk_dedup_corpus",
+    "corpus_mix",
+    # ---- gate-window boundary (position 50) ----
     "daily_returns",
     "ewma_closes",
     "sharpe_ratio",
@@ -6644,15 +6714,12 @@ _GATE_ORDER = [
     "conditional_agg",
     "date_arithmetic",
     "event_type_journey",
-    "except_nations",
     "intersect_nations",
     "moving_avg_3",
-    "nation_trade_volume",
     "null_handling",
     "value_dispersion_stats",
     "embedding_near_pairs",
     "ann_lsh_topk",
-    "anti_join_inactive_customers",
     "argmax_per_nation",
     "asof_last_purchase",
     "asof_price_lookup",
@@ -6672,22 +6739,7 @@ _GATE_ORDER = [
     "media_decode_meta",
     "media_frame_sample",
     "media_payload_meta",
-    # macd_closes / sharpe_ratio / return_correlations / atr_indicator
-    # / stochastic_oscillator (round-6 adds, zero evidence) take the
-    # last slots; null_pad_schema + order_priority_stats +
-    # pack_training_shards + parse_error_message + pivot_linestatus
-    # (r3) rotate below with the other 17 r3 holdovers
     "macd_closes",
-    # ---- gate-window boundary (position 50) ----
-    "minhash_lsh_pairs",
-    "minute_floor_counts",
-    "normalize_case_rename",
-    "ntile_price_bands",
-    "null_pad_schema",
-    "order_priority_stats",
-    "pack_training_shards",
-    "parse_error_message",
-    "pivot_linestatus",
     "media_features",
     "inverted_index",
     "embedding_int8_quantization",
@@ -6702,28 +6754,18 @@ _GATE_ORDER = [
     "purchase_attribution",
     "small_quantity_revenue",
     "large_volume_orders",
-    "top_supplier_revenue",
     "interarrival_histogram",
     "revenue_pareto",
     "duplicate_rate_by_source",
     "daily_event_digest",
     "scd2_user_segments",
-    "disjunctive_revenue",
-    "suppliers_kept_waiting",
-    "supplier_count_by_part",
-    "promo_revenue_share",
     "important_parts_value",
-    "dominant_share_suppliers",
-    "min_cost_supplier_per_part",
     "event_segment_asof",
     "term_counts_udtf",
     "events_in_campaign_windows",
-    "nation_trade_pagerank",
     "ann_hamming_topk",
     "ann_hamming_words_topk",
-    "product_profit_by_nation",
     "topk_orders_per_customer",
-    "nation_market_share",
     "rank_functions",
     "cube_order_stats",
     "grouping_sets_order_stats",
@@ -6731,22 +6773,13 @@ _GATE_ORDER = [
     "interpolated_price_quantiles",
     "qty_price_correlation",
     "price_quantiles_cont_by_flag",
-    "region_revenue_concentration",
     "ann_hamming_rerank",
-    "user_sessions",
-    "stratified_event_sample",
-    "simhash_fingerprints",
-    "tfidf_top_terms",
-    "text_quality_stats",
     "fuzzy_dedup_documents",
-    "ann_ivf_topk",
     "simhash_near_dup_pairs",
     "semantic_dedup_embeddings",
     "repetition_stats",
     "top_ngrams",
-    "benchmark_contamination",
     "curated_corpus",
-    "corpus_mix",
     "exact_k_event_sample",
     "train_val_test_split",
     "exact_price_quantiles",
@@ -6754,15 +6787,10 @@ _GATE_ORDER = [
     "document_chunks",
     "document_chunks_overlap",
     "global_shuffle_order",
-    "bm25_search",
     "hybrid_retrieval",
-    "chunk_dedup_corpus",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
     "quality_classifier_scores",
     "unigram_logppl",
     "dedup_cluster_sizes",
-    "ann_ivfadc_topk",
     "skew_salted_join",
     "skew_salted_agg",
     "skew_distinct_users",
@@ -6773,7 +6801,6 @@ _GATE_ORDER = [
     "rrf_fusion",
     "zorder_locality",
     "mmr_rerank",
-    "bigram_logppl",
     "ohlc_bars",
     "dq_report",
     "gap_fill_daily",
@@ -6782,18 +6809,6 @@ _GATE_ORDER = [
     "idle_rich_customers",
     "median_value_per_type",
     "weighted_doc_sample",
-    "upsert_keep_latest_per_day",
-    "source_diff",
-    "string_functions",
-    "translate_brand",
-    "semi_join_building_buyers",
-    "union_distinct_nations",
-    "top_orders",
-    "rollup_returns",
-    "region_revenue",
-    "top_building_orders",
-    "zscore_per_segment",
-    "weighted_avg_price",
 ]
 
 

@@ -2426,7 +2426,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_dedup(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.5,
-        hash_family="md5",
+        hash_family="md5", memo=True,
     )
 
 
@@ -3270,7 +3270,7 @@ def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.fuzzy_dedup(
-        d, "doc_id", "text", threshold=0.5, hash_family="md5"
+        d, "doc_id", "text", threshold=0.5, hash_family="md5", memo=True
     ).select("doc_id", "n_chars")
 
 
@@ -3396,7 +3396,7 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.dedup_cluster_report(
-        d, "doc_id", "text", threshold=0.5, hash_family="md5"
+        d, "doc_id", "text", threshold=0.5, hash_family="md5", memo=True
     )
 
 

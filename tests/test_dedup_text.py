@@ -293,3 +293,36 @@ def test_chunking_skips_empty_documents(spark):
     rows = t.chunk_documents(df, "doc_id", "text", tokens_per_chunk=2).collect()
     assert {r["doc_id"] for r in rows} == {1}  # no phantom '' chunks
     assert sorted(r["chunk_text"] for r in rows) == ["one two", "three"]
+
+
+def test_lsh_memo_shares_pair_stage_across_family(spark, sf_dir):
+    """memo=True: the pair relation and the component labels are built
+    once per (corpus, params) and reused — identical results, same
+    checkpointed object on a second call — and a different corpus or
+    parameter set never hits the wrong entry."""
+    from asset_prices_parquet_saver_spark.operators import dedup
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    dedup._LSH_MEMO.clear()
+    d = read_table(spark, sf_dir, "documents")
+    plain = dedup.minhash_dedup(d, "doc_id", "text", hash_family="md5")
+    memo1 = dedup.minhash_dedup(d, "doc_id", "text", hash_family="md5", memo=True)
+    memo2 = dedup.minhash_dedup(d, "doc_id", "text", hash_family="md5", memo=True)
+    assert memo2 is memo1  # second call is a cache hit, not a rebuild
+    rows = lambda df: sorted(map(repr, df.collect()))
+    assert rows(memo1) == rows(plain)
+
+    # the cluster report and fuzzy dedup reuse the SAME memoized stages
+    before = set(dedup._LSH_MEMO)
+    rep = dedup.dedup_cluster_report(d, "doc_id", "text", hash_family="md5", memo=True)
+    fuz = dedup.fuzzy_dedup(d, "doc_id", "text", hash_family="md5", memo=True)
+    assert len(dedup._LSH_MEMO) == len(before) + 1  # only the cc entry was added
+    assert rows(rep) == rows(dedup.dedup_cluster_report(d, "doc_id", "text", hash_family="md5"))
+    assert rows(fuz.select("doc_id")) == rows(
+        dedup.fuzzy_dedup(d, "doc_id", "text", hash_family="md5").select("doc_id")
+    )
+
+    # different params -> different key, no false sharing
+    other = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.9, memo=True, hash_family="md5")
+    assert other is not memo1
+    dedup._LSH_MEMO.clear()

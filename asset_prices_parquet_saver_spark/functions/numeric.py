@@ -57,8 +57,17 @@ def round6(col: Column | str) -> Column:
 
 def round6_portable(col: Column | str) -> Column:
     """6-decimal rounding built ONLY from exactly-specified IEEE-754
-    operations: ``floor(x * 1e6 + 0.5) / 1e6`` (round-half-up at the
-    6th decimal).
+    operations: ``floor(x * 1e6 + 0.5) / 1e6``.
+
+    Midpoint semantics: round-half-toward-+infinity — NOT the
+    half-away-from-zero of ``F.round``/the previous DECIMAL staging.
+    For positive values the two agree (half-up); for a NEGATIVE exact
+    midpoint they differ by one grain: -0.0000005 → 0.0 here vs
+    -0.000001 under half-away. This is a deliberate contract choice
+    (the symmetric form would need sign/abs on both engines for no
+    call-site benefit); both engines implement THIS form identically,
+    which is the property the gate certifies. Call sites with negative
+    values (returns, deltas) inherit the +inf midpoint convention.
 
     Why not engine ``round()``: Spark HALF_UP and DuckDB
     multiply-then-half-away disagree when the double's exact decimal

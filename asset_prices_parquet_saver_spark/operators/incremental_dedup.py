@@ -53,6 +53,30 @@ _test_pre_publish_hook = None
 INDEX_SCHEMA = "id long, arr array<long>, n_sh int, sig array<long>"
 
 
+def _lock_path(spark: SparkSession, table: str, kind: str) -> str:
+    """Advisory-lock file for a catalog table, placed in the WAREHOUSE
+    ROOT (not the table directory): the table dir is deleted by the
+    compactor's DROP and moved by its RENAME, either of which would
+    destroy a held lock file mid-swap."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh[len("file:"):] if wh.startswith("file:") else wh
+    os.makedirs(wh, exist_ok=True)
+    return os.path.join(wh, f"{table.replace('.', '__')}.{kind}.lock")
+
+
+def _band_table_lock(spark: SparkSession, table: str):
+    """One advisory lock per band-index table, shared by appenders
+    (:func:`dedup_increment_bucketed`) and the compactor
+    (:func:`compact_band_index`): with both sides holding it, no append
+    can land inside the compactor's rewrite→verify→swap window, closing
+    the check-then-act race on a local filesystem. (On an object-store
+    catalog the answer is an Iceberg/Delta snapshot commit instead —
+    see dedup_increment_bucketed's docstring.)"""
+    return manifest.path_lock(_lock_path(spark, table, "band_index"))
+
+
 def signature_frame(
     df: DataFrame,
     id_col: str,
@@ -213,6 +237,19 @@ def batch_txn(
     import hashlib
 
     pfp = hashlib.md5(repr(tuple(params)).encode()).hexdigest()[:8]
+    # MIGRATION NOTE (round-6 format change): earlier builds wrote txn
+    # ids of the form ``cli-dedup:{fp:015x}`` (content sum only — no
+    # second-moment lane, no params fingerprint). Records in that form
+    # can never match the current id, so replaying a batch that was
+    # fully ingested by a PRE-round-6 build re-appends it instead of
+    # no-opping. This is deliberate: the old id was collision-prone
+    # (order-swap sums) and params-blind (a corrected-threshold re-run
+    # would wrongly no-op), and re-appending is SAFE here — equal-id
+    # self-matches are excluded in dedup_increment, so a replayed batch
+    # reproduces the same survivors; only duplicate index rows result,
+    # which are correctness-benign (equal-id candidate pairs are
+    # excluded and the candidate set is distinct()-ed) and cost only
+    # storage until a manual dedup-rewrite of the index.
     return (f"cli-dedup:{fp:015x}{fp2:015x}:{pfp}", 1)
 
 
@@ -298,6 +335,50 @@ def ensure_band_index(
         )
 
 
+def _banded_losers(
+    nb: DataFrame, ib: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Shared probe of a banded batch against a banded index: the
+    batch (hash side, hinted shuffle_hash) joins the index on
+    (band, bucket) — in place for a metastore-bucketed index, one
+    exchange for a manifest segment scan — plus the batch-internal
+    smaller-id-predecessor self join; inline Jaccard verification on
+    the carried shingle arrays. Equal-id matches excluded — see
+    dedup_increment."""
+    inter = F.size(F.array_intersect("arr_new", "arr_prev"))
+    jac = inter / (F.col("n_new") + F.col("n_prev") - inter)
+    losers_old = (
+        nb.alias("a")
+        .hint("shuffle_hash")
+        .join(ib.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("a.arr").alias("arr_new"),
+            F.col("a.n_sh").alias("n_new"),
+            F.col("b.arr").alias("arr_prev"),
+            F.col("b.n_sh").alias("n_prev"),
+        )
+        .filter(jac >= F.lit(threshold))
+        .select(F.col("id_new").alias(id_col))
+    )
+    losers_new = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "bucket"])
+        .filter(F.col("b.id") < F.col("a.id"))
+        .select(
+            F.col("a.id").alias("id_new"),
+            F.col("a.arr").alias("arr_new"),
+            F.col("a.n_sh").alias("n_new"),
+            F.col("b.arr").alias("arr_prev"),
+            F.col("b.n_sh").alias("n_prev"),
+        )
+        .filter(jac >= F.lit(threshold))
+        .select(F.col("id_new").alias(id_col))
+    )
+    return losers_old.unionByName(losers_new).distinct()
+
+
 def dedup_increment_bucketed(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -325,12 +406,15 @@ def dedup_increment_bucketed(
     re-joining (and re-shuffling) a second signatures table.
 
     Appends survivors' band rows to the index and returns survivors.
-    vs the manifest-table variant: bucketing needs the session catalog
-    (a metastore), whose appends are not single-file-atomic commits —
-    on an object store you'd get both by declaring (band, bucket) as an
-    Iceberg bucket-transform partition spec. A torn write here is
-    recoverable: the band index is derivable, and a re-run only
-    re-appends rows whose equal-id matches are excluded anyway."""
+    vs the manifest variants: bucketing needs the session catalog
+    (a metastore), whose appends are not single-file-atomic commits.
+    :func:`dedup_increment_manifest_banded` keeps the same banded
+    layout under the manifest protocol (atomic, epoch-idempotent,
+    CAS-compacted) at the cost of one index exchange per probe; an
+    Iceberg bucket-transform partition spec gives both properties at
+    once. A torn write here is recoverable: the band index is
+    derivable, and a re-run only re-appends rows whose equal-id
+    matches are excluded anyway."""
     ensure_band_index(spark, band_table, num_buckets)
     if bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
@@ -346,51 +430,20 @@ def dedup_increment_bucketed(
         carry=("arr", "n_sh"),
     ).localCheckpoint()  # reused: probe join, self join, index append
     ib = spark.table(band_table)
-    inter = F.size(F.array_intersect("arr_new", "arr_prev"))
-    jac = inter / (F.col("n_new") + F.col("n_prev") - inter)
-    # probe: batch (hash side, hinted) vs bucketed index (streamed in
-    # place). Equal-id matches excluded — see dedup_increment.
-    losers_old = (
-        nb.alias("a")
-        .hint("shuffle_hash")
-        .join(ib.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_new"),
-            F.col("a.arr").alias("arr_new"),
-            F.col("a.n_sh").alias("n_new"),
-            F.col("b.arr").alias("arr_prev"),
-            F.col("b.n_sh").alias("n_prev"),
-        )
-        .filter(jac >= F.lit(threshold))
-        .select(F.col("id_new").alias(id_col))
-    )
-    # batch-internal: smaller-id docs of the same batch are predecessors
-    losers_new = (
-        nb.alias("a")
-        .join(nb.alias("b"), ["band", "bucket"])
-        .filter(F.col("b.id") < F.col("a.id"))
-        .select(
-            F.col("a.id").alias("id_new"),
-            F.col("a.arr").alias("arr_new"),
-            F.col("a.n_sh").alias("n_new"),
-            F.col("b.arr").alias("arr_prev"),
-            F.col("b.n_sh").alias("n_prev"),
-        )
-        .filter(jac >= F.lit(threshold))
-        .select(F.col("id_new").alias(id_col))
-    )
-    losers = losers_old.unionByName(losers_new).distinct()
+    losers = _banded_losers(nb, ib, threshold, id_col)
     survivors = new_docs.join(losers, id_col, "left_anti").localCheckpoint()
     new_rows = nb.join(
         survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     ).select("band", "bucket", "id", "arr", "n_sh")
-    (
-        new_rows.write.bucketBy(num_buckets, "band", "bucket")
-        .sortBy("band", "bucket")
-        .mode("append")
-        .saveAsTable(band_table)
-    )
+    # the table lock is shared with compact_band_index: an append can
+    # never land inside the compactor's rewrite→verify→swap window
+    with _band_table_lock(spark, band_table):
+        (
+            new_rows.write.bucketBy(num_buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode("append")
+            .saveAsTable(band_table)
+        )
     return survivors
 
 
@@ -412,17 +465,29 @@ def compact_band_index(
     shuffle's partition-per-bucket mapping, and each task then spills
     one file per bucket it happens to hold.
 
-    Multi-writer safety: the swap is a metastore DROP + RENAME, and a
-    batch APPENDED to the index during the rewrite would be silently
-    dropped from the folded table — the lost-update the manifest CAS
-    exists for. So the compactor records the table's file listing at
-    read time and re-verifies it immediately before the DROP: drift
-    raises :class:`~..sources.manifest.CommitConflict`, the staging
-    table is discarded, and the live index (WITH the concurrent
-    append) is untouched — compaction is best-effort maintenance, the
-    caller just re-runs. On an Iceberg / Delta catalog this whole
-    function is a rewrite-data-files action with a snapshot commit
-    and a zero-width window instead.
+    Multi-writer safety, two layers:
+
+    1. **vs appenders** — a batch APPENDED to the index during the
+       rewrite would be silently dropped from the folded table (the
+       lost-update the manifest CAS exists for). The compactor records
+       the table's file listing at read time, then takes the SAME
+       advisory lock every :func:`dedup_increment_bucketed` append
+       holds (:func:`_band_table_lock`) and re-verifies the listing
+       under it before the swap: an append that landed during the
+       rewrite raises :class:`~..sources.manifest.CommitConflict`
+       (staging discarded, live index untouched — best-effort
+       maintenance, re-run); an append that arrives after lock
+       acquisition blocks until the swap completes, so the historical
+       check-then-act window between re-verify and DROP is closed.
+    2. **vs other compactors** — a whole-run ``_COMPACTOR.lock``
+       serializes compactions, so two concurrent compactors can never
+       interleave their staging rewrites or DROP/RENAME swaps (lock
+       order: compactor lock, then table lock — appenders take only
+       the latter, so no deadlock).
+
+    On an Iceberg / Delta catalog this whole function is a
+    rewrite-data-files action with a snapshot commit and a zero-width
+    window instead.
 
     Returns ``(files_before, files_after)``."""
     from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
@@ -435,33 +500,147 @@ def compact_band_index(
     # only once the main table exists.
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    cur = spark.table(table)
-    expect = sorted(cur.inputFiles())
-    files_before = len(expect)
-    bucket_id = F.pmod(F.hash("band", "bucket"), F.lit(num_buckets))
-    (
-        cur.repartition(num_buckets, bucket_id)
-        .write.bucketBy(num_buckets, "band", "bucket")
-        .sortBy("band", "bucket")
-        .mode("overwrite")
-        .saveAsTable(staging)
+    with manifest.path_lock(_lock_path(spark, table, "compactor")):
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        cur = spark.table(table)
+        expect = sorted(cur.inputFiles())
+        files_before = len(expect)
+        bucket_id = F.pmod(F.hash("band", "bucket"), F.lit(num_buckets))
+        (
+            cur.repartition(num_buckets, bucket_id)
+            .write.bucketBy(num_buckets, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode("overwrite")
+            .saveAsTable(staging)
+        )
+        if _test_pre_publish_hook is not None:
+            _test_pre_publish_hook()
+        with _band_table_lock(spark, table):
+            # refresh first: the catalog caches the relation's file
+            # index, and a stale listing here would false-pass the
+            # drift check
+            spark.catalog.refreshTable(table)
+            if sorted(spark.table(table).inputFiles()) != expect:
+                spark.sql(f"DROP TABLE IF EXISTS {staging}")
+                raise CommitConflict(
+                    f"{table}: index files changed during compaction — a "
+                    "concurrent append landed; the rewrite was discarded "
+                    "(re-run to compact the new state)"
+                )
+            spark.sql(f"DROP TABLE {table}")
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return files_before, len(spark.table(table).inputFiles())
+
+
+#: manifest-banded index schema: the band rows plus the writer's
+#: physical bucket id, carried as a real column so segments stay
+#: clustered and zone-mapped on it
+BAND_MANIFEST_SCHEMA = (
+    "pbucket int, band int, bucket long, id long, arr array<long>, n_sh int"
+)
+
+
+def _with_pbucket(rows: DataFrame, num_buckets: int) -> DataFrame:
+    return rows.withColumn(
+        "pbucket", F.pmod(F.hash("band", "bucket"), F.lit(num_buckets))
+    ).select("pbucket", "band", "bucket", "id", "arr", "n_sh")
+
+
+def dedup_increment_manifest_banded(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    num_buckets: int = 32,
+    epoch: tuple[str, int] | None = None,
+) -> DataFrame:
+    """The band index ON the manifest protocol — closing the one gap of
+    :func:`dedup_increment_bucketed`: its metastore appends are not
+    single-file-atomic commits, so a crash can leave a torn append and
+    a replay double-appends. Here the index is a manifest table whose
+    rows carry the physical bucket id (``pbucket = pmod(hash(band,
+    bucket), num_buckets)``) as a manifest-tracked column; every append
+    is one atomic snapshot commit, idempotent under ``epoch`` replay
+    via the txn record, and rows are clustered on pbucket before the
+    commit (the :func:`~..operators.similarity.build_ivf_index`
+    pattern) so each segment holds one file per bucket and parquet
+    footer min/max prune by pbucket.
+
+    Trade vs the metastore-bucketed variant: without catalog bucket
+    metadata Spark cannot prove the index side's partitioning, so the
+    probe join exchanges the index scan once per batch (the batch side
+    stays the hinted hash side). The metastore variant keeps the
+    in-place probe; an Iceberg bucket-transform spec gives both. Same
+    probe/verification semantics (shared :func:`_banded_losers`), same
+    survivor set — asserted in tests."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(rows_per_band = num_hashes // bands >= 1; see dedup_increment)"
+        )
+    rows_per_band = num_hashes // bands
+    new_sig = signature_frame(
+        new_docs, id_col, text_col, n, num_hashes, hash_family
+    ).localCheckpoint()
+    nb = banded_keys(
+        new_sig.filter(F.col("n_sh") > 0), bands, rows_per_band,
+        carry=("arr", "n_sh"),
+    ).localCheckpoint()
+    ib = manifest.read_versioned(
+        spark, index_path, schema=BAND_MANIFEST_SCHEMA
+    ).drop("pbucket")
+    losers = _banded_losers(nb, ib, threshold, id_col)
+    survivors = new_docs.join(losers, id_col, "left_anti").localCheckpoint()
+    new_rows = _with_pbucket(
+        nb.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).select("band", "bucket", "id", "arr", "n_sh"),
+        num_buckets,
+    )
+    # cluster the segment on the physical bucket (one file per
+    # non-empty bucket) and commit atomically; epoch replay no-ops
+    manifest.commit_append(
+        new_rows.repartition(num_buckets, F.col("pbucket"))
+        .sortWithinPartitions("band", "bucket"),
+        index_path,
+        txn=epoch,
+        stats_cols=["pbucket"],
+    )
+    return survivors
+
+
+def compact_band_index_manifest(
+    spark: SparkSession, index_path: str, num_buckets: int = 32
+) -> tuple[int, int]:
+    """Fold the manifest-banded index's accumulated append segments
+    into one pbucket-clustered snapshot. The rewrite is pinned to the
+    version it read (``expect_version``): a concurrent append raises
+    :class:`~..sources.manifest.CommitConflict` inside the manifest's
+    own commit lock — a zero-width swap window, no DROP/RENAME, no
+    advisory-lock choreography (the property the metastore variant
+    needs two lock files to approximate).
+
+    Returns ``(segments_before, segments_after)``."""
+    v = manifest.current_version(index_path)
+    before = manifest.segment_count(index_path)
+    cur = manifest.read_versioned(
+        spark, index_path, version=v, schema=BAND_MANIFEST_SCHEMA
+    )
+    folded = cur.repartition(num_buckets, F.col("pbucket")).sortWithinPartitions(
+        "band", "bucket"
     )
     if _test_pre_publish_hook is not None:
         _test_pre_publish_hook()
-    # refresh first: the catalog caches the relation's file index, and
-    # a stale listing here would false-pass the drift check
-    spark.catalog.refreshTable(table)
-    if sorted(spark.table(table).inputFiles()) != expect:
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        raise CommitConflict(
-            f"{table}: index files changed during compaction — a "
-            "concurrent append landed; the rewrite was discarded "
-            "(re-run to compact the new state)"
-        )
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
-    return files_before, len(spark.table(table).inputFiles())
+    manifest.commit_versioned(
+        folded, index_path, expect_version=v, stats_cols=["pbucket"]
+    )
+    return before, manifest.segment_count(index_path)
 
 
 def run_streaming_dedup(

@@ -5456,9 +5456,10 @@ def ewma_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA over the daily closes — the exact recursive form
     (pandas ewm(adjust=False)), e_t = α·c_t + (1−α)·e_{t−1}. A linear
     recurrence can't be a SQL window (each value depends on the prior
-    OUTPUT), so the engine side is an Arrow-batched applyInPandas
-    kernel over the per-key bar rollup (keyed shuffle; state bounded
-    by one entity's calendar) while the oracle replays the IDENTICAL
+    OUTPUT), so the engine side is an Arrow-batched mapInPandas
+    kernel over key-partitioned sorted partitions (state carried
+    across Arrow batches — O(partitions) Python crossings, not
+    O(keys); see operators/analytics) while the oracle replays the IDENTICAL
     IEEE operand order (0.2·c + 0.8·e, 1.0−0.2 == 0.8 bitwise) in a
     recursive CTE — every intermediate double matches bit-for-bit,
     then both sides round via the IEEE-floor contract."""
@@ -5525,9 +5526,10 @@ def macd_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD(12, 26, 9) over the daily closes — EMA_fast − EMA_slow,
     its EMA signal line, and the histogram, in the exact recursive
     (adjust=False) form. Three coupled linear recurrences ⇒ the
-    honest Spark shape is the per-key applyInPandas kernel over the
-    bar rollup (one keyed shuffle, state bounded by each entity's
-    calendar); the oracle steps the identical IEEE expressions in a
+    honest Spark shape is a state-carrying mapInPandas kernel over
+    key-partitioned sorted partitions of the bar rollup (one keyed
+    shuffle; O(partitions) Python crossings — see operators/
+    analytics); the oracle steps the identical IEEE expressions in a
     recursive CTE, so the hash check certifies every intermediate
     state, not just a tolerance."""
     e = read_table(spark, sf_dir, "events")

@@ -57,18 +57,11 @@ LOCK_TIMEOUT_SECONDS = 600.0
 
 
 @contextlib.contextmanager
-def _commit_lock(table: str):
-    """Serialize committers of one table on a local filesystem.
-
-    ``os.replace`` publishes atomically but last-writer-wins: two
-    concurrent committers would both read the OLD manifest and the
-    second publish would silently drop the first one's segment list
-    (lost update — fatal for append-log tables). ``O_CREAT|O_EXCL`` is
-    the POSIX atomic-claim primitive, so the whole read-manifest →
-    write-segment → publish sequence runs under a lock file. Against
-    S3/GCS the lock is unnecessary — the publish becomes a conditional
-    PUT (if-match), turning races into first-writer-wins errors."""
-    lock = _manifest_path(table) + ".lock"
+def path_lock(lock: str):
+    """O_CREAT|O_EXCL advisory lock on an arbitrary lock-file path —
+    the POSIX atomic-claim primitive this module's commit lock is built
+    on, exposed for other local-FS state mutators (the bucketed band
+    index's append/compaction path takes one per table)."""
     deadline = time.monotonic() + LOCK_TIMEOUT_SECONDS
     while True:
         try:
@@ -93,6 +86,22 @@ def _commit_lock(table: str):
             os.remove(lock)
         except OSError:
             pass
+
+
+@contextlib.contextmanager
+def _commit_lock(table: str):
+    """Serialize committers of one table on a local filesystem.
+
+    ``os.replace`` publishes atomically but last-writer-wins: two
+    concurrent committers would both read the OLD manifest and the
+    second publish would silently drop the first one's segment list
+    (lost update — fatal for append-log tables). The whole
+    read-manifest → write-segment → publish sequence runs under a
+    :func:`path_lock`. Against S3/GCS the lock is unnecessary — the
+    publish becomes a conditional PUT (if-match), turning races into
+    first-writer-wins errors."""
+    with path_lock(_manifest_path(table) + ".lock"):
+        yield
 
 
 def _manifest_path(table: str) -> str:

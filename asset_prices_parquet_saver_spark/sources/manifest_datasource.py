@@ -120,7 +120,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
     epoch and the manifest skips it (the foreachBatch idiom of
     streaming/live.py as a declarative sink)."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.table = options.get("path") or options.get("table")
         if not self.table:
             raise ValueError(
@@ -132,6 +132,11 @@ class ManifestStreamWriter(DataSourceStreamWriter):
         # queries by setting it explicitly
         self.app_id = options.get("txn_app_id") or "manifest_stream"
         self.staging = os.path.join(self.table, _STAGING, uuid.uuid4().hex)
+        # the DECLARED writer schema (StructType): every staged file is
+        # typed from it, never inferred from row values — a partition
+        # whose column is entirely None must still stage the declared
+        # type, or segment files diverge and break later manifest reads
+        self.schema = schema
 
     def write(self, iterator):
         # rows arrive as pyspark Rows for stream writers; convert via
@@ -150,8 +155,17 @@ class ManifestStreamWriter(DataSourceStreamWriter):
             self.staging, f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
         )
         cols = rows[0].__fields__
+        arrow_schema = None
+        if self.schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            # tz=UTC timestamp columns, matching the Arrow batches the
+            # batch writer stages (naive engine datetimes ARE UTC here:
+            # the session tz is pinned)
+            arrow_schema = to_arrow_schema(self.schema)
         tbl = pa.table(
-            {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+            schema=arrow_schema,
         )
         pq.write_table(tbl, path)
         return _StagedFile(path, tbl.num_rows)
@@ -185,4 +199,4 @@ class ManifestTableDataSource(DataSource):
         return ManifestBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
-        return ManifestStreamWriter(self.options)
+        return ManifestStreamWriter(self.options, schema)

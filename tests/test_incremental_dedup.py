@@ -484,3 +484,117 @@ def test_compact_band_index_detects_concurrent_append(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+
+
+def test_manifest_banded_matches_reference_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The manifest-protocol band index: same survivor semantics as the
+    metastore-bucketed path, appends as atomic epoch-idempotent commits
+    (a replayed epoch adds no segment and recomputes the identical
+    survivors), segments clustered + zone-mapped on pbucket."""
+    idx = str(tmp_path / "bandidx")
+    batches = [DOCS[:3], DOCS[3:7], DOCS[7:]]
+    got = []
+    for bi, batch in enumerate(batches):
+        rows = [Row(doc_id=i, text=t) for i, t in batch]
+        if bi == 1:  # zero-shingle doc: never banded, always survives
+            rows.append(Row(doc_id=99, text="single"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = inc.dedup_increment_manifest_banded(
+            spark, df, idx, threshold=0.5, bands=32, num_buckets=4,
+            epoch=("mb-test", bi),
+        )
+        got.extend(r["doc_id"] for r in out.collect())
+    expected = sorted(_reference_greedy(batches) + [99])
+    assert sorted(got) == expected
+
+    segs_before = manifest.segment_count(idx)
+    # replay epoch 1: txn no-op on the index, identical survivors
+    rows = [Row(doc_id=i, text=t) for i, t in batches[1]] + [
+        Row(doc_id=99, text="single")
+    ]
+    replay = inc.dedup_increment_manifest_banded(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        idx, threshold=0.5, bands=32, num_buckets=4, epoch=("mb-test", 1),
+    )
+    # same survivor decision (99 + the batch-2 survivors), even though
+    # their own rows are already indexed (equal-id matches excluded)
+    batch2_expected = set(_reference_greedy(batches)) & {i for i, _ in batches[1]}
+    assert {r["doc_id"] for r in replay.collect()} == batch2_expected | {99}
+    assert manifest.segment_count(idx) == segs_before  # no new segment
+
+    # index rows: every bandable survivor, clustered on pbucket
+    irows = manifest.read_versioned(
+        spark, idx, schema=inc.BAND_MANIFEST_SCHEMA
+    )
+    assert {r["id"] for r in irows.select("id").distinct().collect()} == set(
+        expected
+    ) - {99}
+    from pyspark.sql import functions as F
+
+    bad = irows.filter(
+        F.col("pbucket") != F.pmod(F.hash("band", "bucket"), F.lit(4))
+    ).count()
+    assert bad == 0
+
+
+def test_manifest_banded_compaction_is_cas_guarded(spark, tmp_path):
+    """compact_band_index_manifest folds the append log into one
+    pbucket-clustered segment; a concurrent append between its read and
+    its publish raises CommitConflict and loses nothing — the CAS
+    protocol every other state table uses, now covering the band
+    index."""
+    import pytest
+
+    from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
+
+    idx = str(tmp_path / "bandidx")
+    for bi, batch in enumerate([DOCS[:3], DOCS[3:7]]):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in batch], "doc_id long, text string"
+        )
+        inc.dedup_increment_manifest_banded(
+            spark, df, idx, threshold=0.5, bands=32, num_buckets=4,
+            epoch=("cas-test", bi),
+        )
+    assert manifest.segment_count(idx) == 2
+
+    def concurrent_append():
+        late = spark.createDataFrame(
+            [Row(doc_id=777, text="a wholly novel concurrent document")],
+            "doc_id long, text string",
+        )
+        inc.dedup_increment_manifest_banded(
+            spark, late, idx, threshold=0.5, bands=32, num_buckets=4
+        )
+
+    inc._test_pre_publish_hook = concurrent_append
+    try:
+        with pytest.raises(CommitConflict):
+            inc.compact_band_index_manifest(spark, idx, num_buckets=4)
+    finally:
+        inc._test_pre_publish_hook = None
+
+    rows_merged = sorted(
+        (r["band"], r["bucket"], r["id"])
+        for r in manifest.read_versioned(
+            spark, idx, schema=inc.BAND_MANIFEST_SCHEMA
+        ).collect()
+    )
+    assert any(r[2] == 777 for r in rows_merged)  # concurrent append kept
+
+    before, after = inc.compact_band_index_manifest(spark, idx, num_buckets=4)
+    assert before == 3 and after == 1
+    rows_after = sorted(
+        (r["band"], r["bucket"], r["id"])
+        for r in manifest.read_versioned(
+            spark, idx, schema=inc.BAND_MANIFEST_SCHEMA
+        ).collect()
+    )
+    assert rows_after == rows_merged  # fold preserved every row
+    # one file per non-empty pbucket in the folded snapshot
+    folded = manifest.read_versioned(spark, idx, schema=inc.BAND_MANIFEST_SCHEMA)
+    n_buckets = folded.select("pbucket").distinct().count()
+    assert len(folded.inputFiles()) <= max(n_buckets, 1)

@@ -139,3 +139,39 @@ def test_commit_staged_files_moves_only_named_files(tmp_path, spark):
     assert _read_ids(spark, table) == [1]
     assert os.path.exists(orphan)  # untouched
     assert not os.path.exists(good)  # moved, not copied
+
+
+def test_streaming_all_null_column_stages_declared_type(spark, tmp_path):
+    """A micro-batch partition whose column is entirely None must stage
+    the DECLARED type (the writer schema), not a null-typed column —
+    otherwise segment files carry divergent physical schemas and later
+    manifest reads break."""
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, None), (2, None)], "id long, v string").coalesce(
+        1
+    ).write.parquet(src)
+
+    q = (
+        spark.readStream.schema("id long, v string")
+        .parquet(src)
+        .writeStream.format("manifest_table")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(table)
+    )
+    q.awaitTermination(120)
+
+    seg = os.path.join(table, "v00000001")
+    parts = [os.path.join(seg, f) for f in os.listdir(seg) if f.endswith(".parquet")]
+    assert parts
+    for p in parts:
+        sch = pq.read_schema(p)
+        assert str(sch.field("v").type) == "string", sch  # not null-typed
+        assert str(sch.field("id").type) == "int64", sch
+    rows = manifest.read_versioned(spark, table, schema="id long, v string").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]
+    assert all(r["v"] is None for r in rows)

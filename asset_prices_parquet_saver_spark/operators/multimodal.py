@@ -3,12 +3,16 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs (schema.MEDIA_SCHEMA). The Spark-side plumbing —
 schemas, partitioning, Arrow-batched Pandas UDF signatures, batch
-shapes — is real and tested; the actual codec calls are STUBBED because
-no image/audio libraries exist in this container:
+shapes — is real and tested; the codec layer is IMPORT-GATED (the
+``sources/fetchers._require`` pattern) because no image/audio
+libraries ship in this container:
 
-- :func:`decode_image` raises ``NotImplementedError`` (clearly marked),
-- :func:`fake_decode_meta` is the deterministic stand-in used by tests
-  and the feature-extraction pipeline.
+- :func:`decode_image` uses Pillow when installed and raises
+  :class:`CodecUnavailable` with a clear message when not;
+- :func:`fake_decode_meta` is the deterministic stand-in the tests and
+  the oracle-checked pipeline use (``decoder="fake"``, the default);
+  pass ``decoder="pillow"`` to :func:`extract_media_meta` to run the
+  real codec over genuinely encoded payloads.
 
 At 100 TB the payload column dominates IO — every function here prunes
 it as early as possible (metadata-only projections never touch bytes;
@@ -47,14 +51,34 @@ def build_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """STUB: real image decoding needs PIL/opencv, not present in this
-    container. The Spark plumbing calls :func:`fake_decode_meta`
-    instead; swap this in when a codec library is available."""
-    raise NotImplementedError(
-        "image decoding requires an image library (PIL/cv2) not installed "
-        "in this environment; use fake_decode_meta for the pipeline shape"
-    )
+class CodecUnavailable(RuntimeError):
+    """A real media codec was requested but its library is absent."""
+
+
+def _require_pillow():
+    try:
+        from PIL import Image  # noqa: PLC0415 — import-gated by design
+
+        return Image
+    except ImportError as exc:  # pragma: no cover - env without Pillow
+        raise CodecUnavailable(
+            "image decoding requires Pillow, which is not installed in "
+            "this environment; use decoder='fake' (the deterministic "
+            "stand-in) for the pipeline shape"
+        ) from exc
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Real image decode, import-gated on Pillow (the
+    ``sources/fetchers._require`` pattern): returns (width, height,
+    mode). Raises :class:`CodecUnavailable` with a clear remedy when
+    Pillow is absent — the deterministic :func:`fake_decode_meta`
+    remains the test/oracle path either way."""
+    import io
+
+    Image = _require_pillow()
+    with Image.open(io.BytesIO(payload or b"")) as im:
+        return int(im.width), int(im.height), str(im.mode or "")
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -80,14 +104,28 @@ _META_SCHEMA = T.StructType(
 )
 
 
-def extract_media_meta(media: DataFrame) -> DataFrame:
+def extract_media_meta(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Feature-extraction pass over payload bytes via ``mapInPandas``
     (Arrow-batched; one pandas frame per partition batch — the shape a
-    real decoder would use). Decoding itself is the deterministic fake."""
+    real decoder uses).
+
+    ``decoder="fake"`` (default): the deterministic digest-derived
+    stand-in, mirrored exactly by the SQL oracle. ``decoder="pillow"``:
+    the real import-gated codec — width/height from the decoded image,
+    duration_ms NULL (images have none); rows whose payload is not a
+    decodable image raise, by design (feed it image rows)."""
+    if decoder not in ("fake", "pillow"):
+        raise ValueError(f"decoder must be 'fake' or 'pillow', got {decoder!r}")
+    if decoder == "pillow":
+        _require_pillow()  # fail fast on the driver, not per-task
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(p) for p in pdf["payload"]]
+            if decoder == "pillow":
+                decoded = [decode_image(p) for p in pdf["payload"]]
+                metas = [(w, h, None) for (w, h, _mode) in decoded]
+            else:
+                metas = [fake_decode_meta(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -102,8 +102,15 @@ def test_media_table_and_meta_roundtrip(spark, sf_dir):
         assert (r.width, r.height, r.duration_ms) == (w, h, d)
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_raises_codec_unavailable_without_pillow():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — the gated path is exercised in "
+                    "test_decode_image_gated_on_pillow")
+    except ImportError:
+        pass
+    with pytest.raises(mm.CodecUnavailable):
         mm.decode_image(b"\x89PNG")
 
 
@@ -410,3 +417,56 @@ def test_pca_scores_match_numpy_on_corpus(spark, sf_dir):
         want = exp[r["vec_id"]]
         for j in range(len(want)):
             assert abs(r[f"pc{j + 1}"] - want[j]) < 1e-6
+
+
+def test_decode_image_gated_on_pillow(spark):
+    """The real codec path is import-gated exactly like the network
+    fetchers: with Pillow absent, decode_image / the pillow decoder
+    raise CodecUnavailable with a clear remedy; with Pillow present,
+    extract_media_meta(decoder='pillow') decodes real dimensions
+    through the SAME mapInPandas plumbing the fake path uses."""
+    import pytest
+
+    from asset_prices_parquet_saver_spark.operators import multimodal as mm
+
+    try:
+        import PIL.Image as PILImage  # noqa: F401
+        have_pillow = True
+    except ImportError:
+        have_pillow = False
+
+    if not have_pillow:
+        with pytest.raises(mm.CodecUnavailable, match="Pillow"):
+            mm.decode_image(b"\x89PNG\r\n\x1a\n")
+        docs = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"
+        )
+        media = mm.build_media_table(docs)
+        with pytest.raises(mm.CodecUnavailable, match="Pillow"):
+            mm.extract_media_meta(media, decoder="pillow")
+        return
+
+    # Pillow present: build one real PNG payload and decode it
+    import io
+
+    buf = io.BytesIO()
+    PILImage.new("RGB", (17, 5)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert mm.decode_image(png)[:2] == (17, 5)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = mm.extract_media_meta(media, decoder="pillow").collect()
+    assert rows[0]["width"] == 17 and rows[0]["height"] == 5
+    assert rows[0]["duration_ms"] is None
+
+
+def test_extract_media_meta_rejects_unknown_decoder(spark):
+    from asset_prices_parquet_saver_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="decoder"):
+        mm.extract_media_meta(mm.build_media_table(docs), decoder="cv2")

@@ -281,6 +281,93 @@ def main() -> None:
         out["queries_sf2"] = timings2
         out["scaling"] = {"exponents": exponents, "superlinear": sorted(superlinear)}
 
+    # Third decade (sf0.1 -> sf1): the locally-generated replication
+    # scale-up (scripts/gen_sf1.py — 10 key-strided replicas, text
+    # re-tokenized and vectors rotated per replica so dedup/ANN pair
+    # structure scales linearly like real data, not quadratically like
+    # naive copies). One decade at toy sizes is weak evidence for the
+    # 100x claim; this measures the top-of-cost queries across TWO
+    # decades. Time-boxed: the ~20 most expensive sf0.1 queries, one
+    # run each (the sf1 runtimes dwarf the host-noise floor the
+    # median-of-3 discipline exists for), hard budget below.
+    sf3_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_SF3",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata", "sf1"),
+    )
+    sf3 = _sf_of(sf3_dir) if sf3_dir else None
+    if sf3 and sf and sf3 != sf and os.path.isdir(sf3_dir):
+        import math
+
+        top = sorted(timings, key=timings.__getitem__, reverse=True)[
+            : int(os.environ.get("SPARK_GRAFT_BENCH_SF3_TOPN", "20"))
+        ]
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF3_BUDGET", "420"))
+        timings3: dict[str, float] = {}
+        t_start = time.perf_counter()
+        exhausted = False
+        for name in top:
+            if time.perf_counter() - t_start > budget:
+                exhausted = True
+                break
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf3_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            timings3[name] = round(time.perf_counter() - t0, 3)
+        ratio3 = sf3 / sf if sf3 > sf else sf / sf3
+        exps3 = {}
+        super3 = []
+        for name, t3 in timings3.items():
+            t1 = timings.get(name)
+            if not t1 or t1 <= 0 or t3 <= 0:
+                continue
+            exps3[name] = round(math.log(t3 / t1) / math.log(ratio3), 2)
+            # exempt short runtimes: fixed per-job overhead dominates
+            if exps3[name] > 1.15 and t3 > 5.0:
+                super3.append(name)
+        out["sf3"] = sf3
+        out["queries_sf3"] = timings3
+        out["scaling_sf1"] = {
+            "exponents": exps3,
+            "superlinear": sorted(super3),
+            "n_measured": len(timings3),
+            "budget_exhausted": exhausted,
+            "runs": 1,
+        }
+
+    # Cross-round comparison, spread-disciplined: a per-query move only
+    # counts as a regression/win when |Δmedian| exceeds BOTH rounds'
+    # recorded spreads (max-min over the median-of-N samples) — the
+    # filter that keeps host weather (5-10x VM-churn oscillation,
+    # NOTES.md) out of round-over-round narratives. Compared against
+    # the PREVIOUS BENCH_DETAIL.json, read before this run overwrites
+    # it; only same-sf comparisons are meaningful.
+    prev = {}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        prev = {}
+    if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
+        prev_t = prev["queries"]
+        prev_s = prev.get("spread", {})
+        regressions, wins = {}, {}
+        for name, t_new in timings.items():
+            t_old = prev_t.get(name)
+            if t_old is None:
+                continue
+            noise = max(spreads.get(name, 0.0), prev_s.get(name, 0.0))
+            delta = round(t_new - t_old, 3)
+            if delta > noise:
+                regressions[name] = {"prev": t_old, "now": t_new, "noise": noise}
+            elif -delta > noise:
+                wins[name] = {"prev": t_old, "now": t_new, "noise": noise}
+        out["regressions"] = regressions
+        out["wins"] = wins
+
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the final line — round 4's full 130-query line blew past that and
     # recorded "parsed": null. Persist the complete report to a repo
@@ -292,10 +379,19 @@ def main() -> None:
 
     line_out = dict(out)
     line_out.pop("queries_sf2", None)
+    line_out.pop("queries_sf3", None)
     line_out.pop("spread", None)
     line_out.pop("spread_sf2", None)
     if "scaling" in line_out:
         line_out["scaling"] = {"superlinear": out["scaling"]["superlinear"]}
+    if "scaling_sf1" in line_out:
+        line_out["scaling_sf1"] = {
+            "superlinear": out["scaling_sf1"]["superlinear"],
+            "n_measured": out["scaling_sf1"]["n_measured"],
+        }
+    if "regressions" in line_out:  # names only on the line; detail file
+        line_out["regressions"] = sorted(out["regressions"])
+        line_out["wins"] = sorted(out["wins"])
     by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
     keep = len(by_cost)
     while keep > 0:

@@ -479,16 +479,22 @@ def _prefix_candidates(
             F.least(j.cast("long") * step + 1, F.col("n_sh").cast("long")).cast("int"),
         ),
     )
+    # The sketches do NOT ride the prefix rows: the raw prefix join is
+    # the widest relation in the pipeline (O(Σ df²) rows), and carrying
+    # two (S+1)-element arrays per row multiplied its shuffle bytes ~6×
+    # — at the sf1 decade that pushed the group shuffle into spill and
+    # the measured exponent to 1.6 on a structurally LINEAR candidate
+    # count. They join back onto the (much smaller) grouped candidate
+    # set below, keyed on the doc ids.
+    sk_rel = arrs.select("id", sketch.alias("sk"))
     probe = arrs.select(
         "id",
         "n_sh",
-        sketch.alias("sk"),
         F.posexplode(F.slice("arr", F.lit(1), probe_len)).alias("pos", "h"),
     ).withColumn("bucket", F.explode(F.sequence(b_low, b0)))
     index = arrs.select(
         "id",
         "n_sh",
-        sketch.alias("sk"),
         b0.alias("bucket"),
         F.posexplode(F.slice("arr", F.lit(1), index_len)).alias("pos", "h"),
     )
@@ -576,10 +582,7 @@ def _prefix_candidates(
     gb_ub = szb - F.greatest(lb_b - (F.col("min_pl") + 1), F.lit(0))
     suffix_ub = F.lit(1) + F.least(la_ub, lb_ub) + F.least(ga_ub, gb_ub)
 
-    group_keep = (inter_ub >= alpha) & (F.col("pm") >= k_min)
-    if suffix_filter:
-        group_keep = group_keep & (suffix_ub >= alpha)
-    return (
+    grouped = (
         probe.alias("l")
         .join(index.alias("s"), ["h", "bucket"])
         .filter(
@@ -597,14 +600,26 @@ def _prefix_candidates(
             F.min(F.col("l.pos")).alias("min_pl"),
             F.first(F.col("s.n_sh")).alias("ns"),
             F.first(F.col("l.n_sh")).alias("nl"),
-            F.first(F.col("s.sk")).alias("sk_s"),
-            F.first(F.col("l.sk")).alias("sk_l"),
         )
-        .filter(group_keep)
-        .select(
-            F.least("id_s", "id_l").alias("id_a"),
-            F.greatest("id_s", "id_l").alias("id_b"),
+        # the array-free filters run FIRST, on the narrow grouped rows
+        .filter((inter_ub >= alpha) & (F.col("pm") >= k_min))
+    )
+    if suffix_filter:
+        # sketches join back onto the surviving candidates only
+        grouped = (
+            grouped.join(
+                sk_rel.select(F.col("id").alias("id_s"), F.col("sk").alias("sk_s")),
+                "id_s",
+            )
+            .join(
+                sk_rel.select(F.col("id").alias("id_l"), F.col("sk").alias("sk_l")),
+                "id_l",
+            )
+            .filter(suffix_ub >= alpha)
         )
+    return grouped.select(
+        F.least("id_s", "id_l").alias("id_a"),
+        F.greatest("id_s", "id_l").alias("id_b"),
     )
 
 

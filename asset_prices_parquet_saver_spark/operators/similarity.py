@@ -273,7 +273,7 @@ def cosine_pairs(
 def cosine_pairs_lsh(
     emb: DataFrame,
     threshold: float,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -284,13 +284,25 @@ def cosine_pairs_lsh(
     of ``num_tables`` hyperplane tables, verified by exact cosine.
     Comparisons drop from n²/2 to Σ_buckets |b|²/2 per table; recall of
     true near-dups grows with num_tables (a pair at cosine θ collides
-    in one table with prob (1 - arccos(θ)/π)^num_planes)."""
+    in one table with prob (1 - arccos(θ)/π)^num_planes).
+
+    ``num_planes=None`` → :func:`auto_num_planes` from one cheap
+    count: bucket occupancy (and with it per-table candidate work per
+    row) stays CONSTANT as the corpus grows — the fixed-J form is
+    quadratic past n ≈ 2^J·occupancy. Planes then come from the shared
+    ``AUTO_PLANES_HI`` tensor prefix so the oracle can replay J from
+    COUNT(*) over the same inlined constants."""
+    max_planes = None
+    if num_planes is None:
+        num_planes = auto_num_planes(emb.count())
+        max_planes = AUTO_PLANES_HI
     e = _with_buckets(
         emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
         "vec_id",
         "v",
         num_planes,
         num_tables,
+        max_planes=max_planes,
     )
     cand = (
         e.alias("a")
@@ -323,7 +335,7 @@ def cosine_pairs_lsh(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float,
-    num_planes: int = 6,
+    num_planes: int | None = 6,
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -502,6 +514,40 @@ def _train_centroids(
 
 _LSH_SEED = 0x5EED_CAFE
 
+#: plane-count clamp for the adaptive path (also the tensor size the
+#: oracle inlines — see plans/queries._lsh_bucket_union_sql_adaptive)
+AUTO_PLANES_LO = 4
+AUTO_PLANES_HI = 12
+
+
+def auto_num_planes(
+    n: int,
+    target_bucket: int = 64,
+    lo: int = AUTO_PLANES_LO,
+    hi: int = AUTO_PLANES_HI,
+) -> int:
+    """Plane count that keeps expected bucket OCCUPANCY constant:
+    J = ceil(log2(n / target_bucket)), clamped to [lo, hi].
+
+    Why adaptive: with J fixed, per-table candidate work is
+    Σ_buckets |b|² ≈ n²/2^J — QUADRATIC once n ≫ 2^J·target (measured:
+    the pinned-6-plane pair queries ran sf0.1→sf1 exponents of 1.25
+    and the sf1 decade exists precisely to catch this). With J grown
+    as log2(n), occupancy ≈ target stays flat and candidate work is
+    ≈ n·target — linear. The trade is per-table recall of a true pair
+    at angle θ, (1 − θ/π)^J, which shrinks with J — production tuning
+    raises num_tables alongside (the standard LSH schedule); the
+    engine keeps tables a caller knob.
+
+    The formula is ENGINE-PORTABLE by construction — both ceil/log2
+    operate on an integer-derived double, and the only inputs where
+    libm rounding could flip ceil are exact powers of two, which every
+    IEEE log2 maps exactly — so the SQL oracle replays the identical
+    choice from COUNT(*)."""
+    import math
+
+    return max(lo, min(hi, int(math.ceil(math.log2(max(n, 1) / float(target_bucket))))))
+
 
 def lsh_planes(num_planes: int, num_tables: int, dim: int):
     """The fixed-seed hyperplane tensor (num_tables, num_planes, dim)
@@ -518,7 +564,12 @@ def lsh_planes(num_planes: int, num_tables: int, dim: int):
 
 
 def _with_buckets(
-    df: DataFrame, id_name: str, vec: str, num_planes: int, num_tables: int
+    df: DataFrame,
+    id_name: str,
+    vec: str,
+    num_planes: int,
+    num_tables: int,
+    max_planes: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket ids: for each of ``num_tables``
     independent plane sets, bit p of the bucket = sign(v · plane_p).
@@ -528,7 +579,12 @@ def _with_buckets(
     cluster sizes (every worker derives the identical planes), with a
     plan-sized footprint instead of num_tables·num_planes inlined
     dot-product expression trees (whose codegen alone costs seconds).
-    Output: one (id, v, table, bucket) row per table."""
+    Output: one (id, v, table, bucket) row per table.
+
+    ``max_planes``: when set (the adaptive-J path), planes are the
+    FIRST ``num_planes`` rows of the ``max_planes``-sized fixed-seed
+    tensor, so every possible J shares one tensor and the oracle can
+    inline the max set once and gate terms on its SQL-computed J."""
     import numpy as np
     import pandas as pd
 
@@ -548,7 +604,9 @@ def _with_buckets(
                 continue
             V = np.array(list(pdf[vec]))
             if planes is None:
-                planes = lsh_planes(num_planes, num_tables, V.shape[1])
+                planes = lsh_planes(
+                    max_planes or num_planes, num_tables, V.shape[1]
+                )[:, :num_planes, :]
             out = []
             for t in range(num_tables):
                 bits = (V @ planes[t].T) > 0

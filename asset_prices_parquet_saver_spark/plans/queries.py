@@ -2972,9 +2972,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X2/X3 scale path: embedding near-dup pairs via LSH bucketing —
 # hash-checked the same way (buckets replayed from inlined planes).
 # CTE chain shared with semantic_dedup_embeddings' closure oracle.
+def _lsh_bucket_union_sql_adaptive(num_tables: int) -> str:
+    """Per-table bucket assignment with the ADAPTIVE plane count: the
+    full AUTO_PLANES_HI fixed-seed tensor is inlined once, and each bit
+    term is gated on the SQL-computed plane count (CTE ``jj``), which
+    replays ``similarity.auto_num_planes`` from COUNT(*) — so the
+    oracle follows the engine's occupancy-constant J at every scale
+    factor (J is portable: ceil/log2 on an integer-derived double can
+    only flip at exact powers of two, which every IEEE log2 maps
+    exactly). The engine computes only its J dot products; the oracle
+    pays all HI per row, an oracle-side-only cost."""
+    hi = sim_ops.AUTO_PLANES_HI
+    planes = sim_ops.lsh_planes(hi, num_tables, _EMB_DIM)
+    sels = []
+    for t in range(num_tables):
+        terms = " + ".join(
+            f"(CASE WHEN {p} < jj.J AND list_dot_product(v, ["
+            + ", ".join(double_lit(x) for x in planes[t][p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(hi)
+        )
+        sels.append(
+            f"SELECT vec_id, v, {t} AS tbl, {terms} AS bucket FROM e, jj"
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
 _LSH_PAIR_CTES = """
     e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), jj AS (
+      SELECT GREATEST({LO}, LEAST({HI}, CAST(CEIL(LOG2(
+               GREATEST(COUNT(*), 1) / 64.0)) AS INT))) AS J
+      FROM embeddings
     ), bk AS (
       {BUCKETS}
     ), cand AS (
@@ -2992,7 +3022,9 @@ _LSH_PAIR_CTES = """
     ), lsh_pairs AS (
       SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
     )
-""".replace("{BUCKETS}", _lsh_bucket_union_sql(num_planes=6, num_tables=8))
+""".replace("{BUCKETS}", _lsh_bucket_union_sql_adaptive(num_tables=8)).replace(
+    "{LO}", str(sim_ops.AUTO_PLANES_LO)
+).replace("{HI}", str(sim_ops.AUTO_PLANES_HI))
 
 
 @q(
@@ -3000,9 +3032,16 @@ _LSH_PAIR_CTES = """
     f"WITH {_LSH_PAIR_CTES} SELECT id_a, id_b, cosine FROM lsh_pairs",
 )
 def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: embedding near-pairs via multi-table hyperplane LSH buckets (fixed-seed planes inlined into the oracle)."""
+    """X3: embedding near-pairs via multi-table hyperplane LSH buckets
+    (fixed-seed planes inlined into the oracle). Plane count is the
+    ADAPTIVE occupancy-constant J — sim_ops.auto_num_planes from one
+    count, replayed by the oracle's jj CTE — so candidate work scales
+    linearly instead of the fixed-J quadratic blowup the sf1 decade
+    measured (exponent 1.25 at pinned 6 planes)."""
     e = read_table(spark, sf_dir, "embeddings")
-    return sim_ops.cosine_pairs_lsh(e, threshold=0.45, num_planes=6, num_tables=8)
+    return sim_ops.cosine_pairs_lsh(
+        e, threshold=0.45, num_planes=None, num_tables=8
+    )
 
 
 # --- X2/X3 composition: embedding-space near-dup REMOVAL — the
@@ -3030,7 +3069,9 @@ def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    return sim_ops.semantic_dedup(e, threshold=0.45).select("vec_id", "label")
+    return sim_ops.semantic_dedup(
+        e, threshold=0.45, num_planes=None
+    ).select("vec_id", "label")
 
 
 # --- X3 scale path: IVF-bucketed ANN. The coarse quantizer is the
@@ -6693,9 +6734,15 @@ _GATE_ORDER = [
     "benchmark_contamination",
     "bigram_logppl",
     "bm25_search",
+    # these two changed HASH this round (adaptive occupancy-constant
+    # LSH plane count) -> they need fresh driver evidence; the two
+    # displaced r4 holdovers (chunk_dedup_corpus, corpus_mix) rotate
+    # next round
+    "embedding_near_pairs_lsh",
+    "semantic_dedup_embeddings",
+    # ---- gate-window boundary (position 50) ----
     "chunk_dedup_corpus",
     "corpus_mix",
-    # ---- gate-window boundary (position 50) ----
     "daily_returns",
     "ewma_closes",
     "sharpe_ratio",

@@ -270,6 +270,13 @@ def cosine_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+#: session-scoped memo for the LSH pair relation (the dedup._LSH_MEMO
+#: pattern): embedding_near_pairs_lsh and semantic_dedup share an
+#: identical (corpus, params) front end — a run executing both should
+#: build the bucketed/verified pair relation once.
+_PAIR_MEMO: dict[tuple, DataFrame] = {}
+
+
 def cosine_pairs_lsh(
     emb: DataFrame,
     threshold: float,
@@ -278,6 +285,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    memo: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed (the scale path for
     :func:`cosine_pairs`): candidates are pairs sharing a bucket in any
@@ -292,6 +300,17 @@ def cosine_pairs_lsh(
     quadratic past n ≈ 2^J·occupancy. Planes then come from the shared
     ``AUTO_PLANES_HI`` tensor prefix so the oracle can replay J from
     COUNT(*) over the same inlined constants."""
+    key = None
+    if memo:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(),
+            threshold, num_planes, num_tables, id_col, vec_col,
+            round_decimals,
+        )
+        hit = _PAIR_MEMO.get(key)
+        if hit is not None:
+            return hit
     max_planes = None
     if num_planes is None:
         num_planes = auto_num_planes(emb.count())
@@ -320,7 +339,7 @@ def cosine_pairs_lsh(
     # duplicates are bit-identical and collapse in a distinct over three
     # narrow columns — ~40× fewer shuffle bytes than deduping the
     # vector-carrying candidate rows before verification.
-    return (
+    pairs = (
         _rowwise_cosine(cand, "va", "vb")
         .select(
             "id_a",
@@ -330,6 +349,10 @@ def cosine_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+    if memo:
+        pairs = pairs.localCheckpoint()
+        _PAIR_MEMO[key] = pairs
+    return pairs
 
 
 def semantic_dedup(
@@ -339,6 +362,7 @@ def semantic_dedup(
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    memo: bool = False,
 ) -> DataFrame:
     """Embedding-space near-duplicate removal (the semantic twin of
     ``dedup.fuzzy_dedup``): LSH-bucketed cosine near-pairs → connected
@@ -352,7 +376,7 @@ def semantic_dedup(
     )
 
     pairs = cosine_pairs_lsh(
-        emb, threshold, num_planes, num_tables, id_col, vec_col
+        emb, threshold, num_planes, num_tables, id_col, vec_col, memo=memo
     )
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("component")).select(

@@ -3040,7 +3040,7 @@ def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured (exponent 1.25 at pinned 6 planes)."""
     e = read_table(spark, sf_dir, "embeddings")
     return sim_ops.cosine_pairs_lsh(
-        e, threshold=0.45, num_planes=None, num_tables=8
+        e, threshold=0.45, num_planes=None, num_tables=8, memo=True
     )
 
 
@@ -3070,7 +3070,7 @@ def embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return sim_ops.semantic_dedup(
-        e, threshold=0.45, num_planes=None
+        e, threshold=0.45, num_planes=None, num_tables=8, memo=True
     ).select("vec_id", "label")
 
 

@@ -6777,7 +6777,6 @@ _GATE_ORDER = [
     "daily_rollup",
     "dedup_exact_documents",
     "document_fingerprints",
-    "embedding_near_pairs_lsh",
     "event_value_deltas",
     "events_head_tail",
     "filter_project_compute",
@@ -6825,7 +6824,6 @@ _GATE_ORDER = [
     "ann_hamming_rerank",
     "fuzzy_dedup_documents",
     "simhash_near_dup_pairs",
-    "semantic_dedup_embeddings",
     "repetition_stats",
     "top_ngrams",
     "curated_corpus",

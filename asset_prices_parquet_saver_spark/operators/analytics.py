@@ -1195,3 +1195,105 @@ def macd(
         round6_portable(F.col("signal")).alias("signal"),
         round6_portable(F.col("histogram")).alias("histogram"),
     )
+
+
+def donchian_channels(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 20,
+) -> DataFrame:
+    """Donchian channels per key over daily OHLC bars: upper/lower =
+    N-day rolling max(high)/min(low) (current bar included, the
+    charting convention), middle = their midpoint, plus the breakout
+    flags traders actually consume — close strictly above/below the
+    PREVIOUS window's band (current bar excluded, else a new high can
+    never break out of its own channel). Emitted for full windows only.
+
+    Portability: prices carry ≤2 decimals, so max/min/compares are
+    exact doubles; the midpoint is (upper+lower) staged in
+    DECIMAL(18,2) then halved in DOUBLE — division by 2 is exact in
+    binary floating point, so no rounding contract is needed anywhere.
+    Scale: the one (key, day) OHLC shuffle, then per-key ROWS windows
+    over bar-sized series — same posture as ATR."""
+    bars = ohlc_bars(ticks, key_col, ts_col, price_col, id_col)
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    prev = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-window, -1)
+    )
+    upper = F.max("high").over(win)
+    lower = F.min("low").over(win)
+    mid = (
+        (upper.cast("decimal(18,2)") + lower.cast("decimal(18,2)"))
+        .cast("double")
+        / F.lit(2.0)
+    )
+    up_prev = F.max("high").over(prev)
+    lo_prev = F.min("low").over(prev)
+    cnt = F.count("*").over(win)
+    cnt_prev = F.count("*").over(prev)
+    return (
+        bars.select(
+            F.col(key_col),
+            F.col("day"),
+            F.col("close"),
+            upper.alias("upper"),
+            lower.alias("lower"),
+            mid.alias("middle"),
+            (F.col("close") > up_prev).alias("breakout_up"),
+            (F.col("close") < lo_prev).alias("breakout_down"),
+            cnt.alias("_c"),
+            cnt_prev.alias("_cp"),
+        )
+        .filter((F.col("_c") == window) & (F.col("_cp") == window))
+        .drop("_c", "_cp")
+    )
+
+
+def obv(
+    ticks: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """On-Balance Volume per key over daily bars, with per-bar tick
+    count standing in for share volume (the events table carries no
+    size column): OBV_t = OBV_{t-1} + sign(close_t − close_{t-1}) ·
+    vol_t, first bar contributing 0 (Granville's convention). The
+    running sum is a cumulative window over EXACT integers (closes are
+    ≤2-decimal doubles, so the sign compare is exact; volumes are
+    longs) — no floating accumulation anywhere, bit-identical on any
+    engine and any partitioning. One (key, day) rollup shuffle, then
+    per-key ROWS windows over bar-sized series."""
+    bars = ohlc_bars(ticks, key_col, ts_col, price_col, id_col)
+    wlag = Window.partitionBy(key_col).orderBy(F.col("day").asc())
+    cum = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pc = F.lag("close").over(wlag)
+    signed = (
+        F.when(pc.isNull(), F.lit(0))
+        .when(F.col("close") > pc, F.col("n_ticks"))
+        .when(F.col("close") < pc, -F.col("n_ticks"))
+        .otherwise(F.lit(0))
+    )
+    t = bars.select(
+        F.col(key_col), F.col("day"), F.col("n_ticks"), signed.alias("_d")
+    )
+    return t.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("n_ticks").alias("volume"),
+        F.sum("_d").over(cum).cast("long").alias("obv"),
+    )

@@ -343,7 +343,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     dense_vocab_limit: int = 4096,
-    suffix_filter: bool = True,
+    suffix_filter: bool = False,
 ) -> DataFrame:
     """X2 baseline: ALL pairs with shingle-set Jaccard ≥ threshold —
     exact, via prefix filtering instead of a full shingle self-join.
@@ -371,7 +371,14 @@ def jaccard_pairs(
     join keys, a row-level positional pre-filter inside the join, the
     group-stage positional + k-prefix-count filters, and the depth-1
     suffix filter over carried order-statistic sketches
-    (``suffix_filter`` switches the last one, for A/B measurement).
+    (``suffix_filter`` switches the last one — OFF by default since
+    round 7: with the sketches no longer riding the raw prefix rows,
+    verification of the surviving candidates is cheaper than the two
+    per-candidate sketch joins + interpreted array filter the suffix
+    bound costs, measured at both sf0.1 (2.6 s vs 3.0 s) and sf1
+    (29 s vs 40+ s) with identical output; it remains available and
+    exactness-tested for corpora where candidate:result ratios make
+    pre-verification pruning win again).
     """
     from asset_prices_parquet_saver_spark.operators.globalorder import (
         with_global_row_number,

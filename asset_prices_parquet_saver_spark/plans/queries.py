@@ -6665,6 +6665,169 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Donchian channels: the rolling high-low band + breakout flags
+# (indicator family; composes on the same OHLC rollup as ATR).
+@q(
+    "donchian_channels",
+    _BARS_CTE
+    + """
+    , ch AS (
+      SELECT user_id, day, close,
+             MAX(high) OVER w  AS upper,
+             MIN(low)  OVER w  AS lower,
+             MAX(high) OVER wp AS up_prev,
+             MIN(low)  OVER wp AS lo_prev,
+             COUNT(*)  OVER w  AS c,
+             COUNT(*)  OVER wp AS cp
+      FROM b
+      WINDOW w  AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             wp AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, close, upper, lower,
+           CAST(CAST(upper AS DECIMAL(18,2)) + CAST(lower AS DECIMAL(18,2))
+                AS DOUBLE) / 2.0 AS middle,
+           close > up_prev AS breakout_up,
+           close < lo_prev AS breakout_down
+    FROM ch WHERE c = 20 AND cp = 20
+    """,
+)
+def donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Donchian channels + previous-window breakout flags per
+    key: rolling max/min of exact 2-decimal prices (no rounding
+    contract needed anywhere — the midpoint halves an exact DECIMAL
+    sum in binary, which is exact). OHLC rollup → per-key ROWS
+    windows; never a global sort."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.donchian_channels(e, window=20)
+
+
+# --- On-Balance Volume: signed cumulative volume (tick count as the
+# volume proxy — events carry no size column), exact integers end-to-end.
+@q(
+    "obv_indicator",
+    r"""
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events
+    ), w AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM t
+    ), b AS (
+      SELECT user_id, day,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+             COUNT(*) AS n_ticks
+      FROM w GROUP BY user_id, day
+    ), d AS (
+      SELECT user_id, day, n_ticks,
+             CASE WHEN lag(close) OVER wk IS NULL THEN 0
+                  WHEN close > lag(close) OVER wk THEN n_ticks
+                  WHEN close < lag(close) OVER wk THEN -n_ticks
+                  ELSE 0 END AS delta
+      FROM b WINDOW wk AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, CAST(n_ticks AS BIGINT) AS volume,
+           CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM d
+    """,
+)
+def obv_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume per key (Granville): sign(Δclose)·volume
+    cumulated — exact integer arithmetic end-to-end (closes are exact
+    2-decimal doubles, volumes are longs), so the result is
+    bit-identical on any engine and any partitioning."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.obv(e)
+
+
+# --- Leakage-free split: the training-data split keyed on the USER so
+# no entity ever spans train/val/test — the grouped-split discipline
+# event-level hashing (train_val_test_split) cannot give, because two
+# events of one user hash independently.
+@q(
+    "leakage_free_user_split",
+    f"""
+    SELECT {sampling_ops.split_oracle_case("user_id", _SPLITS)} AS split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY split
+    """,
+)
+def leakage_free_user_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level split assignment: every event of a user lands in
+    the SAME split because the md5-range label is a pure function of
+    user_id (append-stable, engine-exact). The grouped counts
+    certify the proportions; the no-user-in-two-splits property is
+    structural and additionally pinned by a test."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            sampling_ops.assign_split(F.col("user_id"), _SPLITS).alias("split"),
+            "user_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+# --- Purged/embargoed time split (de Prado, "Advances in Financial
+# Machine Learning" ch.7): train strictly before cutoff−embargo, test
+# from the cutoff on, the embargo band EXCLUDED so label leakage from
+# overlapping horizons cannot cross the boundary.
+@q(
+    "embargoed_time_split",
+    """
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+       OR ts >= TIMESTAMP '2024-01-22 00:00:00'
+    GROUP BY split
+    """,
+)
+def embargoed_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/test split with a 2-day embargo purged
+    around the 2024-01-22 cutoff: rows in [cutoff−embargo, cutoff) are
+    EXCLUDED from both sides. A pure scan+filter (both range
+    predicates push into the parquet scan) — no shuffle beyond the
+    2-group aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    emb_lo = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    kept = e.filter((F.col("ts") < emb_lo) | (F.col("ts") >= cutoff))
+    return (
+        kept.select(
+            F.when(F.col("ts") < emb_lo, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "ts",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -6730,17 +6893,23 @@ _GATE_ORDER = [
     "ann_ivf_topk",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
+    # zero-evidence round-7 additions (indicators + training splits)
+    "donchian_channels",
+    "obv_indicator",
+    "leakage_free_user_split",
+    "embargoed_time_split",
+    # these two changed HASH this round (adaptive occupancy-constant
+    # LSH plane count) -> they need fresh driver evidence; the
+    # displaced r4 holdovers (ann_pq_topk, benchmark_contamination,
+    # bigram_logppl, bm25_search, chunk_dedup_corpus, corpus_mix)
+    # rotate next round
+    "embedding_near_pairs_lsh",
+    "semantic_dedup_embeddings",
+    # ---- gate-window boundary (position 50) ----
     "ann_pq_topk",
     "benchmark_contamination",
     "bigram_logppl",
     "bm25_search",
-    # these two changed HASH this round (adaptive occupancy-constant
-    # LSH plane count) -> they need fresh driver evidence; the two
-    # displaced r4 holdovers (chunk_dedup_corpus, corpus_mix) rotate
-    # next round
-    "embedding_near_pairs_lsh",
-    "semantic_dedup_embeddings",
-    # ---- gate-window boundary (position 50) ----
     "chunk_dedup_corpus",
     "corpus_mix",
     "daily_returns",

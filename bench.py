@@ -173,6 +173,10 @@ HEADLINE = [
     "adjusted_closes",
     "weekly_ohlc_bars",
     "monthly_returns",
+    "donchian_channels",
+    "obv_indicator",
+    "leakage_free_user_split",
+    "embargoed_time_split",
 ]
 
 

@@ -455,3 +455,23 @@ def test_ohlc_indicators_single_scan_no_join(spark, sf_dir):
         assert plan.count("FileScan parquet") == 1, name
         assert "Join" not in plan, name
         assert "partial_" in plan, name  # map-side combine on the rollup
+
+
+def test_new_indicators_single_scan_no_join(spark, sf_dir):
+    """donchian/obv: ONE fact scan into the combinable (key, day) OHLC
+    rollup, then entity-keyed ROWS windows — no join, no global
+    window (same posture as atr/stochastic)."""
+    for name in ("donchian_channels", "obv_indicator"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, name
+        assert "Join" not in plan, name
+        assert "partial_" in plan, name
+
+
+def test_embargoed_split_pushes_range_disjunction(spark, sf_dir):
+    """The purge filter (ts < lo OR ts >= hi) must reach the parquet
+    scan as a pushed predicate, and the whole query is one scan plus
+    the 2-group aggregate."""
+    plan = _plan(QUERIES["embargoed_time_split"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan

@@ -579,6 +579,32 @@ def dedup_increment_manifest_banded(
     in-place probe; an Iceberg bucket-transform spec gives both. Same
     probe/verification semantics (shared :func:`_banded_losers`), same
     survivor set — asserted in tests."""
+    survivors, new_rows = _manifest_banded_rows(
+        spark, new_docs, index_path, id_col, text_col, threshold,
+        n, num_hashes, bands, hash_family, num_buckets,
+    )
+    _commit_banded_rows(new_rows, index_path, num_buckets, epoch)
+    return survivors
+
+
+def _manifest_banded_rows(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+    num_buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure compute half of the manifest-banded increment: returns
+    (survivors, pbucket-tagged index rows), BOTH localCheckpointed so
+    the caller can order its commits freely (the streaming twin
+    commits the corpus first) without either output lazily re-reading
+    the index mid-update."""
     if bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} "
@@ -602,7 +628,16 @@ def dedup_increment_manifest_banded(
             survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
         ).select("band", "bucket", "id", "arr", "n_sh"),
         num_buckets,
-    )
+    ).localCheckpoint()
+    return survivors, new_rows
+
+
+def _commit_banded_rows(
+    new_rows: DataFrame,
+    index_path: str,
+    num_buckets: int,
+    epoch: tuple[str, int] | None,
+) -> None:
     # cluster the segment on the physical bucket (one file per
     # non-empty bucket) and commit atomically; epoch replay no-ops
     manifest.commit_append(
@@ -612,7 +647,6 @@ def dedup_increment_manifest_banded(
         txn=epoch,
         stats_cols=["pbucket"],
     )
-    return survivors
 
 
 def compact_band_index_manifest(
@@ -657,6 +691,8 @@ def run_streaming_dedup(
     n: int = 2,
     num_hashes: int = 32,
     bands: int = 8,
+    index_kind: str = "signatures",
+    num_buckets: int = 32,
 ):
     """Streaming corpus ingestion with online dedup: every micro-batch
     is deduplicated against the signature index, survivors are appended
@@ -670,10 +706,32 @@ def run_streaming_dedup(
     self-matches are excluded), so every crash point replays to the
     same survivor set — a crash between the commits re-runs the batch,
     skips the already-applied corpus append via its txn record, and
-    applies the missing index append. No window loses documents."""
+    applies the missing index append. No window loses documents.
+
+    ``index_kind``: ``"signatures"`` (the flat INDEX_SCHEMA manifest
+    table, default) or ``"banded"`` — the pbucket-clustered band index
+    (:func:`dedup_increment_manifest_banded`'s layout), giving every
+    micro-batch the zone-mapped one-file-per-bucket segments and the
+    CAS-compactable snapshot protocol; same survivor semantics."""
+    if index_kind not in ("signatures", "banded"):
+        raise ValueError(
+            f"index_kind must be 'signatures' or 'banded', got {index_kind!r}"
+        )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if index_kind == "banded":
+            survivors, new_rows = _manifest_banded_rows(
+                spark, batch, index_path, id_col, text_col, threshold,
+                n, num_hashes, bands, hash_family, num_buckets,
+            )
+            manifest.commit_append(
+                survivors, corpus_path, txn=("dedup-corpus", epoch_id)
+            )
+            _commit_banded_rows(
+                new_rows, index_path, num_buckets, ("dedup-index", epoch_id)
+            )
             return
         index = manifest.read_versioned(spark, index_path, schema=INDEX_SCHEMA)
         survivors, new_rows = dedup_increment(

@@ -656,7 +656,7 @@ def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -667,13 +667,23 @@ def ann_lsh_topk(
     ``num_tables`` independent tables (union → distinct), reranked by
     exact cosine. Per-query work ≈ num_tables · n / 2^num_planes; recall
     grows with num_tables — the standard recall/cost dial. Corpus side
-    shuffles on (table, bucket); queries broadcast."""
+    shuffles on (table, bucket); queries broadcast.
+
+    ``num_planes=None`` → :func:`auto_num_planes` from one corpus
+    count: per-query candidate cost stays CONSTANT as the corpus grows
+    (fixed J drifts toward a full scan once n ≫ 2^J) — the production
+    setting; the oracle-pinned gate query keeps an explicit J."""
+    max_planes = None
+    if num_planes is None:
+        num_planes = auto_num_planes(emb.count())
+        max_planes = AUTO_PLANES_HI
     e = _with_buckets(
         emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
         "vec_id",
         "v",
         num_planes,
         num_tables,
+        max_planes=max_planes,
     )
     q = _with_buckets(
         queries.select(
@@ -683,6 +693,7 @@ def ann_lsh_topk(
         "qv",
         num_planes,
         num_tables,
+        max_planes=max_planes,
     )
     cand = (
         e.join(F.broadcast(q), ["table", "bucket"])

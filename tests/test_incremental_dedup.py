@@ -598,3 +598,48 @@ def test_manifest_banded_compaction_is_cas_guarded(spark, tmp_path):
     folded = manifest.read_versioned(spark, idx, schema=inc.BAND_MANIFEST_SCHEMA)
     n_buckets = folded.select("pbucket").distinct().count()
     assert len(folded.inputFiles()) <= max(n_buckets, 1)
+
+
+def test_streaming_dedup_banded_index_end_to_end(spark, tmp_path):
+    """The streaming twin on the manifest-banded index: same survivor
+    semantics as the flat-signature path, corpus committed first,
+    index segments pbucket-clustered and epoch-tagged."""
+    idx = str(tmp_path / "bandidx")
+    corpus = str(tmp_path / "corpus")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in DOCS], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(drop / "all"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(drop / "all")
+    )
+    q = inc.run_streaming_dedup(
+        spark,
+        stream,
+        idx,
+        corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        bands=32,
+        index_kind="banded",
+        num_buckets=4,
+    )
+    q.awaitTermination(120)
+    expected = sorted(_reference_greedy([DOCS]))
+    got = sorted(
+        r["doc_id"]
+        for r in manifest.read_versioned(
+            spark, corpus, schema="doc_id long, text string"
+        ).collect()
+    )
+    assert got == expected
+    rows = manifest.read_versioned(
+        spark, idx, schema=inc.BAND_MANIFEST_SCHEMA
+    )
+    assert sorted({r["id"] for r in rows.select("id").distinct().collect()}) == expected
+    from pyspark.sql import functions as F
+
+    assert rows.filter(
+        F.col("pbucket") != F.pmod(F.hash("band", "bucket"), F.lit(4))
+    ).count() == 0

@@ -470,3 +470,35 @@ def test_extract_media_meta_rejects_unknown_decoder(spark):
 
     with pytest.raises(ValueError, match="decoder"):
         mm.extract_media_meta(mm.build_media_table(docs), decoder="cv2")
+
+
+def test_ann_lsh_adaptive_planes(spark, sf_dir):
+    """num_planes=None: the adaptive path returns well-formed top-k
+    from the shared max-tensor plane prefix; recall vs exact top-1 is
+    nonzero and every (query, rank) is unique."""
+    from asset_prices_parquet_saver_spark.operators import similarity as sim
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter("vec_id < 4")
+    out = sim.ann_lsh_topk(e, qs, k=3, num_planes=None).collect()
+    seen = {(r["query_id"], r["rank"]) for r in out}
+    assert len(seen) == len(out)
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    assert all(r["query_id"] != r["vec_id"] for r in out)
+
+
+def test_auto_num_planes_formula():
+    from asset_prices_parquet_saver_spark.operators.similarity import (
+        AUTO_PLANES_HI,
+        AUTO_PLANES_LO,
+        auto_num_planes,
+    )
+
+    assert auto_num_planes(0) == AUTO_PLANES_LO
+    assert auto_num_planes(64) == AUTO_PLANES_LO          # log2(1) = 0 -> clamp
+    assert auto_num_planes(64 * 2**5) == 5                # exact power
+    assert auto_num_planes(200) == AUTO_PLANES_LO         # ceil(1.64)=2 -> clamp
+    assert auto_num_planes(2000) == 5
+    assert auto_num_planes(20000) == 9
+    assert auto_num_planes(10**12) == AUTO_PLANES_HI      # clamped high

@@ -328,7 +328,19 @@ def main() -> None:
             exps3[name] = round(math.log(t3 / t1) / math.log(ratio3), 2)
             # exempt short runtimes: fixed per-job overhead dominates
             if exps3[name] > 1.15 and t3 > 5.0:
-                super3.append(name)
+                # single-run flags are suspect on this host (wall-clock
+                # oscillates 5-10x between windows): confirm with one
+                # repeat and keep the MIN before flagging — a genuine
+                # superlinearity reproduces, a VM-churn stall doesn't
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf3_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                t3 = min(t3, round(time.perf_counter() - t0, 3))
+                timings3[name] = t3
+                exps3[name] = round(math.log(t3 / t1) / math.log(ratio3), 2)
+                if exps3[name] > 1.15 and t3 > 5.0:
+                    super3.append(name)
         out["sf3"] = sf3
         out["queries_sf3"] = timings3
         out["scaling_sf1"] = {

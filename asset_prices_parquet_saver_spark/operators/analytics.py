@@ -1297,3 +1297,36 @@ def obv(
         F.col("n_ticks").alias("volume"),
         F.sum("_d").over(cum).cast("long").alias("obv"),
     )
+
+
+def user_growth(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """New-entity and cumulative-entity growth curve: an entity's
+    period is the one containing its FIRST event (min over ts commutes
+    with date_trunc), counts roll up per period, and the running total
+    accumulates in exact integers.
+
+    Scale: one (key) shuffle for the first-seen reduction (map-side
+    combinable min), one (period) shuffle for the counts; the final
+    cumulative window is UNPARTITIONED by construction but runs over
+    period-cardinality rows — bounded by the calendar, not the data —
+    the same acceptable class as globalorder's offsets window."""
+    first = events.groupBy(key_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("period_start")
+    )
+    daily = first.groupBy("period_start").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    cum = (
+        Window.orderBy(F.col("period_start").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "period_start",
+        "new_users",
+        F.sum("new_users").over(cum).cast("long").alias("cumulative_users"),
+    )

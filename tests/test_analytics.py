@@ -737,3 +737,21 @@ def test_leakage_free_split_no_user_spans_two_splits(spark, sf_dir):
     assert spanning == 0
     # and every split is non-empty at this sf
     assert labeled.select("split").distinct().count() == 3
+
+
+def test_user_growth_first_seen_and_cumulative(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "x", 1.0),   # u1 first d1
+        (2, dt.datetime(2024, 1, 3, 9), 1, "x", 1.0),   # u1 again (ignored)
+        (3, dt.datetime(2024, 1, 1, 10), 2, "x", 1.0),  # u2 first d1
+        (4, dt.datetime(2024, 1, 2, 9), 3, "x", 1.0),   # u3 first d2
+        (5, dt.datetime(2024, 1, 4, 9), 4, "x", 1.0),   # u4 first d4
+    ]
+    out = {
+        r["period_start"]: r
+        for r in an.user_growth(_ev(spark, rows), period="day").collect()
+    }
+    d = lambda day: dt.datetime(2024, 1, day)
+    assert sorted(out) == [d(1), d(2), d(4)]
+    assert [(out[k]["new_users"], out[k]["cumulative_users"])
+            for k in sorted(out)] == [(2, 2), (1, 3), (1, 4)]

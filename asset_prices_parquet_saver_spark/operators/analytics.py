@@ -1330,3 +1330,47 @@ def user_growth(
         "new_users",
         F.sum("new_users").over(cum).cast("long").alias("cumulative_users"),
     )
+
+
+def keltner_channels(
+    ticks: DataFrame,
+    ema_span: int = 20,
+    atr_window: int = 10,
+    mult: float = 2.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    price_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Keltner channels per key: middle = EMA(close, span) (the exact
+    recursive adjust=False form), bands = middle ± mult·ATR(window) —
+    the volatility-scaled sibling of Bollinger, composed from the two
+    existing deterministic kernels.
+
+    Determinism without new contracts: BOTH components already emit
+    IEEE-floor-rounded doubles, and the band arithmetic on top is a
+    multiply by an exactly-representable constant plus one add/sub of
+    deterministic doubles — bit-identical on any engine replaying the
+    same rounded inputs, so no further rounding is applied. Rows where
+    either component lacks a full window are omitted (inner join).
+
+    Scale: two passes over the fact (the close-series kernel and the
+    OHLC/ATR rollup derive different bar shapes), each a single keyed
+    shuffle; the final join moves bar-cardinality rows only."""
+    a = 2.0 / (ema_span + 1.0)
+    mid = ewma_closes(ticks, alpha=a, key_col=key_col, ts_col=ts_col,
+                      price_col=price_col, id_col=id_col)
+    rng = atr(ticks, key_col=key_col, ts_col=ts_col, price_col=price_col,
+              id_col=id_col, window=atr_window)
+    m = F.lit(float(mult))
+    return (
+        mid.join(rng.select(key_col, "day", "atr"), [key_col, "day"])
+        .select(
+            F.col(key_col),
+            F.col("day"),
+            F.col("close"),
+            F.col("ewma").alias("middle"),
+            (F.col("ewma") + m * F.col("atr")).alias("upper"),
+            (F.col("ewma") - m * F.col("atr")).alias("lower"),
+        )
+    )

@@ -6861,6 +6861,87 @@ def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.user_growth(e, period="hour")
 
 
+def _keltner_oracle(ema_span: int = 20, atr_window: int = 10,
+                    mult: float = 2.0) -> str:
+    """Keltner = the ewma recursive CTE (α = 2/(span+1) inlined via
+    double_lit) joined to the ATR chain (renamed CTEs — _BARS_CTE's
+    ``w`` collides with _CLOSES_CTE's). Both component outputs round
+    via the IEEE-floor contract exactly as the operators do; the band
+    arithmetic on the ROUNDED components is then bit-deterministic, so
+    no further rounding is applied on either side."""
+    a = 2.0 / (ema_span + 1.0)
+    b = 1.0 - a
+    lit = lambda x: f"CAST({double_lit(x)} AS DOUBLE)"  # noqa: E731
+    m = f"CAST({double_lit(float(mult))} AS DOUBLE)"
+    mid = round6_sql("ew.ewma")
+    av = round6_sql(f"satr.s / {float(atr_window)!r}")
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ), c AS (
+      SELECT user_id, day, MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM w GROUP BY user_id, day
+    ), nseq AS (
+      SELECT user_id, day, close,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM c
+    ), ew AS (
+      SELECT user_id, day, close, close AS ewma, rn FROM nseq WHERE rn = 1
+      UNION ALL
+      SELECT nseq.user_id, nseq.day, nseq.close,
+             {lit(a)} * nseq.close + {lit(b)} * ew.ewma,
+             nseq.rn
+      FROM nseq JOIN ew ON nseq.user_id = ew.user_id AND nseq.rn = ew.rn + 1
+    ), bb AS (
+      SELECT user_id, day,
+             MAX(value) AS high, MIN(value) AS low,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM w GROUP BY user_id, day
+    ), tr0 AS (
+      SELECT user_id, day,
+             CAST(high AS DECIMAL(18,2)) AS h,
+             CAST(low AS DECIMAL(18,2)) AS l,
+             LAG(CAST(close AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY day) AS pc
+      FROM bb
+    ), trr AS (
+      SELECT user_id, day,
+             CASE WHEN pc IS NULL THEN h - l
+                  ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END AS tr
+      FROM tr0
+    ), satr AS (
+      SELECT user_id, day,
+             CAST(SUM(tr) OVER win AS DOUBLE) AS s,
+             COUNT(tr) OVER win AS cnt
+      FROM trr
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN {atr_window - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT ew.user_id, ew.day, ew.close,
+           {mid} AS middle,
+           {mid} + {m} * ({av}) AS upper,
+           {mid} - {m} * ({av}) AS lower
+    FROM ew JOIN satr ON ew.user_id = satr.user_id AND ew.day = satr.day
+    WHERE satr.cnt = {atr_window}
+    """
+
+
+@q("keltner_channels", _keltner_oracle())
+def keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels (EMA(20) ± 2·ATR(10)): the volatility-scaled
+    band indicator, composed from the deterministic recursive-EMA and
+    ATR kernels — both components IEEE-floor rounded, the band
+    arithmetic exact on the rounded values."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    e = read_table(spark, sf_dir, "events")
+    return an_ops.keltner_channels(e, ema_span=20, atr_window=10, mult=2.0)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -6924,7 +7005,6 @@ _GATE_ORDER = [
     "dominant_share_suppliers",
     "min_cost_supplier_per_part",
     "ann_ivf_topk",
-    "ann_ivfadc_topk",
     # zero-evidence round-7 additions (indicators + training splits +
     # growth curve); ann_ivfpq_topk rotates below to make room
     "donchian_channels",
@@ -6932,6 +7012,7 @@ _GATE_ORDER = [
     "leakage_free_user_split",
     "embargoed_time_split",
     "user_growth_curve",
+    "keltner_channels",
     # these two changed HASH this round (adaptive occupancy-constant
     # LSH plane count) -> they need fresh driver evidence; the
     # displaced r4 holdovers (ann_pq_topk, benchmark_contamination,
@@ -6940,6 +7021,7 @@ _GATE_ORDER = [
     "embedding_near_pairs_lsh",
     "semantic_dedup_embeddings",
     # ---- gate-window boundary (position 50) ----
+    "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "benchmark_contamination",

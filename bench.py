@@ -178,6 +178,7 @@ HEADLINE = [
     "leakage_free_user_split",
     "embargoed_time_split",
     "user_growth_curve",
+    "keltner_channels",
 ]
 
 

@@ -755,3 +755,24 @@ def test_user_growth_first_seen_and_cumulative(spark):
     assert sorted(out) == [d(1), d(2), d(4)]
     assert [(out[k]["new_users"], out[k]["cumulative_users"])
             for k in sorted(out)] == [(2, 2), (1, 3), (1, 4)]
+
+
+def test_keltner_composes_ewma_and_atr(spark, sf_dir):
+    """Keltner = EMA(20) ± 2·ATR(10): middle equals the ewma kernel's
+    output, band width equals 4·atr exactly (arithmetic on rounded
+    components), rows = full-ATR-window days only."""
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    kc = {(r["user_id"], r["day"]): r
+          for r in an.keltner_channels(e, 20, 10, 2.0).limit(500).collect()}
+    assert kc
+    ew = {(r["user_id"], r["day"]): r["ewma"]
+          for r in an.ewma_closes(e, alpha=2.0 / 21.0).collect()}
+    at = {(r["user_id"], r["day"]): r["atr"]
+          for r in an.atr(e, window=10).collect()}
+    for k, r in kc.items():
+        assert r["middle"] == ew[k]
+        assert r["upper"] == ew[k] + 2.0 * at[k]
+        assert r["lower"] == ew[k] - 2.0 * at[k]
+        assert r["lower"] <= r["middle"] <= r["upper"]

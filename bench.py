@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import sys
 import time
 
 from asset_prices_parquet_saver_spark.plans import QUERIES
@@ -301,6 +302,22 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata", "sf1"),
     )
     sf3 = _sf_of(sf3_dir) if sf3_dir else None
+    if (
+        sf3
+        and not os.path.isdir(sf3_dir)
+        and os.path.isdir("/root/testdata/sf0.1")
+    ):
+        # sf1 is generated (gitignored) — rebuild it when a clean
+        # checkout dropped it, so the second scaling decade never
+        # silently vanishes from the report (~40 s once per checkout)
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import gen_sf1
+
+            gen_sf1.generate("/root/testdata/sf0.1", sf3_dir)
+        except Exception as exc:  # missing source data: skip the decade
+            print(f"bench: sf1 regeneration failed ({exc}); skipping", flush=True)
     if sf3 and sf and sf3 != sf and os.path.isdir(sf3_dir):
         import math
 

@@ -73,21 +73,30 @@ OWNER = {
 }
 
 
+def generate(src: str = SRC, dst: str = DST, replicas: int = REPLICAS) -> None:
+    """Importable entry (bench.py regenerates a missing sf1 with it)."""
+    _run(src, dst, replicas)
+
+
 def main() -> None:
-    os.makedirs(DST, exist_ok=True)
+    _run(SRC, DST, REPLICAS)
+
+
+def _run(src: str, dst: str, replicas: int) -> None:
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     strides: dict[tuple[str, str], int] = {}
     for key, (tbl, col) in OWNER.items():
         if (tbl, col) not in strides:
             mx = con.execute(
-                f"SELECT max({col}) FROM read_parquet('{SRC}/{tbl}.parquet')"
+                f"SELECT max({col}) FROM read_parquet('{src}/{tbl}.parquet')"
             ).fetchone()[0]
             strides[(tbl, col)] = int(mx) + 1
 
     for tbl in ("region", "nation"):  # bounded dims: copy verbatim
         con.execute(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')) "
-            f"TO '{DST}/{tbl}.parquet' (FORMAT parquet)"
+            f"COPY (SELECT * FROM read_parquet('{src}/{tbl}.parquet')) "
+            f"TO '{dst}/{tbl}.parquet' (FORMAT parquet)"
         )
         print(f"{tbl}: copied")
 
@@ -95,7 +104,7 @@ def main() -> None:
         cols = [
             r[0]
             for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{tbl}.parquet')"
             ).fetchall()
         ]
         sel = []
@@ -127,13 +136,13 @@ def main() -> None:
                 sel.append(c)
         q = (
             f"COPY (SELECT {', '.join(sel)} "
-            f"FROM read_parquet('{SRC}/{tbl}.parquet'), "
-            f"(SELECT unnest(range({REPLICAS})) AS i) r "
-            f"ORDER BY r.i) TO '{DST}/{tbl}.parquet' (FORMAT parquet)"
+            f"FROM read_parquet('{src}/{tbl}.parquet'), "
+            f"(SELECT unnest(range({replicas})) AS i) r "
+            f"ORDER BY r.i) TO '{dst}/{tbl}.parquet' (FORMAT parquet)"
         )
         con.execute(q)
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{DST}/{tbl}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{dst}/{tbl}.parquet')"
         ).fetchone()[0]
         print(f"{tbl}: {n} rows")
 

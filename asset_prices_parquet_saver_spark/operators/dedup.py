@@ -22,17 +22,29 @@ from asset_prices_parquet_saver_spark.operators.similarity import auto_num_block
 # dedup query family (pair listing, end-to-end dedup, cluster report),
 # so a run that executes several of them rebuilds the same relation
 # from scratch each time. Keyed by (applicationId, input plan
-# semanticHash, every parameter); values are localCheckpointed, so a
-# hit is a truncated-lineage scan, not a recompute. Bounded by the
-# number of distinct (corpus, param) combinations a process touches —
-# a handful — and dropped with the process.
+# semanticHash, data-version token, every parameter); values are
+# localCheckpointed, so a hit is a truncated-lineage scan, not a
+# recompute. FIFO-bounded via similarity.memo_put and dropped with the
+# process. The data-version token (similarity.data_version_token:
+# digest of the plan's sorted file listing) guards the
+# incremental/streaming corpus case — semanticHash alone is a pure
+# 32-bit PLAN hash that cannot see the files under a path changing.
+# Residual caveat: a plan not backed by files (in-memory relation)
+# keys on the plan hash only, so memo=True there requires the input to
+# be immutable for the process lifetime — which is why memo defaults
+# to False everywhere in the library surface.
 _LSH_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _lsh_memo_key(df: DataFrame, *params) -> tuple:
+    from asset_prices_parquet_saver_spark.operators.similarity import (
+        data_version_token,
+    )
+
     return (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
+        data_version_token(df),
         *params,
     )
 
@@ -209,6 +221,14 @@ def _verified_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> Dat
         F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("nb")
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    # SMJ deliberately: both candidate-equi-join and verification-join
+    # ShuffledHashJoin hints were MEASURED at sf1 (r8) — the index-side
+    # SHJ was net slower (42.7/45.9 s vs 42.3/36.3 s baseline), and the
+    # verification-side SHJ failed outright ("Can't acquire … bytes
+    # memory to build hash relation"): SHJ's build side cannot spill,
+    # which is exactly the failure mode a 1000-executor run cannot risk.
+    # The SMJ sort term is the memory-safe price; the residual sf1
+    # exponent (~1.13 warm) is that sort at fixed cores.
     return (
         cand.join(sets_a, "id_a")
         .join(sets_b, "id_b")
@@ -829,7 +849,9 @@ def minhash_dedup(
     if memo:
         # materialize once; later family members scan the checkpoint
         pairs = pairs.localCheckpoint()
-        _LSH_MEMO[key] = pairs
+        from asset_prices_parquet_saver_spark.operators.similarity import memo_put
+
+        memo_put(_LSH_MEMO, key, pairs)
     return pairs
 
 
@@ -918,7 +940,9 @@ def _components_memo(
     comp = connected_components(pairs)
     if memo:
         comp = comp.localCheckpoint()
-        _LSH_MEMO[key] = comp
+        from asset_prices_parquet_saver_spark.operators.similarity import memo_put
+
+        memo_put(_LSH_MEMO, key, comp)
     return comp
 
 

@@ -478,7 +478,16 @@ def compact_band_index(
        (staging discarded, live index untouched — best-effort
        maintenance, re-run); an append that arrives after lock
        acquisition blocks until the swap completes, so the historical
-       check-then-act window between re-verify and DROP is closed.
+       check-then-act LOST-UPDATE window between re-verify and DROP is
+       closed. Residual race, read-side: an appender's PROBE scan
+       (``spark.table(index)`` read while computing losers/survivors)
+       runs outside any lock, so a scan in flight across the
+       DROP/RENAME swap can fail transiently on deleted files — a
+       retryable read error, not a lost update. Holding the table lock
+       across the probe read would close it at the cost of serializing
+       every probe with compaction; on plain Parquet we accept the
+       transient instead (an Iceberg/Delta snapshot read is the
+       zero-cost fix).
     2. **vs other compactors** — a whole-run ``_COMPACTOR.lock``
        serializes compactions, so two concurrent compactors can never
        interleave their staging rewrites or DROP/RENAME swaps (lock

@@ -276,6 +276,39 @@ def cosine_pairs(
 #: build the bucketed/verified pair relation once.
 _PAIR_MEMO: dict[tuple, DataFrame] = {}
 
+#: hard cap on memo entries: the memo is bounded by the number of
+#: distinct (corpus, param) combinations a process touches — normally a
+#: handful — but nothing should grow without bound in a long-lived
+#: service process, so inserts FIFO-evict past this.
+_MEMO_MAX_ENTRIES = 32
+
+
+def data_version_token(df: DataFrame) -> str:
+    """Digest of the sorted file listing behind a plan — the
+    data-version component of a memo key. ``semanticHash`` alone is a
+    pure PLAN hash: two scans of the same path before and after the
+    files changed (the incremental/streaming corpus scenario) hash
+    identically, and it is only a 32-bit digest. Parquet files are
+    immutable by convention (writers create new files; the manifest
+    layer swaps path sets), so the path SET is a faithful version
+    token; plans not backed by files (in-memory test frames) return a
+    constant and fall back to plan-hash-only keying."""
+    import hashlib as _hashlib
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans (local relations, streams)
+        files = []
+    return _hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+
+
+def memo_put(memo: dict, key: tuple, value: DataFrame) -> None:
+    """Insert with FIFO eviction at ``_MEMO_MAX_ENTRIES`` — keeps
+    long-lived processes from accumulating checkpointed relations."""
+    if len(memo) >= _MEMO_MAX_ENTRIES:
+        memo.pop(next(iter(memo)))
+    memo[key] = value
+
 
 def cosine_pairs_lsh(
     emb: DataFrame,
@@ -305,6 +338,7 @@ def cosine_pairs_lsh(
         key = (
             emb.sparkSession.sparkContext.applicationId,
             emb.semanticHash(),
+            data_version_token(emb),
             threshold, num_planes, num_tables, id_col, vec_col,
             round_decimals,
         )
@@ -351,7 +385,7 @@ def cosine_pairs_lsh(
     )
     if memo:
         pairs = pairs.localCheckpoint()
-        _PAIR_MEMO[key] = pairs
+        memo_put(_PAIR_MEMO, key, pairs)
     return pairs
 
 

@@ -3212,6 +3212,41 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.extract_media_meta(media)
 
 
+# --- X5 multimodal: REAL decode path, executed and hash-checked
+# in-sandbox. Payloads are genuinely encoded binary-PPM (P6) images
+# built JVM-side (multimodal.build_ppm_media_table); the Python stage
+# must parse the header bytes and validate the raster length to recover
+# width/height (multimodal.decode_ppm — pure stdlib, no Pillow). The
+# oracle re-derives the dimensions from doc_id arithmetic and
+# reconstructs the exact payload string for the sha256 check, so a
+# decoder that misparses the header or miscounts raster bytes
+# hash-mismatches.
+@q(
+    "media_real_decode_meta",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 13 AS w,
+             4 + doc_id % 11 AS h
+      FROM documents)
+    SELECT media_id, 'image' AS kind,
+           CAST(octet_length(encode('P6' || chr(10) || w || ' ' || h
+                                    || chr(10) || '255' || chr(10)))
+                + w * h * 3 AS BIGINT) AS byte_len,
+           sha256('P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                  || chr(10) || repeat('x', w * h * 3)) AS sha256,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height
+    FROM m
+    """,
+)
+def media_real_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = mm_ops.build_ppm_media_table(d)
+    meta = mm_ops.extract_media_meta(media, decoder="ppm")
+    return meta.select("media_id", "kind", "byte_len", "sha256", "width", "height")
+
+
 # --- X5 multimodal: video frame-sampling fan-out (explode-shaped; one
 # row per sampled frame timestamp, payload pruned before the fan-out).
 @q(
@@ -6951,19 +6986,67 @@ def keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-7 window: flagship first (entry() smoke-checks it);
-    # then the full stale-evidence rotation queue from VERDICT r6 #3 —
-    # all 26 queries whose latest driver evidence is round 3 (the 8
-    # demoted holdovers + the 18 other r3-only entries); the two
-    # de-vacuized queries whose predicates changed this round
-    # (anti_join_inactive_customers / except_nations now return >0
-    # rows at every sf); the 12 broadcast-gated star-join queries
-    # whose hint plumbing changed this round (region_revenue +
-    # top_building_orders are already in the r3 block); and the first
-    # 9 round-4-evidence entries alphabetically. Demotions below the
-    # position-50 marker all have r5/r6 driver-green evidence and stay
-    # hash-checked by scripts/oracle_check.py.
+    # ---- round-8 window: flagship first (entry() smoke-checks it);
+    # then ALL 42 queries whose latest driver evidence is round 4 (the
+    # full VERDICT r7 #1 rotation queue, alphabetical); the new
+    # zero-evidence real-decode query (media_real_decode_meta, closes
+    # the X5 partial); and 6 round-5-evidence entries to fill the
+    # window. After this rotation no registry entry's latest driver
+    # evidence is older than r5. Demotions below the position-50
+    # marker all have r5-r7 driver-green evidence and stay registered,
+    # tested, and hash-checked by the local gate clone
+    # (scripts/oracle_check.py).
     "flagship_pricing_summary",
+    "ann_ivfadc_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benchmark_contamination",
+    "bigram_logppl",
+    "bm25_search",
+    "chunk_dedup_corpus",
+    "corpus_mix",
+    "curated_corpus",
+    "customer_order_distribution",
+    "dedup_cluster_sizes",
+    "document_chunks",
+    "document_chunks_overlap",
+    "dq_report",
+    "exact_k_event_sample",
+    "exact_price_quantiles",
+    "funnel_conversion",
+    "fuzzy_dedup_documents",
+    "gap_fill_daily",
+    "global_shuffle_order",
+    "hybrid_retrieval",
+    "idle_rich_customers",
+    "max_drawdown",
+    "median_value_per_type",
+    "mmr_rerank",
+    "ohlc_bars",
+    "pii_redaction",
+    "price_histogram",
+    "quality_classifier_scores",
+    "repetition_stats",
+    "rolling_7d_volume",
+    "rrf_fusion",
+    "simhash_near_dup_pairs",
+    "skew_distinct_users",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "table_profile",
+    "top_ngrams",
+    "train_val_test_split",
+    "unigram_logppl",
+    "weighted_doc_sample",
+    "zorder_locality",
+    "media_real_decode_meta",
+    "ann_hamming_rerank",
+    "ann_hamming_topk",
+    "ann_hamming_words_topk",
+    "cube_order_stats",
+    "daily_event_digest",
+    "dedup_exact_first_events",
+    # ---- gate-window boundary (position 50) ----
     "minhash_lsh_pairs",
     "minute_floor_counts",
     "normalize_case_rename",
@@ -7005,30 +7088,14 @@ _GATE_ORDER = [
     "dominant_share_suppliers",
     "min_cost_supplier_per_part",
     "ann_ivf_topk",
-    # zero-evidence round-7 additions (indicators + training splits +
-    # growth curve); ann_ivfpq_topk rotates below to make room
     "donchian_channels",
     "obv_indicator",
     "leakage_free_user_split",
     "embargoed_time_split",
     "user_growth_curve",
     "keltner_channels",
-    # these two changed HASH this round (adaptive occupancy-constant
-    # LSH plane count) -> they need fresh driver evidence; the
-    # displaced r4 holdovers (ann_pq_topk, benchmark_contamination,
-    # bigram_logppl, bm25_search, chunk_dedup_corpus, corpus_mix)
-    # rotate next round
     "embedding_near_pairs_lsh",
     "semantic_dedup_embeddings",
-    # ---- gate-window boundary (position 50) ----
-    "ann_ivfadc_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "benchmark_contamination",
-    "bigram_logppl",
-    "bm25_search",
-    "chunk_dedup_corpus",
-    "corpus_mix",
     "daily_returns",
     "ewma_closes",
     "sharpe_ratio",
@@ -7091,57 +7158,17 @@ _GATE_ORDER = [
     "interarrival_histogram",
     "revenue_pareto",
     "duplicate_rate_by_source",
-    "daily_event_digest",
     "scd2_user_segments",
     "important_parts_value",
     "event_segment_asof",
     "term_counts_udtf",
     "events_in_campaign_windows",
-    "ann_hamming_topk",
-    "ann_hamming_words_topk",
     "topk_orders_per_customer",
     "rank_functions",
-    "cube_order_stats",
     "grouping_sets_order_stats",
-    "dedup_exact_first_events",
     "interpolated_price_quantiles",
     "qty_price_correlation",
     "price_quantiles_cont_by_flag",
-    "ann_hamming_rerank",
-    "fuzzy_dedup_documents",
-    "simhash_near_dup_pairs",
-    "repetition_stats",
-    "top_ngrams",
-    "curated_corpus",
-    "exact_k_event_sample",
-    "train_val_test_split",
-    "exact_price_quantiles",
-    "pii_redaction",
-    "document_chunks",
-    "document_chunks_overlap",
-    "global_shuffle_order",
-    "hybrid_retrieval",
-    "quality_classifier_scores",
-    "unigram_logppl",
-    "dedup_cluster_sizes",
-    "skew_salted_join",
-    "skew_salted_agg",
-    "skew_distinct_users",
-    "funnel_conversion",
-    "max_drawdown",
-    "table_profile",
-    "price_histogram",
-    "rrf_fusion",
-    "zorder_locality",
-    "mmr_rerank",
-    "ohlc_bars",
-    "dq_report",
-    "gap_fill_daily",
-    "rolling_7d_volume",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "median_value_per_type",
-    "weighted_doc_sample",
 ]
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "media_decode_meta",
+    "media_real_decode_meta",
     "media_frame_sample",
     "media_features",
     "parse_error_message",
@@ -188,6 +189,26 @@ def _sf_of(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def _clear_memos() -> None:
+    """Reset the session-scoped LSH memos between timing samples.
+
+    Several registered queries run with ``memo=True``
+    (minhash_lsh_pairs, fuzzy_dedup_documents, dedup_cluster_sizes,
+    embedding_near_pairs_lsh, semantic_dedup_embeddings): within one
+    Spark app the first execution localCheckpoints the shared pair/CC
+    relations, so without this reset samples 2..N — and the sf1
+    superlinearity repeat-confirmation — would time a checkpoint scan,
+    not the query, and a genuinely superlinear memoized query could
+    never be confirmed. Every recorded number is therefore a COLD
+    (memo-empty) measurement; the warm path is reported separately as
+    ``memo_warm`` so the memo win stays visible without polluting the
+    cross-round comparisons."""
+    from asset_prices_parquet_saver_spark.operators import dedup, similarity
+
+    dedup._LSH_MEMO.clear()
+    similarity._PAIR_MEMO.clear()
+
+
 def _time_queries(
     spark, sf_dir: str, runs: int
 ) -> tuple[dict[str, float], dict[str, float]]:
@@ -203,6 +224,7 @@ def _time_queries(
         fn = QUERIES[name]
         samples = []
         for _ in range(runs):
+            _clear_memos()  # every sample is cold — see _clear_memos
             t0 = time.perf_counter()
             # noop sink, NOT .count(): count() collapses to a row-count
             # aggregate and Catalyst PRUNES every computed column, so a
@@ -247,6 +269,27 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings, spreads = _time_queries(spark, sf_dir, runs)
     total = round(sum(timings.values()), 3)
+
+    # Warm-path metric for the memoized dedup/LSH family: the headline
+    # numbers above are COLD (memo cleared per sample — _clear_memos);
+    # this block populates the shared pair/CC memo once, then times
+    # each family member against it. Labeled separately so the memo
+    # win is visible without contaminating scaling/regression math.
+    memoized = [
+        "minhash_lsh_pairs",
+        "fuzzy_dedup_documents",
+        "dedup_cluster_sizes",
+        "embedding_near_pairs_lsh",
+        "semantic_dedup_embeddings",
+    ]
+    memo_warm: dict[str, float] = {}
+    _clear_memos()
+    for name in memoized:  # populate pass (untimed)
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for name in memoized:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        memo_warm[name] = round(time.perf_counter() - t0, 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -258,6 +301,9 @@ def main() -> None:
         # max−min across the median-of-N samples, per query: the noise
         # floor for cross-round comparisons (detail file only)
         "spread": spreads,
+        # warm-path (memo-hit) seconds for the memoized family; the
+        # headline numbers are cold by construction
+        "memo_warm": memo_warm,
     }
 
     # Second scale factor: the cheapest local proxy for the 100x
@@ -302,11 +348,11 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata", "sf1"),
     )
     sf3 = _sf_of(sf3_dir) if sf3_dir else None
-    if (
-        sf3
-        and not os.path.isdir(sf3_dir)
-        and os.path.isdir("/root/testdata/sf0.1")
-    ):
+    # replication source: the CONFIGURED sf0.1 dir when this run points
+    # at one (a bench pointed elsewhere must not regenerate sf1 from an
+    # unrelated corpus), falling back to the driver-standard path
+    src_sf01 = sf_dir if sf == 0.1 else "/root/testdata/sf0.1"
+    if sf3 and not os.path.isdir(sf3_dir) and os.path.isdir(src_sf01):
         # sf1 is generated (gitignored) — rebuild it when a clean
         # checkout dropped it, so the second scaling decade never
         # silently vanishes from the report (~40 s once per checkout)
@@ -315,7 +361,7 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__)), "scripts"))
             import gen_sf1
 
-            gen_sf1.generate("/root/testdata/sf0.1", sf3_dir)
+            gen_sf1.generate(src_sf01, sf3_dir)
         except Exception as exc:  # missing source data: skip the decade
             print(f"bench: sf1 regeneration failed ({exc}); skipping", flush=True)
     if sf3 and sf and sf3 != sf and os.path.isdir(sf3_dir):
@@ -324,7 +370,14 @@ def main() -> None:
         top = sorted(timings, key=timings.__getitem__, reverse=True)[
             : int(os.environ.get("SPARK_GRAFT_BENCH_SF3_TOPN", "20"))
         ]
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF3_BUDGET", "420"))
+        # the ANN family is fast at sf0.1 so it never makes the top-N,
+        # but recall/pruning behavior is exactly what changes with
+        # corpus size (cells per probe, bucket occupancy) — always
+        # measure the trio at sf1
+        for extra in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivfadc_topk"):
+            if extra not in top and extra in QUERIES:
+                top.append(extra)
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_SF3_BUDGET", "540"))
         timings3: dict[str, float] = {}
         t_start = time.perf_counter()
         exhausted = False
@@ -332,11 +385,24 @@ def main() -> None:
             if time.perf_counter() - t_start > budget:
                 exhausted = True
                 break
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf3_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            timings3[name] = round(time.perf_counter() - t0, 3)
+            # min-of-2 for EVERY sf1 query, not just flagged ones: on a
+            # host whose wall-clock oscillates 5-10x between windows, a
+            # single cold run conflates VM-churn stalls and first-run
+            # shuffle-file effects with genuine superlinearity; the MIN
+            # of two back-to-back runs is the reproducible number. The
+            # memo clear keeps the second run honest for the memoized
+            # dedup family (a memo hit would time a checkpoint scan).
+            best = float("inf")
+            for rep in range(2):
+                _clear_memos()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf3_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+                if rep == 0 and time.perf_counter() - t_start > budget * 1.25:
+                    break  # hard stop: don't let one stall eat the block
+            timings3[name] = round(best, 3)
         ratio3 = sf3 / sf if sf3 > sf else sf / sf3
         exps3 = {}
         super3 = []
@@ -347,19 +413,7 @@ def main() -> None:
             exps3[name] = round(math.log(t3 / t1) / math.log(ratio3), 2)
             # exempt short runtimes: fixed per-job overhead dominates
             if exps3[name] > 1.15 and t3 > 5.0:
-                # single-run flags are suspect on this host (wall-clock
-                # oscillates 5-10x between windows): confirm with one
-                # repeat and keep the MIN before flagging — a genuine
-                # superlinearity reproduces, a VM-churn stall doesn't
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf3_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                t3 = min(t3, round(time.perf_counter() - t0, 3))
-                timings3[name] = t3
-                exps3[name] = round(math.log(t3 / t1) / math.log(ratio3), 2)
-                if exps3[name] > 1.15 and t3 > 5.0:
-                    super3.append(name)
+                super3.append(name)
         out["sf3"] = sf3
         out["queries_sf3"] = timings3
         out["scaling_sf1"] = {
@@ -367,7 +421,7 @@ def main() -> None:
             "superlinear": sorted(super3),
             "n_measured": len(timings3),
             "budget_exhausted": exhausted,
-            "runs": 1,
+            "runs": 2,
         }
 
     # Cross-round comparison, spread-disciplined: a per-query move only
@@ -389,17 +443,36 @@ def main() -> None:
     if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
         prev_t = prev["queries"]
         prev_s = prev.get("spread", {})
+        # Session normalization (r7 lesson): the same commit ran 24%
+        # slower in the driver window than in the builder session and
+        # 25 sub-second queries tripped the spread filter in bulk while
+        # genuine wins vanished. Host throughput shifts multiplicatively
+        # (VM weather scales everything), so scale each per-query prev
+        # by the session-total ratio over the COMMON query set before
+        # comparing; only residual per-query shifts survive the filter.
+        common = [n for n in timings if n in prev_t]
+        tot_now = sum(timings[n] for n in common)
+        tot_prev = sum(prev_t[n] for n in common)
+        scale = tot_now / tot_prev if tot_prev > 0 else 1.0
         regressions, wins = {}, {}
         for name, t_new in timings.items():
             t_old = prev_t.get(name)
             if t_old is None:
                 continue
-            noise = max(spreads.get(name, 0.0), prev_s.get(name, 0.0))
-            delta = round(t_new - t_old, 3)
+            t_old_scaled = round(t_old * scale, 3)
+            noise = max(spreads.get(name, 0.0), prev_s.get(name, 0.0) * scale)
+            delta = round(t_new - t_old_scaled, 3)
+            entry = {
+                "prev": t_old,
+                "prev_scaled": t_old_scaled,
+                "now": t_new,
+                "noise": round(noise, 3),
+            }
             if delta > noise:
-                regressions[name] = {"prev": t_old, "now": t_new, "noise": noise}
+                regressions[name] = entry
             elif -delta > noise:
-                wins[name] = {"prev": t_old, "now": t_new, "noise": noise}
+                wins[name] = entry
+        out["session_scale"] = round(scale, 3)
         out["regressions"] = regressions
         out["wins"] = wins
 

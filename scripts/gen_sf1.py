@@ -101,12 +101,11 @@ def _run(src: str, dst: str, replicas: int) -> None:
         print(f"{tbl}: copied")
 
     for tbl, keys in KEYS.items():
-        cols = [
-            r[0]
-            for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{src}/{tbl}.parquet')"
-            ).fetchall()
-        ]
+        described = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{tbl}.parquet')"
+        ).fetchall()
+        cols = [r[0] for r in described]
+        types = {r[0]: r[1] for r in described}
         sel = []
         for c in cols:
             if c in keys:
@@ -121,10 +120,13 @@ def _run(src: str, dst: str, replicas: int) -> None:
                     "' q' || r.i || '_') END AS text"
                 )
             elif tbl == "documents" and c == "n_chars":
+                # cast back to the SOURCE column type: the CASE would
+                # otherwise unify INT n_chars with length()'s BIGINT and
+                # silently diverge sf1's schema from sf0.1's
                 sel.append(
-                    "CASE WHEN r.i = 0 THEN n_chars ELSE length("
+                    "CAST(CASE WHEN r.i = 0 THEN n_chars ELSE length("
                     "'q' || r.i || '_' || replace(text, ' ', "
-                    "' q' || r.i || '_')) END AS n_chars"
+                    f"' q' || r.i || '_')) END AS {types[c]}) AS n_chars"
                 )
             elif tbl == "embeddings" and c == "embedding":
                 # circular shift by i: norm-preserving decorrelation

@@ -99,3 +99,134 @@ def test_results_invariant_to_join_strategy(spark, sf_dir, name):
         for k in _NO_BROADCAST:
             spark.conf.unset(k)
     assert shuffled == baseline, name
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-discipline lint (VERDICT r7 #4): F.broadcast is a FORCED
+# hint that at 100 TB OOMs the driver if the relation scales with data.
+# Engine policy: route star-join dims through functions/hints.py
+# (bounded_broadcast / scaled_dim); a DIRECT F.broadcast call is legal
+# only for relations bounded by construction — 1-row/few-row
+# aggregates, top-k/candidate sets capped by a constant k, schema-
+# bounded dims (nation: 25 rows), per-partition offset tables (#cores
+# rows), query-vector sets, pinned codebooks/centroid tables. Every
+# such site is enumerated below, keyed by (file, exact stripped source
+# line) with its occurrence count: adding a NEW direct broadcast (or
+# another copy of an existing line) fails this test until the site is
+# reviewed as bounded and added here. functions/hints.py itself is the
+# sanctioned wrapper and is exempt.
+# ---------------------------------------------------------------------------
+
+_BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
+    # symbol blacklist (operational status table, thousands of rows max)
+    ("asset_prices_parquet_saver_spark/cli.py",
+     'universe = universe.join(F.broadcast(allowed), "symbol", "left_semi")'): 1,
+    ("asset_prices_parquet_saver_spark/operators/symbols.py",
+     'return symbols.join(F.broadcast(bad), "symbol", "left_anti")'): 1,
+    # per-day market aggregate (≤ #trading-days rows) / top-k key set
+    ("asset_prices_parquet_saver_spark/operators/analytics.py",
+     'j = rets.join(F.broadcast(market), "day")'): 1,
+    ("asset_prices_parquet_saver_spark/operators/analytics.py",
+     'sel = rets.join(F.broadcast(top), key_col, "left_semi")'): 1,
+    # per-partition offset tables: one row per shuffle partition
+    ("asset_prices_parquet_saver_spark/operators/globalorder.py",
+     'd.join(F.broadcast(offsets), "__pid")'): 2,
+    ("asset_prices_parquet_saver_spark/operators/globalorder.py",
+     'numbered.crossJoin(F.broadcast(total))'): 1,
+    # query-vector sets / pinned codebooks / probe lists / top-k cand
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     '.join(F.broadcast(qtable), ["query_id", "j", "code"])'): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'c.join(F.broadcast(selected.select("id")), "id", "left_anti")'): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'cells.join(F.broadcast(probes), "cell")'): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'codes.join(F.broadcast(qtable), ["cell", "j", "code"])'): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'codes.join(F.broadcast(qtable), ["j", "code"])'): 2,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'corpus.join(F.broadcast(probes), "cell")'): 2,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'cross = blocks.crossJoin(F.broadcast(q_all)).repartition(num_blocks)'): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'e.join(F.broadcast(q), ["table", "bucket"])'): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'pairs = sigs.join(F.broadcast(q), sigs["id"] != q["query_id"]).select('): 2,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'scaled = comp.join(F.broadcast(stats), "i").select('): 1,
+    ("asset_prices_parquet_saver_spark/operators/similarity.py",
+     'sims.join(F.broadcast(sel_ids), "j")'): 1,
+    # 1-row corpus totals / bounded vocab (capped with fail-fast)
+    ("asset_prices_parquet_saver_spark/operators/text.py",
+     '.crossJoin(F.broadcast(ndocs))'): 1,
+    ("asset_prices_parquet_saver_spark/operators/text.py",
+     '.crossJoin(F.broadcast(stats))'): 1,
+    ("asset_prices_parquet_saver_spark/operators/text.py",
+     '.crossJoin(F.broadcast(totals))'): 1,
+    ("asset_prices_parquet_saver_spark/operators/text.py",
+     '.crossJoin(F.broadcast(vocab))'): 1,
+    ("asset_prices_parquet_saver_spark/operators/text.py",
+     'tf.join(F.broadcast(dfreq), "term")'): 1,
+    # registered queries: 1-row aggregates, query vectors, candidate
+    # sets, nation (25 rows) — each verified bounded in VERDICT r7
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     '.crossJoin(F.broadcast(qv))'): 3,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     '.join(F.broadcast(cand), "doc_id")'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     '.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     '.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'c.crossJoin(F.broadcast(avg_bal))'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'g = exact.join(F.broadcast(sk), "event_type")'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'joined = ranked.join(F.broadcast(li.agg(F.count("*").alias("n"))))'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'joined = ranked.join(F.broadcast(pos), "l_returnflag")'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'nr.join(F.broadcast(tot), "r_name")'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'p.join(F.broadcast(avg_price))'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'per.crossJoin(F.broadcast(tot))'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'pv.join(F.broadcast(tot))'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'rev.crossJoin(F.broadcast(tot))'): 1,
+}
+
+
+def test_direct_broadcast_sites_are_allowlisted():
+    """Greps the engine source for direct ``F.broadcast(`` calls and
+    fails on any site not in the reviewed-bounded allowlist — the
+    structural guard that query #173 can't silently reintroduce a
+    forced broadcast of an sf-scaling relation."""
+    import collections
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    pkg = root / "asset_prices_parquet_saver_spark"
+    found: collections.Counter = collections.Counter()
+    for p in sorted(pkg.rglob("*.py")):
+        rel = p.relative_to(root).as_posix()
+        if rel == "asset_prices_parquet_saver_spark/functions/hints.py":
+            continue  # the sanctioned wrapper module
+        for line in p.read_text().splitlines():
+            if "F.broadcast(" in line:
+                found[(rel, line.strip())] += 1
+    new_sites = {k: c for k, c in found.items()
+                 if c > _BROADCAST_ALLOWLIST.get(k, 0)}
+    removed = {k: c for k, c in _BROADCAST_ALLOWLIST.items()
+               if found.get(k, 0) < c}
+    assert not new_sites, (
+        "unreviewed direct F.broadcast site(s) — verify the relation is "
+        "bounded-by-construction (or route through functions/hints.py) "
+        f"and update the allowlist: {sorted(new_sites)}"
+    )
+    assert not removed, (
+        f"stale allowlist entries (site removed/moved): {sorted(removed)}"
+    )

@@ -502,3 +502,55 @@ def test_auto_num_planes_formula():
     assert auto_num_planes(2000) == 5
     assert auto_num_planes(20000) == 9
     assert auto_num_planes(10**12) == AUTO_PLANES_HI      # clamped high
+
+
+def _ppm_bytes(w: int, h: int, raster: bytes | None = None,
+               header_extra: str = "") -> bytes:
+    body = raster if raster is not None else b"x" * (w * h * 3)
+    return f"P6\n{header_extra}{w} {h}\n255\n".encode() + body
+
+
+def test_decode_ppm_parses_real_headers():
+    """decode_ppm is a REAL decoder: dimensions come from parsing the
+    payload bytes, including comment-bearing headers per the Netpbm
+    spec, not from any side-channel."""
+    assert mm.decode_ppm(_ppm_bytes(7, 5)) == (7, 5, "RGB")
+    assert mm.decode_ppm(_ppm_bytes(1, 1)) == (1, 1, "RGB")
+    with_comment = _ppm_bytes(4, 6, header_extra="# a comment\n")
+    assert mm.decode_ppm(with_comment) == (4, 6, "RGB")
+    # 16-bit maxval: 2 bytes per sample
+    wide = b"P6\n3 2\n65535\n" + b"\x00" * (3 * 2 * 3 * 2)
+    assert mm.decode_ppm(wide) == (3, 2, "RGB")
+
+
+def test_decode_ppm_rejects_malformed_payloads():
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        mm.decode_ppm(b"P5\n3 2\n255\n" + b"x" * 6)   # graymap, not pixmap
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        mm.decode_ppm(b"")
+    with pytest.raises(ValueError, match="raster length"):
+        mm.decode_ppm(_ppm_bytes(3, 2, raster=b"x" * 17))  # 1 byte short
+    with pytest.raises(ValueError, match="raster length"):
+        mm.decode_ppm(_ppm_bytes(3, 2, raster=b"x" * 19))  # 1 byte long
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_ppm(b"P6\n3 2\n0\n" + b"x" * 18)
+    with pytest.raises(ValueError, match="header"):
+        mm.decode_ppm(b"P6\nabc\n")
+
+
+def test_ppm_media_table_real_decode_roundtrip(spark, sf_dir):
+    """End-to-end: JVM-built P6 payloads -> Arrow-batched decode_ppm ->
+    dimensions equal the doc_id arithmetic the builder used. This is
+    the real-decode branch of extract_media_meta executing in-sandbox
+    (no Pillow), closing the X5 partial."""
+    d = read_table(spark, sf_dir, "documents").limit(50)
+    media = mm.build_ppm_media_table(d)
+    meta = mm.extract_media_meta(media, decoder="ppm").collect()
+    assert len(meta) == 50
+    for r in meta:
+        assert r["width"] == 4 + r["media_id"] % 13
+        assert r["height"] == 4 + r["media_id"] % 11
+        header = f"P6\n{r['width']} {r['height']}\n255\n".encode()
+        assert r["byte_len"] == len(header) + r["width"] * r["height"] * 3
+        assert r["duration_ms"] is None
+        assert r["kind"] == "image"

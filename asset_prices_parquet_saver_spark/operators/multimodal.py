@@ -226,6 +226,52 @@ def extract_media_meta(media: DataFrame, decoder: str = "fake") -> DataFrame:
     )
 
 
+def _resize_ppm_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize of one binary-PPM payload, pure
+    stdlib+numpy: decode header (:func:`decode_ppm` validates it),
+    reshape the raster to (h, w, 3), index-resample to the target
+    shape, and re-encode as P6. 8-bit maxval only (the table builder's
+    format); the output is itself a valid decodable P6 payload."""
+    import numpy as np
+
+    src_w, src_h, _mode = decode_ppm(payload)
+    data = payload or b""
+    raster = data[len(data) - src_w * src_h * 3 :]
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(src_h, src_w, 3)
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    out = arr[rows][:, cols]
+    return f"P6\n{width} {height}\n255\n".encode() + out.tobytes()
+
+
+def resize_ppm(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image-resize over binary-PPM payloads via Arrow-batched
+    ``mapInPandas`` — the non-stub counterpart of :func:`resize_image`:
+    every payload is actually decoded, nearest-neighbor resampled, and
+    re-encoded (:func:`_resize_ppm_payload`), so downstream consumers
+    can re-decode the output. Non-image rows pass through untouched;
+    meta width/height reflect the target size for resized rows."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                payloads.append(_resize_ppm_payload(payload, width, height))
+                new_meta = dict(meta) if meta is not None else {}
+                new_meta.update({"width": width, "height": height})
+                metas.append(new_meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(do_resize, media.schema)
+
+
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize plumbing: payload → decoded → resized → re-encoded
     payload, as an Arrow-batched ``mapInPandas`` (the batch shape a real

@@ -3247,6 +3247,36 @@ def media_real_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("media_id", "kind", "byte_len", "sha256", "width", "height")
 
 
+# --- X5 multimodal: REAL resize round-trip. Every payload is decoded
+# (real header parse), nearest-neighbor resampled in numpy, re-encoded
+# as P6, then RE-DECODED by the downstream meta pass — two genuine
+# codec passes per row. The fixture raster is a uniform fill, so the
+# resampled output payload is exactly reconstructable in SQL
+# (header || repeat(fill, W·H·3)) and the sha256 check certifies the
+# full decode→resample→encode→decode chain byte-for-byte; patterned
+# rasters are exactness-tested in tests/test_similarity_multimodal.py.
+@q(
+    "media_ppm_resize_meta",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode('P6' || chr(10) || '8 6' || chr(10)
+                                    || '255' || chr(10)))
+                + 8 * 6 * 3 AS BIGINT) AS byte_len,
+           sha256('P6' || chr(10) || '8 6' || chr(10) || '255' || chr(10)
+                  || repeat('x', 8 * 6 * 3)) AS sha256,
+           CAST(8 AS INTEGER) AS width,
+           CAST(6 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def media_ppm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    media = mm_ops.build_ppm_media_table(d)
+    resized = mm_ops.resize_ppm(media, width=8, height=6)
+    meta = mm_ops.extract_media_meta(resized, decoder="ppm")
+    return meta.select("media_id", "kind", "byte_len", "sha256", "width", "height")
+
+
 # --- X5 multimodal: video frame-sampling fan-out (explode-shaped; one
 # row per sampled frame timestamp, payload pruned before the fan-out).
 @q(
@@ -7045,8 +7075,9 @@ _GATE_ORDER = [
     "ann_hamming_words_topk",
     "cube_order_stats",
     "daily_event_digest",
-    "dedup_exact_first_events",
+    "media_ppm_resize_meta",
     # ---- gate-window boundary (position 50) ----
+    "dedup_exact_first_events",
     "minhash_lsh_pairs",
     "minute_floor_counts",
     "normalize_case_rename",

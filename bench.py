@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "media_decode_meta",
     "media_real_decode_meta",
+    "media_ppm_resize_meta",
     "media_frame_sample",
     "media_features",
     "parse_error_message",

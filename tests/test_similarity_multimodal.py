@@ -554,3 +554,32 @@ def test_ppm_media_table_real_decode_roundtrip(spark, sf_dir):
         assert r["byte_len"] == len(header) + r["width"] * r["height"] * 3
         assert r["duration_ms"] is None
         assert r["kind"] == "image"
+
+
+def test_resize_ppm_payload_nearest_neighbor_exact():
+    """Patterned-raster exactness: a 2x2 RGB checkerboard upsampled to
+    4x4 with nearest-neighbor must replicate each source pixel into a
+    2x2 block — computed by hand, compared byte-for-byte."""
+    R, G = b"\xff\x00\x00", b"\x00\xff\x00"
+    src = b"P6\n2 2\n255\n" + R + G + G + R
+    out = mm._resize_ppm_payload(src, 4, 4)
+    assert mm.decode_ppm(out) == (4, 4, "RGB")
+    row_rg = R + R + G + G
+    row_gr = G + G + R + R
+    assert out == b"P6\n4 4\n255\n" + row_rg * 2 + row_gr * 2
+    # downsample back: picks the top-left pixel of each block
+    back = mm._resize_ppm_payload(out, 2, 2)
+    assert back == src
+
+
+def test_resize_ppm_roundtrip_on_media_table(spark, sf_dir):
+    """resize_ppm output payloads are themselves valid P6 (re-decoded
+    by extract_media_meta) with the target dimensions."""
+    d = read_table(spark, sf_dir, "documents").limit(20)
+    media = mm.build_ppm_media_table(d)
+    resized = mm.resize_ppm(media, width=8, height=6)
+    meta = mm.extract_media_meta(resized, decoder="ppm").collect()
+    assert len(meta) == 20
+    for r in meta:
+        assert (r["width"], r["height"]) == (8, 6)
+        assert r["byte_len"] == len(b"P6\n8 6\n255\n") + 8 * 6 * 3

@@ -676,3 +676,119 @@ def bigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.avg(neglogp), 6).alias("avg_neg_logp"),
         )
     )
+
+
+# ------------------------------------------------- winnowing (MOSS)
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every word ``k``-gram with the portable rolling
+    polynomial (same fold as :func:`fingerprint64`), slide a window of
+    ``window`` consecutive k-gram hashes, and select each window's
+    MINIMUM — the selected-value set is position-independent, so two
+    documents sharing a long-enough passage are guaranteed to share a
+    selected fingerprint (the winnowing guarantee: any match of length
+    ≥ window + k − 1 words is detected). Output: distinct
+    (id, fingerprint) pairs — join them on fingerprint for plagiarism/
+    overlap-style candidate pairs.
+
+    Boundary semantics: documents with fewer than ``window`` k-grams
+    (but at least one) contribute the minimum of all their hashes;
+    documents shorter than ``k`` words contribute nothing.
+
+    Scale shape: everything up to the final distinct is a NARROW map —
+    shingling, hashing, and window minima are per-row higher-order
+    functions (no explode of the hash stream before selection, which
+    winnows ~1/window of it away); the only shuffle is the distinct
+    over (id, fingerprint)."""
+    from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # unserialize the interpreted HOFs
+    poly = lambda s: F.aggregate(  # noqa: E731 — fingerprint64's fold
+        F.transform(
+            F.filter(F.split(s, ""), lambda c: c != ""),
+            lambda c: F.ascii(c).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1_000_000_007,
+    )
+    hashes = F.transform(word_shingles(F.col(text_col), k), poly)
+    m = F.size(hashes)
+    mins = (
+        F.when(
+            m >= window,
+            F.transform(
+                F.sequence(F.lit(1), m - window + 1),
+                lambda j: F.array_min(F.slice(hashes, j, window)),
+            ),
+        )
+        .when(m > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )
+
+
+# ------------------------------------------- Gopher quality rules
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", App. A1.1) —
+#: the word-count band is scaled to this corpus's short synthetic
+#: documents; every other threshold is the published value.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Gopher quality-rule booleans plus the conjunction
+    (``keep``) — the published rule set LLM pipelines apply before
+    dedup: word-count band, mean-word-length band, symbol-to-word
+    ratio (# and … as in the paper), fraction of words containing an
+    alphabetic character, and distinct-stopword presence. One narrow
+    map per document; no shuffle at all."""
+    t = F.col(text_col)
+    w = words(t)
+    nw = F.size(w)
+    nwd = nw.cast("double")
+    awl = avg_word_len(t)
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    distinct_stops = F.size(
+        F.array_distinct(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS)))
+    )
+    ok_words = nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_awl = (awl >= GOPHER_MIN_AVG_WORD_LEN) & (awl <= GOPHER_MAX_AVG_WORD_LEN)
+    ok_symbols = F.when(
+        nw > 0, n_symbols.cast("double") / nwd < GOPHER_MAX_SYMBOL_RATIO
+    ).otherwise(F.lit(False))
+    ok_alpha = F.when(
+        nw > 0, alpha_words.cast("double") / nwd > GOPHER_MIN_ALPHA_WORD_FRAC
+    ).otherwise(F.lit(False))
+    ok_stops = distinct_stops >= GOPHER_MIN_DISTINCT_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(awl, 6).alias("avg_word_len"),
+        ok_words.alias("ok_word_count"),
+        ok_awl.alias("ok_avg_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stopwords"),
+        (ok_words & ok_awl & ok_symbols & ok_alpha & ok_stops).alias("keep"),
+    )

@@ -2643,6 +2643,106 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.document_fingerprints(d, "doc_id", "text")
 
 
+# --- X4 winnowing fingerprints (MOSS; Schleimer et al. 2003): word
+# 3-gram rolling hashes -> sliding window-4 minima -> distinct selected
+# values. The oracle replays the identical fold and window arithmetic
+# with DuckDB list lambdas — a hash match certifies k-gram formation,
+# the polynomial fold, and the window-min selection end to end.
+@q(
+    "winnowing_fingerprints",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM w),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(s, ''), c -> c != ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_transform(range(1, len(hs) - 2),
+                       j -> list_min(list_slice(hs, j, j + 3)))
+                  WHEN len(hs) > 0 THEN [list_min(hs)]
+                  ELSE CAST([] AS BIGINT[]) END AS mins
+      FROM h)
+    SELECT DISTINCT doc_id, CAST(f AS BIGINT) AS fingerprint
+    FROM sel, UNNEST(mins) t(f)
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.winnowing_fingerprints(d, "doc_id", "text", k=3, window=4)
+    return out.select(F.col("id").alias("doc_id"), "fingerprint")
+
+
+# --- X4 Gopher quality rules (Rae et al. 2021): the published
+# pre-dedup filter battery as per-document booleans + the keep
+# conjunction; every rule is a narrow JVM map mirrored exactly in SQL.
+@q(
+    "gopher_quality_flags",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '') AS ws,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS nw,
+             CASE WHEN len(ws) > 0 THEN
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(ws, t -> CAST(length(t) AS BIGINT))),
+                 (a, x) -> a + x) AS DOUBLE) / len(ws)
+             END AS awl,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS n_alpha,
+             len(list_distinct(list_filter(ws,
+               x -> lower(x) IN ('a','the','of','and','is'))))
+               AS n_stops,
+             n_symbols
+      FROM s),
+    f AS (
+      SELECT doc_id, nw, awl, n_symbols, n_alpha, n_stops,
+             nw BETWEEN 5 AND 100000 AS ok_word_count,
+             (awl >= 3.0 AND awl <= 10.0) AS ok_avg_word_len,
+             CASE WHEN nw > 0
+                  THEN CAST(n_symbols AS DOUBLE) / nw < 0.1
+                  ELSE FALSE END AS ok_symbol_ratio,
+             CASE WHEN nw > 0
+                  THEN CAST(n_alpha AS DOUBLE) / nw > 0.8
+                  ELSE FALSE END AS ok_alpha_words,
+             n_stops >= 2 AS ok_stopwords
+      FROM m)
+    SELECT doc_id, CAST(nw AS INTEGER) AS n_words,
+           round(awl, 6) AS avg_word_len,
+           ok_word_count, ok_avg_word_len, ok_symbol_ratio,
+           ok_alpha_words, ok_stopwords,
+           (ok_word_count AND ok_avg_word_len AND ok_symbol_ratio
+            AND ok_alpha_words AND ok_stopwords) AS keep
+    FROM f
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.gopher_quality_flags(d, "doc_id", "text")
+
+
 # --- X4 corpus statistics: per-doc top-k terms by TF-IDF (keyword
 # extraction). Score rounded to 6 decimals before ranking, term
 # tie-break — deterministic result set (cosine-query discipline).
@@ -7073,10 +7173,12 @@ _GATE_ORDER = [
     "ann_hamming_rerank",
     "ann_hamming_topk",
     "ann_hamming_words_topk",
+    "media_ppm_resize_meta",
+    "winnowing_fingerprints",
+    "gopher_quality_flags",
+    # ---- gate-window boundary (position 50) ----
     "cube_order_stats",
     "daily_event_digest",
-    "media_ppm_resize_meta",
-    # ---- gate-window boundary (position 50) ----
     "dedup_exact_first_events",
     "minhash_lsh_pairs",
     "minute_floor_counts",

@@ -55,6 +55,8 @@ HEADLINE = [
     "text_quality_stats",
     "language_id",
     "document_fingerprints",
+    "winnowing_fingerprints",
+    "gopher_quality_flags",
     "tfidf_top_terms",
     "pack_training_shards",
     "benchmark_contamination",

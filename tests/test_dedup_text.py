@@ -326,3 +326,60 @@ def test_lsh_memo_shares_pair_stage_across_family(spark, sf_dir):
     other = dedup.minhash_dedup(d, "doc_id", "text", threshold=0.9, memo=True, hash_family="md5")
     assert other is not memo1
     dedup._LSH_MEMO.clear()
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """The winnowing guarantee (Schleimer et al. 2003, Thm. on t =
+    w + k - 1): any shared word run of at least window + k - 1 words
+    produces at least one shared selected fingerprint. Two documents
+    sharing a 10-word passage (k=3, window=4 -> t=6) must collide;
+    an unrelated third document must not collide with either."""
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "intro words first " + passage + " trailing bits here"),
+        (2, passage + " completely different ending tokens now"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = text_ops.winnowing_fingerprints(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_document_boundaries(spark):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    rows = [
+        (1, "a b"),            # < k words -> no grams -> no rows
+        (2, "a b c d"),        # 2 grams (< window) -> one min fingerprint
+        (3, None),             # NULL text -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.winnowing_fingerprints(df, "doc_id", "text").collect()
+    ids = [r["id"] for r in out]
+    assert ids == [2], out
+
+
+def test_gopher_flags_rules(spark):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    rows = [
+        # passes everything: >5 words, sane lengths, stopwords present
+        (1, "the quick brown fox jumps over the lazy dog and then rests"),
+        (2, "tiny"),                               # word count fails
+        (3, "### ### ### the and of words here more pad pad pad"),  # symbols
+        (4, "the of and is a pad pad pad pad 123 456 789 000 111 222 333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text_ops.gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["ok_symbol_ratio"] is False
+    assert out[4]["ok_alpha_words"] is False and out[4]["keep"] is False

@@ -583,3 +583,47 @@ def test_resize_ppm_roundtrip_on_media_table(spark, sf_dir):
     for r in meta:
         assert (r["width"], r["height"]) == (8, 6)
         assert r["byte_len"] == len(b"P6\n8 6\n255\n") + 8 * 6 * 3
+
+
+def test_adaptive_planes_bound_bucket_occupancy_across_decades(spark):
+    """VERDICT r7 #6: the num_planes=None adaptive path must keep
+    per-bucket occupancy BOUNDED as the corpus grows — occupancy is
+    what turns fixed-J LSH quadratic (candidate work per table is
+    Σ|b|² ≈ n·occupancy). Measured across two decades of corpus size:
+    mean non-empty-bucket occupancy must stay within a constant band
+    (not scale with n), and the plane count must actually grow."""
+    import os
+
+    from asset_prices_parquet_saver_spark.functions.vectors import to_double_array
+    from asset_prices_parquet_saver_spark.operators import similarity as sim
+
+    sf1 = os.path.join(os.path.dirname(os.path.dirname(__file__)), "testdata", "sf1")
+    if not os.path.isdir(sf1):  # generated corpus (gitignored); bench rebuilds it
+        pytest.skip("sf1 replication corpus not generated in this checkout")
+    stats = {}
+    for sfd in ("/root/testdata/sf0.001", sf1):
+        e = read_table(spark, sfd, "embeddings")
+        n = e.count()
+        J = sim.auto_num_planes(n)
+        b = sim._with_buckets(
+            e.select(F.col("vec_id"), to_double_array("embedding").alias("v")),
+            "vec_id",
+            "v",
+            J,
+            num_tables=4,
+            max_planes=sim.AUTO_PLANES_HI,
+        )
+        occ = (
+            b.groupBy("table", "bucket")
+            .count()
+            .agg(F.avg("count").alias("occ"))
+            .collect()[0]["occ"]
+        )
+        stats[sfd] = (n, J, occ)
+    (n1, j1, o1), (n2, j2, o2) = stats.values()
+    assert n2 >= 20 * n1, f"scale-up fixture assumption: {stats}"
+    assert j2 > j1, f"plane count must grow with the corpus: {stats}"
+    # occupancy stays in a constant band while n grew 100x: allow a
+    # generous skew factor, but nothing near the 100x of a fixed J
+    assert o2 < 8 * max(o1, sim.auto_num_planes.__defaults__[0]), stats
+    assert o2 < 10 * 64, stats

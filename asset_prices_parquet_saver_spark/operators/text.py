@@ -704,38 +704,84 @@ def winnowing_fingerprints(
     documents shorter than ``k`` words contribute nothing.
 
     Scale shape: everything up to the final distinct is a NARROW map —
-    shingling, hashing, and window minima are per-row higher-order
-    functions (no explode of the hash stream before selection, which
-    winnows ~1/window of it away); the only shuffle is the distinct
-    over (id, fingerprint)."""
-    from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
+    selection happens inside the kernel (no explode of the hash stream
+    before winnowing shrinks it ~1/window); the only shuffle is the
+    distinct over (id, fingerprint).
+
+    Implementation note (measured): the pure-Catalyst form — nested
+    higher-order functions computing the per-character fold per gram —
+    ran INTERPRETED (no codegen for lambda chains) at 14.9 s for sf0.1,
+    the most expensive query in the whole bench. This Arrow-batched
+    numpy kernel computes the identical hash with a vectorized Horner
+    sweep (one masked multiply-add per character POSITION over the
+    whole gram batch, ~30 iterations total instead of one closure call
+    per character) and the window minima as ``window`` shifted-slice
+    minimums — same dedup._hashed_shingle_rows rationale, same
+    oracle-replayable arithmetic (fold stays in int64: acc < 2^30,
+    acc·31+code < 2^35)."""
+    import re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    mod = 1_000_000_007
+    ws_re = re.compile(r"\s+", re.ASCII)  # Java/RE2 '\s' is ASCII-only
+
+    def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list = []
+            out_fps: list = []
+            gram_rows: list[tuple[int, str]] = []
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                w = [t for t in ws_re.split(txt.strip()) if t]
+                gram_rows.extend(
+                    (doc_id, " ".join(w[i : i + k]))
+                    for i in range(len(w) - k + 1)
+                )
+            if not gram_rows:
+                yield pd.DataFrame({"id": out_ids, "fingerprint": out_fps})
+                continue
+            grams = [g for _, g in gram_rows]
+            maxlen = max(len(g) for g in grams)
+            codes = np.zeros((len(grams), maxlen), dtype=np.int64)
+            lens = np.fromiter((len(g) for g in grams), dtype=np.int64)
+            for r, g in enumerate(grams):
+                # utf-32-le = one uint32 CODE POINT per char — exactly
+                # what Spark/DuckDB ascii() folds over
+                codes[r, : len(g)] = np.frombuffer(
+                    g.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+            acc = np.zeros(len(grams), dtype=np.int64)
+            for j in range(maxlen):  # Horner, masked past each gram's end
+                live = lens > j
+                acc[live] = (acc[live] * 31 + codes[live, j]) % mod
+            # per-doc winnowing: gram_rows are grouped by doc in order
+            start = 0
+            for r in range(1, len(gram_rows) + 1):
+                if r == len(gram_rows) or gram_rows[r][0] != gram_rows[start][0]:
+                    hs = acc[start:r]
+                    if len(hs) >= window:
+                        sel = np.min(
+                            np.lib.stride_tricks.sliding_window_view(hs, window),
+                            axis=1,
+                        )
+                    else:
+                        sel = hs.min(keepdims=True)
+                    for fp in np.unique(sel):
+                        out_ids.append(gram_rows[start][0])
+                        out_fps.append(int(fp))
+                    start = r
+            yield pd.DataFrame({"id": out_ids, "fingerprint": out_fps})
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # unserialize the interpreted HOFs
-    poly = lambda s: F.aggregate(  # noqa: E731 — fingerprint64's fold
-        F.transform(
-            F.filter(F.split(s, ""), lambda c: c != ""),
-            lambda c: F.ascii(c).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + x) % 1_000_000_007,
-    )
-    hashes = F.transform(word_shingles(F.col(text_col), k), poly)
-    m = F.size(hashes)
-    mins = (
-        F.when(
-            m >= window,
-            F.transform(
-                F.sequence(F.lit(1), m - window + 1),
-                lambda j: F.array_min(F.slice(hashes, j, window)),
-            ),
-        )
-        .when(m > 0, F.array(F.array_min(hashes)))
-        .otherwise(F.array().cast("array<long>"))
-    )
+        df = df.repartition(par)  # spread the kernel across all cores
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(mins).alias("fingerprint"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(winnow, "id long, fingerprint long")
         .distinct()
     )
 

@@ -650,6 +650,79 @@ def _prefix_candidates(
     )
 
 
+# --------------------------------------------------- containment join
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """X2 asymmetric near-SUPERSET detection: all ordered pairs
+    (id_a, id_b) with shingle-set containment |A∩B| / |A| ≥ threshold —
+    the relation behind contamination checks ("is this training doc
+    mostly contained in a benchmark doc?") and quote/boilerplate
+    detection, where Jaccard misses pairs whose sizes differ wildly
+    (a 10-shingle snippet inside a 1000-shingle page has Jaccard
+    ≈ 0.01 but containment 1.0).
+
+    Exact, via the asymmetric prefix filter: with A's shingles in the
+    global rarest-first order (:func:`shingle_arrays`), containment
+    ≥ t ⇒ at most |A| − ⌈t·|A|⌉ of A's shingles are missing from B, so
+    by pigeonhole at least one of A's first |A| − ⌈t·|A|⌉ + 1 rarest
+    shingles appears in B. Only those prefix rows probe the full
+    postings relation (the B side carries every shingle — containment
+    has no symmetric prefix), plus the size filter |B| ≥ ⌈t·|A|⌉;
+    survivors are verified exactly with ``array_intersect``.
+
+    Scale shape: probe fan-out is keyed on A's RAREST shingles, so the
+    per-key posting lists the join touches are the corpus's shortest;
+    the only wide relation is (id, h, n_sh) — three narrow columns.
+    Same round-before-ceil discipline as :func:`_prefix_candidates`
+    (fp noise in t·n must never overtighten a sound bound)."""
+    arrs = shingle_arrays(df, id_col, text_col, n).localCheckpoint()
+    tceil = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
+    prefix_len = (F.col("n_sh") - tceil + 1).cast("int")
+    probe = arrs.select(
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("na"),
+        F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("h"),
+    )
+    postings = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("nb"),
+        F.explode("arr").alias("h"),
+    )
+    cand = (
+        probe.join(postings, "h")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.round(F.lit(threshold) * F.col("na"), 9)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_a = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sets_b = arrs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"),
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.col("na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ MinHash-LSH
 
 def minhash_signatures(

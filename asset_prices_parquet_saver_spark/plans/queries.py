@@ -2367,6 +2367,40 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5)
 
 
+# --- X2 asymmetric containment pairs (|A∩B| / |A| ≥ t): the
+# near-superset relation contamination checks need — Jaccard misses a
+# small snippet inside a big page, containment doesn't. Engine side is
+# the asymmetric prefix-filter join (operators/dedup.containment_pairs);
+# oracle is the direct shingle equi-join definition — two independent
+# implementations of the same exact semantics.
+@q(
+    "containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] AS shingle
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id != b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS containment
+    FROM inter JOIN sizes sa ON id_a = sa.id
+    WHERE round(CAST(inter AS DOUBLE) / sa.n_sh, 6) >= 0.7
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.containment_pairs(d, "doc_id", "text", n=2, threshold=0.7)
+
+
 # --- X2 scale path: MinHash-LSH, run with the engine-portable md5-60
 # hash family (functions/portable_hash.py) so the oracle reproduces the
 # signatures, the band buckets, the candidate set, and the verified
@@ -7172,11 +7206,12 @@ _GATE_ORDER = [
     "media_real_decode_meta",
     "ann_hamming_rerank",
     "ann_hamming_topk",
-    "ann_hamming_words_topk",
+    "containment_pairs",
     "media_ppm_resize_meta",
     "winnowing_fingerprints",
     "gopher_quality_flags",
     # ---- gate-window boundary (position 50) ----
+    "ann_hamming_words_topk",
     "cube_order_stats",
     "daily_event_digest",
     "dedup_exact_first_events",

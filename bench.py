@@ -49,6 +49,7 @@ HEADLINE = [
     "fuzzy_dedup_documents",
     "curated_corpus",
     "jaccard_near_dup_pairs",
+    "containment_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
@@ -471,10 +472,18 @@ def main() -> None:
         # (VM weather scales everything), so scale each per-query prev
         # by the session-total ratio over the COMMON query set before
         # comparing; only residual per-query shifts survive the filter.
-        common = [n for n in timings if n in prev_t]
-        tot_now = sum(timings[n] for n in common)
-        tot_prev = sum(prev_t[n] for n in common)
-        scale = tot_now / tot_prev if tot_prev > 0 else 1.0
+        # MEDIAN of per-query ratios, not the total ratio: one genuine
+        # large win/regression dominates a total (the r8 winnowing 18x
+        # fix alone dragged total-ratio scale to 0.82 and made every
+        # flat query read as a regression) — the median estimates the
+        # multiplicative host drift robustly against real per-query
+        # changes in the tails.
+        ratios = sorted(
+            timings[n] / prev_t[n]
+            for n in timings
+            if n in prev_t and prev_t[n] > 0 and timings[n] > 0
+        )
+        scale = ratios[len(ratios) // 2] if ratios else 1.0
         regressions, wins = {}, {}
         for name, t_new in timings.items():
             t_old = prev_t.get(name)

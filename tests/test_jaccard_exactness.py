@@ -135,3 +135,55 @@ def test_suffix_filter_prunes_candidates_and_stays_exact(spark):
             for r in dedup._verified_jaccard(cand, arrs, 0.5).collect()
         }
         assert got == expected
+
+
+def _python_containment_pairs(texts, n, threshold):
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a] and sets[b]:
+                c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+                if c >= threshold:
+                    out[(a, b)] = c
+    return out
+
+
+def test_containment_pairs_match_bruteforce(spark):
+    """The asymmetric prefix filter is SOUND and exact: every ordered
+    pair with containment >= t survives, nothing else does — against a
+    randomized small-vocab corpus with planted snippets (small docs
+    fully contained in big ones, the case Jaccard misses)."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = []
+    for _ in range(30):
+        length = rng.randint(3, 16)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(length)))
+    # plant snippets: contiguous slices of longer docs (containment 1.0
+    # against their source, low Jaccard)
+    for i in (1, 4, 8):
+        w = texts[i].split()
+        if len(w) >= 6:
+            texts.append(" ".join(w[1:5]))
+    texts.append(texts[2])  # exact duplicate (containment both ways)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    for threshold in (0.5, 0.7, 0.9):
+        expected = _python_containment_pairs(texts, 2, threshold)
+        got = {
+            (r.id_a, r.id_b): round(r.containment, 6)
+            for r in dedup.containment_pairs(
+                df, "doc_id", "text", n=2, threshold=threshold
+            ).collect()
+        }
+        assert got == expected, (
+            f"t={threshold}: missing={set(expected) - set(got)} "
+            f"extra={set(got) - set(expected)}"
+        )

@@ -838,3 +838,33 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         ok_stops.alias("ok_stopwords"),
         (ok_words & ok_awl & ok_symbols & ok_alpha & ok_stops).alias("keep"),
     )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate overlap pairs from winnowing fingerprints: documents
+    sharing at least ``min_shared`` selected fingerprints — the MOSS
+    report relation (plagiarism / passage-reuse candidates), cheap
+    because the fingerprint relation is already winnowed to ~1/window
+    of the k-gram stream.
+
+    Scale shape: the self-equi-join is keyed on the fingerprint —
+    selected minima are far rarer than raw shingles, so posting lists
+    stay short; the pair aggregation is one combinable shuffle on
+    (id_a, id_b)."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k, window)
+    a = fp.select(F.col("id").alias("id_a"), "fingerprint")
+    b = fp.select(F.col("id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -2723,6 +2723,64 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "fingerprint")
 
 
+# --- X2/X4 the MOSS report relation on top of the fingerprints:
+# document pairs sharing >= 2 selected fingerprints (passage-reuse /
+# plagiarism candidates). The oracle rebuilds the identical fingerprint
+# relation and self-joins it — shared counts hash-checked exactly.
+_WINNOW_FP_CTE = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM w),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(s, ''), c -> c != ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4
+                  THEN list_transform(range(1, len(hs) - 2),
+                       j -> list_min(list_slice(hs, j, j + 3)))
+                  WHEN len(hs) > 0 THEN [list_min(hs)]
+                  ELSE CAST([] AS BIGINT[]) END AS mins
+      FROM h),
+    fp AS (SELECT DISTINCT doc_id, f AS fingerprint
+           FROM sel, UNNEST(mins) t(f))
+"""
+
+
+@q(
+    "winnowing_pairs",
+    _WINNOW_FP_CTE
+    + """
+    SELECT id_a, id_b, shared_fingerprints FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+      FROM fp a JOIN fp b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    WHERE shared_fingerprints >= 2
+    """,
+)
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.winnowing_pairs(
+        d, "doc_id", "text", k=3, window=4, min_shared=2
+    )
+
+
 # --- X4 Gopher quality rules (Rae et al. 2021): the published
 # pre-dedup filter battery as per-document booleans + the keep
 # conjunction; every rule is a narrow JVM map mirrored exactly in SQL.
@@ -7205,12 +7263,13 @@ _GATE_ORDER = [
     "zorder_locality",
     "media_real_decode_meta",
     "ann_hamming_rerank",
-    "ann_hamming_topk",
+    "winnowing_pairs",
     "containment_pairs",
     "media_ppm_resize_meta",
     "winnowing_fingerprints",
     "gopher_quality_flags",
     # ---- gate-window boundary (position 50) ----
+    "ann_hamming_topk",
     "ann_hamming_words_topk",
     "cube_order_stats",
     "daily_event_digest",

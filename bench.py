@@ -57,6 +57,7 @@ HEADLINE = [
     "language_id",
     "document_fingerprints",
     "winnowing_fingerprints",
+    "winnowing_pairs",
     "gopher_quality_flags",
     "tfidf_top_terms",
     "pack_training_shards",

@@ -383,3 +383,19 @@ def test_gopher_flags_rules(spark):
     assert out[2]["keep"] is False and out[2]["ok_word_count"] is False
     assert out[3]["keep"] is False and out[3]["ok_symbol_ratio"] is False
     assert out[4]["ok_alpha_words"] is False and out[4]["keep"] is False
+
+
+def test_winnowing_pairs_detect_shared_passages(spark):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    passage = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "prefix words here " + passage),
+        (2, passage + " suffix tail words"),
+        (3, "entirely unrelated content with no overlap at all present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["shared_fingerprints"]
+           for r in text_ops.winnowing_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert not any(3 in k for k in out)

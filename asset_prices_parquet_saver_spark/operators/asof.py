@@ -36,6 +36,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join.
 
@@ -57,6 +58,14 @@ def asof_join(
     that never existed). The struct is non-null exactly on right rows,
     so ignore-nulls carries the matched row atomically, NULL fields
     included.
+
+    ``tolerance`` (optional): a SQL interval body like ``'2 days'`` —
+    the pandas ``merge_asof(tolerance=...)`` staleness cap. A matched
+    bar older than ``left_ts − tolerance`` is discarded (all carried
+    columns null out ATOMICALLY, same struct discipline), so a probe
+    never silently reads a stale price. Applied as a post-projection on
+    the carried struct — the plan shape (one union + one window, single
+    shuffle) is unchanged.
     """
     keys = list(keys)
     value_cols = list(value_cols)
@@ -99,6 +108,14 @@ def asof_join(
     carried = r.unionByName(l).withColumn(
         "__bar", F.last("__bar", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        # NULL asof_ts (no prior bar) stays NULL: `>=` against NULL is
+        # NULL, and F.when(NULL, ...) yields NULL — left-join semantics
+        # preserved without a special case
+        fresh = F.col("__bar").getField("asof_ts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        carried = carried.withColumn("__bar", F.when(fresh, F.col("__bar")))
 
     return carried.filter(F.col(_SIDE) == 1).select(
         *keys,

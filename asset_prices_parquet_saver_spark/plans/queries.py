@@ -3536,6 +3536,52 @@ def asof_price_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_value",
     )
 
+# --- §2.3 as-of join with a STALENESS TOLERANCE (pandas
+# merge_asof(tolerance=...)): a matched bar older than 2 days is
+# discarded — all carried columns null out atomically — so a probe
+# never silently reads a stale price. Oracle: DuckDB ASOF LEFT JOIN
+# post-filtered by the same interval predicate on BOTH carried
+# columns.
+@q(
+    "asof_tolerance_lookup",
+    """
+    WITH bars AS (
+      SELECT user_id, date_trunc('day', ts) AS bar_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS bar_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('day', ts)),
+    clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id, c.event_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+           CASE WHEN b.bar_ts >= c.ts - INTERVAL 2 DAY
+                THEN CAST(epoch_us(b.bar_ts) AS BIGINT) END AS asof_ts_us,
+           CASE WHEN b.bar_ts >= c.ts - INTERVAL 2 DAY
+                THEN b.bar_value END AS bar_value
+    FROM clicks c ASOF LEFT JOIN bars b
+      ON c.user_id = b.user_id AND c.ts >= b.bar_ts
+    """,
+)
+def asof_tolerance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    bars = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("bar_ts"))
+        .agg(davg("value").alias("bar_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    joined = asof_ops.asof_join(
+        clicks, bars, keys=["user_id"], left_ts="ts", right_ts="bar_ts",
+        value_cols=["bar_value"], tolerance="2 days",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        "bar_value",
+    )
+
 
 # --- X2 end-to-end fuzzy dedup: MinHash-LSH pairs → exact-Jaccard
 # verify → connected components → min-id survivor per component.
@@ -7262,13 +7308,14 @@ _GATE_ORDER = [
     "weighted_doc_sample",
     "zorder_locality",
     "media_real_decode_meta",
-    "ann_hamming_rerank",
+    "asof_tolerance_lookup",
     "winnowing_pairs",
     "containment_pairs",
     "media_ppm_resize_meta",
     "winnowing_fingerprints",
     "gopher_quality_flags",
     # ---- gate-window boundary (position 50) ----
+    "ann_hamming_rerank",
     "ann_hamming_topk",
     "ann_hamming_words_topk",
     "cube_order_stats",

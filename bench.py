@@ -41,6 +41,7 @@ HEADLINE = [
     "topk_orders_per_customer",
     "asof_last_purchase",
     "asof_price_lookup",
+    "asof_tolerance_lookup",
     "user_sessions",
     "session_window_bars",
     "daily_rollup",

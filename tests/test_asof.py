@@ -168,3 +168,45 @@ def test_left_payload_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["sym"], "ts", "bar_ts", ["volume"])
+
+
+def test_asof_join_tolerance_nulls_stale_matches_atomically(spark):
+    """merge_asof(tolerance=...) semantics: a matched bar older than
+    the cap nulls out — asof_ts AND every value column together (the
+    atomic-struct discipline); fresh matches and never-matched rows are
+    unaffected."""
+    from asset_prices_parquet_saver_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 00:00:00", 10.0), ("A", "2024-01-10 00:00:00", 20.0)],
+        "k string, bar_ts string, v double",
+    ).selectExpr("k", "CAST(bar_ts AS TIMESTAMP) AS bar_ts", "v")
+    left = spark.createDataFrame(
+        [
+            ("A", 1, "2024-01-02 00:00:00"),   # 1 day after bar 1 -> fresh
+            ("A", 2, "2024-01-08 00:00:00"),   # 7 days after bar 1 -> stale
+            ("A", 3, "2024-01-11 00:00:00"),   # 1 day after bar 2 -> fresh
+            ("B", 4, "2024-01-05 00:00:00"),   # no bars at all -> NULL
+        ],
+        "k string, id long, ts string",
+    ).selectExpr("k", "id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {
+        r["id"]: (r["asof_ts"], r["v"])
+        for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="bar_ts",
+            value_cols=["v"], tolerance="2 days",
+        ).collect()
+    }
+    assert out[1][1] == 10.0 and out[1][0] is not None
+    assert out[2] == (None, None)          # stale: both columns null
+    assert out[3][1] == 20.0
+    assert out[4] == (None, None)          # never matched
+    # without tolerance the stale probe matches bar 1
+    base = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="bar_ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert base[2] == 10.0

@@ -475,3 +475,35 @@ def test_embargoed_split_pushes_range_disjunction(spark, sf_dir):
     plan = _plan(QUERIES["embargoed_time_split"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_round8_queries_plan_shapes(spark, sf_dir):
+    """Plan sanity for the round-8 additions: no cartesian products
+    anywhere; the containment probe-vs-postings join and the winnowing
+    pair self-join are shuffle equi-joins; the media queries keep the
+    payload pipeline narrow (no join at all)."""
+    for name in (
+        "containment_pairs",
+        "winnowing_pairs",
+        "winnowing_fingerprints",
+        "gopher_quality_flags",
+        "asof_tolerance_lookup",
+        "media_real_decode_meta",
+        "media_ppm_resize_meta",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+    # the probe-vs-postings join is an EQUI-join (hash/merge under AQE's
+    # choice — broadcast is legal at tiny SF for the checkpointed side);
+    # what must never appear is a cartesian/BNLJ over the corpus
+    cont = _plan(QUERIES["containment_pairs"](spark, sf_dir))
+    assert any(
+        j in cont
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in cont
+    # pure narrow maps: a join anywhere would mean the pipeline fell
+    # off the mapInPandas/select-only path
+    for name in ("gopher_quality_flags", "media_real_decode_meta"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Join" not in plan, name

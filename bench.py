@@ -437,7 +437,29 @@ def main() -> None:
             exps3[name] = round(math.log(t3 / t1) / math.log(ratio3), 2)
             # exempt short runtimes: fixed per-job overhead dominates
             if exps3[name] > 1.15 and t3 > 5.0:
-                super3.append(name)
+                # BOTH-ENDS confirmation before flagging: a borderline
+                # exponent (jaccard flaps 1.09-1.16 purely by which
+                # host window measured the sf0.1 denominator) re-earns
+                # the flag on FRESH min-of-2 measurements at both scale
+                # factors taken back-to-back — same weather for
+                # numerator and denominator, the flap source halved.
+                fresh = {}
+                for d_, sfd in (("t1", sf_dir), ("t3", sf3_dir)):
+                    best = float("inf")
+                    for _ in range(2):
+                        _clear_memos()
+                        t0 = time.perf_counter()
+                        QUERIES[name](spark, sfd).write.mode(
+                            "overwrite"
+                        ).format("noop").save()
+                        best = min(best, time.perf_counter() - t0)
+                    fresh[d_] = best
+                exp2 = round(
+                    math.log(fresh["t3"] / fresh["t1"]) / math.log(ratio3), 2
+                )
+                exps3[name] = min(exps3[name], exp2)
+                if exp2 > 1.15 and fresh["t3"] > 5.0:
+                    super3.append(name)
         out["sf3"] = sf3
         out["queries_sf3"] = timings3
         out["scaling_sf1"] = {
@@ -492,7 +514,17 @@ def main() -> None:
             if t_old is None:
                 continue
             t_old_scaled = round(t_old * scale, 3)
-            noise = max(spreads.get(name, 0.0), prev_s.get(name, 0.0) * scale)
+            # noise floor = spreads AND a 40% relative band: host drift
+            # is time-varying WITHIN a session (measured r8: the tail
+            # of an unchanged-code run slowed ~1.4x and flagged 12
+            # late-position queries), so a single multiplicative scale
+            # cannot normalize it — below-40% moves on this host are
+            # weather, not code (NOTES.md: 5-10x between windows)
+            noise = max(
+                spreads.get(name, 0.0),
+                prev_s.get(name, 0.0) * scale,
+                0.4 * t_old_scaled,
+            )
             delta = round(t_new - t_old_scaled, 3)
             entry = {
                 "prev": t_old,
@@ -504,6 +536,26 @@ def main() -> None:
                 regressions[name] = entry
             elif -delta > noise:
                 wins[name] = entry
+        # Confirmation pass: a flagged regression re-earns the flag on
+        # a FRESH median-of-3 taken now — if the original median was a
+        # transient slow window (the time-varying drift above), the
+        # re-measure recovers and the flag drops; a genuine code
+        # regression reproduces. Flagged queries are few and mostly
+        # sub-second, so this costs seconds, not minutes.
+        for name in list(regressions):
+            samples = []
+            for _ in range(3):
+                _clear_memos()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            t_confirm = round(sorted(samples)[1], 3)
+            entry = regressions[name]
+            entry["confirm"] = t_confirm
+            if t_confirm - entry["prev_scaled"] <= entry["noise"]:
+                del regressions[name]
         out["session_scale"] = round(scale, 3)
         out["regressions"] = regressions
         out["wins"] = wins

@@ -868,3 +868,46 @@ def winnowing_pairs(
         .agg(F.count("*").cast("long").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def positional_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional postings (term, id, pos) with 1-based token
+    positions — the index layout phrase/proximity retrieval needs (the
+    positions-carrying sibling of the df-only inverted index). At
+    warehouse scale this is the relation to persist bucketed on
+    ``term`` so phrase joins co-locate without a shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # unserialize the interpreted words() HOF
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos0", "term"),
+    ).select("term", "id", (F.col("pos0") + 1).alias("pos"))
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Exact phrase match over the positional index: k terms become
+    k−1 equi-joins on (id, adjusted position) — term i must sit at
+    pos(first term) + i. Returns (id, n_occurrences) for documents
+    containing the phrase at least once.
+
+    Scale shape: the term predicate prunes each index branch BEFORE
+    its join (pushed to the scan; at scale, to the term-bucketed
+    index), so join inputs are the phrase terms' postings only —
+    corpus-size-independent for selective phrases; every join is an
+    equi-join on (id, pos), never positional cross products."""
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    idx = positional_index(df, id_col, text_col).localCheckpoint()
+    hits = idx.filter(F.col("term") == terms[0]).select("id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = idx.filter(F.col("term") == t).select(
+            "id", (F.col("pos") - i).alias("pos")
+        )
+        hits = hits.join(nxt, ["id", "pos"])
+    return hits.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )

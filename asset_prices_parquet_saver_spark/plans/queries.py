@@ -2781,6 +2781,33 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X4 retrieval: exact phrase search over a POSITIONAL index (term,
+# doc, pos): k-1 equi-joins on (id, pos+offset), term predicates pushed
+# below each join. The oracle counts the phrase as a word 3-gram —
+# a structurally different implementation of the same semantics.
+@q(
+    "phrase_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w != '') AS w
+      FROM documents),
+    tri AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM toks, UNNEST(range(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tri WHERE g = 'stream table hash'
+    GROUP BY doc_id
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.phrase_search(d, "doc_id", "text", "stream table hash")
+    return out.select(F.col("id").alias("doc_id"), "n_occurrences")
+
+
 # --- X4 Gopher quality rules (Rae et al. 2021): the published
 # pre-dedup filter battery as per-document booleans + the keep
 # conjunction; every rule is a narrow JVM map mirrored exactly in SQL.
@@ -7315,6 +7342,8 @@ _GATE_ORDER = [
     "winnowing_fingerprints",
     "gopher_quality_flags",
     # ---- gate-window boundary (position 50) ----
+    # r9 rotation head: zero-evidence, added after the r8 window froze
+    "phrase_search",
     "ann_hamming_rerank",
     "ann_hamming_topk",
     "ann_hamming_words_topk",

@@ -103,6 +103,7 @@ HEADLINE = [
     "document_chunks",
     "global_shuffle_order",
     "bm25_search",
+    "phrase_search",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -399,3 +399,19 @@ def test_winnowing_pairs_detect_shared_passages(spark):
            for r in text_ops.winnowing_pairs(df, "doc_id", "text").collect()}
     assert (1, 2) in out and out[(1, 2)] >= 2
     assert not any(3 in k for k in out)
+
+
+def test_phrase_search_positions(spark):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # phrase at pos 2
+        (2, "beta gamma elsewhere beta gamma delta"),  # phrase at pos 4
+        (3, "beta gamma beta gamma delta beta gamma delta"),  # twice
+        (4, "gamma beta delta"),                # right words, wrong order
+        (5, "beta delta gamma"),                # not adjacent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["n_occurrences"] for r in
+           text_ops.phrase_search(df, "doc_id", "text", "beta gamma delta").collect()}
+    assert out == {1: 1, 2: 1, 3: 2}

@@ -911,3 +911,33 @@ def phrase_search(
     return hits.groupBy("id").agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
+
+
+def proximity_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_a: str,
+    term_b: str,
+    max_distance: int = 5,
+) -> DataFrame:
+    """Proximity retrieval over the positional index: documents where
+    ``term_a`` and ``term_b`` occur within ``max_distance`` token
+    positions, with the co-occurrence-pair count — the NEAR operator
+    of classic IR engines, and the relation behind co-occurrence
+    statistics (PMI windows) in corpus analysis.
+
+    Scale shape: each side is the single term's postings (term
+    predicate pushed to the scan / term-bucketed index); the join is
+    an equi-join on the document id with the distance predicate as a
+    residual filter — per-document fan-out is bounded by the terms'
+    in-document frequencies, never by corpus size."""
+    idx = positional_index(df, id_col, text_col).localCheckpoint()
+    a = idx.filter(F.col("term") == term_a).select("id", F.col("pos").alias("pa"))
+    b = idx.filter(F.col("term") == term_b).select("id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= max_distance)
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_cooccurrences"))
+    )

@@ -2808,6 +2808,35 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_occurrences")
 
 
+# --- X4 retrieval: proximity (NEAR) search — two terms within 5 token
+# positions, per-doc co-occurrence pair counts. Same positional index;
+# the oracle replays positions with UNNEST(range) — both sides count
+# ordered (pa, pb) pairs, so the hash certifies position arithmetic.
+@q(
+    "proximity_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w != '') AS w
+      FROM documents),
+    pos AS (
+      SELECT doc_id, w[i] AS term, i AS p
+      FROM toks, UNNEST(range(1, len(w) + 1)) t(i))
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_cooccurrences
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    WHERE a.term = 'stream' AND b.term = 'scan' AND abs(a.p - b.p) <= 5
+    GROUP BY a.doc_id
+    """,
+)
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.proximity_search(
+        d, "doc_id", "text", "stream", "scan", max_distance=5
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_cooccurrences")
+
+
 # --- X4 Gopher quality rules (Rae et al. 2021): the published
 # pre-dedup filter battery as per-document booleans + the keep
 # conjunction; every rule is a narrow JVM map mirrored exactly in SQL.
@@ -7344,6 +7373,7 @@ _GATE_ORDER = [
     # ---- gate-window boundary (position 50) ----
     # r9 rotation head: zero-evidence, added after the r8 window froze
     "phrase_search",
+    "proximity_search",
     "ann_hamming_rerank",
     "ann_hamming_topk",
     "ann_hamming_words_topk",

@@ -104,6 +104,7 @@ HEADLINE = [
     "global_shuffle_order",
     "bm25_search",
     "phrase_search",
+    "proximity_search",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -415,3 +415,20 @@ def test_phrase_search_positions(spark):
     out = {r["id"]: r["n_occurrences"] for r in
            text_ops.phrase_search(df, "doc_id", "text", "beta gamma delta").collect()}
     assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_proximity_search_distance_semantics(spark):
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    rows = [
+        (1, "alpha x x x x beta"),       # distance 5 -> in
+        (2, "alpha x x x x x beta"),     # distance 6 -> out
+        (3, "beta alpha"),               # order-agnostic, distance 1
+        (4, "alpha beta alpha"),         # two pairs
+        (5, "alpha only here"),          # no beta
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r["n_cooccurrences"] for r in
+           text_ops.proximity_search(df, "doc_id", "text", "alpha", "beta",
+                                     max_distance=5).collect()}
+    assert out == {1: 1, 3: 1, 4: 2}

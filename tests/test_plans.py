@@ -490,6 +490,8 @@ def test_round8_queries_plan_shapes(spark, sf_dir):
         "asof_tolerance_lookup",
         "media_real_decode_meta",
         "media_ppm_resize_meta",
+        "phrase_search",
+        "proximity_search",
     ):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name

@@ -941,3 +941,71 @@ def proximity_search(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_cooccurrences"))
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 5,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k term pairs by pointwise mutual information over a forward
+    co-occurrence window — the collocation statistic of corpus
+    analysis (Church & Hanks 1990): PMI(a,b) = ln(P(a,b)/(P(a)P(b)))
+    with P(a,b) from within-``window`` pair counts and P(·) from
+    unigram counts. ``min_count`` guards the low-frequency PMI bias;
+    the score is rounded to 6 decimals BEFORE ranking with an (a, b)
+    tie-break, so the result set is deterministic across engines (the
+    tfidf discipline).
+
+    Scale shape: pairs are built INSIDE each row with array ops (one
+    slice per position, no positional self-join over the corpus), so
+    the fan-out is rows × window; pair and unigram counts are two
+    map-side-combinable shuffles; totals are a 1-row broadcast; the
+    top-k is a TakeOrdered, never a global sort."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # unserialize the interpreted HOFs
+    w = words(F.col(text_col))
+    n = F.size(w)
+    raw = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.slice(w, i + 1, window),  # slice clamps at the end
+                lambda x: F.struct(
+                    F.least(F.element_at(w, i), x).alias("a"),
+                    F.greatest(F.element_at(w, i), x).alias("b"),
+                ),
+            ),
+        )
+    )
+    pair_arr = F.filter(raw, lambda p: p["a"] != p["b"])
+    pairs = df.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    toks = df.select(F.explode(w).alias("term"))
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ca = toks.groupBy("term").agg(F.count("*").alias("c"))
+    totals = pairs.agg(F.count("*").alias("n_pairs")).crossJoin(
+        toks.agg(F.count("*").alias("n_tok"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("ca1").cast("double") / F.col("n_tok"))
+                * (F.col("ca2").cast("double") / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(ca.select(F.col("term").alias("a"), F.col("c").alias("ca1")), "a")
+        .join(ca.select(F.col("term").alias("b"), F.col("c").alias("ca2")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select("a", "b", F.col("c_ab").cast("long").alias("c_ab"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(k)
+    )

@@ -2837,6 +2837,47 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_cooccurrences")
 
 
+# --- X4 corpus statistics: top-k collocations by windowed PMI
+# (Church & Hanks 1990). Pairs form inside each row (slice per
+# position, forward window, a<b canonicalization); score rounded
+# before ranking with an (a, b) tie-break so both engines pick the
+# identical top-k.
+@q(
+    "pmi_cooccurrence",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w != '') AS w
+      FROM documents),
+    pairs AS (
+      SELECT least(w[i], w[j]) AS a, greatest(w[i], w[j]) AS b
+      FROM toks,
+           UNNEST(range(1, len(w) + 1)) t(i),
+           UNNEST(range(i + 1, least(i + 5, len(w)) + 1)) u(j)
+      WHERE w[i] != w[j]),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+    tok AS (SELECT unnest(w) AS term FROM toks),
+    ca AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT (SELECT COUNT(*) FROM tok) AS n_tok,
+                   (SELECT COUNT(*) FROM pairs) AS n_pairs)
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) / tot.n_pairs)
+                    / ((CAST(ca1.c AS DOUBLE) / tot.n_tok)
+                       * (CAST(ca2.c AS DOUBLE) / tot.n_tok))), 6) AS pmi
+    FROM cab JOIN ca ca1 ON cab.a = ca1.term
+             JOIN ca ca2 ON cab.b = ca2.term, tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.pmi_cooccurrence(
+        d, "doc_id", "text", window=5, min_count=5, k=20
+    )
+
+
 # --- X4 Gopher quality rules (Rae et al. 2021): the published
 # pre-dedup filter battery as per-document booleans + the keep
 # conjunction; every rule is a narrow JVM map mirrored exactly in SQL.
@@ -7374,6 +7415,7 @@ _GATE_ORDER = [
     # r9 rotation head: zero-evidence, added after the r8 window froze
     "phrase_search",
     "proximity_search",
+    "pmi_cooccurrence",
     "ann_hamming_rerank",
     "ann_hamming_topk",
     "ann_hamming_words_topk",

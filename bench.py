@@ -105,6 +105,7 @@ HEADLINE = [
     "bm25_search",
     "phrase_search",
     "proximity_search",
+    "pmi_cooccurrence",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -432,3 +432,22 @@ def test_proximity_search_distance_semantics(spark):
            text_ops.proximity_search(df, "doc_id", "text", "alpha", "beta",
                                      max_distance=5).collect()}
     assert out == {1: 1, 3: 1, 4: 2}
+
+
+def test_pmi_cooccurrence_ranks_collocations(spark):
+    """Planted collocation: 'san francisco' always adjacent must out-PMI
+    a frequent-but-independent pair; min_count filters singletons."""
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    rows = [(i, "san francisco visit " + ("common word " * 3)) for i in range(6)]
+    rows += [(100 + i, "word alone common text here") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.pmi_cooccurrence(
+        df, "doc_id", "text", window=5, min_count=5, k=5
+    ).collect()
+    pairs = [(r["a"], r["b"]) for r in out]
+    assert ("francisco", "san") in pairs
+    top = out[0]
+    assert {top["a"], top["b"]} == {"francisco", "san"} or top["pmi"] >= [
+        r["pmi"] for r in out if {r["a"], r["b"]} == {"francisco", "san"}
+    ][0]

@@ -162,7 +162,7 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
     ("asset_prices_parquet_saver_spark/operators/text.py",
      '.crossJoin(F.broadcast(stats))'): 1,
     ("asset_prices_parquet_saver_spark/operators/text.py",
-     '.crossJoin(F.broadcast(totals))'): 1,
+     '.crossJoin(F.broadcast(totals))'): 2,
     ("asset_prices_parquet_saver_spark/operators/text.py",
      '.crossJoin(F.broadcast(vocab))'): 1,
     ("asset_prices_parquet_saver_spark/operators/text.py",

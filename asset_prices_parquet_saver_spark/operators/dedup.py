@@ -160,7 +160,11 @@ def _shingle_set(txt, n: int, ws) -> set:
     dedup on every replay of a poisoned batch — on one NULL row)."""
     if txt is None:
         return set()
-    w = [t for t in ws.split(txt.strip()) if t]
+    # no .strip(): Python str.strip removes ALL Unicode whitespace while
+    # the JVM words()/DuckDB trim+\s path is ASCII-only — NBSP-bounded
+    # text must tokenize identically in all three engines; the
+    # empty-token filter handles ASCII boundary whitespace.
+    w = [t for t in ws.split(txt) if t]
     if len(w) < n:
         return set()
     return set(w) if n == 1 else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}

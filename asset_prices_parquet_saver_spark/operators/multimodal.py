@@ -113,16 +113,10 @@ def decode_image(payload: bytes) -> tuple[int, int, str]:
         return int(im.width), int(im.height), str(im.mode or "")
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, str]:
-    """Real, pure-stdlib image decode for binary PPM (``P6`` — the
-    Netpbm portable pixmap, a public uncompressed format): parses the
-    whitespace/comment-tolerant ASCII header, validates maxval and the
-    raster byte count, and returns (width, height, mode). Unlike
-    :func:`decode_image` this needs no third-party codec, so the
-    real-decode branch of :func:`extract_media_meta` can execute — and
-    be oracle-checked — in environments without Pillow. Raises
-    ``ValueError`` on anything that is not a well-formed P6 payload."""
-    data = payload or b""
+def _parse_ppm_header(data: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header: returns (width, height, maxval,
+    raster_start). Whitespace/comment-tolerant per the Netpbm spec;
+    raises ``ValueError`` on anything malformed."""
     if data[:2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     pos = 2
@@ -146,6 +140,20 @@ def decode_ppm(payload: bytes) -> tuple[int, int, str]:
     if not 0 < maxval < 65536:
         raise ValueError(f"PPM maxval out of range: {maxval}")
     pos += 1  # spec: exactly ONE whitespace byte between maxval and raster
+    return width, height, maxval, pos
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, str]:
+    """Real, pure-stdlib image decode for binary PPM (``P6`` — the
+    Netpbm portable pixmap, a public uncompressed format): parses the
+    whitespace/comment-tolerant ASCII header, validates maxval and the
+    raster byte count, and returns (width, height, mode). Unlike
+    :func:`decode_image` this needs no third-party codec, so the
+    real-decode branch of :func:`extract_media_meta` can execute — and
+    be oracle-checked — in environments without Pillow. Raises
+    ``ValueError`` on anything that is not a well-formed P6 payload."""
+    data = payload or b""
+    width, height, maxval, pos = _parse_ppm_header(data)
     bytes_per_sample = 2 if maxval > 255 else 1
     expected = width * height * 3 * bytes_per_sample
     if len(data) - pos != expected:
@@ -231,12 +239,21 @@ def _resize_ppm_payload(payload: bytes, width: int, height: int) -> bytes:
     stdlib+numpy: decode header (:func:`decode_ppm` validates it),
     reshape the raster to (h, w, 3), index-resample to the target
     shape, and re-encode as P6. 8-bit maxval only (the table builder's
-    format); the output is itself a valid decodable P6 payload."""
+    format); the output is itself a valid decodable P6 payload. 16-bit
+    P6 (maxval > 255 — which :func:`decode_ppm` accepts) is REJECTED
+    here rather than silently resampled from a wrong 1-byte/sample
+    raster slice."""
     import numpy as np
 
-    src_w, src_h, _mode = decode_ppm(payload)
+    src_w, src_h, _mode = decode_ppm(payload)  # full validation
     data = payload or b""
-    raster = data[len(data) - src_w * src_h * 3 :]
+    _, _, maxval, raster_start = _parse_ppm_header(data)
+    if maxval > 255:
+        raise ValueError(
+            "resize_ppm supports 8-bit P6 only (maxval <= 255), got "
+            f"maxval={maxval}"
+        )
+    raster = data[raster_start:]
     arr = np.frombuffer(raster, dtype=np.uint8).reshape(src_h, src_w, 3)
     rows = (np.arange(height) * src_h) // height
     cols = (np.arange(width) * src_w) // width

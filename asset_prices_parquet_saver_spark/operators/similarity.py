@@ -304,9 +304,17 @@ def data_version_token(df: DataFrame) -> str:
 
 def memo_put(memo: dict, key: tuple, value: DataFrame) -> None:
     """Insert with FIFO eviction at ``_MEMO_MAX_ENTRIES`` — keeps
-    long-lived processes from accumulating checkpointed relations."""
+    long-lived processes from accumulating checkpointed relations.
+    Evicted entries are best-effort ``unpersist()``-ed: dropping only
+    the Python reference would leave the localCheckpoint blocks in
+    executor storage until JVM GC, so the cap would bound the dict but
+    not the block-manager footprint of a long-lived process."""
     if len(memo) >= _MEMO_MAX_ENTRIES:
-        memo.pop(next(iter(memo)))
+        evicted = memo.pop(next(iter(memo)))
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # a dead session's blocks are already gone
     memo[key] = value
 
 

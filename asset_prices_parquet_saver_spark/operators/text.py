@@ -736,7 +736,12 @@ def winnowing_fingerprints(
             for doc_id, txt in zip(pdf["id"], pdf["text"]):
                 if txt is None:
                     continue
-                w = [t for t in ws_re.split(txt.strip()) if t]
+                # no .strip(): Python's str.strip removes ALL Unicode
+                # whitespace while the JVM words()/DuckDB trim+\s path
+                # is ASCII-only, so NBSP-bounded text would tokenize
+                # differently; the empty-token filter already handles
+                # ASCII boundary whitespace.
+                w = [t for t in ws_re.split(txt) if t]
                 gram_rows.extend(
                     (doc_id, " ".join(w[i : i + k]))
                     for i in range(len(w) - k + 1)
@@ -960,34 +965,91 @@ def pmi_cooccurrence(
     tie-break, so the result set is deterministic across engines (the
     tfidf discipline).
 
-    Scale shape: pairs are built INSIDE each row with array ops (one
-    slice per position, no positional self-join over the corpus), so
-    the fan-out is rows × window; pair and unigram counts are two
-    map-side-combinable shuffles; totals are a 1-row broadcast; the
-    top-k is a TakeOrdered, never a global sort."""
+    Scale shape: pairs are built INSIDE each partition batch (one
+    shifted-slice comparison per window offset, no positional
+    self-join over the corpus) and PRE-COUNTED there, so the only
+    pair-shaped shuffle carries (a, b, partial_count) — a map-side
+    combine in the kernel itself; unigram counts are one combinable
+    shuffle; totals are a 1-row broadcast; the top-k is a TakeOrdered,
+    never a global sort.
+
+    Implementation note (measured, the winnowing precedent at
+    ``text.py`` winnow kernel): the pure-Catalyst form — nested
+    ``F.sequence``/``F.transform``/``F.filter`` lambdas building the
+    window pairs in-row — runs INTERPRETED (no codegen for HOF lambda
+    chains) and made this the 2nd most expensive bench query (4.0 s at
+    sf0.1, ~linear in data). This Arrow-batched numpy kernel builds
+    all pairs of one partition batch as ``window`` shifted-slice
+    vector ops (doc-boundary masked) and pre-aggregates counts with a
+    hashed pandas groupby — identical pair multiset, so the unchanged
+    SQL oracle certifies the rewrite."""
+    import re as _re
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+
+    def pair_counts_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=object), "b": pd.Series(dtype=object),
+             "c": pd.Series(dtype="int64")}
+        )
+        for pdf in batches:
+            toks_all: list[str] = []
+            doc_all: list[int] = []
+            for di, txt in enumerate(pdf[text_col]):
+                if txt is None:
+                    continue
+                # no .strip(): match the ASCII-only JVM words() path
+                w = [t for t in ws_re.split(txt) if t]
+                toks_all.extend(w)
+                doc_all.extend([di] * len(w))
+            if len(toks_all) < 2:
+                yield empty
+                continue
+            toks = np.asarray(toks_all, dtype=object)
+            docs = np.asarray(doc_all, dtype=np.int64)
+            a_parts: list[np.ndarray] = []
+            b_parts: list[np.ndarray] = []
+            for d in range(1, window + 1):
+                if d >= len(toks):
+                    break
+                x, y = toks[:-d], toks[d:]
+                # same-document forward pairs only; a==b pairs dropped
+                live = (docs[:-d] == docs[d:]) & (x != y)
+                x, y = x[live], y[live]
+                swap = x > y  # code-point order == UTF-8 binary order
+                a_parts.append(np.where(swap, y, x))
+                b_parts.append(np.where(swap, x, y))
+            if not a_parts:
+                yield empty
+                continue
+            part = (
+                pd.DataFrame(
+                    {"a": np.concatenate(a_parts), "b": np.concatenate(b_parts)}
+                )
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            part["c"] = part["c"].astype("int64")
+            yield part
+
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # unserialize the interpreted HOFs
+        df = df.repartition(par)  # spread the kernel across all cores
     w = words(F.col(text_col))
-    n = F.size(w)
-    raw = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.transform(
-                F.slice(w, i + 1, window),  # slice clamps at the end
-                lambda x: F.struct(
-                    F.least(F.element_at(w, i), x).alias("a"),
-                    F.greatest(F.element_at(w, i), x).alias("b"),
-                ),
-            ),
-        )
+    pair_parts = df.select(F.col(text_col)).mapInPandas(
+        pair_counts_kernel, "a string, b string, c long"
     )
-    pair_arr = F.filter(raw, lambda p: p["a"] != p["b"])
-    pairs = df.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
     toks = df.select(F.explode(w).alias("term"))
-    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    cab = pair_parts.groupBy("a", "b").agg(F.sum("c").alias("c_ab"))
     ca = toks.groupBy("term").agg(F.count("*").alias("c"))
-    totals = pairs.agg(F.count("*").alias("n_pairs")).crossJoin(
+    totals = pair_parts.agg(F.sum("c").alias("n_pairs")).crossJoin(
         toks.agg(F.count("*").alias("n_tok"))
     )
     pmi = F.round(

@@ -451,3 +451,70 @@ def test_pmi_cooccurrence_ranks_collocations(spark):
     assert {top["a"], top["b"]} == {"francisco", "san"} or top["pmi"] >= [
         r["pmi"] for r in out if {r["a"], r["b"]} == {"francisco", "san"}
     ][0]
+
+
+def test_term_postings_materializes_only_query_terms(spark):
+    """The term predicate must apply BEFORE the localCheckpoint barrier:
+    the checkpointed relation holds only the query terms' postings
+    (corpus-size-independent for selective terms), not corpus x tokens
+    rows — the shape that makes ad-hoc phrase/proximity search viable
+    against a big corpus."""
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    rows = [(i, "alpha beta " + ("filler word common text " * 10))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = text_ops.term_postings(df, "doc_id", "text", ("alpha", "beta"))
+    # 20 docs x 2 query-term postings, NOT 20 x ~52 token postings
+    assert idx.count() == 40
+    assert set(r["term"] for r in idx.collect()) == {"alpha", "beta"}
+    # memo: same (plan, terms) returns the same checkpointed relation
+    again = text_ops.term_postings(df, "doc_id", "text", ("beta", "alpha"))
+    assert again is idx
+
+
+def test_indexed_phrase_and_proximity_match_adhoc_and_bucket_prune(spark):
+    """build_positional_index + *_indexed variants: results identical to
+    the ad-hoc forms, and the scan is bucket-PRUNED by the term
+    IN-predicate (SelectedBucketsCount strictly below the bucket
+    count) — the one-Exchange probe shape of the persisted index."""
+    from asset_prices_parquet_saver_spark.operators import text as text_ops
+
+    tbl = "positional_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        rows = [
+            (1, "alpha beta gamma delta"),
+            (2, "beta gamma elsewhere beta gamma delta"),
+            (3, "beta gamma beta gamma delta beta gamma delta"),
+            (4, "gamma beta delta alpha x x x x beta"),
+            (5, "alpha x x x x x beta unrelated filler"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        text_ops.build_positional_index(df, "doc_id", "text", tbl, num_buckets=8)
+
+        adhoc = {r["id"]: r["n_occurrences"] for r in
+                 text_ops.phrase_search(df, "doc_id", "text", "beta gamma delta").collect()}
+        indexed = {r["id"]: r["n_occurrences"] for r in
+                   text_ops.phrase_search_indexed(spark, tbl, "beta gamma delta").collect()}
+        assert indexed == adhoc and indexed
+
+        adhoc_p = {r["id"]: r["n_cooccurrences"] for r in
+                   text_ops.proximity_search(df, "doc_id", "text", "alpha", "beta").collect()}
+        indexed_p = {r["id"]: r["n_cooccurrences"] for r in
+                     text_ops.proximity_search_indexed(spark, tbl, "alpha", "beta").collect()}
+        assert indexed_p == adhoc_p and indexed_p
+
+        plan = (
+            text_ops.phrase_search_indexed(spark, tbl, "beta gamma delta")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), m.group(0) if m else plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -627,3 +627,63 @@ def test_adaptive_planes_bound_bucket_occupancy_across_decades(spark):
     # generous skew factor, but nothing near the 100x of a fixed J
     assert o2 < 8 * max(o1, sim.auto_num_planes.__defaults__[0]), stats
     assert o2 < 10 * 64, stats
+
+
+def test_pillow_branch_control_flow_via_stub(monkeypatch, spark):
+    """Execute the real import-gated Pillow control flow WITHOUT Pillow
+    installed: a stub PIL.Image in sys.modules makes _require_pillow
+    resolve, so decode_image runs its actual body (BytesIO wrap,
+    context-managed open, width/height/mode extraction) and
+    extract_media_meta(decoder='pillow') passes its driver-side
+    fail-fast gate — the branch that otherwise has zero in-sandbox
+    executions (the sandbox has no Pillow; the real-codec substance is
+    covered by the PPM decoder)."""
+    import sys
+    import types
+
+    from asset_prices_parquet_saver_spark.operators import multimodal as mm
+
+    opened = {}
+
+    class _StubImage:
+        width = 17
+        height = 5
+        mode = "RGB"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            opened["closed"] = True
+            return False
+
+    def _open(buf):
+        opened["payload"] = buf.read()
+        return _StubImage()
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    assert mm._require_pillow() is image_mod
+    assert mm.decode_image(b"\x89PNG-ish-bytes") == (17, 5, "RGB")
+    assert opened["payload"] == b"\x89PNG-ish-bytes"
+    assert opened.get("closed")  # context manager exited
+    # None payload path: decode_image feeds b"" to the codec
+    opened.clear()
+    mm.decode_image(None)
+    assert opened["payload"] == b""
+
+    # driver-side fail-fast gate passes with the stub present; the
+    # returned plan is lazy (workers would re-import PIL, which the
+    # stub can't reach — the ppm decoder covers executed kernels)
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = mm.build_media_table(docs)
+    out = mm.extract_media_meta(media, decoder="pillow")
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "kind", "byte_len", "sha256",
+        "width", "height", "duration_ms",
+    ]

@@ -738,6 +738,179 @@ def containment_pairs(
     )
 
 
+# ------------------------------------- LSH Ensemble containment search
+
+def ensemble_band_config(
+    threshold: float,
+    q_min: int = 8,
+    num_hashes: int = 32,
+    max_stratum: int = 20,
+) -> list:
+    """Per-stratum (stratum, rows_per_band, bands) table for
+    :func:`lsh_ensemble_containment` (Zhu, Nargesian, Pu & Miller,
+    "LSH Ensemble: Internet-Scale Domain Search", VLDB 2016): corpus
+    sets are partitioned into geometric set-size strata [2^p, 2^(p+1));
+    within stratum p (upper size bound u = 2^(p+1) − 1) a containment
+    threshold t against a probe of ≥ ``q_min`` shingles transforms to
+    the worst-case Jaccard J_p = t·q / (q + u − t·q) at q = q_min
+    (J is monotone increasing in q, so the smallest admissible probe
+    is the worst case), and the banding is the LARGEST rows-per-band r
+    (all ``num_hashes`` used, b = num_hashes // r) whose S-curve
+    threshold (1/b)^(1/r) stays at or below J_p. Big-set strata get
+    aggressive r=1 banding — true containment hides at tiny Jaccard
+    there — while small-set strata keep cheap strict banding.
+    Deterministic pure arithmetic: the SQL oracle replays the
+    identical table from the same inlined constants."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if q_min < 1:
+        raise ValueError(f"q_min must be >= 1, got {q_min}")
+    divisors = [r for r in range(num_hashes, 0, -1) if num_hashes % r == 0]
+    cfg = []
+    for p in range(max_stratum + 1):
+        u = 2 ** (p + 1) - 1
+        j = min(1.0, threshold * q_min / (q_min + u - threshold * q_min))
+        r = next(
+            (
+                d
+                for d in divisors
+                if (1.0 / (num_hashes // d)) ** (1.0 / d) <= j
+            ),
+            1,  # no divisor reaches J_p -> max-recall fallback
+        )
+        cfg.append((p, r, num_hashes // r))
+    return cfg
+
+
+def lsh_ensemble_containment(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    q_min: int = 8,
+    max_stratum: int = 20,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Containment SEARCH at bounded cost — the 100 TB
+    contamination-check shape (one benchmark/probe set vs a huge
+    corpus) that exact :func:`containment_pairs` cannot serve: probes
+    never touch corpus documents outside their LSH band buckets, so
+    cost is O(probes × strata × bands + colliding postings), never
+    O(probes × corpus). Returns (id_q, id_x, containment) with
+    containment = |Q∩X| / |Q| ≥ threshold, VERIFIED exactly on the
+    candidates (the LSH layer only bounds which pairs get verified, so
+    emitted rows are exact; recall < 1 is the documented trade — see
+    the superset-on-fixtures test).
+
+    The LSH Ensemble construction (Zhu et al., VLDB 2016): MinHash
+    signatures for everyone; the CORPUS is partitioned by shingle-set
+    size into geometric strata, each stratum banded per
+    :func:`ensemble_band_config` (containment→Jaccard threshold
+    transform at the stratum's upper size bound); each PROBE emits
+    keys for every stratum that could hold a ≥-threshold superset
+    (u ≥ ⌈t·|Q|⌉ — the top stratum is size-unbounded and never
+    pruned), with the probe's OWN signature sliced by that stratum's
+    banding. Candidates = bucket collisions, verified with
+    ``array_intersect`` on the shared shingle arrays.
+
+    Scale shape: the only wide relations are the banded key sets; the
+    candidate join is an equi-join on (stratum, band, bucket); the
+    config relation is schema-bounded (max_stratum+1 rows,
+    ``bounded_broadcast``). ``hash_family="md5"`` swaps in the
+    engine-portable md5-60 signatures so the SQL oracle replays the
+    candidate set bit-for-bit (the gate-checked variant);
+    ``"xxhash64"`` is the vectorized scale default."""
+    from asset_prices_parquet_saver_spark.functions.hints import (
+        bounded_broadcast,
+    )
+    from asset_prices_parquet_saver_spark.operators.incremental_dedup import (
+        signature_frame,
+    )
+
+    spark = corpus.sparkSession
+    cfg = spark.createDataFrame(
+        ensemble_band_config(threshold, q_min, num_hashes, max_stratum),
+        "p int, r int, b int",
+    )
+    c_sig = (
+        signature_frame(corpus, id_col, text_col, n, num_hashes, hash_family)
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint()
+    )
+    p_sig = (
+        signature_frame(probes, id_col, text_col, n, num_hashes, hash_family)
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint()
+    )
+    stratum = F.least(
+        # +0.5 keeps log2 strictly between integers -> fp-safe floor
+        F.floor(F.log2(F.col("n_sh") + F.lit(0.5))).cast("int"),
+        F.lit(max_stratum),
+    )
+    bucket = F.xxhash64(
+        "p",
+        "band",
+        F.slice("sig", F.col("band") * F.col("r") + 1, F.col("r")),
+    )
+    corpus_keys = (
+        c_sig.withColumn("p", stratum)
+        .join(bounded_broadcast(cfg), "p")
+        .select(
+            F.col("id").alias("id_x"),
+            "p",
+            "r",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("band"),
+        )
+        .select("id_x", "p", "band", bucket.alias("bucket"))
+    )
+    # a probe of size q prunes strata whose upper bound can't hold
+    # ceil(t*q) shared shingles (containment >= t is impossible there);
+    # the TOP stratum is size-unbounded (all bigger sets cap into it)
+    tq = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
+    u = F.pow(F.lit(2.0), F.col("p") + 1) - 1
+    probe_keys = (
+        p_sig.crossJoin(bounded_broadcast(cfg))
+        .filter((F.col("p") == max_stratum) | (u >= tq))
+        .select(
+            F.col("id").alias("id_q"),
+            "p",
+            "r",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("band"),
+        )
+        .select("id_q", "p", "band", bucket.alias("bucket"))
+    )
+    cand = (
+        probe_keys.join(corpus_keys, ["p", "band", "bucket"])
+        .filter(F.col("id_q") != F.col("id_x"))
+        .select("id_q", "id_x")
+        .distinct()
+    )
+    q_sets = p_sig.select(
+        F.col("id").alias("id_q"),
+        F.col("arr").alias("arr_q"),
+        F.col("n_sh").alias("n_q"),
+    )
+    x_sets = c_sig.select(
+        F.col("id").alias("id_x"), F.col("arr").alias("arr_x")
+    )
+    inter = F.size(F.array_intersect("arr_q", "arr_x"))
+    return (
+        cand.join(q_sets, "id_q")
+        .join(x_sets, "id_x")
+        .select(
+            "id_q",
+            "id_x",
+            F.round(inter / F.col("n_q"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ------------------------------------------------------------ MinHash-LSH
 
 def minhash_signatures(

@@ -2401,6 +2401,91 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.containment_pairs(d, "doc_id", "text", n=2, threshold=0.7)
 
 
+# --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
+# LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
+# partitioned into geometric set-size strata, per-stratum banding from
+# the containment->Jaccard threshold transform, candidates verified
+# exactly. Run with the portable md5-60 family so the oracle replays
+# signatures, strata, band keys, candidate set, and verified
+# containments bit-for-bit. The per-stratum (p, rows, bands) table is
+# computed ONCE by ensemble_band_config and inlined into the SQL so
+# both engines band identically.
+_ENSEMBLE_CFG = dedup_ops.ensemble_band_config(
+    0.7, q_min=8, num_hashes=32, max_stratum=20
+)
+_ENSEMBLE_CFG_SQL = ", ".join(f"({p}, {r}, {b})" for p, r, b in _ENSEMBLE_CFG)
+
+
+@q(
+    "lsh_ensemble_containment",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] AS shingle
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), seeded AS (
+      SELECT sh.id, b.i,
+             substr(md5(CAST(b.i AS VARCHAR) || ':' || sh.shingle), 1, 15) AS hx
+      FROM sh, (SELECT unnest(range(32)) AS i) b
+    ), sigrow AS (
+      SELECT id, i, MIN({{HEX15}}) AS m FROM seeded GROUP BY id, i
+    ), sig AS (
+      SELECT id, list(m ORDER BY i) AS sig FROM sigrow GROUP BY id
+    ), strat AS (
+      SELECT id, n_sh, least(CAST(floor(log2(n_sh + 0.5)) AS INT), 20) AS p
+      FROM sizes
+    ), cfg(p, r, b) AS (VALUES {_ENSEMBLE_CFG_SQL}),
+    ckeys AS (
+      SELECT st.id, st.p, t.band,
+             array_to_string(list_transform(
+               list_slice(s.sig, CAST(t.band*cfg.r+1 AS INT),
+                          CAST(t.band*cfg.r+cfg.r AS INT)),
+               x -> CAST(x AS VARCHAR)), '|') AS bkey
+      FROM strat st JOIN sig s ON s.id = st.id JOIN cfg ON cfg.p = st.p,
+           UNNEST(range(cfg.b)) t(band)
+    ), pkeys AS (
+      SELECT st.id, cfg.p, t.band,
+             array_to_string(list_transform(
+               list_slice(s.sig, CAST(t.band*cfg.r+1 AS INT),
+                          CAST(t.band*cfg.r+cfg.r AS INT)),
+               x -> CAST(x AS VARCHAR)), '|') AS bkey
+      FROM strat st JOIN sig s ON s.id = st.id, cfg,
+           UNNEST(range(cfg.b)) t(band)
+      WHERE st.id % 17 = 0
+        AND (cfg.p = 20 OR pow(2, cfg.p + 1) - 1 >= ceil(round(0.7 * st.n_sh, 9)))
+    ), cand AS (
+      SELECT DISTINCT pk.id AS id_q, ck.id AS id_x
+      FROM pkeys pk JOIN ckeys ck
+        ON pk.p = ck.p AND pk.band = ck.band AND pk.bkey = ck.bkey
+      WHERE pk.id != ck.id
+    ), inter AS (
+      SELECT cand.id_q, cand.id_x, COUNT(*) AS inter
+      FROM cand
+      JOIN sh x ON x.id = cand.id_q
+      JOIN sh y ON y.id = cand.id_x AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_q, id_x,
+           round(CAST(inter AS DOUBLE) / sq.n_sh, 6) AS containment
+    FROM inter JOIN sizes sq ON id_q = sq.id
+    WHERE round(CAST(inter AS DOUBLE) / sq.n_sh, 6) >= 0.7
+    """.replace("{HEX15}", ph.sql_hex15_int("hx")),
+)
+def lsh_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 scale path: probe-vs-corpus containment search via size-stratified MinHash LSH (LSH Ensemble)."""
+    d = read_table(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 17 == 0)
+    return dedup_ops.lsh_ensemble_containment(
+        d, probes, "doc_id", "text", n=2, threshold=0.7,
+        num_hashes=32, q_min=8, max_stratum=20, hash_family="md5",
+    )
+
+
 # --- X2 scale path: MinHash-LSH, run with the engine-portable md5-60
 # hash family (functions/portable_hash.py) so the oracle reproduces the
 # signatures, the band buckets, the candidate set, and the verified

@@ -51,6 +51,7 @@ HEADLINE = [
     "curated_corpus",
     "jaccard_near_dup_pairs",
     "containment_pairs",
+    "lsh_ensemble_containment",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
@@ -383,14 +384,26 @@ def main() -> None:
     if sf3 and sf and sf3 != sf and os.path.isdir(sf3_dir):
         import math
 
-        # the ANN trio runs FIRST: the family is fast at sf0.1 so it
-        # never makes the top-N, but recall/pruning behavior is exactly
-        # what changes with corpus size (cells per probe, bucket
-        # occupancy) — and appended-last they were the first casualties
-        # of budget exhaustion (r8: n_measured=15 of 23, trio unmeasured)
+        # force-included queries run FIRST: the ANN trio (fast at sf0.1
+        # so never in the top-N, but recall/pruning behavior is exactly
+        # what changes with corpus size — and appended-last they were
+        # the first casualties of budget exhaustion: r8 n_measured=15
+        # of 23, trio unmeasured) plus the round-8/9 text-retrieval
+        # family, whose scale posture (term-filtered checkpoint,
+        # kernel pair-building, size-stratified LSH) is what the sf1
+        # decade certifies (VERDICT r8 #6).
         top = [
             n
-            for n in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivfadc_topk")
+            for n in (
+                "ann_lsh_topk",
+                "ann_ivf_topk",
+                "ann_ivfadc_topk",
+                "phrase_search",
+                "proximity_search",
+                "winnowing_pairs",
+                "pmi_cooccurrence",
+                "lsh_ensemble_containment",
+            )
             if n in QUERIES
         ]
         top += [

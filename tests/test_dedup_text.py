@@ -518,3 +518,77 @@ def test_indexed_phrase_and_proximity_match_adhoc_and_bucket_prune(spark):
         assert m and int(m.group(1)) < int(m.group(2)), m.group(0) if m else plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ensemble_band_config_shape_and_monotonicity():
+    """Per-stratum banding: rows-per-band never increases with stratum
+    size (bigger sets -> smaller worst-case Jaccard -> more aggressive
+    banding), every row uses the full hash budget, and invalid
+    thresholds/q_min are rejected."""
+    import pytest
+
+    cfg = dedup.ensemble_band_config(0.7, q_min=8, num_hashes=32, max_stratum=20)
+    assert [p for p, _, _ in cfg] == list(range(21))
+    rs = [r for _, r, _ in cfg]
+    assert all(a >= b for a, b in zip(rs, rs[1:]))  # non-increasing
+    assert all(r * b == 32 for _, r, b in cfg)
+    assert rs[-1] == 1  # huge strata fall back to max-recall banding
+    with pytest.raises(ValueError):
+        dedup.ensemble_band_config(0.0)
+    with pytest.raises(ValueError):
+        dedup.ensemble_band_config(0.7, q_min=0)
+
+
+def test_lsh_ensemble_containment_superset_of_exact_on_fixtures(spark, sf_dir):
+    """Recall gate (VERDICT r8 #4): on the fixture corpus, the
+    ensemble's VERIFIED output must contain every probe-restricted
+    exact containment_pairs row at the same threshold — i.e. the
+    size-stratified candidate generation loses nothing the exact
+    all-pairs baseline finds at this scale. Runs both hash families:
+    the md5 family is what the oracle gate certifies; xxhash64 is the
+    scale default."""
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.7
+        ).collect()
+        if r["id_a"] % 17 == 0
+    }
+    assert exact, "fixture must plant at least one probe-side pair"
+    for fam in ("md5", "xxhash64"):
+        got = {
+            (r["id_q"], r["id_x"]): r["containment"]
+            for r in dedup.lsh_ensemble_containment(
+                docs, probes, "doc_id", "text", n=2, threshold=0.7,
+                hash_family=fam,
+            ).collect()
+        }
+        missed = set(exact) - set(got)
+        assert not missed, (fam, missed)
+        # verified values agree with the exact baseline where shared
+        for k in exact:
+            assert abs(got[k] - exact[k]) < 1e-9, (fam, k)
+
+
+def test_lsh_ensemble_probe_never_scans_corpus_text_twice(spark, sf_dir):
+    """Bounded-cost shape: the candidate join is an equi-join on
+    (stratum, band, bucket) — never a cartesian/BNLJ over the corpus —
+    and zero-shingle docs are excluded from both sides."""
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 17 == 0)
+    out = dedup.lsh_ensemble_containment(
+        docs, probes, "doc_id", "text", threshold=0.7
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the config relation rides a broadcast; the key join is hash/merge
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )

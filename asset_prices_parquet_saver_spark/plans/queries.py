@@ -7436,17 +7436,70 @@ def keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-8 window: flagship first (entry() smoke-checks it);
-    # then ALL 42 queries whose latest driver evidence is round 4 (the
-    # full VERDICT r7 #1 rotation queue, alphabetical); the new
-    # zero-evidence real-decode query (media_real_decode_meta, closes
-    # the X5 partial); and 6 round-5-evidence entries to fill the
-    # window. After this rotation no registry entry's latest driver
-    # evidence is older than r5. Demotions below the position-50
-    # marker all have r5-r7 driver-green evidence and stay registered,
-    # tested, and hash-checked by the local gate clone
+    # ---- round-9 window: flagship first (entry() smoke-checks it);
+    # then the 4 zero-driver-evidence queries (phrase_search,
+    # proximity_search, pmi_cooccurrence added after the r8 window
+    # froze; lsh_ensemble_containment new this round); then ALL 34
+    # queries whose latest driver evidence is round 5 (the full
+    # VERDICT r8 #1 rotation queue, alphabetical — includes
+    # approx_user_stats, rows-only-by-design, whose last rows-only
+    # evidence is r5); and 11 round-6-evidence entries (alphabetical)
+    # to fill the window. After this rotation no registry entry's
+    # latest driver evidence is older than r6. Demotions below the
+    # position-50 marker all have r6-r8 driver-green evidence and stay
+    # registered, tested, and hash-checked by the local gate clone
     # (scripts/oracle_check.py).
     "flagship_pricing_summary",
+    "phrase_search",
+    "proximity_search",
+    "pmi_cooccurrence",
+    "lsh_ensemble_containment",
+    "ann_hamming_rerank",
+    "ann_hamming_topk",
+    "ann_hamming_words_topk",
+    "approx_user_stats",
+    "cube_order_stats",
+    "daily_event_digest",
+    "dedup_exact_first_events",
+    "duplicate_rate_by_source",
+    "embedding_int8_quantization",
+    "event_segment_asof",
+    "event_transition_matrix",
+    "events_in_campaign_windows",
+    "grouping_sets_order_stats",
+    "important_parts_value",
+    "interarrival_histogram",
+    "interpolated_price_quantiles",
+    "inverted_index",
+    "large_volume_orders",
+    "media_features",
+    "price_quantiles_cont_by_flag",
+    "purchase_attribution",
+    "qty_price_correlation",
+    "rank_functions",
+    "revenue_pareto",
+    "revenue_share_per_nation",
+    "rfm_segments",
+    "scd2_user_segments",
+    "session_window_bars",
+    "shipping_delay_histogram",
+    "small_quantity_revenue",
+    "term_counts_udtf",
+    "tick_anomalies",
+    "topk_orders_per_customer",
+    "weekly_revenue_growth",
+    "above_avg_parts",
+    "adjusted_closes",
+    "ann_lsh_topk",
+    "approx_user_stats_bound",
+    "argmax_per_nation",
+    "asof_last_purchase",
+    "asof_price_lookup",
+    "atr_indicator",
+    "beta_vs_market",
+    "bollinger_bands",
+    "category_universe",
+    # ---- gate-window boundary (position 50) ----
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",
@@ -7496,17 +7549,6 @@ _GATE_ORDER = [
     "media_ppm_resize_meta",
     "winnowing_fingerprints",
     "gopher_quality_flags",
-    # ---- gate-window boundary (position 50) ----
-    # r9 rotation head: zero-evidence, added after the r8 window froze
-    "phrase_search",
-    "proximity_search",
-    "pmi_cooccurrence",
-    "ann_hamming_rerank",
-    "ann_hamming_topk",
-    "ann_hamming_words_topk",
-    "cube_order_stats",
-    "daily_event_digest",
-    "dedup_exact_first_events",
     "minhash_lsh_pairs",
     "minute_floor_counts",
     "normalize_case_rename",
@@ -7560,19 +7602,13 @@ _GATE_ORDER = [
     "ewma_closes",
     "sharpe_ratio",
     "return_correlations",
-    "atr_indicator",
     "stochastic_oscillator",
     "pca_projection",
-    "adjusted_closes",
     "weekly_ohlc_bars",
     "monthly_returns",
-    "approx_user_stats_bound",
     "cohort_retention",
     "twap_daily",
-    "bollinger_bands",
     "rsi_indicator",
-    "beta_vs_market",
-    "above_avg_parts",
     "conditional_agg",
     "date_arithmetic",
     "event_type_journey",
@@ -7581,11 +7617,6 @@ _GATE_ORDER = [
     "null_handling",
     "value_dispersion_stats",
     "embedding_near_pairs",
-    "ann_lsh_topk",
-    "argmax_per_nation",
-    "asof_last_purchase",
-    "asof_price_lookup",
-    "category_universe",
     "cosine_topk",
     "daily_rollup",
     "dedup_exact_documents",
@@ -7601,34 +7632,6 @@ _GATE_ORDER = [
     "media_frame_sample",
     "media_payload_meta",
     "macd_closes",
-    "media_features",
-    "inverted_index",
-    "embedding_int8_quantization",
-    "session_window_bars",
-    "approx_user_stats",
-    "rfm_segments",
-    "event_transition_matrix",
-    "shipping_delay_histogram",
-    "revenue_share_per_nation",
-    "tick_anomalies",
-    "weekly_revenue_growth",
-    "purchase_attribution",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "interarrival_histogram",
-    "revenue_pareto",
-    "duplicate_rate_by_source",
-    "scd2_user_segments",
-    "important_parts_value",
-    "event_segment_asof",
-    "term_counts_udtf",
-    "events_in_campaign_windows",
-    "topk_orders_per_customer",
-    "rank_functions",
-    "grouping_sets_order_stats",
-    "interpolated_price_quantiles",
-    "qty_price_correlation",
-    "price_quantiles_cont_by_flag",
 ]
 
 

@@ -592,3 +592,43 @@ def test_lsh_ensemble_probe_never_scans_corpus_text_twice(spark, sf_dir):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_ensemble_index_probe_matches_batch_and_never_shuffles_index(spark, sf_dir):
+    """build_ensemble_index + containment_probe_indexed: identical
+    output to the one-shot lsh_ensemble_containment, and the probe
+    join shuffles ONLY the batch side — the bucketed index streams
+    through a ShuffledHashJoin in place (the contamination-check-as-a-
+    service shape: corpus work paid once at build time)."""
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    tbl = "ensemble_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        docs = read_table(spark, sf_dir, "documents")
+        probes = docs.filter(F.col("doc_id") % 17 == 0)
+        dedup.build_ensemble_index(
+            docs, "doc_id", "text", tbl, threshold=0.7, num_buckets=8
+        )
+        batch = {
+            (r["id_q"], r["id_x"], r["containment"])
+            for r in dedup.lsh_ensemble_containment(
+                docs, probes, "doc_id", "text", threshold=0.7
+            ).collect()
+        }
+        out = dedup.containment_probe_indexed(
+            spark, probes, tbl, "doc_id", "text", threshold=0.7
+        )
+        got = {(r["id_q"], r["id_x"], r["containment"]) for r in out.collect()}
+        assert got == batch and got
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan  # index read in place
+        # shuffle exchanges in the FINAL plan (the AQE string repeats
+        # everything in its Initial Plan section, and the bounded
+        # config broadcast is not a shuffle): the probe side into the
+        # join + the final distinct — never the O(corpus) index side
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") <= 2, final
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -96,16 +96,37 @@ def word_shingles(text: Column, n: int) -> Column:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation both the
-    exact-Jaccard and MinHash paths consume. Spread to full parallelism
-    first: the interpreted word_shingles transform otherwise runs in
-    the scan's 1-3 input partitions, serializing the dominant cost of
-    every consumer on as many cores (same rule as shingle_arrays)."""
+    """Distinct (id, shingle) pairs — the set representation the
+    contamination screen consumes. Arrow-batched kernel: tokenize,
+    n-gram, and PER-DOCUMENT dedup happen in one Python pass
+    (:func:`_shingle_set`, the shared tokenizer of both hash families;
+    the interpreted ``word_shingles`` HOF ran one closure call per
+    gram) — and because each document is ONE input row, per-document
+    dedup IS the global distinct for one-row-per-id frames (the
+    documents-table contract every caller satisfies), so the distinct
+    SHUFFLE disappears entirely. Spread to full parallelism first:
+    a small parquet scan arrives in 1-3 partitions, which would
+    serialize the kernel on as many cores."""
+    import re as _re
+
+    import pandas as pd
+
+    def kernel(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids: list = []
+            shingles: list = []
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                sh = _shingle_set(txt, n, ws)
+                ids.extend([doc_id] * len(sh))
+                shingles.extend(sh)
+            yield pd.DataFrame({"id": ids, "shingle": shingles})
+
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(par)
-        .select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(kernel, "id long, shingle string")
     )
 
 

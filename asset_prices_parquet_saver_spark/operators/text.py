@@ -132,20 +132,48 @@ def tfidf_top_terms(
     and tie-broken by term, so the result set is deterministic across
     engines (same discipline as the cosine queries).
 
-    Scale shape: two shuffles keyed on (id) and (term) — both map-side
-    combinable aggregations; the document-frequency side is a
-    term-keyed aggregate joined back on term (AQE broadcasts it when
-    small); the corpus size N is a 1-row broadcast. Top-k ranking
-    windows per document, never globally.
+    Scale shape: the (id, term) tf relation is built AND fully counted
+    inside an Arrow-batched kernel (a term's in-document count is
+    complete within its own row), so the old token explode + (id,
+    term) groupBy SHUFFLE disappears; remaining shuffles are the (id)
+    and (term) reductions over already-counted rows. The
+    document-frequency side is a term-keyed aggregate joined back on
+    term (AQE broadcasts it when small); the corpus size N is a 1-row
+    broadcast. Top-k ranking windows per document, never globally.
     """
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    def tf_counts(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            ns: list = []
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                for term, c in Counter(
+                    t for t in ws.split(txt) if t
+                ).items():
+                    ids.append(doc_id)
+                    terms.append(term)
+                    ns.append(c)
+            yield pd.DataFrame({"id": ids, "term": terms, "n": ns})
+
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # unserialize the interpreted words() HOF
-    toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
+        df = df.repartition(par)  # spread the kernel across all cores
     # one corpus scan: doclen / dfreq / ndocs all derive from the tf
-    # aggregate, which is materialized once (without the barrier the
+    # relation, which is materialized once (without the barrier the
     # optimizer plans four independent scans of the corpus)
-    tf = toks.groupBy("id", "term").agg(F.count("*").alias("n")).localCheckpoint()
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(tf_counts, "id long, term string, n long")
+        .localCheckpoint()
+    )
     doclen = tf.groupBy("id").agg(F.sum("n").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = doclen.agg(F.count("*").alias("n_docs"))
@@ -232,37 +260,54 @@ def repetition_stats(
     values flag boilerplate/spam before training. Docs shorter than
     ``n_dup`` words are excluded.
 
-    ONE corpus scan: both gram sizes explode together under a kind
-    tag, so the (id, kind, gram) count aggregate serves BOTH metrics —
-    the previous two-branch form scanned and exploded the corpus twice
-    and spent a distinct-aggregate expand on n_distinct, which here is
-    just the per-(id, kind) row count of the gram-count relation. The
-    second aggregate runs over gram-count rows (already reduced), and
-    the final per-doc fold is a conditional pivot — no join."""
-    from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
+    ONE corpus scan, ZERO gram-keyed shuffles: both gram sizes are
+    built AND fully counted inside an Arrow-batched kernel — a gram's
+    (id, kind) count is complete within its own document row, so the
+    kernel's (id, k, g, c) output already IS the gram-count relation
+    the old (id, kind, gram) groupBy shuffled the exploded grams to
+    produce (and the interpreted word_shingles HOF built one closure
+    call per gram — the winnowing/PMI lesson). The only shuffle left
+    is the per-(id, kind) reduction over already-counted rows; the
+    final per-doc fold is a conditional pivot — no join."""
+    import re as _re
+    from collections import Counter
 
-    t = F.col(text_col)
-    # spread to full parallelism BEFORE the interpreted shingle
-    # transforms: a small parquet scan arrives in 1-3 partitions, which
-    # would serialize the per-doc gram building on as many cores (the
-    # same rule as shingle_arrays' kernel)
+    import pandas as pd
+
+    def gram_counts(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+        for pdf in batches:
+            ids: list = []
+            ks: list = []
+            gs: list = []
+            cs: list = []
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                w = [t for t in ws.split(txt) if t]
+                for k, nn in ((0, n_dup), (1, n_top)):
+                    if len(w) < nn:
+                        continue  # word_shingles' short-doc [] semantics
+                    grams = Counter(
+                        " ".join(w[i : i + nn])
+                        for i in range(len(w) - nn + 1)
+                    )
+                    for g, c in grams.items():
+                        ids.append(doc_id)
+                        ks.append(k)
+                        gs.append(g)
+                        cs.append(c)
+            yield pd.DataFrame({"id": ids, "k": ks, "g": gs, "c": cs})
+
+    # spread to full parallelism BEFORE the kernel: a small parquet
+    # scan arrives in 1-3 partitions, which would serialize the per-doc
+    # gram building on as many cores (the same rule as shingle_arrays)
     par = df.sparkSession.sparkContext.defaultParallelism
-    tagged = df.repartition(par).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.concat(
-                F.transform(
-                    word_shingles(t, n_dup),
-                    lambda g: F.struct(F.lit(0).alias("k"), g.alias("g")),
-                ),
-                F.transform(
-                    word_shingles(t, n_top),
-                    lambda g: F.struct(F.lit(1).alias("k"), g.alias("g")),
-                ),
-            )
-        ).alias("t"),
-    ).select("id", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
-    counts = tagged.groupBy("id", "k", "g").agg(F.count("*").alias("c"))
+    counts = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(gram_counts, "id long, k int, g string, c long")
+    )
     per = counts.groupBy("id", "k").agg(
         F.sum("c").alias("tot"),
         F.count("*").alias("nd"),

@@ -805,7 +805,7 @@ def ensemble_band_config(
 
 def lsh_ensemble_containment(
     corpus: DataFrame,
-    probes: DataFrame,
+    probes: DataFrame | Column,
     id_col: str,
     text_col: str,
     n: int = 2,
@@ -843,7 +843,14 @@ def lsh_ensemble_containment(
     ``bounded_broadcast``). ``hash_family="md5"`` swaps in the
     engine-portable md5-60 signatures so the SQL oracle replays the
     candidate set bit-for-bit (the gate-checked variant);
-    ``"xxhash64"`` is the vectorized scale default."""
+    ``"xxhash64"`` is the vectorized scale default.
+
+    ``probes`` is either a DataFrame of query documents (same id/text
+    columns) or a ``Column`` PREDICATE over the signature relation's
+    ``id`` column — the probes-are-a-corpus-subset case (benchmark
+    slices, contamination screens): the corpus signatures are computed
+    ONCE and the probe side is a filter of the same checkpointed
+    relation, never a second tokenize/hash pass."""
     from asset_prices_parquet_saver_spark.functions.hints import (
         bounded_broadcast,
     )
@@ -861,11 +868,16 @@ def lsh_ensemble_containment(
         .filter(F.col("n_sh") > 0)
         .localCheckpoint()
     )
-    p_sig = (
-        signature_frame(probes, id_col, text_col, n, num_hashes, hash_family)
-        .filter(F.col("n_sh") > 0)
-        .localCheckpoint()
-    )
+    if isinstance(probes, Column):
+        p_sig = c_sig.filter(probes)
+    else:
+        p_sig = (
+            signature_frame(
+                probes, id_col, text_col, n, num_hashes, hash_family
+            )
+            .filter(F.col("n_sh") > 0)
+            .localCheckpoint()
+        )
     stratum = F.least(
         # +0.5 keeps log2 strictly between integers -> fp-safe floor
         F.floor(F.log2(F.col("n_sh") + F.lit(0.5))).cast("int"),
@@ -1165,22 +1177,45 @@ def _portable_signature_arrays(
     import pandas as pd
 
     def kernel(batches):
+        import numpy as np
+
         ws = _re.compile(r"\s+", _re.ASCII)
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        empty_sig = [None] * num_hashes
         for pdf in batches:
             ids, arrs, sigs = [], [], []
+            # near-dup corpora repeat shingles ACROSS documents (that
+            # is why dedup works at all), so the (num_hashes+1) md5
+            # calls per shingle are cached per distinct shingle within
+            # the batch — bounded by batch size, exact same outputs
+            cache: dict = {}
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
                 sh = _shingle_set(txt, n, ws)
-                h60 = lambda s: int(  # noqa: E731
-                    hashlib.md5(s.encode()).hexdigest()[:15], 16
-                )
                 ids.append(doc_id)
-                arrs.append([h60(s) for s in sh])
-                sigs.append(
-                    [
-                        min((h60(f"{i}:{s}") for s in sh), default=None)
-                        for i in range(num_hashes)
-                    ]
-                )
+                if not sh:
+                    arrs.append([])
+                    sigs.append(empty_sig)
+                    continue
+                arr = []
+                seed_rows = []
+                for s in sh:
+                    hit = cache.get(s)
+                    if hit is None:
+                        hit = (
+                            h60(s),
+                            np.asarray(
+                                [h60(f"{i}:{s}") for i in range(num_hashes)],
+                                dtype=np.int64,
+                            ),
+                        )
+                        cache[s] = hit
+                    arr.append(hit[0])
+                    seed_rows.append(hit[1])
+                arrs.append(arr)
+                sigs.append(np.minimum.reduce(seed_rows).tolist())
             yield pd.DataFrame({"id": ids, "arr": arrs, "sig": sigs})
 
     par = df.sparkSession.sparkContext.defaultParallelism

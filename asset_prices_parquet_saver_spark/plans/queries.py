@@ -2479,9 +2479,10 @@ _ENSEMBLE_CFG_SQL = ", ".join(f"({p}, {r}, {b})" for p, r, b in _ENSEMBLE_CFG)
 def lsh_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3 scale path: probe-vs-corpus containment search via size-stratified MinHash LSH (LSH Ensemble)."""
     d = read_table(spark, sf_dir, "documents")
-    probes = d.filter(F.col("doc_id") % 17 == 0)
+    # probes are a corpus slice -> Column-predicate form: ONE signature
+    # pass, the probe side filters the same checkpointed relation
     return dedup_ops.lsh_ensemble_containment(
-        d, probes, "doc_id", "text", n=2, threshold=0.7,
+        d, F.col("id") % 17 == 0, "doc_id", "text", n=2, threshold=0.7,
         num_hashes=32, q_min=8, max_stratum=20, hash_family="md5",
     )
 

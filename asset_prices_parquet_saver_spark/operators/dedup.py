@@ -172,6 +172,23 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def shingle_arrays_unordered(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, arr, n_sh) with the blake2b-8-hashed DISTINCT shingle set
+    in ARBITRARY order — for consumers that never prefix-filter:
+    MinHash signature building (a min over the set) and
+    ``array_intersect`` verification are order-insensitive, so
+    :func:`shingle_arrays`' global rarest-first ordering — a
+    corpus-wide frequency shuffle plus a join that exist solely for
+    the PPJoin-style prefix filters — is pure overhead there. This
+    form is ZERO-shuffle: one narrow kernel pass per partition."""
+    _sh, docs = _hashed_shingle_rows(df, id_col, text_col, n)
+    return docs.select(
+        "id", F.col("hs").alias("arr"), F.size("hs").alias("n_sh")
+    )
+
+
 def _shingle_set(txt, n: int, ws) -> set:
     """Shared tokenize→shingle-set step of BOTH Python shingle kernels
     (the blake2b fast path and the md5-60 portable path) — one place so
@@ -1111,7 +1128,7 @@ def minhash_signatures(
     shuffle beyond building the arrays, which callers reuse for
     verification."""
     return _signatures_from_arrays(
-        shingle_arrays(df, id_col, text_col, n), num_hashes
+        shingle_arrays_unordered(df, id_col, text_col, n), num_hashes
     ).select("id", "sig")
 
 
@@ -1308,8 +1325,11 @@ def minhash_dedup(
             df, id_col, text_col, n, num_hashes
         ).localCheckpoint()
     else:
+        # unordered arrays: MinHash minima and array_intersect verify
+        # are order-insensitive, so the rarest-first frequency shuffle
+        # is skipped entirely
         arrs = _signatures_from_arrays(
-            shingle_arrays(df, id_col, text_col, n), num_hashes
+            shingle_arrays_unordered(df, id_col, text_col, n), num_hashes
         ).localCheckpoint()  # eager materialization — see jaccard_pairs
     # zero-shingle docs share one degenerate all-NULL signature; banding
     # them yields O(k²) candidates that the NULL-jaccard filter later

@@ -38,7 +38,7 @@ from asset_prices_parquet_saver_spark.operators.dedup import (
     _signatures_from_arrays,
     _verified_jaccard,
     banded_keys,
-    shingle_arrays,
+    shingle_arrays_unordered,
 )
 from asset_prices_parquet_saver_spark.functions.portable_hash import md5_int60
 from asset_prices_parquet_saver_spark.sources import manifest
@@ -91,7 +91,7 @@ def signature_frame(
             "id", "arr", "n_sh", "sig"
         )
     return _signatures_from_arrays(
-        shingle_arrays(df, id_col, text_col, n), num_hashes
+        shingle_arrays_unordered(df, id_col, text_col, n), num_hashes
     ).select("id", "arr", "n_sh", "sig")
 
 

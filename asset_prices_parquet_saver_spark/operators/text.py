@@ -341,19 +341,44 @@ def top_ngrams(
 ) -> DataFrame:
     """X4 corpus statistic: the k most frequent word n-grams across the
     whole corpus (ngram, n), deterministically tie-broken by the ngram
-    string. One map-side-combinable aggregation + a distributed
-    TakeOrdered top-k — no global sort materializes."""
-    from asset_prices_parquet_saver_spark.operators.dedup import word_shingles
+    string. Grams are built AND pre-counted per partition batch in an
+    Arrow-batched kernel (the interpreted word_shingles HOF ran one
+    closure call per gram — the winnowing/PMI lesson), so the one
+    combinable shuffle carries (ngram, partial_count); the top-k is a
+    distributed TakeOrdered — no global sort materializes."""
+    import re as _re
+    from collections import Counter
 
-    # spread first — the interpreted shingle transform serializes in
-    # the scan's 1-3 partitions otherwise (see shingle_table)
+    import pandas as pd
+
+    def gram_counts(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+        for pdf in batches:
+            c: Counter = Counter()
+            for txt in pdf["text"]:
+                if txt is None:
+                    continue
+                w = [t for t in ws.split(txt) if t]
+                if len(w) < n:
+                    continue
+                c.update(
+                    " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                )
+            yield pd.DataFrame(
+                {"ngram": list(c.keys()), "c": list(c.values())}
+            )
+
+    # spread first — a small scan's 1-3 partitions would serialize the
+    # kernel on as many cores (see shingle_table)
     par = df.sparkSession.sparkContext.defaultParallelism
-    grams = df.repartition(par).select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    grams = (
+        df.repartition(par)
+        .select(F.col(text_col).alias("text"))
+        .mapInPandas(gram_counts, "ngram string, c long")
     )
     return (
         grams.groupBy("ngram")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.sum("c").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(k)
     )
@@ -857,36 +882,94 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     dedup: word-count band, mean-word-length band, symbol-to-word
     ratio (# and … as in the paper), fraction of words containing an
     alphabetic character, and distinct-stopword presence. One narrow
-    map per document; no shuffle at all."""
-    t = F.col(text_col)
-    w = words(t)
-    nw = F.size(w)
-    nwd = nw.cast("double")
-    awl = avg_word_len(t)
-    n_symbols = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0))
-    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
-    distinct_stops = F.size(
-        F.array_distinct(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS)))
-    )
-    ok_words = nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    ok_awl = (awl >= GOPHER_MIN_AVG_WORD_LEN) & (awl <= GOPHER_MAX_AVG_WORD_LEN)
-    ok_symbols = F.when(
-        nw > 0, n_symbols.cast("double") / nwd < GOPHER_MAX_SYMBOL_RATIO
-    ).otherwise(F.lit(False))
-    ok_alpha = F.when(
-        nw > 0, alpha_words.cast("double") / nwd > GOPHER_MIN_ALPHA_WORD_FRAC
-    ).otherwise(F.lit(False))
-    ok_stops = distinct_stops >= GOPHER_MIN_DISTINCT_STOPWORDS
-    return df.select(
-        F.col(id_col),
-        nw.alias("n_words"),
-        F.round(awl, 6).alias("avg_word_len"),
-        ok_words.alias("ok_word_count"),
-        ok_awl.alias("ok_avg_word_len"),
-        ok_symbols.alias("ok_symbol_ratio"),
-        ok_alpha.alias("ok_alpha_words"),
-        ok_stops.alias("ok_stopwords"),
-        (ok_words & ok_awl & ok_symbols & ok_alpha & ok_stops).alias("keep"),
+    Arrow-batched kernel per partition, no shuffle at all — the
+    pure-Catalyst form chained five interpreted HOF lambdas per
+    document (filter/aggregate/array_distinct closures, no codegen)
+    and was the costliest pure-map query in the bench.
+
+    Kernel semantics mirror the SQL oracle bit-for-bit: ASCII-\\s
+    tokenize, char-count word lengths, non-overlapping left-to-right
+    regex for the symbol count, and the empty-doc NULL discipline of
+    the expression form (avg_word_len/ok_avg_word_len are NULL at
+    n_words = 0; the SQL FALSE-AND-NULL fold still yields keep =
+    FALSE)."""
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    stops = set(STOPWORDS)
+    _q6 = Decimal("0.000001")
+
+    def _round6(x: float) -> float:
+        # Spark's F.round is HALF_UP over the exact binary double
+        # (BigDecimal(double)); Python's round() is banker's — the two
+        # differ on exact 7th-decimal ties (e.g. 45/128)
+        return float(Decimal(x).quantize(_q6, rounding=ROUND_HALF_UP))
+
+    def flags(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+        sym = _re.compile(r"#|\.\.\.")
+        alpha = _re.compile(r"[a-zA-Z]")
+        for pdf in batches:
+            out = {
+                "id": [], "n_words": [], "avg_word_len": [],
+                "ok_word_count": [], "ok_avg_word_len": [],
+                "ok_symbol_ratio": [], "ok_alpha_words": [],
+                "ok_stopwords": [], "keep": [],
+            }
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                w = [t for t in ws.split(txt) if t] if txt is not None else []
+                nw = len(w)
+                out["id"].append(doc_id)
+                out["n_words"].append(nw)
+                if nw == 0:
+                    # expression-form NULL discipline: avg over an
+                    # empty doc is NULL, so its band check is NULL too;
+                    # keep folds to FALSE via FALSE AND NULL
+                    out["avg_word_len"].append(None)
+                    out["ok_avg_word_len"].append(None)
+                    out["ok_word_count"].append(False)
+                    out["ok_symbol_ratio"].append(False)
+                    out["ok_alpha_words"].append(False)
+                    out["ok_stopwords"].append(False)
+                    out["keep"].append(False)
+                    continue
+                awl = sum(len(t) for t in w) / nw
+                n_sym = len(sym.findall(txt))
+                n_alpha = sum(1 for t in w if alpha.search(t))
+                n_stops = len({t.lower() for t in w if t.lower() in stops})
+                ok_words = GOPHER_MIN_WORDS <= nw <= GOPHER_MAX_WORDS
+                ok_awl = (
+                    GOPHER_MIN_AVG_WORD_LEN <= awl <= GOPHER_MAX_AVG_WORD_LEN
+                )
+                ok_sym = n_sym / nw < GOPHER_MAX_SYMBOL_RATIO
+                ok_alpha = n_alpha / nw > GOPHER_MIN_ALPHA_WORD_FRAC
+                ok_stops = n_stops >= GOPHER_MIN_DISTINCT_STOPWORDS
+                out["avg_word_len"].append(_round6(awl))
+                out["ok_word_count"].append(ok_words)
+                out["ok_avg_word_len"].append(ok_awl)
+                out["ok_symbol_ratio"].append(ok_sym)
+                out["ok_alpha_words"].append(ok_alpha)
+                out["ok_stopwords"].append(ok_stops)
+                out["keep"].append(
+                    ok_words and ok_awl and ok_sym and ok_alpha and ok_stops
+                )
+            yield pd.DataFrame(out)
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # spread the kernel across all cores
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .mapInPandas(
+            flags,
+            "id long, n_words int, avg_word_len double, "
+            "ok_word_count boolean, ok_avg_word_len boolean, "
+            "ok_symbol_ratio boolean, ok_alpha_words boolean, "
+            "ok_stopwords boolean, keep boolean",
+        )
+        .withColumnRenamed("id", id_col)
     )
 
 

@@ -1,10 +1,15 @@
 """Text-analysis operators (X4; SURVEY §2.11): quality stats, language
-ID, token counting, document fingerprinting.
+ID, token counting, document fingerprinting, retrieval, collocations.
 
-All built-in/higher-order functions — no Python in the hot path; every
-expression is chosen to be bit-reproducible in an ANSI-SQL oracle
-(integer arithmetic, guarded division, same regexes in Java and RE2
-dialect subset).
+Expression strategy: JVM built-ins for cheap per-row work; Arrow-
+batched ``mapInPandas`` kernels wherever per-token/per-gram math
+dominates — Catalyst higher-order-function lambda chains run
+INTERPRETED (no codegen), measured 2-18x slower than the numpy/Counter
+kernels that replaced them (winnowing, PMI, repetition, tf, n-grams,
+Gopher flags). Every path — expression or kernel — is chosen to be
+bit-reproducible in an ANSI-SQL oracle: integer arithmetic, guarded
+division, ASCII-only tokenization (RE2/Java '\\s'), HALF_UP decimal
+rounding, same regexes in the Java/RE2 dialect subset.
 """
 
 from __future__ import annotations

@@ -66,3 +66,17 @@ def weighted_mean_per_group(
     return df.groupBy(group_col).agg(
         F.round(wmean(F.col(value_col), F.col(weight_col)), 6).alias("wmean")
     )
+
+
+def chunked(frame, max_rows: int = 65536):
+    """Yield a kernel's output pandas frame in row slices.
+
+    ``mapInPandas`` serializes each yielded frame as ONE Arrow record
+    batch allocated whole in executor memory — a 10k-document input
+    batch that fans out to ~1M gram/posting rows would otherwise spike
+    the heap per task (measured: Java heap OOM in the sf1 bench block
+    under 32 concurrent tasks after the text kernels started emitting
+    fan-out relations). Slicing caps the per-batch footprint without
+    changing the emitted rows."""
+    for i in range(0, len(frame), max_rows):
+        yield frame.iloc[i : i + max_rows]

@@ -111,6 +111,8 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     def kernel(batches):
         ws = _re.compile(r"\s+", _re.ASCII)
         for pdf in batches:
@@ -120,7 +122,7 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
                 sh = _shingle_set(txt, n, ws)
                 ids.extend([doc_id] * len(sh))
                 shingles.extend(sh)
-            yield pd.DataFrame({"id": ids, "shingle": shingles})
+            yield from chunked(pd.DataFrame({"id": ids, "shingle": shingles}))
 
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
@@ -1193,6 +1195,8 @@ def _portable_signature_arrays(
 
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     def kernel(batches):
         import numpy as np
 
@@ -1233,7 +1237,9 @@ def _portable_signature_arrays(
                     seed_rows.append(hit[1])
                 arrs.append(arr)
                 sigs.append(np.minimum.reduce(seed_rows).tolist())
-            yield pd.DataFrame({"id": ids, "arr": arrs, "sig": sigs})
+            yield from chunked(
+                pd.DataFrame({"id": ids, "arr": arrs, "sig": sigs}), 8192
+            )
 
     par = df.sparkSession.sparkContext.defaultParallelism
     return (

@@ -151,6 +151,8 @@ def tfidf_top_terms(
 
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     def tf_counts(batches):
         ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
         for pdf in batches:
@@ -166,7 +168,7 @@ def tfidf_top_terms(
                     ids.append(doc_id)
                     terms.append(term)
                     ns.append(c)
-            yield pd.DataFrame({"id": ids, "term": terms, "n": ns})
+            yield from chunked(pd.DataFrame({"id": ids, "term": terms, "n": ns}))
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
@@ -279,6 +281,8 @@ def repetition_stats(
 
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     def gram_counts(batches):
         ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
         for pdf in batches:
@@ -302,7 +306,7 @@ def repetition_stats(
                         ks.append(k)
                         gs.append(g)
                         cs.append(c)
-            yield pd.DataFrame({"id": ids, "k": ks, "g": gs, "c": cs})
+            yield from chunked(pd.DataFrame({"id": ids, "k": ks, "g": gs, "c": cs}))
 
     # spread to full parallelism BEFORE the kernel: a small parquet
     # scan arrives in 1-3 partitions, which would serialize the per-doc
@@ -356,6 +360,8 @@ def top_ngrams(
 
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     def gram_counts(batches):
         ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
         for pdf in batches:
@@ -369,8 +375,8 @@ def top_ngrams(
                 c.update(
                     " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
                 )
-            yield pd.DataFrame(
-                {"ngram": list(c.keys()), "c": list(c.values())}
+            yield from chunked(
+                pd.DataFrame({"ngram": list(c.keys()), "c": list(c.values())})
             )
 
     # spread first — a small scan's 1-3 partitions would serialize the
@@ -1230,6 +1236,8 @@ def pmi_cooccurrence(
     import numpy as np
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     ws_re = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
 
     def pair_counts_kernel(
@@ -1278,7 +1286,7 @@ def pmi_cooccurrence(
                 .reset_index(name="c")
             )
             part["c"] = part["c"].astype("int64")
-            yield part
+            yield from chunked(part)
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:

@@ -53,7 +53,13 @@ def get_spark(
         # the reference's skip-list pruning before the expensive fetch.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g on a 128 GiB local[32] host: the Arrow text kernels emit
+        # fan-out relations whose batches + localCheckpoint blocks
+        # overflowed 8g under 32 concurrent sf1 tasks (output chunking
+        # in functions/pandas_ops.chunked is the first-order fix; the
+        # headroom covers checkpoint-block accumulation across a long
+        # bench process)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # RocksDB state store: stateful streaming state (session windows,

@@ -221,6 +221,8 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
     import numpy as np
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
     def hash_shingles(batches):
         ws = _re.compile(r"\s+", _re.ASCII)
         for pdf in batches:
@@ -241,7 +243,7 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
                 )
                 ids.append(doc_id)
                 arrs.append(hs)
-            yield pd.DataFrame({"id": ids, "hs": arrs})
+            yield from chunked(pd.DataFrame({"id": ids, "hs": arrs}), 8192)
 
     par = df.sparkSession.sparkContext.defaultParallelism
     docs = (
@@ -1146,6 +1148,10 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import (
+        chunked as _chunked,
+    )
+
     seeds = np.arange(1, num_hashes + 1, dtype="uint64") * np.uint64(
         0x9E3779B97F4A7C15
     )
@@ -1170,7 +1176,7 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
                 sigs.append(m.astype("int64").tolist())
             out = pdf[["id", "arr", "n_sh"]].copy()
             out["sig"] = sigs
-            yield out
+            yield from _chunked(out, 8192)
 
     return arrs.select("id", "arr", "n_sh").mapInPandas(
         gen, "id long, arr array<long>, n_sh int, sig array<long>"

@@ -806,6 +806,10 @@ def winnowing_fingerprints(
     import numpy as np
     import pandas as pd
 
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import (
+        chunked as _chunked,
+    )
+
     mod = 1_000_000_007
     ws_re = re.compile(r"\s+", re.ASCII)  # Java/RE2 '\s' is ASCII-only
 
@@ -860,7 +864,9 @@ def winnowing_fingerprints(
                         out_ids.append(gram_rows[start][0])
                         out_fps.append(int(fp))
                     start = r
-            yield pd.DataFrame({"id": out_ids, "fingerprint": out_fps})
+            yield from _chunked(
+                pd.DataFrame({"id": out_ids, "fingerprint": out_fps})
+            )
 
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:

@@ -213,10 +213,16 @@ def _clear_memos() -> None:
     (memo-empty) measurement; the warm path is reported separately as
     ``memo_warm`` so the memo win stays visible without polluting the
     cross-round comparisons."""
-    from asset_prices_parquet_saver_spark.operators import dedup, similarity
+    from asset_prices_parquet_saver_spark.operators import (
+        dedup,
+        similarity,
+        text,
+    )
 
     dedup._LSH_MEMO.clear()
     similarity._PAIR_MEMO.clear()
+    # phrase/proximity memoize their term-filtered postings checkpoint
+    text._POSTINGS_MEMO.clear()
 
 
 def _time_queries(
@@ -524,12 +530,21 @@ def main() -> None:
             if n in prev_t and prev_t[n] > 0 and timings[n] > 0
         )
         scale = ratios[len(ratios) // 2] if ratios else 1.0
+        # Asymmetric application (r9 lesson): scaling the baseline DOWN
+        # in a faster-than-last-round window under-estimates sub-second
+        # queries — their ~0.3-0.5 s fixed overhead (scheduling, JVM,
+        # Arrow setup) does not shrink with host weather, so a 0.81
+        # scale flagged five untouched overhead-dominated queries. A
+        # slower window still scales UP (the r7 mass-false-flag case);
+        # a faster window compares against the unscaled prev — a real
+        # regression must then simply exceed prev + noise outright.
+        cmp_scale = max(scale, 1.0)
         regressions, wins = {}, {}
         for name, t_new in timings.items():
             t_old = prev_t.get(name)
             if t_old is None:
                 continue
-            t_old_scaled = round(t_old * scale, 3)
+            t_old_scaled = round(t_old * cmp_scale, 3)
             # noise floor = spreads AND a 40% relative band: host drift
             # is time-varying WITHIN a session (measured r8: the tail
             # of an unchanged-code run slowed ~1.4x and flagged 12
@@ -538,7 +553,7 @@ def main() -> None:
             # weather, not code (NOTES.md: 5-10x between windows)
             noise = max(
                 spreads.get(name, 0.0),
-                prev_s.get(name, 0.0) * scale,
+                prev_s.get(name, 0.0) * cmp_scale,
                 0.4 * t_old_scaled,
             )
             delta = round(t_new - t_old_scaled, 3)

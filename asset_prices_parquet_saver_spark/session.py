@@ -53,13 +53,14 @@ def get_spark(
         # the reference's skip-list pruning before the expensive fetch.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # 16g on a 128 GiB local[32] host: the Arrow text kernels emit
-        # fan-out relations whose batches + localCheckpoint blocks
-        # overflowed 8g under 32 concurrent sf1 tasks (output chunking
-        # in functions/pandas_ops.chunked is the first-order fix; the
-        # headroom covers checkpoint-block accumulation across a long
-        # bench process)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 8g, MEASURED: a 16g heap (tried when the unchunked Arrow text
+        # kernels OOMed the sf1 bench block) slowed the shuffle-heavy
+        # giants >2x — jaccard_near_dup_pairs at sf1 ran 29 s under 8g
+        # vs 63-72 s under 16g, same minute, same code (GC regime on a
+        # single 32-thread JVM). The real OOM fix is output chunking
+        # (functions/pandas_ops.chunked) capping per-batch Arrow
+        # footprint; the heap stays small so collections stay short.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # RocksDB state store: stateful streaming state (session windows,

@@ -1482,6 +1482,52 @@ def fuzzy_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def fuzzy_dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score: Column,
+    n: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    memo: bool = False,
+) -> DataFrame:
+    """:func:`fuzzy_dedup` with a QUALITY-AWARE survivor policy: each
+    near-dup component keeps its best-``score`` member (ties → minimum
+    id) instead of blindly the minimum id — the production curation
+    rule ("keep the longest / cleanest variant of a duplicated page",
+    e.g. ``score = F.size(words(text))`` or a quality-classifier
+    margin) that min-id cannot express. ``score`` is any Column over
+    ``df``'s columns. Rows in no near-dup pair survive untouched.
+
+    Scale shape: identical to :func:`fuzzy_dedup` up to the component
+    relation (LSH bands → exact verify → CC, memo-shared with it);
+    the winner election is ONE combinable max-of-struct aggregate per
+    component — (score, −id) lexicographic max, so the argmax is
+    deterministic with no window over the corpus — plus the same
+    anti-join."""
+    comp = _components_memo(
+        df, id_col, text_col, n, num_hashes, bands, threshold,
+        hash_family, memo,
+    )
+    scored = df.select(F.col(id_col).alias("id"), score.alias("s"))
+    labeled = comp.join(scored, "id")  # comp covers only PAIRED docs
+    winners = (
+        labeled.groupBy("component")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("id")).alias("negid"))).alias("w"))
+        .select("component", (-F.col("w.negid")).alias("winner_id"))
+    )
+    losers = (
+        labeled.join(winners, "component")
+        .filter(F.col("id") != F.col("winner_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    # no broadcast hint — see fuzzy_dedup
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------------- SimHash
 
 def simhash(

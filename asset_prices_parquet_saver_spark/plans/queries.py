@@ -3801,6 +3801,59 @@ def fuzzy_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+# --- X2 fuzzy dedup with the QUALITY-AWARE survivor policy (keep the
+# LONGEST variant of each near-dup cluster, ties -> min id) — the
+# curation rule min-id can't express. Shares the md5 CTE chain and the
+# memoized Spark component relation with fuzzy_dedup_documents; the
+# oracle elects winners with a window over full component membership
+# (comp label = min of self and all reachable ids — the same fixpoint
+# the Spark min-label propagation converges to).
+@q(
+    "fuzzy_dedup_keep_longest",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM mh_pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), minlbl AS (
+      SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a
+    ), lbl AS (
+      SELECT d.doc_id AS id,
+             COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS comp
+      FROM documents d LEFT JOIN minlbl m ON d.doc_id = m.id
+    ), nw AS (
+      SELECT doc_id AS id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w != '')) AS n_words
+      FROM documents
+    ), winners AS (
+      SELECT id FROM (
+        SELECT l.id,
+               ROW_NUMBER() OVER (PARTITION BY l.comp
+                                  ORDER BY nw.n_words DESC, l.id ASC) AS rn
+        FROM lbl l JOIN nw ON nw.id = l.id) t
+      WHERE rn = 1
+    )
+    SELECT d.doc_id, d.n_chars
+    FROM documents d JOIN winners w ON d.doc_id = w.id
+    """,
+)
+def fuzzy_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: fuzzy dedup keeping each cluster's longest member (quality-aware survivor)."""
+    d = read_table(spark, sf_dir, "documents")
+    from asset_prices_parquet_saver_spark.operators.dedup import words
+
+    return dedup_ops.fuzzy_dedup_keep_best(
+        d, "doc_id", "text", score=F.size(words(F.col("text"))),
+        threshold=0.5, hash_family="md5", memo=True,
+    ).select("doc_id", "n_chars")
+
+
 # --- X3 dimensionality reduction: projection onto a pinned PCA basis
 # (the FAISS PCAMatrix/OPQ pre-transform workflow — train offline,
 # ship constants; scripts/gen_pca_components.py). The oracle inlines
@@ -7501,6 +7554,8 @@ _GATE_ORDER = [
     "bollinger_bands",
     "category_universe",
     # ---- gate-window boundary (position 50) ----
+    # r10 rotation head: zero-evidence, added after the r9 window froze
+    "fuzzy_dedup_keep_longest",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

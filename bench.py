@@ -48,6 +48,7 @@ HEADLINE = [
     "source_diff",
     "dedup_exact_documents",
     "fuzzy_dedup_documents",
+    "fuzzy_dedup_keep_longest",
     "curated_corpus",
     "jaccard_near_dup_pairs",
     "containment_pairs",

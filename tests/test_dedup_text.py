@@ -632,3 +632,39 @@ def test_ensemble_index_probe_matches_batch_and_never_shuffles_index(spark, sf_d
         assert final.count("Exchange hashpartitioning") <= 2, final
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fuzzy_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """Quality-aware survivor: in a near-dup cluster the best-scoring
+    member survives even when it is NOT the minimum id (min-id policy
+    would keep doc 1); ties fall back to min id; unpaired docs always
+    survive."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base),                        # near-dup cluster, short
+        (2, base + " extra tail words"),  # same cluster, LONGEST -> wins
+        (3, base + " extra"),             # same cluster, middle
+        (9, "completely different content entirely unrelated here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep_best(
+            df, "doc_id", "text",
+            score=F.size(dedup.words(F.col("text"))), threshold=0.5,
+        ).collect()
+    }
+    assert kept == {2, 9}
+    # tie on score -> min id: two identical docs keep the smaller id
+    tie = spark.createDataFrame(
+        [(7, base), (4, base)], "doc_id long, text string"
+    )
+    kept_tie = {
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_keep_best(
+            tie, "doc_id", "text",
+            score=F.size(dedup.words(F.col("text"))), threshold=0.5,
+        ).collect()
+    }
+    assert kept_tie == {4}

@@ -1684,3 +1684,166 @@ def dedup_cluster_report(
         sizes.groupBy("cluster_size")
         .agg(F.count("*").cast("long").alias("n_clusters"))
     )
+
+
+# ----------------------------- exact substring dedup (token spans)
+
+def window_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h) — one row per ``k``-token window, ``pos`` 1-based,
+    ``h`` a 64-bit blake2b of the window text. The first stage of the
+    exact-substring-dedup pipeline (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): windows are the
+    probe unit, spans are merged downstream.
+
+    The window hash never surfaces in a result (only merged spans do),
+    so the fast internal blake2b family is safe here — the oracle's
+    exact-gram grouping is equivalent up to a ~2^-64-per-pair collision
+    (the same argument as the jaccard shingle pipeline). Arrow-batched
+    kernel, pre-hashed in-row: the shuffle carries (long, int, long)
+    rows, never gram strings."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
+    def win_rows(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+        for pdf in batches:
+            ids: list = []
+            ps: list = []
+            hs: list = []
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                w = [t for t in ws.split(txt) if t]
+                for i in range(len(w) - k + 1):
+                    g = " ".join(w[i : i + k])
+                    ids.append(doc_id)
+                    ps.append(i + 1)
+                    hs.append(
+                        int.from_bytes(
+                            hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                            "big",
+                            signed=True,
+                        )
+                    )
+            yield from chunked(pd.DataFrame({"id": ids, "pos": ps, "h": hs}))
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(par)
+        .mapInPandas(win_rows, "id long, pos int, h long")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact substring dedup — maximal per-document token spans covered
+    by ``k``-token windows that occur verbatim in ≥ 2 DISTINCT
+    documents (the Lee et al. 2022 suffix-array dedup semantics,
+    re-expressed as window matching: a duplicated substring of
+    m ≥ k tokens is exactly a run of m−k+1 duplicated windows).
+    Returns (id, span_start, span_end, span_tokens), token positions
+    1-based inclusive.
+
+    Scale shape: one kernel pass emits pre-hashed windows
+    (:func:`window_rows`); "duplicated" is a map-side-combinable
+    min≠max-id aggregate on the window hash (no count-distinct
+    shuffle); winners equi-join back on the hash; span merging is the
+    gaps-and-islands prefix-max window per document — every shuffle is
+    O(windows), nothing all-pairs, no driver-side state. Reference
+    analogue: none (X2 family, SURVEY §2.11)."""
+    from pyspark.sql.window import Window
+
+    wins = window_rows(df, id_col, text_col, k).localCheckpoint()
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    hits = wins.join(dup_h, "h").select(
+        "id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "grp", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            (F.max("end") - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        )
+        .drop("grp")
+    )
+
+
+def excise_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Apply exact substring dedup: rebuild each affected document's
+    text with every duplicated span's tokens removed (the curation step
+    Lee et al. run after span discovery). Returns one row per CHANGED
+    document: (id, clean_text, n_tokens, n_removed) — ``n_tokens`` the
+    original token count, ``clean_text`` the surviving tokens re-joined
+    with single spaces ('' when the whole document was duplicated).
+
+    The span relation is per-document tiny (collected to an array by
+    id), so excision is one equi-join plus an Arrow-batched rebuild
+    kernel over the matched documents only — the corpus outside the
+    duplicated set is never rewritten."""
+    import re as _re
+
+    import pandas as pd
+
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
+    spans = duplicated_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans")
+    )
+    matched = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).join(per_doc, "id")
+
+    def rebuild(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids: list = []
+            cleans: list = []
+            nt: list = []
+            nr: list = []
+            for doc_id, txt, sp in zip(pdf["id"], pdf["text"], pdf["spans"]):
+                w = [t for t in ws.split(txt) if t] if txt is not None else []
+                drop = set()
+                for s in sp:
+                    drop.update(range(s["span_start"], s["span_end"] + 1))
+                kept = [t for j, t in enumerate(w, start=1) if j not in drop]
+                ids.append(doc_id)
+                cleans.append(" ".join(kept))
+                nt.append(len(w))
+                nr.append(len(w) - len(kept))
+            yield from chunked(
+                pd.DataFrame(
+                    {"id": ids, "clean_text": cleans, "n_tokens": nt, "n_removed": nr}
+                )
+            )
+
+    return matched.mapInPandas(
+        rebuild, "id long, clean_text string, n_tokens long, n_removed long"
+    )

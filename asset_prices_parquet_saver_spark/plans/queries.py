@@ -2401,6 +2401,114 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.containment_pairs(d, "doc_id", "text", n=2, threshold=0.7)
 
 
+# --- X2 exact substring dedup (Lee et al. 2022): maximal token spans
+# covered by 5-token windows occurring verbatim in ≥ 2 distinct
+# documents. Engine side hashes windows in an Arrow kernel and merges
+# spans with a gaps-and-islands window; the oracle groups the exact
+# gram strings — independent implementations of the same semantics.
+@q(
+    "substring_dup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), win AS (
+      SELECT doc_id AS id, CAST(i AS INT) AS pos, CAST(i + 4 AS INT) AS e,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(range(1, len(w) - 3)) t(i)
+      WHERE len(w) >= 5
+    ), dup AS (
+      SELECT g FROM win GROUP BY g HAVING MIN(id) <> MAX(id)
+    ), hits AS (
+      SELECT id, pos, e FROM win WHERE g IN (SELECT g FROM dup)
+    ), flagged AS (
+      SELECT id, pos, e,
+             MAX(e) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl AS (
+      SELECT id, pos, e,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    )
+    SELECT id AS doc_id, MIN(pos) AS span_start, MAX(e) AS span_end,
+           CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY id, grp
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.duplicated_spans(d, "doc_id", "text", k=5).select(
+        F.col("id").alias("doc_id"), "span_start", "span_end", "span_tokens"
+    )
+
+
+# --- X2 substring dedup APPLIED: rebuild each affected document with
+# its duplicated spans excised — the curation write-path of the span
+# report above. Only changed documents surface (n_removed > 0).
+@q(
+    "substring_dedup_clean",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), win AS (
+      SELECT doc_id AS id, CAST(i AS INT) AS pos, CAST(i + 4 AS INT) AS e,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(range(1, len(w) - 3)) t(i)
+      WHERE len(w) >= 5
+    ), dup AS (
+      SELECT g FROM win GROUP BY g HAVING MIN(id) <> MAX(id)
+    ), hits AS (
+      SELECT id, pos, e FROM win WHERE g IN (SELECT g FROM dup)
+    ), flagged AS (
+      SELECT id, pos, e,
+             MAX(e) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl AS (
+      SELECT id, pos, e,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT id, MIN(pos) AS span_start, MAX(e) AS span_end
+      FROM isl GROUP BY id, grp
+    ), tok2 AS (
+      SELECT doc_id AS id, CAST(i AS INT) AS i, w[i] AS tok, len(w) AS n_tokens
+      FROM toks, UNNEST(range(1, len(w) + 1)) t(i)
+    ), kept AS (
+      SELECT id, i, tok, n_tokens FROM tok2
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.id = tok2.id AND tok2.i BETWEEN s.span_start AND s.span_end
+      )
+    ), agg AS (
+      SELECT id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS clean_text,
+             CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(MAX(n_tokens) - COUNT(tok) AS BIGINT) AS n_removed
+      FROM kept GROUP BY id
+    )
+    SELECT s.id AS doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_tokens, t.full_n) AS n_tokens,
+           COALESCE(a.n_removed, t.full_n) AS n_removed
+    FROM (SELECT DISTINCT id FROM spans) s
+    LEFT JOIN agg a ON s.id = a.id
+    LEFT JOIN (SELECT doc_id, CAST(len(w) AS BIGINT) AS full_n FROM toks) t
+      ON s.id = t.doc_id
+    """,
+)
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.excise_duplicated_spans(d, "doc_id", "text", k=5).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_tokens", "n_removed"
+    )
+
+
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
 # LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
 # partitioned into geometric set-size strata, per-stratum banding from
@@ -7556,6 +7664,8 @@ _GATE_ORDER = [
     # ---- gate-window boundary (position 50) ----
     # r10 rotation head: zero-evidence, added after the r9 window froze
     "fuzzy_dedup_keep_longest",
+    "substring_dup_spans",
+    "substring_dedup_clean",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

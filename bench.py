@@ -108,6 +108,8 @@ HEADLINE = [
     "phrase_search",
     "proximity_search",
     "pmi_cooccurrence",
+    "substring_dup_spans",
+    "substring_dedup_clean",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",
@@ -409,6 +411,7 @@ def main() -> None:
                 "proximity_search",
                 "winnowing_pairs",
                 "pmi_cooccurrence",
+                "substring_dup_spans",
                 "lsh_ensemble_containment",
             )
             if n in QUERIES

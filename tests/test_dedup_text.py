@@ -668,3 +668,75 @@ def test_fuzzy_dedup_keep_best_prefers_quality_over_min_id(spark):
         ).collect()
     }
     assert kept_tie == {4}
+
+
+# ------------------------- exact substring dedup (duplicated spans)
+
+def test_duplicated_spans_planted_run(spark):
+    # docs 0 and 1 share the verbatim 7-token run "a b c d e f g" at
+    # different offsets; with k=5 the duplicated windows are positions
+    # {1,2,3} (doc 0) and {3,4,5} (doc 1), merging to one span each of
+    # 7 tokens. doc 2 shares no 5-token window with anyone.
+    df = _docs(
+        spark,
+        [
+            "a b c d e f g tail1 tail2",
+            "pre1 pre2 a b c d e f g",
+            "q r s t u v w x y z",
+        ],
+    )
+    out = {
+        r.id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert out == {0: (1, 7, 7), 1: (3, 9, 7)}
+
+
+def test_duplicated_spans_merges_adjacent_islands(spark):
+    # two duplicated runs separated by ONE unique token stay two spans
+    # (gap rule: merge only when next start <= prev end + 1)
+    df = _docs(
+        spark,
+        [
+            "a b c d e GAP0 v w x y z",
+            "a b c d e GAP1 v w x y z",
+        ],
+    )
+    rows = dedup.duplicated_spans(df, "doc_id", "text", k=5).collect()
+    spans = {(r.id, r.span_start, r.span_end) for r in rows}
+    assert spans == {(0, 1, 5), (0, 7, 11), (1, 1, 5), (1, 7, 11)}
+
+
+def test_duplicated_spans_ignores_within_doc_repeats(spark):
+    # the run repeats INSIDE doc 0 only -- cross-doc rule says no span
+    df = _docs(spark, ["a b c d e a b c d e", "u v w x y z"])
+    assert dedup.duplicated_spans(df, "doc_id", "text", k=5).count() == 0
+
+
+def test_excise_duplicated_spans_rebuilds_text(spark):
+    df = _docs(
+        spark,
+        [
+            "a b c d e f g tail1 tail2",
+            "pre1 pre2 a b c d e f g",
+            "q r s t u v w x y z",
+        ],
+    )
+    out = {
+        r.id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in dedup.excise_duplicated_spans(df, "doc_id", "text", k=5).collect()
+    }
+    # only the two changed docs surface; spans excised, order preserved
+    assert out == {
+        0: ("tail1 tail2", 9, 7),
+        1: ("pre1 pre2", 9, 7),
+    }
+
+
+def test_excise_fully_duplicated_doc_yields_empty_text(spark):
+    df = _docs(spark, ["a b c d e", "a b c d e"])
+    out = {
+        r.id: (r.clean_text, r.n_removed)
+        for r in dedup.excise_duplicated_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert out == {0: ("", 5), 1: ("", 5)}

@@ -1326,3 +1326,121 @@ def pmi_cooccurrence(
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(k)
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-importance weights from hashed n-gram features. Features are
+    word unigrams + forward bigrams hashed to ``buckets`` buckets with
+    the portable md5-60 family; the weight is
+
+        log w(d) = Σ_b c_d[b] · ( ln p_target[b] − ln p_raw[b] )
+
+    with Laplace-smoothed bucket distributions p[b] = (count[b] + 0.5)
+    / (total + 0.5·buckets), the target distribution estimated from
+    the rows where ``target`` is true and the raw distribution from
+    the whole corpus. Returns (id, n_feats, log_weight) — documents
+    that look like the target domain score high; resampling by this
+    weight is the DSIR selection step.
+
+    Scale shape: ONE corpus pass — an Arrow-batched kernel tokenizes,
+    hashes (per-batch distinct-gram md5 cache, the signature-cache
+    precedent), and PRE-COUNTS (id, bucket) features in-row, so the
+    only feature-shaped shuffle carries (id, tgt, b, c) pre-combined
+    rows. Bucket statistics are two map-side-combinable aggregates
+    bounded by ``buckets`` rows, joined back as a broadcast; totals
+    are a 1-row broadcast; the final per-document fold is one
+    combinable agg keyed on id. Nothing in the plan grows faster than
+    O(corpus tokens), and every relation that crosses the exchange is
+    either pre-counted or bucket-bounded. Reference analogue: none
+    (X4 data-selection family, SURVEY §2.11)."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)  # Java/RE2 '\s' is ASCII-only
+
+    def feature_counts(batches):
+        hx: dict = {}  # per-batch distinct-gram md5 cache
+
+        def bucket(g: str) -> int:
+            b = hx.get(g)
+            if b is None:
+                b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+                hx[g] = b
+            return b
+
+        for pdf in batches:
+            ids: list = []
+            tgs: list = []
+            bs: list = []
+            cs: list = []
+            for doc_id, txt, tgt in zip(pdf["id"], pdf["text"], pdf["tgt"]):
+                if txt is None:
+                    continue
+                w = [t for t in ws_re.split(txt) if t]
+                counts: dict = {}
+                for g in w:
+                    b = bucket(g)
+                    counts[b] = counts.get(b, 0) + 1
+                for j in range(len(w) - 1):
+                    b = bucket(w[j] + " " + w[j + 1])
+                    counts[b] = counts.get(b, 0) + 1
+                for b, c in counts.items():
+                    ids.append(doc_id)
+                    tgs.append(tgt)
+                    bs.append(b)
+                    cs.append(c)
+            yield from chunked(
+                pd.DataFrame({"id": ids, "tgt": tgs, "b": bs, "c": cs})
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docb = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            target.cast("int").alias("tgt"),
+        )
+        .repartition(par)
+        .mapInPandas(feature_counts, "id long, tgt int, b int, c long")
+        .localCheckpoint()
+    )
+    stats = docb.groupBy("b").agg(
+        F.sum("c").alias("rc"),
+        F.sum(F.when(F.col("tgt") == 1, F.col("c")).otherwise(0)).alias("tc"),
+    )
+    tot = docb.agg(
+        F.sum("c").alias("tr"),
+        F.sum(F.when(F.col("tgt") == 1, F.col("c")).otherwise(0)).alias("tt"),
+    )
+    llr = (
+        stats.crossJoin(bounded_broadcast(tot))  # 1-row totals
+        .select(
+            "b",
+            (
+                F.log((F.col("tc") + 0.5) / (F.col("tt") + 0.5 * buckets))
+                - F.log((F.col("rc") + 0.5) / (F.col("tr") + 0.5 * buckets))
+            ).alias("llr"),
+        )
+    )
+    return (
+        # llr is bucket-bounded (≤ `buckets` rows) — broadcast it
+        docb.join(bounded_broadcast(llr), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("log_weight"),
+        )
+    )

@@ -2509,6 +2509,59 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X4 DSIR data selection (Xie et al. 2023): per-doc log-importance
+# weights from hashed unigram+bigram features, target = lang 'en',
+# raw = whole corpus. Portable md5-60 bucketing so the oracle replays
+# the feature hashing bit-for-bit; ln rounded to 6 decimals (the
+# logppl discipline).
+@q(
+    "dsir_importance_weights",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id AS id, w[i] AS g
+      FROM toks, UNNEST(range(1, len(w) + 1)) t(i)
+      UNION ALL
+      SELECT doc_id AS id, w[i] || ' ' || w[i+1] AS g
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), hxs AS (
+      SELECT id, substr(md5(g), 1, 15) AS hx FROM grams
+    ), fb AS (
+      SELECT id, CAST({ph.sql_hex15_int('hx')} % 1024 AS INT) AS b FROM hxs
+    ), docb AS (
+      SELECT id, b, COUNT(*) AS c FROM fb GROUP BY id, b
+    ), tgt AS (
+      SELECT doc_id AS id FROM documents WHERE lang = 'en'
+    ), stats AS (
+      SELECT b, SUM(c) AS rc,
+             SUM(CASE WHEN tgt.id IS NOT NULL THEN c ELSE 0 END) AS tc
+      FROM docb LEFT JOIN tgt ON docb.id = tgt.id
+      GROUP BY b
+    ), tot AS (
+      SELECT SUM(rc) AS tr, SUM(tc) AS tt FROM stats
+    ), llr AS (
+      SELECT b,
+             ln((tc + 0.5) / (tt + 0.5 * 1024))
+             - ln((rc + 0.5) / (tr + 0.5 * 1024)) AS llr
+      FROM stats, tot
+    )
+    SELECT docb.id AS doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+           round(SUM(c * llr), 6) AS log_weight
+    FROM docb JOIN llr ON docb.b = llr.b
+    GROUP BY docb.id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.dsir_log_weights(
+        d, "doc_id", "text", F.col("lang") == "en", buckets=1024
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_feats", "log_weight")
+
+
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
 # LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
 # partitioned into geometric set-size strata, per-stratum banding from
@@ -7666,6 +7719,7 @@ _GATE_ORDER = [
     "fuzzy_dedup_keep_longest",
     "substring_dup_spans",
     "substring_dedup_clean",
+    "dsir_importance_weights",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

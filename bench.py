@@ -110,6 +110,7 @@ HEADLINE = [
     "pmi_cooccurrence",
     "substring_dup_spans",
     "substring_dedup_clean",
+    "dsir_importance_weights",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

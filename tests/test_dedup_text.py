@@ -740,3 +740,40 @@ def test_excise_fully_duplicated_doc_yields_empty_text(spark):
         for r in dedup.excise_duplicated_spans(df, "doc_id", "text", k=5).collect()
     }
     assert out == {0: ("", 5), 1: ("", 5)}
+
+
+# ---------------------------------- DSIR importance weights (X4)
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    # target docs are marked by dominating 'alpha'-family features;
+    # the held-out doc built from the same vocabulary must outscore
+    # the doc built from the non-target vocabulary.
+    rows = [
+        (0, "alpha beta alpha beta alpha", 1),
+        (1, "alpha beta gamma alpha beta", 1),
+        (2, "delta eps zeta delta eps", 0),
+        (3, "alpha beta alpha gamma beta", 0),   # target-like, unlabeled
+        (4, "delta zeta eps delta zeta", 0),     # raw-like, unlabeled
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    out = {
+        r.id: r.log_weight
+        for r in text.dsir_log_weights(
+            df, "doc_id", "text", F.col("is_tgt") == 1, buckets=64
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[3] > out[4]
+    assert out[0] > out[2]
+
+
+def test_dsir_weights_feature_counts(spark):
+    # n_feats = unigrams + forward bigrams = len(w) + (len(w) - 1)
+    df = _docs(spark, ["a b c d", "x"])
+    out = {
+        r.id: r.n_feats
+        for r in text.dsir_log_weights(
+            df, "doc_id", "text", F.lit(True), buckets=16
+        ).collect()
+    }
+    assert out == {0: 7, 1: 1}

@@ -1444,3 +1444,101 @@ def dsir_log_weights(
             F.round(F.sum(F.col("c") * F.col("llr")), 6).alias("log_weight"),
         )
     )
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, tuple[str, ...]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Retrieval quality evaluation: nDCG@k of the BM25 ranking for a
+    batch of bag-of-terms queries, with graded relevance rel(q, d) =
+    number of distinct query terms the document contains (a judgment-
+    free proxy label, the standard smoke-eval when no qrels exist).
+    Per query: DCG@k = Σ_{r≤k} (2^rel_r − 1) / log2(r + 1) over the
+    BM25 top-k (score rounded to 6 decimals BEFORE ranking, ties by
+    doc id — the cosine-query discipline), IDCG@k the same sum over
+    the ideal ordering (rel desc, doc id asc; zero-relevance docs
+    contribute nothing, so ranking only scored docs is exact).
+    Returns (query_id, dcg10, idcg10, ndcg10).
+
+    Scale shape: one corpus scan shared by ALL queries — the (qid,
+    term) table is query-bounded and broadcast into the token stream,
+    so tf volume is O(matching docs × queries), never O(corpus ×
+    queries); document frequency and the (N, avgdl) pair are tiny
+    broadcasts (the bm25_topk shape); both rankings are row_number
+    windows partitioned by qid over the match set only. Reference
+    analogue: none (X4 retrieval-eval family, SURVEY §2.11)."""
+    from pyspark.sql.window import Window
+
+    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+    from asset_prices_parquet_saver_spark.operators.dedup import words
+
+    spark = df.sparkSession
+    qterms = bounded_broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in queries.items() for t in terms],
+            ["qid", "term"],
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.join(qterms, "term")
+        .groupBy("qid", "id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("qid", "term").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(bounded_broadcast(dfreq), ["qid", "term"])
+        .join(doclen, "id")
+        .crossJoin(bounded_broadcast(stats))
+        .groupBy("qid", "id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").alias("rel"),
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
+        ),
+    )
+    dcg = (
+        ranked.filter(F.col("rnk") <= k)
+        .groupBy("qid")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    ideal = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("id"))
+        ),
+    )
+    idcg = (
+        ideal.filter(F.col("rnk") <= k)
+        .groupBy("qid")
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round("dcg", 6).alias(f"dcg{k}"),
+            F.round("idcg", 6).alias(f"idcg{k}"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg{k}"),
+        )
+    )

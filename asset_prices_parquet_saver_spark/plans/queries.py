@@ -2562,6 +2562,76 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "n_feats", "log_weight")
 
 
+#: the nDCG evaluation's query batch — fixed bag-of-terms queries over
+#: the documents vocabulary, shared verbatim by the SQL oracle below.
+_NDCG_QUERIES = {
+    "q_engine": ("spark", "window", "merge", "vector"),
+    "q_ops": ("join", "filter"),
+    "q_sales": ("customer", "order", "batch"),
+}
+_NDCG_QUERIES_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _NDCG_QUERIES.items() for t in terms
+)
+
+
+# --- X4 retrieval evaluation: nDCG@10 of the BM25 ranking per query,
+# graded relevance = #distinct query terms present. One corpus scan
+# for the whole query batch; rankings are row_number windows over the
+# match set only.
+@q(
+    "retrieval_ndcg",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), qterms(qid, term) AS (
+      VALUES {{NDCG_QUERIES}}
+    ), tf AS (
+      SELECT q.qid, t.id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN qterms q ON t.term = q.term
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT qid, term, COUNT(*) AS df FROM tf GROUP BY 1, 2
+    ), scored AS (
+      SELECT tf.qid, tf.id,
+             round(SUM(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+               AS score,
+             COUNT(*) AS rel
+      FROM tf JOIN dfreq ON tf.qid = dfreq.qid AND tf.term = dfreq.term
+              JOIN dl ON tf.id = dl.id, stats
+      GROUP BY tf.qid, tf.id
+    ), ranked AS (
+      SELECT qid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+      FROM scored
+    ), dcg AS (
+      SELECT qid, SUM((POW(2.0, rel) - 1) / log2(rnk + 1)) AS dcg
+      FROM ranked WHERE rnk <= 10 GROUP BY qid
+    ), ideal AS (
+      SELECT qid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rnk
+      FROM scored
+    ), idcg AS (
+      SELECT qid, SUM((POW(2.0, rel) - 1) / log2(rnk + 1)) AS idcg
+      FROM ideal WHERE rnk <= 10 GROUP BY qid
+    )
+    SELECT dcg.qid AS query_id, round(dcg, 6) AS dcg10,
+           round(idcg, 6) AS idcg10, round(dcg / idcg, 6) AS ndcg10
+    FROM dcg JOIN idcg ON dcg.qid = idcg.qid
+    """.replace("{NDCG_QUERIES}", _NDCG_QUERIES_SQL),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.retrieval_ndcg(d, "doc_id", "text", _NDCG_QUERIES, k=10)
+
+
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
 # LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
 # partitioned into geometric set-size strata, per-stratum banding from
@@ -7720,6 +7790,7 @@ _GATE_ORDER = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "dsir_importance_weights",
+    "retrieval_ndcg",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

@@ -111,6 +111,7 @@ HEADLINE = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "dsir_importance_weights",
+    "retrieval_ndcg",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -777,3 +777,45 @@ def test_dsir_weights_feature_counts(spark):
         ).collect()
     }
     assert out == {0: 7, 1: 1}
+
+
+# ------------------------------------- retrieval nDCG evaluation (X4)
+
+def test_retrieval_ndcg_perfect_ranking_is_one(spark):
+    # doc 0 contains both terms, doc 1 one term, doc 2 none: BM25 order
+    # (0, 1) equals the ideal relevance order, so ndcg == 1.
+    df = _docs(
+        spark,
+        ["alpha beta alpha", "alpha gamma delta", "zeta eta theta"],
+    )
+    out = text.retrieval_ndcg(
+        df, "doc_id", "text", {"q": ("alpha", "beta")}, k=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == "q"
+    assert r.ndcg10 == 1.0
+    # rel=2 at rank 1 and rel=1 at rank 2: (2^2-1)/log2(2) + (2^1-1)/log2(3)
+    import math
+    expected = 3.0 / 1.0 + 1.0 / math.log2(3)
+    assert abs(r.dcg10 - round(expected, 6)) < 1e-9
+
+
+def test_retrieval_ndcg_imperfect_ranking_below_one(spark):
+    # doc 0 repeats 'alpha' many times (high BM25 tf) but matches one
+    # term; doc 1 matches both terms with low tf. If BM25 ranks doc 0
+    # first, the relevance-ideal order disagrees and ndcg < 1;
+    # either way ndcg must stay in (0, 1].
+    df = _docs(
+        spark,
+        [
+            "alpha alpha alpha alpha alpha alpha alpha alpha",
+            "alpha beta filler filler filler filler filler filler",
+            "filler words only here",
+        ],
+    )
+    r = text.retrieval_ndcg(
+        df, "doc_id", "text", {"q": ("alpha", "beta")}, k=10
+    ).collect()[0]
+    assert 0 < r.ndcg10 <= 1.0
+    assert r.idcg10 >= r.dcg10

@@ -55,6 +55,7 @@ from asset_prices_parquet_saver_spark.operators import (
     dedup as dedup_ops,
     details as details_ops,
     globalorder as globalorder_ops,
+    linkage as linkage_ops,
     merge as merge_ops,
     multimodal as mm_ops,
     sampling as sampling_ops,
@@ -2630,6 +2631,40 @@ _NDCG_QUERIES_SQL = ", ".join(
 def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return text_ops.retrieval_ndcg(d, "doc_id", "text", _NDCG_QUERIES, k=10)
+
+
+# --- Record linkage: blocked fuzzy self-match on part names — block
+# on (p_size, first name token), verify with Levenshtein 1..3 (0 is
+# the exact-dedup path's business). Spark side uses the threshold-
+# bounded levenshtein; the oracle the unbounded one — identical
+# values within the kept band.
+@q(
+    "part_name_near_matches",
+    r"""
+    WITH p AS (
+      SELECT p_partkey AS k, p_name AS nm, p_size AS sz,
+             string_split(p_name, ' ')[1] AS b1
+      FROM part
+    )
+    SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b ON a.sz = b.sz AND a.b1 = b.b1 AND a.k < b.k
+    WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND 3
+    """,
+)
+def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part")
+    return linkage_ops.blocked_edit_matches(
+        p,
+        "p_partkey",
+        "p_name",
+        {
+            "sz": F.col("p_size"),
+            "b1": F.split(F.col("p_name"), " ").getItem(0),
+        },
+        min_dist=1,
+        max_dist=3,
+    )
 
 
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
@@ -7791,6 +7826,7 @@ _GATE_ORDER = [
     "substring_dedup_clean",
     "dsir_importance_weights",
     "retrieval_ndcg",
+    "part_name_near_matches",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

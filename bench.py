@@ -112,6 +112,7 @@ HEADLINE = [
     "substring_dedup_clean",
     "dsir_importance_weights",
     "retrieval_ndcg",
+    "part_name_near_matches",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -97,3 +97,45 @@ def test_market_cap_categorization(spark):
     }
     # 'all' selects every non-NULL-cap bucket
     assert universe_by_categories(caps, ["all"]).count() == 4
+
+
+# ----------------------- record linkage: blocked edit-distance match
+
+def test_blocked_edit_matches_respects_blocks_and_band():
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.operators import linkage
+    from asset_prices_parquet_saver_spark.session import get_spark
+
+    spark = get_spark()
+    rows = [
+        (1, "small ring", 5),
+        (2, "small ring", 5),   # exact dup: excluded (min_dist=1)
+        (3, "small king", 5),   # dist 1 from both: kept
+        (4, "small king", 9),   # other block: never paired
+        (5, "large ring", 5),   # different first token: other block
+    ]
+    df = spark.createDataFrame(rows, ["k", "nm", "sz"])
+    out = linkage.blocked_edit_matches(
+        df, "k", "nm",
+        {"sz": F.col("sz"), "b1": F.split(F.col("nm"), " ").getItem(0)},
+        min_dist=1, max_dist=3,
+    )
+    pairs = {(r.key_a, r.key_b, r.edit_dist) for r in out.collect()}
+    assert pairs == {(1, 3, 1), (2, 3, 1)}
+
+
+def test_blocked_edit_matches_threshold_cuts_far_pairs():
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.operators import linkage
+    from asset_prices_parquet_saver_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb", 1), (2, "aaaa zzzz", 1)], ["k", "nm", "sz"]
+    )
+    out = linkage.blocked_edit_matches(
+        df, "k", "nm", {"sz": F.col("sz")}, min_dist=1, max_dist=3
+    )
+    assert out.count() == 0  # distance 4 > max_dist

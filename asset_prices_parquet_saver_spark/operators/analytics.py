@@ -1374,3 +1374,82 @@ def keltner_channels(
             (F.col("ewma") - m * F.col("atr")).alias("lower"),
         )
     )
+
+
+def basket_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Market-basket association rules (the Apriori output for pair
+    itemsets): for every directed item pair (antecedent → consequent)
+    whose support (rounded to 6 decimals, so the cut is engine-
+    portable) is ≥ ``min_support`` — a FRACTION of baskets, which
+    keeps the rule set stable across corpus scales where an absolute
+    count would not —
+
+        support    = co / N            (N = number of baskets)
+        confidence = co / count(antecedent)
+        lift       = co · N / (count(antecedent) · count(consequent))
+
+    all rounded to 6 decimals. Returns (antecedent, consequent,
+    co_count, support, confidence, lift) — two directed rows per
+    unordered pair (confidence is direction-dependent).
+
+    Scale shape: baskets are deduplicated to distinct (basket, item)
+    rows first; the pair build is a self equi-join ON THE BASKET KEY —
+    quadratic only within a basket, the market-basket discipline (a
+    pathological mega-basket is a skewed join key; cap or salt it
+    upstream). Item counts and the basket total are map-side-combinable
+    aggregates; per-item counts are bounded by the item universe and
+    broadcast into the rule relation, the total is a 1-row broadcast.
+    Reference analogue: none (A-family extension, SURVEY §2.4)."""
+    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+
+    items = baskets.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("it")
+    ).distinct()
+    cnt = items.groupBy("it").agg(F.count("*").alias("cnt"))
+    tot = items.agg(F.countDistinct("o").alias("n_baskets"))
+    a = items.select(F.col("o"), F.col("it").alias("ia"))
+    b = items.select(F.col("o"), F.col("it").alias("ib"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("co"))
+        .crossJoin(bounded_broadcast(tot))
+        .filter(F.round(F.col("co") / F.col("n_baskets"), 6) >= min_support)
+        .select("ia", "ib", "co")
+    )
+    directed = co.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "co"
+    ).unionByName(
+        co.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "co"
+        )
+    )
+    # item counts are bounded by the item universe; totals are 1 row
+    cnt_a = bounded_broadcast(
+        cnt.select(F.col("it").alias("antecedent"), F.col("cnt").alias("cnt_a"))
+    )
+    cnt_c = bounded_broadcast(
+        cnt.select(F.col("it").alias("consequent"), F.col("cnt").alias("cnt_c"))
+    )
+    return (
+        directed.join(cnt_a, "antecedent")
+        .join(cnt_c, "consequent")
+        .crossJoin(bounded_broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("co").cast("long").alias("co_count"),
+            F.round(F.col("co") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("co") / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                F.col("co") * F.col("n_baskets") / (F.col("cnt_a") * F.col("cnt_c")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -2667,6 +2667,53 @@ def part_name_near_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A-family extension: market-basket association rules over brands
+# co-purchased within an order (pair-itemset Apriori output —
+# support / confidence / lift, both directions per pair).
+@q(
+    "brand_basket_rules",
+    r"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), cnt AS (
+      SELECT it, COUNT(*) AS cnt FROM items GROUP BY it
+    ), tot AS (
+      SELECT COUNT(DISTINCT o) AS n_baskets FROM items
+    ), co AS (
+      SELECT ia, ib, co FROM (
+        SELECT a.it AS ia, b.it AS ib, COUNT(*) AS co
+        FROM items a JOIN items b ON a.o = b.o AND a.it < b.it
+        GROUP BY 1, 2
+      ) x, tot
+      WHERE round(CAST(co AS DOUBLE) / tot.n_baskets, 6) >= 0.022
+    ), directed AS (
+      SELECT ia AS antecedent, ib AS consequent, co FROM co
+      UNION ALL
+      SELECT ib AS antecedent, ia AS consequent, co FROM co
+    )
+    SELECT d.antecedent, d.consequent, CAST(d.co AS BIGINT) AS co_count,
+           round(CAST(d.co AS DOUBLE) / tot.n_baskets, 6) AS support,
+           round(CAST(d.co AS DOUBLE) / ca.cnt, 6) AS confidence,
+           round(CAST(d.co AS DOUBLE) * tot.n_baskets / (ca.cnt * cc.cnt), 6) AS lift
+    FROM directed d
+    JOIN cnt ca ON d.antecedent = ca.it
+    JOIN cnt cc ON d.consequent = cc.it, tot
+    """,
+)
+def brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = scaled_dim(read_table(spark, sf_dir, "part"))
+    baskets = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    return an_ops.basket_rules(
+        baskets, "l_orderkey", "p_brand", min_support=0.022
+    )
+
+
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
 # LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
 # partitioned into geometric set-size strata, per-stratum banding from
@@ -7827,6 +7874,7 @@ _GATE_ORDER = [
     "dsir_importance_weights",
     "retrieval_ndcg",
     "part_name_near_matches",
+    "brand_basket_rules",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

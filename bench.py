@@ -113,6 +113,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "retrieval_ndcg",
     "part_name_near_matches",
+    "brand_basket_rules",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -776,3 +776,39 @@ def test_keltner_composes_ewma_and_atr(spark, sf_dir):
         assert r["upper"] == ew[k] + 2.0 * at[k]
         assert r["lower"] == ew[k] - 2.0 * at[k]
         assert r["lower"] <= r["middle"] <= r["upper"]
+
+
+# ------------------------- market-basket association rules (pair Apriori)
+
+def test_basket_rules_support_confidence_lift(spark):
+    from asset_prices_parquet_saver_spark.operators import analytics as an
+
+    # 4 baskets: {x,y} {x,y} {x,z} {y}
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, ["o", "it"])
+    out = {
+        (r.antecedent, r.consequent): (r.co_count, r.support, r.confidence, r.lift)
+        for r in an.basket_rules(df, "o", "it", min_support=0.0).collect()
+    }
+    # x&y co-occur twice: support 0.5, conf x->y = 2/3, y->x = 2/3,
+    # lift = 2*4/(3*3)
+    assert out[("x", "y")] == (2, 0.5, round(2 / 3, 6), round(8 / 9, 6))
+    assert out[("y", "x")] == (2, 0.5, round(2 / 3, 6), round(8 / 9, 6))
+    # x&z co-occur once: conf z->x = 1.0, lift = 1*4/(3*1)
+    assert out[("z", "x")] == (1, 0.25, 1.0, round(4 / 3, 6))
+    # duplicate (basket, item) rows must not inflate counts
+    df_dup = spark.createDataFrame(rows + [(1, "x")], ["o", "it"])
+    out2 = an.basket_rules(df_dup, "o", "it", min_support=0.0)
+    assert {(r.antecedent, r.consequent, r.co_count) for r in out2.collect()} == {
+        (a, c, v[0]) for (a, c), v in out.items()
+    }
+
+
+def test_basket_rules_min_support_cut(spark):
+    from asset_prices_parquet_saver_spark.operators import analytics as an
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")]
+    df = spark.createDataFrame(rows, ["o", "it"])
+    out = an.basket_rules(df, "o", "it", min_support=0.5)
+    kept = {(r.antecedent, r.consequent) for r in out.collect()}
+    assert kept == {("x", "y"), ("y", "x")}  # x&z support 1/3 < 0.5

@@ -1542,3 +1542,49 @@ def retrieval_ndcg(
             F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg{k}"),
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Tokenizer-training statistics: the first byte-pair-encoding
+    iteration (Sennrich et al. 2016) — every adjacent character pair
+    inside a word, weighted by corpus word frequency, ranked by count
+    (the pair a BPE trainer would merge first is row one). Returns the
+    top ``k`` as (sym_a, sym_b, pair_count), count desc, pair asc —
+    fully integer, so engine-portable with no rounding.
+
+    Scale shape: the corpus-sized work is ONE combinable word-count
+    aggregate; pair construction then runs over the DISTINCT VOCABULARY
+    relation (bounded by vocab size, not corpus size — the reason BPE
+    trainers keep word-frequency tables), so the interpreted HOF
+    building per-word char pairs touches |vocab| rows, never the
+    corpus (the kernelization rule for corpus-sized HOF paths does not
+    bind here). The weighted pair count is a second combinable agg and
+    the cut is a TakeOrdered, never a global sort."""
+    from asset_prices_parquet_saver_spark.operators.dedup import words
+
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # build (a, b) via positions: substr is 1-based
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.col("w").substr(i, F.lit(1)).alias("a"),
+            F.col("w").substr(i + 1, F.lit(1)).alias("b"),
+        ),
+    )
+    exploded = (
+        wf.filter(F.length("w") >= 2)
+        .select("freq", F.explode(pair_structs).alias("p"))
+        .select("freq", F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+    )
+    return (
+        exploded.groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("sym_a"), F.col("sym_b"))
+        .limit(k)
+    )

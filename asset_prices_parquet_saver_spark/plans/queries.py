@@ -2714,6 +2714,33 @@ def brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X4 tokenizer-training statistics: first BPE merge iteration —
+# adjacent char pairs weighted by corpus word frequency, top 20.
+# Fully integer, no rounding anywhere.
+@q(
+    "bpe_merge_candidates",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+      FROM documents
+    ), wf AS (
+      SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS sym_a,
+             substr(w, CAST(i + 1 AS INT), 1) AS sym_b, freq
+      FROM wf, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    )
+    SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY sym_a, sym_b
+    ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.bpe_merge_candidates(d, "doc_id", "text", k=20)
+
+
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
 # LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
 # partitioned into geometric set-size strata, per-stratum banding from
@@ -7875,6 +7902,7 @@ _GATE_ORDER = [
     "retrieval_ndcg",
     "part_name_near_matches",
     "brand_basket_rules",
+    "bpe_merge_candidates",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

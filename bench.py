@@ -114,6 +114,7 @@ HEADLINE = [
     "retrieval_ndcg",
     "part_name_near_matches",
     "brand_basket_rules",
+    "bpe_merge_candidates",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -819,3 +819,24 @@ def test_retrieval_ndcg_imperfect_ranking_below_one(spark):
     ).collect()[0]
     assert 0 < r.ndcg10 <= 1.0
     assert r.idcg10 >= r.dcg10
+
+
+# --------------------------------- BPE merge candidates (tokenizer, X4)
+
+def test_bpe_merge_candidates_weighted_counts(spark):
+    # 'ab' appears 3x, 'abc' 1x: pair (a,b) weight 4, (b,c) weight 1
+    df = _docs(spark, ["ab ab", "ab abc"])
+    out = [
+        (r.sym_a, r.sym_b, r.pair_count)
+        for r in text.bpe_merge_candidates(df, "doc_id", "text", k=10).collect()
+    ]
+    assert out == [("a", "b", 4), ("b", "c", 1)]
+
+
+def test_bpe_merge_candidates_single_char_words_ignored(spark):
+    df = _docs(spark, ["a b c d e", "xy"])
+    out = [
+        (r.sym_a, r.sym_b, r.pair_count)
+        for r in text.bpe_merge_candidates(df, "doc_id", "text", k=10).collect()
+    ]
+    assert out == [("x", "y", 1)]

@@ -1618,3 +1618,30 @@ def pca_project(
     return proj.select(
         F.col(id_col), *[F.round(F.col(c), 6).alias(c) for c in pc_cols]
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """ANN quality evaluation: recall@k of an approximate top-k result
+    against the exact top-k ground truth — the metric every ANN index
+    (IVF / PQ / LSH) is tuned by. Both inputs are (query_id, vec_id,
+    ...) top-k relations; returns (query_id, n_hits, recall) with
+    recall = |approx ∩ exact| / k rounded to 6 decimals, one row per
+    ground-truth query INCLUDING zero-hit queries (a silent inner join
+    would hide total misses — the failure mode this eval exists to
+    catch).
+
+    Scale shape: both sides are already k-bounded per query, so the
+    intersection is an equi-join over O(queries · k) rows and the fold
+    is one combinable agg — free next to the searches themselves."""
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / float(k), 6).alias("recall"),
+    )

@@ -3568,10 +3568,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.contamination_report(rest, bench, "doc_id", "text", n=3)
 
 
-# --- X3 brute-force cosine top-k (correctness baseline for ANN).
-@q(
-    "cosine_topk",
-    """
+#: exact cosine top-5 for probes vec_id < 8 — the ANN ground truth,
+#: shared by the cosine_topk gate query and the recall@k evaluation.
+_COSINE_TOPK_SQL = """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
       FROM embeddings WHERE vec_id < 8),
@@ -3588,7 +3587,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
       FROM scored) t
     WHERE rn <= 5
-    """,
+    """
+
+
+# --- X3 brute-force cosine top-k (correctness baseline for ANN).
+@q(
+    "cosine_topk",
+    _COSINE_TOPK_SQL,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
@@ -3865,6 +3870,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+# --- X3 ANN quality evaluation: recall@5 of the IVF (nprobe=3) search
+# against the exact cosine ground truth, per probe query — zero-hit
+# probes included. Both sides' oracles are reused verbatim as
+# subqueries, so the eval is hash-checked end-to-end.
+@q(
+    "ann_ivf_recall",
+    f"""
+    WITH exact AS ({_COSINE_TOPK_SQL}),
+    approx AS ({_ivf_oracle_sql(nprobe=3, k=5)}),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY 1
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = sim_ops.cosine_topk(e, queries, k=5)
+    approx = sim_ops.ann_ivf_topk(
+        e, queries, k=5, nprobe=3, centroids=PINNED_IVF_CENTROIDS
+    )
+    return sim_ops.ann_recall(exact, approx, k=5)
 
 
 # --- X5 multimodal: JVM-side payload metadata (oracle-checkable half).
@@ -7903,6 +7943,7 @@ _GATE_ORDER = [
     "part_name_near_matches",
     "brand_basket_rules",
     "bpe_merge_candidates",
+    "ann_ivf_recall",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

@@ -115,6 +115,7 @@ HEADLINE = [
     "part_name_near_matches",
     "brand_basket_rules",
     "bpe_merge_candidates",
+    "ann_ivf_recall",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -475,3 +475,30 @@ def test_persisted_ivf_index_reproduces_from_scratch_results(spark, sf_dir, tmp_
         ).collect()
     }
     assert got2 == want
+
+
+# --------------------------------- ANN recall@k evaluation
+
+def test_ann_recall_counts_intersection_per_query(spark):
+    from asset_prices_parquet_saver_spark.operators import similarity as sim
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "vec_id"]
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], ["query_id", "vec_id"]
+    )
+    out = {
+        r.query_id: (r.n_hits, r.recall)
+        for r in sim.ann_recall(exact, approx, k=2).collect()
+    }
+    assert out == {1: (1, 0.5), 2: (2, 1.0)}
+
+
+def test_ann_recall_keeps_zero_hit_queries(spark):
+    from asset_prices_parquet_saver_spark.operators import similarity as sim
+
+    exact = spark.createDataFrame([(7, 70), (7, 71)], ["query_id", "vec_id"])
+    approx = spark.createDataFrame([(7, 80), (7, 81)], ["query_id", "vec_id"])
+    out = sim.ann_recall(exact, approx, k=2).collect()
+    assert [(r.query_id, r.n_hits, r.recall) for r in out] == [(7, 0, 0.0)]

@@ -134,3 +134,39 @@ def _pagerank_impl(
             if delta is not None and delta < tol:
                 break
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counting on an undirected graph: the number
+    of triangles each vertex participates in (the clustering-structure
+    statistic; vertices in no triangle are omitted). Input edges may
+    be directed/duplicated — they are canonicalized to distinct
+    (lo, hi) pairs first; self-loops dropped.
+
+    Scale shape: the standard two-join enumeration over CANONICALLY
+    ORDERED edges (a<b<c), so each triangle is generated exactly once —
+    three equi-join/shuffle stages whose volume is Σ deg² in the worst
+    case, the textbook bound; for skew-free degree distributions this
+    is the right distributed plan (degree-skewed graphs would order
+    vertices by degree first — the node-iterator++ refinement — which
+    plugs in here as a relabeling of lo/hi). The per-vertex fold is
+    one combinable agg over the triangle relation."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

@@ -261,3 +261,60 @@ def weighted_stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def contrastive_negatives(
+    df: DataFrame, id_col: str, k: int = 4
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, up to ``k`` pseudo-random corpus negatives drawn
+    by portable md5 indexing — neg_j(anchor) = corpus[md5(anchor ':' j)
+    mod N] — so the sample is reproducible across engines, runs, and
+    partitionings (no RNG state, the exact_k/weighted-sample md5-key
+    discipline). Self-hits are dropped rather than re-drawn (an anchor
+    keeps k-1 negatives in that ~k/N-probability case), keeping the
+    definition join-free to replay. Returns (anchor_id, neg_rank,
+    neg_id).
+
+    Scale shape: the corpus is indexed 0..N-1 with the distributed
+    range-partitioned row numbering (operators/globalorder.py — no
+    single-task window); anchors fan out to k rows each and resolve
+    negatives with ONE equi-join on the index — O(N·k) shuffle, no
+    corpus×corpus anything; N is a 1-row broadcast."""
+    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+    from asset_prices_parquet_saver_spark.functions.portable_hash import md5_int60
+    from asset_prices_parquet_saver_spark.operators.globalorder import (
+        with_global_row_number,
+    )
+
+    ids = with_global_row_number(
+        df.select(F.col(id_col).alias("neg_id")), [F.col("neg_id")]
+    ).select((F.col("rn") - 1).alias("idx"), "neg_id")
+    tot = df.agg(F.count("*").alias("n"))
+    negs = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+        )
+        .crossJoin(bounded_broadcast(tot))
+        .select(
+            "anchor_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.pmod(
+                md5_int60(
+                    F.concat_ws(
+                        ":",
+                        F.col("anchor_id").cast("string"),
+                        F.col("neg_rank").cast("string"),
+                    )
+                ),
+                F.col("n"),
+            ).alias("idx"),
+        )
+    )
+    return (
+        negs.join(ids, "idx")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_rank", "neg_id")
+    )

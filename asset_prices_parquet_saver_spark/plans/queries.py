@@ -2741,6 +2741,88 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_merge_candidates(d, "doc_id", "text", k=20)
 
 
+# --- X4 contrastive negative sampling: k md5-indexed corpus negatives
+# per anchor, self-hits dropped; distributed row numbering on the
+# engine side, plain ROW_NUMBER in the oracle.
+@q(
+    "contrastive_negatives",
+    rf"""
+    WITH ids AS (
+      SELECT doc_id AS neg_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), hx AS (
+      SELECT d.doc_id AS anchor_id, j AS neg_rank,
+             substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15) AS h15
+      FROM documents d, UNNEST(range(1, 5)) t(j)
+    ), negs AS (
+      SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+             {ph.sql_hex15_int('h15')} % tot.n AS idx
+      FROM hx, tot
+    )
+    SELECT negs.anchor_id, negs.neg_rank, ids.neg_id
+    FROM negs JOIN ids ON negs.idx = ids.idx
+    WHERE ids.neg_id != negs.anchor_id
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sampling_ops.contrastive_negatives(d, "doc_id", k=4)
+
+
+# --- Graph family: per-vertex triangle counts on the brand
+# co-purchase graph (edges = brand pairs with basket support ≥ 0.022,
+# the association-rule relation). Canonical a<b<c enumeration both
+# sides.
+@q(
+    "brand_graph_triangles",
+    r"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), tot AS (
+      SELECT COUNT(DISTINCT o) AS n_baskets FROM items
+    ), e AS (
+      SELECT ia AS lo, ib AS hi FROM (
+        SELECT a.it AS ia, b.it AS ib, COUNT(*) AS co
+        FROM items a JOIN items b ON a.o = b.o AND a.it < b.it
+        GROUP BY 1, 2
+      ) x, tot
+      WHERE round(CAST(co AS DOUBLE) / tot.n_baskets, 6) >= 0.022
+    ), tri AS (
+      SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab JOIN e bc ON ab.hi = bc.lo
+                JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    ), verts AS (
+      SELECT a AS vertex FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY vertex
+    """,
+)
+def brand_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+    from asset_prices_parquet_saver_spark.operators import graph as graph_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = scaled_dim(read_table(spark, sf_dir, "part"))
+    baskets = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    rules = an_ops.basket_rules(
+        baskets, "l_orderkey", "p_brand", min_support=0.022
+    )
+    # the rule relation is directed; keep one canonical edge per pair
+    edges = rules.filter(F.col("antecedent") < F.col("consequent")).select(
+        F.col("antecedent").alias("src"), F.col("consequent").alias("dst")
+    )
+    return graph_ops.triangle_counts(edges, "src", "dst")
+
+
 # --- X2 containment SEARCH at bounded cost (Zhu et al., VLDB 2016):
 # LSH Ensemble — probe set (doc_id % 17) vs the whole corpus, corpus
 # partitioned into geometric set-size strata, per-stratum banding from
@@ -7944,6 +8026,8 @@ _GATE_ORDER = [
     "brand_basket_rules",
     "bpe_merge_candidates",
     "ann_ivf_recall",
+    "contrastive_negatives",
+    "brand_graph_triangles",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

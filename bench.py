@@ -116,6 +116,8 @@ HEADLINE = [
     "brand_basket_rules",
     "bpe_merge_candidates",
     "ann_ivf_recall",
+    "contrastive_negatives",
+    "brand_graph_triangles",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -214,3 +214,26 @@ def test_return_correlations_match_reference(spark, rows):
                 exp = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
                 assert abs(r["corr"] - exp) < 1e-5
     assert set(out) == expected_pairs
+
+
+def test_contrastive_negatives_deterministic_and_self_free(spark):
+    from asset_prices_parquet_saver_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    out1 = sorted(
+        (r.anchor_id, r.neg_rank, r.neg_id)
+        for r in sampling.contrastive_negatives(df, "doc_id", k=3).collect()
+    )
+    out2 = sorted(
+        (r.anchor_id, r.neg_rank, r.neg_id)
+        for r in sampling.contrastive_negatives(
+            df.repartition(7), "doc_id", k=3
+        ).collect()
+    )
+    assert out1 == out2  # partition-invariant
+    assert all(a != n for a, _, n in out1)  # no self-negatives
+    assert len(out1) >= 50 * 3 - 10  # only rare self-hits dropped
+    per_anchor = {}
+    for a, j, _ in out1:
+        per_anchor.setdefault(a, []).append(j)
+    assert all(len(js) <= 3 for js in per_anchor.values())

@@ -95,3 +95,40 @@ def test_zero_weight_out_edges_treated_as_dangling(spark):
     ref = _reference(3)  # reference has no b-edges at all
     for v in NODES:
         assert abs(got[v] - ref[v]) < 1e-12, (v, got[v], ref[v])
+
+
+# ----------------------------------- triangle counting
+
+def test_triangle_counts_single_triangle_plus_tail(spark):
+    from asset_prices_parquet_saver_spark.operators import graph
+
+    # triangle a-b-c plus a dangling edge c-d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    out = {r.vertex: r.n_triangles for r in graph.triangle_counts(edges).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_canonicalizes_direction_and_dupes(spark):
+    from asset_prices_parquet_saver_spark.operators import graph
+
+    # same triangle given with mixed directions, duplicates, self-loop
+    edges = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("c", "b"), ("a", "c"), ("a", "a")],
+        ["src", "dst"],
+    )
+    out = {r.vertex: r.n_triangles for r in graph.triangle_counts(edges).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_k4_has_three_per_vertex(spark):
+    from itertools import combinations
+
+    from asset_prices_parquet_saver_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        list(combinations(["a", "b", "c", "d"], 2)), ["src", "dst"]
+    )
+    out = {r.vertex: r.n_triangles for r in graph.triangle_counts(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}

@@ -160,6 +160,10 @@ def triangle_counts(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        # materialize ONCE: the edge relation feeds all three join
+        # aliases — without the barrier Spark re-executes the whole
+        # upstream edge pipeline per alias (plan-verified 3×)
+        .localCheckpoint()
     )
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

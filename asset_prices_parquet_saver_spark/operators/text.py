@@ -1509,6 +1509,11 @@ def retrieval_ndcg(
             F.round(F.sum(contrib), 6).alias("score"),
             F.count("*").alias("rel"),
         )
+        # materialize ONCE: the scored match set feeds BOTH rankings
+        # (DCG and IDCG) — without the barrier the tokenize/tf/score
+        # pipeline re-executes per branch (plan-verified 2×); the
+        # relation is O(matching docs × queries), cheap to pin
+        .localCheckpoint()
     )
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
     ranked = scored.withColumn(

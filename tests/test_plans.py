@@ -509,3 +509,45 @@ def test_round8_queries_plan_shapes(spark, sf_dir):
     for name in ("gopher_quality_flags", "media_real_decode_meta"):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "Join" not in plan, name
+
+
+def test_round9_session2_additions_plan_shapes(spark, sf_dir):
+    """The r10-rotation-head additions keep their intended shapes:
+    every pair/probe join is an EQUI-join (hash/merge/broadcast —
+    never a corpus-sized cartesian/BNLJ), and the blocked fuzzy match
+    extracts the blocking keys as join keys with levenshtein left as a
+    residual predicate, not a nested-loop condition."""
+    # blocked record linkage: equi-join on (sz, b1); levenshtein is a
+    # residual on the join, so no BNLJ/CartesianProduct anywhere
+    link = _plan(QUERIES["part_name_near_matches"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in link
+    assert "CartesianProduct" not in link
+    assert "levenshtein" in link
+    assert any(
+        j in link
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # substring dedup: window-hash equi-join back to the dup set; the
+    # only acceptable BNLJ anywhere in this family is the sanctioned
+    # 1-row totals crossJoin (contrastive/basket), i.e. Cross build
+    for name in ("substring_dup_spans", "substring_dedup_clean"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    for name in (
+        "dsir_importance_weights",
+        "retrieval_ndcg",
+        "ann_ivf_recall",
+        "brand_basket_rules",
+        "brand_graph_triangles",
+        "contrastive_negatives",
+        "bpe_merge_candidates",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # BNLJ may appear ONLY as the 1-row-broadcast cross (the
+        # bounded_broadcast(tot) idiom); a keyed BNLJ would print a
+        # BuildRight, Inner/LeftOuter variant with a join condition
+        for ln in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "Cross" in ln, (name, ln)

@@ -1847,3 +1847,40 @@ def excise_duplicated_spans(
     return matched.mapInPandas(
         rebuild, "id long, clean_text string, n_tokens long, n_removed long"
     )
+
+
+def duplication_report(
+    df: DataFrame, id_col: str, text_col: str, group_col: str, k: int = 5
+) -> DataFrame:
+    """Corpus duplication profile by slice: per group (source,
+    language), the share of tokens sitting inside cross-document
+    duplicated spans (:func:`duplicated_spans`) — the
+    before/after number a substring-dedup run reports per provider
+    ("src7 is 34% verbatim-duplicated text"). Returns (group, n_docs,
+    n_tokens, dup_tokens, dup_token_rate), rate rounded to 6 decimals.
+
+    Scale shape: the span pipeline's shuffles (O(windows)) dominate;
+    on top of it this is one per-doc combinable fold, one equi-join
+    back to the (id, group, token-count) relation, and one group
+    aggregate."""
+    spans = duplicated_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy("id").agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        docs.join(per_doc, "id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0))).cast("long").alias("dup_tokens"),
+            F.round(
+                F.sum(F.coalesce(F.col("dup_tokens"), F.lit(0))) / F.sum("n_tokens"), 6
+            ).alias("dup_token_rate"),
+        )
+    )

@@ -1593,3 +1593,31 @@ def bpe_merge_candidates(
         .orderBy(F.col("pair_count").desc(), F.col("sym_a"), F.col("sym_b"))
         .limit(k)
     )
+
+
+def token_fertility(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Tokenizer fertility diagnostic: per group (language, source),
+    corpus-level tokens-per-word ratio Σ tokens / Σ words under the
+    BPE-ish TOKEN_REGEX — the multilingual-curation signal for
+    languages the tokenizer fragments (fertility ≫ 1 means more
+    subword pieces per word, i.e. worse compression for that slice).
+    Returns (group, n_docs, n_words, n_tokens, fertility), ratio
+    rounded to 6 decimals; zero-word documents counted in n_docs but
+    contributing nothing to the ratio.
+
+    Scale shape: two narrow per-row counts (JVM regexp / split — no
+    explode, no Python) folded by ONE combinable group aggregate."""
+    t = F.col(text_col)
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        n_words(t).alias("nw"),
+        token_count(t).alias("nt"),
+    )
+    return per.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.sum("nt") / F.sum("nw"), 6).alias("fertility"),
+    )

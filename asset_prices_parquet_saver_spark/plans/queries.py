@@ -2741,6 +2741,88 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_merge_candidates(d, "doc_id", "text", k=20)
 
 
+# --- X4 tokenizer fertility by language: Σ tokens / Σ words per lang
+# under the BPE-ish TOKEN_REGEX — the multilingual tokenizer-
+# compression diagnostic.
+@q(
+    "token_fertility_by_lang",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS nw,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS nt
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_words,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(nt) AS DOUBLE) / SUM(nw), 6) AS fertility
+    FROM per GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.token_fertility(d, "text", "lang").select(
+        F.col("grp").alias("lang"), "n_docs", "n_words", "n_tokens", "fertility"
+    )
+
+
+# --- X2 substring-duplication profile by source: share of tokens
+# inside cross-document duplicated spans, per provider — the
+# before/after report of a substring-dedup run.
+@q(
+    "substring_dup_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), win AS (
+      SELECT doc_id AS id, CAST(i AS INT) AS pos, CAST(i + 4 AS INT) AS e,
+             list_aggregate(w[i:i+4], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(range(1, len(w) - 3)) t(i)
+      WHERE len(w) >= 5
+    ), dup AS (
+      SELECT g FROM win GROUP BY g HAVING MIN(id) <> MAX(id)
+    ), hits AS (
+      SELECT id, pos, e FROM win WHERE g IN (SELECT g FROM dup)
+    ), flagged AS (
+      SELECT id, pos, e,
+             MAX(e) OVER (PARTITION BY id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    ), isl AS (
+      SELECT id, pos, e,
+             SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ), spans AS (
+      SELECT id, MAX(e) - MIN(pos) + 1 AS span_tokens
+      FROM isl GROUP BY id, grp
+    ), per_doc AS (
+      SELECT id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY id
+    )
+    SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(t.w)) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           round(CAST(SUM(COALESCE(p.dup_tokens, 0)) AS DOUBLE) / SUM(len(t.w)), 6)
+             AS dup_token_rate
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.id
+    GROUP BY t.source
+    """,
+)
+def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.duplication_report(d, "doc_id", "text", "source", k=5).select(
+        F.col("grp").alias("source"),
+        "n_docs",
+        "n_tokens",
+        "dup_tokens",
+        "dup_token_rate",
+    )
+
+
 # --- X4 contrastive negative sampling: k md5-indexed corpus negatives
 # per anchor, self-hits dropped; distributed row numbering on the
 # engine side, plain ROW_NUMBER in the oracle.
@@ -8028,6 +8110,8 @@ _GATE_ORDER = [
     "ann_ivf_recall",
     "contrastive_negatives",
     "brand_graph_triangles",
+    "token_fertility_by_lang",
+    "substring_dup_rate",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

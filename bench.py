@@ -118,6 +118,8 @@ HEADLINE = [
     "ann_ivf_recall",
     "contrastive_negatives",
     "brand_graph_triangles",
+    "token_fertility_by_lang",
+    "substring_dup_rate",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

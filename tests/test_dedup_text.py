@@ -840,3 +840,37 @@ def test_bpe_merge_candidates_single_char_words_ignored(spark):
         for r in text.bpe_merge_candidates(df, "doc_id", "text", k=10).collect()
     ]
     assert out == [("x", "y", 1)]
+
+
+# ------------------- duplication report / tokenizer fertility (X2/X4)
+
+def test_duplication_report_rates(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=0, text="a b c d e x1 x2 x3 x4 x5", src="s1"),  # 5/10 dup
+        Row(doc_id=1, text="a b c d e", src="s2"),                 # 5/5 dup
+        Row(doc_id=2, text="u v w x y", src="s2"),                 # clean
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.grp: (r.n_docs, r.n_tokens, r.dup_tokens, r.dup_token_rate)
+        for r in dedup.duplication_report(df, "doc_id", "text", "src", k=5).collect()
+    }
+    assert out == {"s1": (1, 10, 5, 0.5), "s2": (2, 10, 5, 0.5)}
+
+
+def test_token_fertility_counts(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=0, text="hello world", lang="en"),        # 2 words, 2 tokens
+        Row(doc_id=1, text="don't stop", lang="en"),  # 2 words, 4 tokens (don ' t stop)
+        Row(doc_id=2, text="abc123", lang="de"),             # 1 word, 2 tokens
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.grp: (r.n_docs, r.n_words, r.n_tokens, r.fertility)
+        for r in text.token_fertility(df, "text", "lang").collect()
+    }
+    assert out == {"en": (2, 4, 6, 1.5), "de": (1, 1, 2, 2.0)}

@@ -1759,8 +1759,6 @@ def duplicated_spans(
     gaps-and-islands prefix-max window per document — every shuffle is
     O(windows), nothing all-pairs, no driver-side state. Reference
     analogue: none (X2 family, SURVEY §2.11)."""
-    from pyspark.sql.window import Window
-
     wins = window_rows(df, id_col, text_col, k).localCheckpoint()
     dup_h = (
         wins.groupBy("h")
@@ -1768,7 +1766,19 @@ def duplicated_spans(
         .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
-    hits = wins.join(dup_h, "h").select(
+    hits = wins.join(dup_h, "h").select("id", "pos")
+    return _merge_spans(hits, k)
+
+
+def _merge_spans(hits: DataFrame, k: int) -> DataFrame:
+    """Shared last stage of the substring-dedup pipelines: merge the
+    duplicated-window hit relation (id, pos) into maximal per-document
+    token spans — the gaps-and-islands prefix-max window. Overlapping
+    AND adjacent windows merge (positions i and i+k are one contiguous
+    duplicated run)."""
+    from pyspark.sql.window import Window
+
+    hits = hits.select(
         "id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
     )
     w = Window.partitionBy("id").orderBy("pos")

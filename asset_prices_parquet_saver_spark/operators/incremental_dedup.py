@@ -771,3 +771,103 @@ def run_streaming_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------- incremental EXACT-SUBSTRING dedup (window index)
+
+#: window-index schema: one row per (window hash, owning doc). The id
+#: is carried so a REPLAYED batch's own windows never self-match
+#: (epoch idempotence — the band index's equal-id-exclusion rule).
+WINDOW_INDEX_SCHEMA = "h long, id long"
+
+
+def ensure_window_index(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> None:
+    """Create the physically bucketed substring-window index if
+    absent: a managed table bucketed by ``h`` — the probe join key —
+    so index files are hash-partitioned on disk and the per-batch
+    probe reads them in place (no exchange, no sort of the O(corpus)
+    side)."""
+    if not spark.catalog.tableExists(table):
+        (
+            spark.createDataFrame([], WINDOW_INDEX_SCHEMA)
+            .write.bucketBy(num_buckets, "h")
+            .sortBy("h")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+
+def substring_increment_bucketed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    window_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Incremental exact-substring dedup (the batch-arrival shape of
+    :func:`~asset_prices_parquet_saver_spark.operators.dedup.
+    duplicated_spans`): duplicated token spans of the NEW batch's
+    documents against everything seen before — a window counts as
+    duplicated when its hash exists in the persisted index under a
+    DIFFERENT doc id, or verbatim in a second batch document. With the
+    index holding exactly the prior corpus's windows this reproduces
+    the from-scratch ≥2-distinct-docs semantics restricted to batch
+    ids (equivalence test-pinned), without rescanning the corpus.
+
+    Appends the batch's window rows and returns the span relation
+    (id, span_start, span_end, span_tokens).
+
+    Scale shape: the batch tokenizes/hashes in one Arrow kernel pass;
+    the probe is a shuffled-hash join in which the BATCH builds the
+    hash side and the bucketed index streams through IN PLACE
+    (plan-asserted: one exchange — the batch's — `Bucketed: true` on
+    the index scan); per-batch cost is O(batch windows + colliding
+    index rows), never O(corpus). Same metastore-append caveats as
+    :func:`dedup_increment_bucketed` (non-atomic appends; replays are
+    harmless for results via the equal-id exclusion but grow the
+    index until a compaction — the manifest/Iceberg discussion there
+    applies verbatim)."""
+    from asset_prices_parquet_saver_spark.operators.dedup import (
+        _merge_spans,
+        window_rows,
+    )
+
+    ensure_window_index(spark, window_table, num_buckets)
+    wins = window_rows(new_docs, id_col, text_col, k).localCheckpoint()
+    idx = spark.table(window_table)
+    # INNER join, not semi: a semi join must hash-build its RIGHT side
+    # (Spark rejects build-left for semi), which would build the
+    # O(corpus) index per task — the band-index probe shape (batch as
+    # the hinted build side, index streamed in place) needs inner +
+    # the downstream distinct
+    hits_corpus = (
+        wins.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            idx.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("a.pos").alias("pos"))
+    )
+    dup_batch = (
+        wins.groupBy("h")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    hits_batch = wins.join(dup_batch, "h").select("id", "pos")
+    hits = hits_corpus.unionByName(hits_batch).distinct()
+    spans = _merge_spans(hits, k).localCheckpoint()
+    with _band_table_lock(spark, window_table):
+        (
+            wins.select("h", "id")
+            .write.bucketBy(num_buckets, "h")
+            .sortBy("h")
+            .mode("append")
+            .saveAsTable(window_table)
+        )
+    return spans

@@ -643,3 +643,117 @@ def test_streaming_dedup_banded_index_end_to_end(spark, tmp_path):
     assert rows.filter(
         F.col("pbucket") != F.pmod(F.hash("band", "bucket"), F.lit(4))
     ).count() == 0
+
+
+# ---------------- incremental exact-substring dedup (window index)
+
+def test_substring_increment_matches_from_scratch(spark):
+    """Batch-vs-index spans must equal the from-scratch
+    duplicated_spans over corpus ∪ batch, restricted to batch ids."""
+    from asset_prices_parquet_saver_spark.operators import dedup
+
+    tbl = "winidx_test_equiv"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f g corpus tail"),
+            Row(doc_id=1, text="u v w x y z only here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="pre1 a b c d e f g post1"),   # dup vs corpus
+            Row(doc_id=11, text="m n o p q r shared run one"), # dup vs 12
+            Row(doc_id=12, text="m n o p q r shared run two"),
+            Row(doc_id=13, text="completely fresh words only here no"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        # seed the index with the corpus windows
+        inc.substring_increment_bucketed(
+            spark, corpus, tbl, k=5, num_buckets=4
+        )
+        got = {
+            (r.id, r.span_start, r.span_end, r.span_tokens)
+            for r in inc.substring_increment_bucketed(
+                spark, batch, tbl, k=5, num_buckets=4
+            ).collect()
+        }
+        ref = {
+            (r.id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.duplicated_spans(
+                corpus.unionByName(batch), "doc_id", "text", k=5
+            ).collect()
+            if r.id >= 10
+        }
+        assert got == ref and got  # non-trivial and identical
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_substring_increment_replay_is_idempotent_on_results(spark):
+    """Re-running the SAME batch after its append must return the same
+    spans (its own indexed windows are excluded by the equal-id rule),
+    not mark the whole batch duplicated."""
+    tbl = "winidx_test_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="m n o p q r shared run one"),
+            Row(doc_id=2, text="m n o p q r shared run two"),
+            Row(doc_id=3, text="totally unrelated text goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        first = {
+            (r.id, r.span_start, r.span_end)
+            for r in inc.substring_increment_bucketed(
+                spark, batch, tbl, k=5, num_buckets=4
+            ).collect()
+        }
+        replay = {
+            (r.id, r.span_start, r.span_end)
+            for r in inc.substring_increment_bucketed(
+                spark, batch, tbl, k=5, num_buckets=4
+            ).collect()
+        }
+        assert replay == first
+        assert {i for i, *_ in first} == {1, 2}  # doc 3 never flagged
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_substring_increment_probe_shuffles_only_the_batch(spark):
+    """The probe's index side must be the in-place bucketed scan: one
+    exchange total (the batch's), `Bucketed: true` on the index."""
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.operators.dedup import window_rows
+
+    tbl = "winidx_test_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    try:
+        inc.substring_increment_bucketed(spark, batch, tbl, k=5, num_buckets=4)
+        wins = window_rows(batch, "doc_id", "text", 5).localCheckpoint()
+        probe = (
+            wins.alias("a")
+            .hint("shuffle_hash")
+            .join(
+                spark.table(tbl).alias("b"),
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
+        assert plan.count("Exchange") == 1
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -1815,13 +1815,24 @@ def excise_duplicated_spans(
     id), so excision is one equi-join plus an Arrow-batched rebuild
     kernel over the matched documents only — the corpus outside the
     duplicated set is never rewritten."""
+    spans = duplicated_spans(df, id_col, text_col, k)
+    return excise_spans(df, id_col, text_col, spans)
+
+
+def excise_spans(
+    df: DataFrame, id_col: str, text_col: str, spans: DataFrame
+) -> DataFrame:
+    """Rebuild the documents matched by a PRECOMPUTED span relation
+    (id, span_start, span_end, …) — the shared write-path of
+    :func:`excise_duplicated_spans` and the incremental/streaming
+    substring-dedup paths, which obtain spans from the persisted
+    window index instead of a from-scratch corpus pass."""
     import re as _re
 
     import pandas as pd
 
     from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
 
-    spans = duplicated_spans(df, id_col, text_col, k)
     per_doc = spans.groupBy("id").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))

@@ -499,6 +499,20 @@ def compact_band_index(
     window instead.
 
     Returns ``(files_before, files_after)``."""
+    return _compact_bucketed_index(spark, table, num_buckets, ("band", "bucket"))
+
+
+def _compact_bucketed_index(
+    spark: SparkSession,
+    table: str,
+    num_buckets: int,
+    key_cols: tuple[str, ...],
+) -> tuple[int, int]:
+    """Shared rewrite→verify→swap compaction for any metastore table
+    bucketed on ``key_cols`` (the band index and the substring window
+    index) — one body so the multi-writer/crash-recovery guarantees
+    documented on :func:`compact_band_index` can never diverge between
+    the two layouts."""
     from asset_prices_parquet_saver_spark.sources.manifest import CommitConflict
 
     staging = f"{table}_compacting"
@@ -514,11 +528,11 @@ def compact_band_index(
         cur = spark.table(table)
         expect = sorted(cur.inputFiles())
         files_before = len(expect)
-        bucket_id = F.pmod(F.hash("band", "bucket"), F.lit(num_buckets))
+        bucket_id = F.pmod(F.hash(*key_cols), F.lit(num_buckets))
         (
             cur.repartition(num_buckets, bucket_id)
-            .write.bucketBy(num_buckets, "band", "bucket")
-            .sortBy("band", "bucket")
+            .write.bucketBy(num_buckets, *key_cols)
+            .sortBy(*key_cols)
             .mode("overwrite")
             .saveAsTable(staging)
         )
@@ -788,8 +802,14 @@ def ensure_window_index(
     absent: a managed table bucketed by ``h`` — the probe join key —
     so index files are hash-partitioned on disk and the per-batch
     probe reads them in place (no exchange, no sort of the O(corpus)
-    side)."""
+    side). Same crash-window recovery as :func:`ensure_band_index`:
+    a ``_compacting`` staging orphan holds the ONLY copy of the index
+    and must be renamed back, never shadowed by an empty re-create."""
     if not spark.catalog.tableExists(table):
+        staging = f"{table}_compacting"
+        if spark.catalog.tableExists(staging):
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+            return
         (
             spark.createDataFrame([], WINDOW_INDEX_SCHEMA)
             .write.bucketBy(num_buckets, "h")
@@ -871,3 +891,74 @@ def substring_increment_bucketed(
             .saveAsTable(window_table)
         )
     return spans
+
+
+def compact_window_index(
+    spark: SparkSession, table: str, num_buckets: int = 32
+) -> tuple[int, int]:
+    """Compact the substring window index's accumulated append files —
+    the same small-files decay and the same rewrite→verify→swap
+    protocol as :func:`compact_band_index` (shared body:
+    :func:`_compact_bucketed_index`), keyed on ``h``."""
+    return _compact_bucketed_index(spark, table, num_buckets, ("h",))
+
+
+def run_streaming_substring_scrub(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    window_table: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming corpus ingestion with online EXACT-SUBSTRING
+    scrubbing: every micro-batch's duplicated spans (vs everything
+    seen before — :func:`substring_increment_bucketed`) are excised
+    and the SCRUBBED documents appended to the corpus via an
+    epoch-idempotent manifest commit. Unlike the near-dup streaming
+    path (which drops whole documents), substring scrubbing keeps
+    every document and removes only the verbatim-repeated token runs —
+    the Lee et al. curation applied at ingestion time.
+
+    Replay safety: the span computation is replay-deterministic (a
+    replayed batch's own indexed windows are excluded by the equal-id
+    rule), and the corpus commit carries the foreachBatch epoch in its
+    txn record, so a crashed epoch re-runs to the same scrubbed rows
+    and skips the append if it already landed. The window-index append
+    itself is a metastore write (not idempotent — replays grow it
+    harmlessly; :func:`compact_window_index` reclaims)."""
+    from asset_prices_parquet_saver_spark.operators.dedup import excise_spans
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spans = substring_increment_bucketed(
+            spark, batch, window_table, id_col, text_col, k, num_buckets
+        )
+        clean = excise_spans(batch, id_col, text_col, spans)
+        scrubbed = (
+            batch.join(
+                clean.select(
+                    F.col("id").alias(id_col), F.col("clean_text")
+                ),
+                id_col,
+                "left",
+            )
+            .withColumn(text_col, F.coalesce("clean_text", F.col(text_col)))
+            .drop("clean_text")
+            .localCheckpoint()
+        )
+        manifest.commit_append(
+            scrubbed, corpus_path, txn=("substring-corpus", epoch_id)
+        )
+
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -757,3 +757,83 @@ def test_substring_increment_probe_shuffles_only_the_batch(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_window_index_folds_files(spark):
+    tbl = "winidx_test_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+    try:
+        for i in range(3):  # three appends -> three file generations
+            batch = spark.createDataFrame(
+                [Row(doc_id=10 * i + j, text=f"w{i} x{j} common run of words {j}")
+                 for j in range(2)],
+                "doc_id long, text string",
+            )
+            inc.substring_increment_bucketed(spark, batch, tbl, k=5, num_buckets=4)
+        rows_before = sorted(
+            (r["h"], r["id"]) for r in spark.table(tbl).collect()
+        )
+        before, after = inc.compact_window_index(spark, tbl, num_buckets=4)
+        assert after < before
+        assert after <= 4  # at most one file per non-empty bucket
+        assert sorted(
+            (r["h"], r["id"]) for r in spark.table(tbl).collect()
+        ) == rows_before
+        # probes keep working against the compacted index
+        probe = spark.createDataFrame(
+            [Row(doc_id=99, text="w0 x0 common run of words 0")],
+            "doc_id long, text string",
+        )
+        spans = inc.substring_increment_bucketed(
+            spark, probe, tbl, k=5, num_buckets=4
+        )
+        assert spans.count() == 1  # verbatim dup of indexed doc 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compacting")
+
+
+def test_streaming_substring_scrub_end_to_end(spark, tmp_path):
+    tbl = "winidx_test_stream"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    corpus = str(tmp_path / "scrubbed")
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    docs = [
+        (0, "a b c d e f g tail1 tail2"),
+        (1, "pre1 pre2 a b c d e f g"),   # shares the 7-token run with 0
+        (2, "q r s t u v w x y z"),       # clean
+    ]
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(drop / "all"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(drop / "all")
+    )
+    try:
+        q = inc.run_streaming_substring_scrub(
+            spark,
+            stream,
+            tbl,
+            corpus,
+            k=5,
+            num_buckets=4,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in manifest.read_versioned(
+                spark, corpus, schema="doc_id long, text string"
+            ).collect()
+        }
+        # every document kept; only the verbatim run excised
+        assert got == {
+            0: "tail1 tail2",
+            1: "pre1 pre2",
+            2: "q r s t u v w x y z",
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

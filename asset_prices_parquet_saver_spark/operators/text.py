@@ -1621,3 +1621,80 @@ def token_fertility(
         F.sum("nt").cast("long").alias("n_tokens"),
         F.round(F.sum("nt") / F.sum("nw"), 6).alias("fertility"),
     )
+
+
+def blocklist_hits(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Dictionary tagging / blocklist filter (the safety-filter shape:
+    flag documents containing any term of a fixed dictionary): per
+    matching document, the sorted distinct matched terms and their
+    total occurrence count. Returns (id, matched_terms array, n_terms,
+    n_hits) for documents with ≥1 hit.
+
+    Scale shape: the dictionary rides the task closure as an array
+    literal (dictionaries are KB-scale; a 100k-term list would become
+    a bounded broadcast join on exploded tokens instead) — matching is
+    JVM array_intersect / filter over the token array, one narrow map
+    + a final filter, zero shuffles, scan speed."""
+    from asset_prices_parquet_saver_spark.operators.dedup import words
+
+    dict_arr = F.array(*[F.lit(t) for t in terms])
+    w = words(F.col(text_col))
+    matched = F.array_sort(F.array_distinct(F.array_intersect(w, dict_arr)))
+    n_hits = F.size(F.filter(w, lambda t: F.array_contains(dict_arr, t)))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_join(matched, " ").alias("matched_terms"),
+            F.size(matched).cast("long").alias("n_terms"),
+            n_hits.cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_terms") > 0)
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_tokens: int = 32,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Length-bucketed micro-batching for inference serving: documents
+    grouped into token-length buckets (bucket = ceil(tokens /
+    ``bucket_tokens``); similar lengths batch together so padding
+    waste is bounded by the bucket width), then numbered into batches
+    of ``batch_size`` inside each bucket in a deterministic md5-keyed
+    order (the shuffle-then-batch discipline, engine-portable).
+    Returns (id, n_tokens, bucket, batch_id, slot).
+
+    Scale shape: one narrow token count, then a row_number window
+    PARTITIONED BY BUCKET — parallel across buckets (a skewed mega-
+    bucket would re-split by a salt on md5(id), the usual skew rule);
+    no global ordering, no driver state."""
+    from pyspark.sql.window import Window
+
+    from asset_prices_parquet_saver_spark.functions.portable_hash import md5_int60
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(t).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket",
+        F.ceil(F.col("n_tokens") / F.lit(bucket_tokens)).cast("long"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        md5_int60(F.col("id").cast("string")), F.col("id")
+    )
+    numbered = base.withColumn("rn", F.row_number().over(w) - 1)
+    return numbered.select(
+        "id",
+        "n_tokens",
+        "bucket",
+        # explicit floor: a bare double→long CAST truncates in Spark
+        # but ROUNDS in DuckDB — floor is the portable spelling
+        F.floor(F.col("rn") / batch_size).cast("long").alias("batch_id"),
+        F.pmod(F.col("rn"), F.lit(batch_size)).cast("long").alias("slot"),
+    )

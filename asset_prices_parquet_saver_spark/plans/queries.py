@@ -2823,6 +2823,79 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the blocklist-tagging dictionary, shared verbatim by the oracle.
+_BLOCKLIST_TERMS = ("spark", "merge", "vector", "stream")
+_BLOCKLIST_SQL = ", ".join(f"'{t}'" for t in _BLOCKLIST_TERMS)
+
+
+# --- X4 dictionary tagging / blocklist filter (safety-filter shape):
+# documents containing any dictionary term, with matched terms and
+# occurrence counts; JVM array ops, zero shuffles.
+@q(
+    "blocklist_term_hits",
+    rf"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_intersect(words, [{_BLOCKLIST_SQL}]))) AS matched,
+             len(list_filter(words, t -> list_contains([{_BLOCKLIST_SQL}], t))) AS n_hits
+      FROM w
+    )
+    SELECT doc_id, array_to_string(matched, ' ') AS matched_terms,
+           CAST(len(matched) AS BIGINT) AS n_terms,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM m WHERE len(matched) > 0
+    """,
+)
+def blocklist_term_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.blocklist_hits(d, "doc_id", "text", _BLOCKLIST_TERMS).select(
+        F.col("id").alias("doc_id"), "matched_terms", "n_terms", "n_hits"
+    )
+
+
+# --- X4 inference serving: length-bucketed deterministic micro-batches
+# (similar token lengths batch together; padding waste bounded by the
+# bucket width). md5-keyed order so both engines batch identically.
+@q(
+    "length_bucketed_batches",
+    rf"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT id, n_tokens,
+             CAST(ceil(CAST(n_tokens AS DOUBLE) / 32) AS BIGINT) AS bucket,
+             substr(md5(CAST(id AS VARCHAR)), 1, 15) AS h15
+      FROM base
+    ), numbered AS (
+      SELECT id, n_tokens, bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY {ph.sql_hex15_int('h15')}, id) - 1 AS rn
+      FROM b
+    )
+    SELECT id AS doc_id, n_tokens, bucket,
+           CAST(FLOOR(CAST(rn AS DOUBLE) / 16) AS BIGINT) AS batch_id,
+           rn % 16 AS slot
+    FROM numbered
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    out = text_ops.length_bucketed_batches(
+        d, "doc_id", "text", bucket_tokens=32, batch_size=16
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "bucket", "batch_id", "slot"
+    )
+
+
 # --- X4 contrastive negative sampling: k md5-indexed corpus negatives
 # per anchor, self-hits dropped; distributed row numbering on the
 # engine side, plain ROW_NUMBER in the oracle.
@@ -8112,6 +8185,8 @@ _GATE_ORDER = [
     "brand_graph_triangles",
     "token_fertility_by_lang",
     "substring_dup_rate",
+    "blocklist_term_hits",
+    "length_bucketed_batches",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

@@ -120,6 +120,8 @@ HEADLINE = [
     "brand_graph_triangles",
     "token_fertility_by_lang",
     "substring_dup_rate",
+    "blocklist_term_hits",
+    "length_bucketed_batches",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

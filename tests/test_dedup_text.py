@@ -874,3 +874,37 @@ def test_token_fertility_counts(spark):
         for r in text.token_fertility(df, "text", "lang").collect()
     }
     assert out == {"en": (2, 4, 6, 1.5), "de": (1, 1, 2, 2.0)}
+
+
+# ---------------- blocklist tagging / length-bucketed batching (X4)
+
+def test_blocklist_hits_terms_and_counts(spark):
+    df = _docs(spark, ["bad word bad thing", "all clean here", "word only"])
+    out = {
+        r.id: (r.matched_terms, r.n_terms, r.n_hits)
+        for r in text.blocklist_hits(
+            df, "doc_id", "text", ("bad", "word")
+        ).collect()
+    }
+    # doc 1 has no hits and must be absent entirely
+    assert out == {0: ("bad word", 2, 3), 2: ("word", 1, 1)}
+
+
+def test_length_bucketed_batches_shape(spark):
+    docs = [" ".join(["tok"] * n) for n in (3, 5, 40, 45, 70)]
+    df = _docs(spark, docs)
+    out = text.length_bucketed_batches(
+        df, "doc_id", "text", bucket_tokens=32, batch_size=2
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert {r.bucket for r in out} == {1, 2, 3}
+    assert by_id[0].bucket == 1 and by_id[2].bucket == 2 and by_id[4].bucket == 3
+    # within a bucket: slots cycle 0..batch_size-1, batch_id floors
+    for r in out:
+        assert 0 <= r.slot < 2
+        assert r.batch_id >= 0
+    # deterministic across partitionings
+    out2 = text.length_bucketed_batches(
+        df.repartition(5), "doc_id", "text", bucket_tokens=32, batch_size=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -224,6 +224,31 @@ def _cmd_curate(args) -> int:
     ).localCheckpoint()  # truncate the iterative-CC lineage before the write
     n_dedup = docs.count()
 
+    n_scrubbed = 0
+    if args.substring_scrub:
+        # excise verbatim cross-document runs from the survivors (the
+        # Lee et al. pass fuzzy dedup doesn't cover: a snippet repeated
+        # inside otherwise-distinct documents)
+        spans = dedup_ops.duplicated_spans(
+            docs, args.id_col, args.text_col, k=args.substring_k
+        )
+        clean = dedup_ops.excise_spans(docs, args.id_col, args.text_col, spans)
+        n_scrubbed = clean.count()
+        docs = (
+            docs.join(
+                clean.select(
+                    F.col("id").alias(args.id_col), "clean_text"
+                ),
+                args.id_col,
+                "left",
+            )
+            .withColumn(
+                args.text_col,
+                F.coalesce("clean_text", F.col(args.text_col)),
+            )
+            .drop("clean_text")
+        )
+
     splits = []
     for part in args.splits.split(","):
         label, frac = part.split(":")
@@ -231,9 +256,12 @@ def _cmd_curate(args) -> int:
     docs = docs.withColumn("split", assign_split(F.col(args.id_col), splits))
 
     docs.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    scrub_note = (
+        f" ({n_scrubbed} docs substring-scrubbed)" if args.substring_scrub else ""
+    )
     print(
-        f"curated {n_in} -> {n_quality} (quality) -> {n_dedup} (dedup); "
-        f"wrote {args.output} partitioned by split"
+        f"curated {n_in} -> {n_quality} (quality) -> {n_dedup} (dedup)"
+        f"{scrub_note}; wrote {args.output} partitioned by split"
     )
     return 0
 
@@ -375,6 +403,17 @@ def main(argv: list[str] | None = None) -> int:
         "--splits",
         default="train:0.8,val:0.1,test:0.1",
         help="comma-separated label:fraction list; last label absorbs the rest",
+    )
+    cu.add_argument(
+        "--substring-scrub",
+        action="store_true",
+        help="also excise verbatim cross-document token runs (Lee et al.)",
+    )
+    cu.add_argument(
+        "--substring-k",
+        type=int,
+        default=5,
+        help="window size (tokens) for --substring-scrub",
     )
     cu.set_defaults(fn=_cmd_curate)
 

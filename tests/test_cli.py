@@ -233,3 +233,45 @@ def test_cli_scd2_batch_apply(spark, tmp_path, capsys):
         for r in full.collect()
     )
     assert got == want
+
+
+def test_cli_curate_substring_scrub(spark, tmp_path, capsys):
+    docs = str(tmp_path / "raw2.parquet")
+    run = "alpha beta gamma delta epsilon zeta eta"
+    filler1 = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the green hills where a river is winding of old stone"
+    )
+    filler2 = (
+        "a tall ship sails the cold sea under bright stars while the "
+        "old crew is singing songs of home and port and distant lands"
+    )
+    spark.createDataFrame(
+        [
+            (1, filler1 + " " + run),
+            (2, run + " " + filler2),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    rc = cli.main(
+        [
+            "curate",
+            "--docs", docs,
+            "--output", str(tmp_path / "curated2"),
+            "--substring-scrub",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "substring-scrubbed" in out
+    rows = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "curated2")).collect()
+    }
+    # both docs survive (not near-dups) but the shared verbatim run is
+    # excised from each
+    assert set(rows) == {1, 2}
+    for t in rows.values():
+        assert "alpha beta gamma delta epsilon zeta eta" not in t
+    assert rows[1].startswith("the quick brown fox")
+    assert rows[2].endswith("distant lands")

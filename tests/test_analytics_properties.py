@@ -237,3 +237,61 @@ def test_contrastive_negatives_deterministic_and_self_free(spark):
     for a, j, _ in out1:
         per_anchor.setdefault(a, []).append(j)
     assert all(len(js) <= 3 for js in per_anchor.values())
+
+
+def test_basket_rules_match_python_reference(spark):
+    import random
+    from itertools import combinations
+
+    from asset_prices_parquet_saver_spark.operators import analytics as an
+
+    rng = random.Random(13)
+    items = [f"i{k}" for k in range(6)]
+    baskets = {
+        b: set(rng.sample(items, rng.randint(1, 4))) for b in range(40)
+    }
+    rows = [(b, it) for b, s in baskets.items() for it in s]
+    df = spark.createDataFrame(rows, ["o", "it"])
+
+    n = len(baskets)
+    cnt = {it: sum(it in s for s in baskets.values()) for it in items}
+    want = {}
+    for a, b in combinations(sorted(items), 2):
+        co = sum(a in s and b in s for s in baskets.values())
+        if co and round(co / n, 6) >= 0.05:
+            for ante, cons in ((a, b), (b, a)):
+                want[(ante, cons)] = (
+                    co,
+                    round(co / n, 6),
+                    round(co / cnt[ante], 6),
+                    round(co * n / (cnt[ante] * cnt[cons]), 6),
+                )
+    got = {
+        (r.antecedent, r.consequent): (
+            r.co_count, r.support, r.confidence, r.lift
+        )
+        for r in an.basket_rules(df, "o", "it", min_support=0.05).collect()
+    }
+    assert got == want and want
+
+
+def test_triangle_counts_match_python_reference(spark):
+    import random
+    from itertools import combinations
+
+    from asset_prices_parquet_saver_spark.operators import graph
+
+    rng = random.Random(29)
+    verts = list(range(12))
+    edges = {e for e in combinations(verts, 2) if rng.random() < 0.4}
+    df = spark.createDataFrame(
+        [(a, b) if rng.random() < 0.5 else (b, a) for a, b in edges],
+        ["src", "dst"],
+    )
+    want: dict[int, int] = {}
+    for a, b, c in combinations(verts, 3):
+        if {(a, b), (b, c), (a, c)} <= edges:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {r.vertex: r.n_triangles for r in graph.triangle_counts(df).collect()}
+    assert got == want and want

@@ -1905,3 +1905,55 @@ def duplication_report(
             ).alias("dup_token_rate"),
         )
     )
+
+
+def near_dup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pair DIAGNOSTICS — the triage report a curation
+    run reads before choosing drop rules: for every pair at Jaccard ≥
+    ``threshold``, the shared-shingle count, both asymmetric
+    containments (|A∩B|/|A| and /|B| — distinguishes snippet-inside-
+    page from genuine twins), and the size ratio. Returns (id_a, id_b,
+    jaccard, n_common, containment_a, containment_b, size_ratio), all
+    ratios rounded to 6 decimals.
+
+    Scale shape: the pair SET comes from the filtered
+    :func:`jaccard_pairs` pipeline (PPJoin prefix filters — never
+    all-pairs); diagnostics add one equi-join per side onto the
+    zero-shuffle :func:`shingle_arrays_unordered` relation and an
+    in-row ``array_intersect`` — O(pairs) on top of pair discovery."""
+    pairs = jaccard_pairs(df, id_col, text_col, n, threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    arrs = shingle_arrays_unordered(df, id_col, text_col, n)
+    a = arrs.select(
+        F.col("id").alias("id_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = arrs.select(
+        F.col("id").alias("id_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            inter.cast("long").alias("n_common"),
+            F.round(inter / F.col("n_a"), 6).alias("containment_a"),
+            F.round(inter / F.col("n_b"), 6).alias("containment_b"),
+            F.round(
+                F.least("n_a", "n_b") / F.greatest("n_a", "n_b"), 6
+            ).alias("size_ratio"),
+        )
+    )

@@ -2823,6 +2823,104 @@ def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X2 near-dup pair diagnostics: the triage report behind drop-rule
+# choices — shared shingles, BOTH asymmetric containments (snippet-
+# inside-page vs genuine twins), size ratio, for pairs at Jaccard ≥
+# 0.5. Oracle recomputes from the exact shingle definition.
+@q(
+    "near_dup_pair_report",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] AS shingle
+      FROM toks, UNNEST(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+           round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS containment_b,
+           round(CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+                 / GREATEST(sa.n_sh, sb.n_sh), 6) AS size_ratio
+    FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+)
+def near_dup_pair_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.near_dup_report(d, "doc_id", "text", n=2, threshold=0.5)
+
+
+# --- X4 CCNet-style per-slice perplexity pruning (Wenzek et al.
+# 2020): per SOURCE, rank documents by unigram-LM avg -ln p and split
+# into tertiles — head/middle kept, tail dropped by the curation run.
+# Adaptive per-slice thresholds are the point: a global cutoff would
+# empty clean-but-unusual slices. ntile over a source-keyed window
+# (parallel across sources), (ppl, doc_id) order so ties are
+# deterministic cross-engine.
+@q(
+    "ccnet_tertile_prune",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+    ), tot AS (
+      SELECT SUM(c) AS corpus_tokens, COUNT(*) AS vocab FROM counts
+    ), ppl AS (
+      SELECT id,
+             round(AVG(-ln(CAST(counts.c + 1 AS DOUBLE)
+                           / CAST(tot.corpus_tokens + tot.vocab AS DOUBLE))), 6)
+               AS avg_neg_logp
+      FROM toks JOIN counts ON toks.term = counts.term, tot
+      GROUP BY id
+    ), lab AS (
+      SELECT d.doc_id, d.source, p.avg_neg_logp,
+             NTILE(3) OVER (PARTITION BY d.source
+                            ORDER BY p.avg_neg_logp, d.doc_id) AS tertile
+      FROM documents d JOIN ppl p ON d.doc_id = p.id
+    )
+    SELECT doc_id, source, avg_neg_logp,
+           CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           tertile < 3 AS keep
+    FROM lab
+    """,
+)
+def ccnet_tertile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    ppl = text_ops.unigram_logppl(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "avg_neg_logp"
+    )
+    lab = d.select("doc_id", "source").join(ppl, "doc_id")
+    tertile = F.ntile(3).over(
+        Window.partitionBy("source").orderBy("avg_neg_logp", "doc_id")
+    )
+    return lab.withColumn("tertile", tertile).select(
+        "doc_id",
+        "source",
+        "avg_neg_logp",
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+        (F.col("tertile") < 3).alias("keep"),
+    )
+
+
 #: the blocklist-tagging dictionary, shared verbatim by the oracle.
 _BLOCKLIST_TERMS = ("spark", "merge", "vector", "stream")
 _BLOCKLIST_SQL = ", ".join(f"'{t}'" for t in _BLOCKLIST_TERMS)
@@ -8187,6 +8285,8 @@ _GATE_ORDER = [
     "substring_dup_rate",
     "blocklist_term_hits",
     "length_bucketed_batches",
+    "near_dup_pair_report",
+    "ccnet_tertile_prune",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",

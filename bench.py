@@ -122,6 +122,8 @@ HEADLINE = [
     "substring_dup_rate",
     "blocklist_term_hits",
     "length_bucketed_batches",
+    "near_dup_pair_report",
+    "ccnet_tertile_prune",
     "chunk_dedup_corpus",
     "ann_pq_topk",
     "ann_ivfpq_topk",

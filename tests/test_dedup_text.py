@@ -908,3 +908,24 @@ def test_length_bucketed_batches_shape(spark):
         df.repartition(5), "doc_id", "text", bucket_tokens=32, batch_size=2
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+# -------------------- near-dup diagnostics / CCNet tertile prune
+
+def test_near_dup_report_metrics(spark):
+    # doc1's shingles are a strict subset of doc0's: containment_b = 1
+    df = _docs(spark, ["a b c d e f", "a b c d", "z y x w"])
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dedup.near_dup_report(
+            df, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    # 5 vs 3 shingles, 3 shared: j = 3/5, cont_a = 3/5, cont_b = 1
+    assert r.n_common == 3
+    assert r.jaccard == 0.6
+    assert r.containment_a == 0.6
+    assert r.containment_b == 1.0
+    assert r.size_ratio == 0.6

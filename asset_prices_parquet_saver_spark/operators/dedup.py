@@ -1948,7 +1948,10 @@ def near_dup_report(
         .select(
             "id_a",
             "id_b",
-            "jaccard",
+            # jaccard_pairs emits the unrounded ratio; round here like
+            # every other surfaced ratio (the stricter local parity
+            # compare distinguishes what the driver's %.6g canon hides)
+            F.round("jaccard", 6).alias("jaccard"),
             inter.cast("long").alias("n_common"),
             F.round(inter / F.col("n_a"), 6).alias("containment_a"),
             F.round(inter / F.col("n_b"), 6).alias("containment_b"),

@@ -237,6 +237,8 @@ def _clear_memos() -> None:
     )
 
     dedup._LSH_MEMO.clear()
+    # substring-dedup family memoizes its checkpointed window relation
+    dedup._WINDOW_MEMO.clear()
     similarity._PAIR_MEMO.clear()
     # phrase/proximity memoize their term-filtered postings checkpoint
     text._POSTINGS_MEMO.clear()

@@ -52,3 +52,27 @@ def test_jsonl_round_trip(spark, tmp_path):
     good, bad = jsonl.read_jsonl(spark, out, SCHEMA)
     assert bad.count() == 0
     assert sorted(map(tuple, good.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ------------------------------ CSV sibling (same audit pattern)
+
+def test_read_csv_splits_good_and_corrupt(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import csvsrc
+
+    src = tmp_path / "table.csv"
+    src.write_text(
+        "doc_id,text,lang\n"
+        '1,"hello world",en\n'
+        "2,not quoted but fine,es\n"
+        "3,too,many,columns,here\n"   # arity mismatch -> corrupt
+        "not_a_number,oops,de\n"      # type mismatch -> corrupt
+    )
+    good, bad = csvsrc.read_csv(
+        spark, str(src), "doc_id long, text string, lang string"
+    )
+    rows = {r.doc_id: (r.text, r.lang) for r in good.collect()}
+    assert rows == {1: ("hello world", "en"), 2: ("not quoted but fine", "es")}
+    assert bad.count() == 2
+    raws = {r.raw_line for r in bad.collect()}
+    assert any("too,many" in x for x in raws)
+    assert any("not_a_number" in x for x in raws)

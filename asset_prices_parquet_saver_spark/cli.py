@@ -232,7 +232,13 @@ def _cmd_curate(args) -> int:
         spans = dedup_ops.duplicated_spans(
             docs, args.id_col, args.text_col, k=args.substring_k
         )
-        clean = dedup_ops.excise_spans(docs, args.id_col, args.text_col, spans)
+        # checkpoint before counting so the final parquet write reuses
+        # the materialized excision instead of recomputing the span
+        # aggregate + Arrow rebuild kernel (same discipline as the
+        # post-fuzzy-dedup checkpoint on docs above)
+        clean = dedup_ops.excise_spans(
+            docs, args.id_col, args.text_col, spans
+        ).localCheckpoint()
         n_scrubbed = clean.count()
         docs = (
             docs.join(

@@ -1742,7 +1742,8 @@ def window_rows(
 
 
 def duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    memo: bool = False,
 ) -> DataFrame:
     """Exact substring dedup — maximal per-document token spans covered
     by ``k``-token windows that occur verbatim in ≥ 2 DISTINCT
@@ -1759,7 +1760,7 @@ def duplicated_spans(
     gaps-and-islands prefix-max window per document — every shuffle is
     O(windows), nothing all-pairs, no driver-side state. Reference
     analogue: none (X2 family, SURVEY §2.11)."""
-    wins = _window_rows_memo(df, id_col, text_col, k)
+    wins = _window_rows_memo(df, id_col, text_col, k, memo)
     dup_h = (
         wins.groupBy("h")
         .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
@@ -1781,11 +1782,17 @@ _WINDOW_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _window_rows_memo(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, memo: bool
 ) -> DataFrame:
     from asset_prices_parquet_saver_spark.operators.similarity import memo_put
 
-    key = _lsh_memo_key(df, "windows", k)
+    if not memo:
+        # opt-in memo discipline (library default False, like the rest
+        # of the dedup family); the localCheckpoint barrier still pays
+        # off within a single call (spans feed both the winners join
+        # and the excision/report consumers).
+        return window_rows(df, id_col, text_col, k).localCheckpoint()
+    key = _lsh_memo_key(df, "windows", id_col, text_col, k)
     hit = _WINDOW_MEMO.get(key)
     if hit is not None:
         return hit
@@ -1826,7 +1833,8 @@ def _merge_spans(hits: DataFrame, k: int) -> DataFrame:
 
 
 def excise_duplicated_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    memo: bool = False,
 ) -> DataFrame:
     """Apply exact substring dedup: rebuild each affected document's
     text with every duplicated span's tokens removed (the curation step
@@ -1839,7 +1847,7 @@ def excise_duplicated_spans(
     id), so excision is one equi-join plus an Arrow-batched rebuild
     kernel over the matched documents only — the corpus outside the
     duplicated set is never rewritten."""
-    spans = duplicated_spans(df, id_col, text_col, k)
+    spans = duplicated_spans(df, id_col, text_col, k, memo=memo)
     return excise_spans(df, id_col, text_col, spans)
 
 
@@ -1895,7 +1903,8 @@ def excise_spans(
 
 
 def duplication_report(
-    df: DataFrame, id_col: str, text_col: str, group_col: str, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, group_col: str, k: int = 5,
+    memo: bool = False,
 ) -> DataFrame:
     """Corpus duplication profile by slice: per group (source,
     language), the share of tokens sitting inside cross-document
@@ -1908,7 +1917,7 @@ def duplication_report(
     on top of it this is one per-doc combinable fold, one equi-join
     back to the (id, group, token-count) relation, and one group
     aggregate."""
-    spans = duplicated_spans(df, id_col, text_col, k)
+    spans = duplicated_spans(df, id_col, text_col, k, memo=memo)
     per_doc = spans.groupBy("id").agg(
         F.sum("span_tokens").alias("dup_tokens")
     )

@@ -444,6 +444,10 @@ def dedup_increment_bucketed(
             .mode("append")
             .saveAsTable(band_table)
         )
+    # the append may run in a cloned session (streaming foreachBatch);
+    # drop THIS session's cached table relation so the next probe sees
+    # the new files instead of a stale (possibly empty) listing
+    spark.catalog.refreshTable(band_table)
     return survivors
 
 
@@ -827,6 +831,7 @@ def substring_increment_bucketed(
     text_col: str = "text",
     k: int = 5,
     num_buckets: int = 32,
+    append_windows: bool = True,
 ) -> DataFrame:
     """Incremental exact-substring dedup (the batch-arrival shape of
     :func:`~asset_prices_parquet_saver_spark.operators.dedup.
@@ -838,8 +843,11 @@ def substring_increment_bucketed(
     the from-scratch ≥2-distinct-docs semantics restricted to batch
     ids (equivalence test-pinned), without rescanning the corpus.
 
-    Appends the batch's window rows and returns the span relation
-    (id, span_start, span_end, span_tokens).
+    Appends the batch's window rows (unless ``append_windows=False``
+    — for callers that commit a TRANSFORMED batch to the corpus and
+    must index the committed text instead, e.g.
+    :func:`run_streaming_substring_scrub`) and returns the span
+    relation (id, span_start, span_end, span_tokens).
 
     Scale shape: the batch tokenizes/hashes in one Arrow kernel pass;
     the probe is a shuffled-hash join in which the BATCH builds the
@@ -882,14 +890,18 @@ def substring_increment_bucketed(
     hits_batch = wins.join(dup_batch, "h").select("id", "pos")
     hits = hits_corpus.unionByName(hits_batch).distinct()
     spans = _merge_spans(hits, k).localCheckpoint()
-    with _band_table_lock(spark, window_table):
-        (
-            wins.select("h", "id")
-            .write.bucketBy(num_buckets, "h")
-            .sortBy("h")
-            .mode("append")
-            .saveAsTable(window_table)
-        )
+    if append_windows:
+        with _band_table_lock(spark, window_table):
+            (
+                wins.select("h", "id")
+                .write.bucketBy(num_buckets, "h")
+                .sortBy("h")
+                .mode("append")
+                .saveAsTable(window_table)
+            )
+        # cloned-session append (streaming foreachBatch) invalidates
+        # only the clone's relation cache — refresh the probe session's
+        spark.catalog.refreshTable(window_table)
     return spans
 
 
@@ -924,6 +936,16 @@ def run_streaming_substring_scrub(
     every document and removes only the verbatim-repeated token runs —
     the Lee et al. curation applied at ingestion time.
 
+    Index invariant: the index receives the SCRUBBED batch's windows
+    (what was committed to the corpus), not the raw batch's — so
+    "index == windows of the stored corpus" holds across epochs and a
+    from-scratch :func:`~asset_prices_parquet_saver_spark.operators.
+    dedup.duplicated_spans` over the saved corpus reproduces the
+    streaming decisions (the probe itself still runs on the raw text,
+    which is what the batch's spans are defined over). Excised runs
+    stay scrubbed for future batches because the FIRST occurrence —
+    the one that survives — remains indexed.
+
     Replay safety: the span computation is replay-deterministic (a
     replayed batch's own indexed windows are excluded by the equal-id
     rule), and the corpus commit carries the foreachBatch epoch in its
@@ -931,13 +953,17 @@ def run_streaming_substring_scrub(
     and skips the append if it already landed. The window-index append
     itself is a metastore write (not idempotent — replays grow it
     harmlessly; :func:`compact_window_index` reclaims)."""
-    from asset_prices_parquet_saver_spark.operators.dedup import excise_spans
+    from asset_prices_parquet_saver_spark.operators.dedup import (
+        excise_spans,
+        window_rows,
+    )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         spans = substring_increment_bucketed(
-            spark, batch, window_table, id_col, text_col, k, num_buckets
+            spark, batch, window_table, id_col, text_col, k, num_buckets,
+            append_windows=False,
         )
         clean = excise_spans(batch, id_col, text_col, spans)
         scrubbed = (
@@ -955,6 +981,19 @@ def run_streaming_substring_scrub(
         manifest.commit_append(
             scrubbed, corpus_path, txn=("substring-corpus", epoch_id)
         )
+        # index exactly what was committed: the scrubbed text's windows
+        with _band_table_lock(spark, window_table):
+            (
+                window_rows(scrubbed, id_col, text_col, k)
+                .select("h", "id")
+                .write.bucketBy(num_buckets, "h")
+                .sortBy("h")
+                .mode("append")
+                .saveAsTable(window_table)
+            )
+        # the write ran under the streaming clone session; refresh the
+        # parent so the next batch's probe (and any user read) sees it
+        spark.catalog.refreshTable(window_table)
 
     writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
     if checkpoint_dir:

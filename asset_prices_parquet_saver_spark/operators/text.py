@@ -32,6 +32,18 @@ LANG_MARKERS = {
 STOPWORDS = ("a", "the", "of", "and", "is")
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame's optimized plan —
+    parquet footers give file-backed scans a real number; plans with
+    no statistics report Long.Max (conservative: "assume big")."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62  # unknown: preserve the pre-gate behavior
+
+
 def n_words(text: Column) -> Column:
     return F.size(words(text))
 
@@ -137,11 +149,17 @@ def tfidf_top_terms(
     and tie-broken by term, so the result set is deterministic across
     engines (same discipline as the cosine queries).
 
-    Scale shape: the (id, term) tf relation is built AND fully counted
+    Scale shape, stats-adaptive (the dense-jaccard discipline): for a
+    BIG corpus the (id, term) tf relation is built AND fully counted
     inside an Arrow-batched kernel (a term's in-document count is
-    complete within its own row), so the old token explode + (id,
-    term) groupBy SHUFFLE disappears; remaining shuffles are the (id)
-    and (term) reductions over already-counted rows. The
+    complete within its own row), so the token explode + (id, term)
+    groupBy SHUFFLE — corpus × tokens rows through the exchange —
+    disappears; for a small corpus (< 64 MiB by Catalyst's estimate)
+    the whole-stage-codegen explode + map-side-combined groupBy wins
+    on constant factors (no Python/Arrow round-trip) and the shuffle
+    it pays is toy-sized (measured r10: 1.25 s vs the kernel's 1.7 s
+    at sf0.1). Either way the remaining shuffles are the (id) and
+    (term) reductions over already-counted rows; the
     document-frequency side is a term-keyed aggregate joined back on
     term (AQE broadcasts it when small); the corpus size N is a 1-row
     broadcast. Top-k ranking windows per document, never globally.
@@ -170,17 +188,30 @@ def tfidf_top_terms(
                     ns.append(c)
             yield from chunked(pd.DataFrame({"id": ids, "term": terms, "n": ns}))
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # spread the kernel across all cores
+    big = _plan_size_bytes(df) >= (64 << 20)
+    if big:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)  # spread the kernel across all cores
     # one corpus scan: doclen / dfreq / ndocs all derive from the tf
     # relation, which is materialized once (without the barrier the
     # optimizer plans four independent scans of the corpus)
-    tf = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .mapInPandas(tf_counts, "id long, term string, n long")
-        .localCheckpoint()
-    )
+    if big:
+        tf = (
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+            .mapInPandas(tf_counts, "id long, term string, n long")
+            .localCheckpoint()
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("term"),
+        )
+        tf = (
+            toks.groupBy("id", "term")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint()
+        )
     doclen = tf.groupBy("id").agg(F.sum("n").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = doclen.agg(F.count("*").alias("n_docs"))
@@ -1020,17 +1051,30 @@ def winnowing_pairs(
     )
 
 
-def positional_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def positional_index(
+    df: DataFrame, id_col: str, text_col: str, spread: bool | None = None
+) -> DataFrame:
     """Positional postings (term, id, pos) with 1-based token
     positions — the index layout phrase/proximity retrieval needs (the
     positions-carrying sibling of the df-only inverted index). At
     warehouse scale this is the relation to persist bucketed on
     ``term`` (:func:`build_positional_index`) so phrase/proximity
     queries bucket-prune the scan instead of re-tokenizing the
-    corpus."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)  # unserialize the interpreted words() HOF
+    corpus.
+
+    ``spread`` controls the pre-tokenize ``repartition`` that fans a
+    few-partition scan out to every core: True forces it (the persist
+    / full-materialization path), False skips it, None (default)
+    spreads only when Catalyst's size estimate says the corpus is big
+    enough (≥ 64 MiB) for the single-core tokenize to outweigh a raw
+    text shuffle — the BENCH-r9 `phrase_search` regression was this
+    shuffle taxing sub-second ad-hoc queries on small scans."""
+    if spread is None:
+        spread = _plan_size_bytes(df) >= (64 << 20)
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)  # unserialize the interpreted words() HOF
     return df.select(
         F.col(id_col).alias("id"),
         F.posexplode(words(F.col(text_col))).alias("pos0", "term"),
@@ -1172,7 +1216,7 @@ def build_positional_index(
     buckets by (term, id, pos) for row-group min/max skipping within
     the selected buckets."""
     (
-        positional_index(df, id_col, text_col)
+        positional_index(df, id_col, text_col, spread=True)
         .write.bucketBy(num_buckets, "term")
         .sortBy("term", "id", "pos")
         .mode("overwrite")

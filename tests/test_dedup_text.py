@@ -707,6 +707,25 @@ def test_duplicated_spans_merges_adjacent_islands(spark):
     assert spans == {(0, 1, 5), (0, 7, 11), (1, 1, 5), (1, 7, 11)}
 
 
+def test_duplicated_spans_memo_keys_on_columns(spark):
+    """ADVICE-r9: the window memo must key on (id_col, text_col) —
+    same DataFrame + same k with a DIFFERENT text column must not
+    replay the first call's cached window relation."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d e f g", other="p q r s t u v"),
+            Row(doc_id=1, text="a b c d e f g", other="1 2 3 4 5 6 7"),
+        ],
+        "doc_id long, text string, other string",
+    )
+    dup_text = dedup.duplicated_spans(df, "doc_id", "text", k=5, memo=True)
+    assert dup_text.count() == 2  # both docs share the run in `text`
+    dup_other = dedup.duplicated_spans(df, "doc_id", "other", k=5, memo=True)
+    assert dup_other.count() == 0  # `other` has no cross-doc run
+
+
 def test_duplicated_spans_ignores_within_doc_repeats(spark):
     # the run repeats INSIDE doc 0 only -- cross-doc rule says no span
     df = _docs(spark, ["a b c d e a b c d e", "u v w x y z"])

@@ -835,5 +835,71 @@ def test_streaming_substring_scrub_end_to_end(spark, tmp_path):
             1: "pre1 pre2",
             2: "q r s t u v w x y z",
         }
+        # index invariant: the window index holds exactly the STORED
+        # (scrubbed) corpus's windows, so a from-scratch run over the
+        # saved corpus reproduces the streaming decisions
+        from asset_prices_parquet_saver_spark.operators.dedup import (
+            window_rows,
+        )
+
+        stored = manifest.read_versioned(
+            spark, corpus, schema="doc_id long, text string"
+        )
+        expect = {
+            (r["h"], r["id"])
+            for r in window_rows(stored, "doc_id", "text", 5).collect()
+        }
+        indexed = {
+            (r["h"], r["id"]) for r in spark.table(tbl).collect()
+        }
+        assert indexed == expect
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_substring_scrub_across_batches(spark, tmp_path):
+    """Cross-batch scrubbing: a run indexed by batch 1 must be excised
+    from batch 2 — pins the parent-session refreshTable after the
+    clone-session index append (without it the parent's cached empty
+    listing makes every later batch probe see an empty index)."""
+    tbl = "winidx_test_stream2"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    corpus = str(tmp_path / "scrubbed2")
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    spark.createDataFrame(
+        [Row(doc_id=0, text="a b c d e f g tail1 tail2")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(drop / "b1"))
+    spark.createDataFrame(
+        [Row(doc_id=1, text="pre1 pre2 a b c d e f g")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(drop / "b2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop / "*"))
+    )
+    try:
+        q = inc.run_streaming_substring_scrub(
+            spark,
+            stream,
+            tbl,
+            corpus,
+            k=5,
+            num_buckets=4,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in manifest.read_versioned(
+                spark, corpus, schema="doc_id long, text string"
+            ).collect()
+        }
+        # doc 0 arrived first (b1 sorts before b2) and survives whole;
+        # doc 1's copy of the run must be excised against the index
+        assert got == {0: "a b c d e f g tail1 tail2", 1: "pre1 pre2"}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -2441,7 +2441,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup_ops.duplicated_spans(d, "doc_id", "text", k=5).select(
+    return dedup_ops.duplicated_spans(d, "doc_id", "text", k=5, memo=True).select(
         F.col("id").alias("doc_id"), "span_start", "span_end", "span_tokens"
     )
 
@@ -2505,7 +2505,9 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup_ops.excise_duplicated_spans(d, "doc_id", "text", k=5).select(
+    return dedup_ops.excise_duplicated_spans(
+        d, "doc_id", "text", k=5, memo=True
+    ).select(
         F.col("id").alias("doc_id"), "clean_text", "n_tokens", "n_removed"
     )
 
@@ -2814,7 +2816,9 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup_ops.duplication_report(d, "doc_id", "text", "source", k=5).select(
+    return dedup_ops.duplication_report(
+        d, "doc_id", "text", "source", k=5, memo=True
+    ).select(
         F.col("grp").alias("source"),
         "n_docs",
         "n_tokens",
@@ -8196,6 +8200,231 @@ def keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an_ops.keltner_channels(e, ema_span=20, atr_window=10, mult=2.0)
 
 
+# --- S+ corpus-interchange sources (sources/jsonl.py, sources/csvsrc.py),
+# gated end-to-end: the query derives a JSONL/CSV file from the documents
+# table with DETERMINISTICALLY INJECTED corrupt lines (doc_id modulus
+# rules), ingests it back through the schema-contracted reader, and
+# reports per-source good-row counts plus the corrupt-line audit count.
+# The oracle never touches the file — it derives the EXPECTED report
+# straight from the documents view and the injection rule, so the whole
+# Spark write -> line-split parse -> PERMISSIVE corrupt-channel path is
+# what's being checked.
+
+@q(
+    "jsonl_ingest_report",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id % 47 <> 0 GROUP BY source
+    UNION ALL
+    SELECT '__corrupt__' AS source, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id % 47 = 0
+    """,
+)
+def jsonl_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+: JSONL corpus ingest report over sources/jsonl.py's
+    schema-contracted reader — documents whose doc_id is divisible by
+    47 are written as TRUNCATED JSON (invalid), the rest as
+    ``to_json`` objects; the read-back must route exactly the mangled
+    lines to the corrupt-record audit channel and parse the rest under
+    the contract. Returns (source, n_rows) per source for the good
+    rows plus a '__corrupt__' row carrying the audit-channel count."""
+    import os as _os
+
+    from asset_prices_parquet_saver_spark.sources import jsonl as jsonl_src
+
+    d = read_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 47 == 0,
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "source": '),  # truncated mid-object: invalid JSON
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "source", "lang")))
+    path = "/tmp/spark_graft_ingest/jsonl_" + _os.path.basename(
+        sf_dir.rstrip("/")
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    good, bad = jsonl_src.read_jsonl(
+        spark, path, "doc_id bigint, source string, lang string"
+    )
+    per_src = good.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    corrupt = bad.agg(F.count("*").cast("long").alias("n_rows")).select(
+        F.lit("__corrupt__").alias("source"), "n_rows"
+    )
+    return per_src.unionByName(corrupt)
+
+
+@q(
+    "csv_ingest_report",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id % 53 <> 0 GROUP BY source
+    UNION ALL
+    SELECT '__corrupt__' AS source, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents WHERE doc_id % 53 = 0
+    """,
+)
+def csv_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+: CSV ingest report over sources/csvsrc.py — documents whose
+    doc_id is divisible by 53 are written with a NON-NUMERIC doc_id
+    field (type-mismatch under the bigint contract), the rest as clean
+    comma-joined rows; the read-back must route exactly the mangled
+    lines to the corrupt audit channel. Same report shape as
+    :func:`jsonl_ingest_report`."""
+    import os as _os
+
+    from asset_prices_parquet_saver_spark.sources import csvsrc as csv_src
+
+    d = read_table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 53 == 0,
+        F.concat(F.lit("not_a_number,"), F.col("source"), F.lit(",oops")),
+    ).otherwise(
+        F.concat_ws(
+            ",", F.col("doc_id").cast("string"), F.col("source"), F.col("lang")
+        )
+    )
+    path = "/tmp/spark_graft_ingest/csv_" + _os.path.basename(
+        sf_dir.rstrip("/")
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    good, bad = csv_src.read_csv(
+        spark, path, "doc_id bigint, source string, lang string", header=False
+    )
+    per_src = good.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    corrupt = bad.agg(F.count("*").cast("long").alias("n_rows")).select(
+        F.lit("__corrupt__").alias("source"), "n_rows"
+    )
+    return per_src.unionByName(corrupt)
+
+
+# --- X-family URL curation (operators/urls.py): canonicalization,
+# crawl-level dedup, per-domain concentration. The query synthesizes
+# messy URL variants from documents deterministically (doc_id-keyed
+# domain + messiness case); the ORACLE derives the expected canonical
+# form directly from the construction rule (independent ground truth —
+# it never re-implements the regex canonicalizer), so a Spark-side
+# canonicalization deviation hash-mismatches.
+
+_URL_DOMAINS = (
+    "news.bbc.co.uk", "example.com", "sub.shop.com.au",
+    "data.example.net", "archive.example.org", "x.co",
+    "blog.example.co.jp",
+)
+_URL_REG_DOMAINS = (
+    "bbc.co.uk", "example.com", "shop.com.au", "example.net",
+    "example.org", "x.co", "example.co.jp",
+)
+_URL_DOM_SQL = "list_extract({}, CAST(doc_id % 7 AS INTEGER) + 1)".format(
+    "[" + ", ".join(f"'{d}'" for d in _URL_DOMAINS) + "]"
+)
+_URL_REG_SQL = "list_extract({}, CAST(doc_id % 7 AS INTEGER) + 1)".format(
+    "[" + ", ".join(f"'{d}'" for d in _URL_REG_DOMAINS) + "]"
+)
+_URL_CANON_SQL = f"""
+        (CASE WHEN doc_id % 5 = 3 THEN 'http' ELSE 'https' END)
+        || '://' || {_URL_DOM_SQL} || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+        || (CASE WHEN doc_id % 5 IN (2, 4) THEN '?a=1&b=2' ELSE '' END)
+"""
+_URL_RAW_SQL = f"""
+        CASE CAST(doc_id % 5 AS INTEGER)
+          WHEN 0 THEN 'https://WWW.' || UPPER({_URL_DOM_SQL})
+                      || '/p/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+          WHEN 1 THEN 'https://' || {_URL_DOM_SQL} || ':443/p/'
+                      || CAST(doc_id % 50 AS VARCHAR)
+          WHEN 2 THEN 'https://' || {_URL_DOM_SQL} || '/p/'
+                      || CAST(doc_id % 50 AS VARCHAR)
+                      || '?utm_source=feed&b=2&a=1'
+          WHEN 3 THEN 'http://' || {_URL_DOM_SQL} || '/p/'
+                      || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+          ELSE 'https://' || {_URL_DOM_SQL} || '/p/'
+               || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+        END
+"""
+
+
+def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) with deterministically messy variants: uppercase
+    www host + trailing slash / explicit default port / tracking +
+    unsorted params / fragment / already-clean params."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    dom = F.element_at(
+        F.array(*[F.lit(x) for x in _URL_DOMAINS]),
+        (F.col("doc_id") % 7).cast("int") + 1,
+    )
+    page = (F.col("doc_id") % 50).cast("string")
+    case = (F.col("doc_id") % 5).cast("int")
+    url = (
+        F.when(case == 0, F.concat(F.lit("https://WWW."), F.upper(dom),
+                                   F.lit("/p/"), page, F.lit("/")))
+        .when(case == 1, F.concat(F.lit("https://"), dom, F.lit(":443/p/"),
+                                  page))
+        .when(case == 2, F.concat(F.lit("https://"), dom, F.lit("/p/"), page,
+                                  F.lit("?utm_source=feed&b=2&a=1")))
+        .when(case == 3, F.concat(F.lit("http://"), dom, F.lit("/p/"), page,
+                                  F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), dom, F.lit("/p/"), page,
+                            F.lit("?a=1&b=2")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+@q(
+    "url_domain_report",
+    f"""
+    WITH u AS (
+      SELECT {_URL_REG_SQL} AS domain, {_URL_CANON_SQL} AS canon
+      FROM documents
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           ROUND(1 - COUNT(DISTINCT canon) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM u GROUP BY domain
+    """,
+)
+def url_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X+: per-registered-domain crawl concentration over the messy
+    synthetic URL set — registered-domain extraction (incl.
+    second-level public suffixes: bbc.co.uk, shop.com.au,
+    example.co.jp) + canonicalization + two combinable aggregates
+    (operators/urls.py). The oracle derives both keys straight from
+    the construction rule."""
+    from asset_prices_parquet_saver_spark.operators import urls as url_ops
+
+    return url_ops.domain_report(_synthetic_urls(spark, sf_dir), "url")
+
+
+@q(
+    "url_canonical_dedup",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_CANON_SQL} AS canon FROM documents
+    ),
+    win AS (
+      SELECT MIN(doc_id) AS keep_id FROM u GROUP BY canon
+    )
+    SELECT d.doc_id, {_URL_RAW_SQL} AS url
+    FROM win w JOIN documents d ON d.doc_id = w.keep_id
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X+: crawl-level exact dedup on the CANONICAL URL key
+    (operators/urls.url_dedup, deterministic smallest-doc_id
+    survivor): `http://WWW.Example.com:443/a/?utm_source=x` and
+    `https://example.com/a` are one page. Returns the surviving
+    (doc_id, url) rows — original, un-canonicalized URLs."""
+    from asset_prices_parquet_saver_spark.operators import urls as url_ops
+
+    return url_ops.url_dedup(_synthetic_urls(spark, sf_dir), "url", "doc_id")
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -8205,71 +8434,21 @@ def keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-9 window: flagship first (entry() smoke-checks it);
-    # then the 4 zero-driver-evidence queries (phrase_search,
-    # proximity_search, pmi_cooccurrence added after the r8 window
-    # froze; lsh_ensemble_containment new this round); then ALL 34
-    # queries whose latest driver evidence is round 5 (the full
-    # VERDICT r8 #1 rotation queue, alphabetical — includes
-    # approx_user_stats, rows-only-by-design, whose last rows-only
-    # evidence is r5); and 11 round-6-evidence entries (alphabetical)
-    # to fill the window. After this rotation no registry entry's
-    # latest driver evidence is older than r6. Demotions below the
-    # position-50 marker all have r6-r8 driver-green evidence and stay
+    # ---- round-10 window: flagship first (entry() smoke-checks it);
+    # then the 17 zero-driver-evidence round-9-session-2 additions
+    # (the queued r10 rotation head, each pre-verified at sf0.001 and
+    # sf0.01 by both builder and judge in r9); then the alphabetical
+    # head-32 of the 34 entries whose latest driver evidence is round
+    # 6 — minus the last four (rsi_indicator, sharpe_ratio,
+    # stochastic_oscillator, twap_daily), displaced by the four NEW
+    # r10 queries (jsonl/csv ingest reports, url domain report /
+    # canonical dedup) so the newest source code gets driver evidence
+    # immediately; the 6 remaining r6-evidence entries head the r11
+    # window. Demotions below the
+    # position-50 marker all have r6-r9 driver-green evidence and stay
     # registered, tested, and hash-checked by the local gate clone
     # (scripts/oracle_check.py).
     "flagship_pricing_summary",
-    "phrase_search",
-    "proximity_search",
-    "pmi_cooccurrence",
-    "lsh_ensemble_containment",
-    "ann_hamming_rerank",
-    "ann_hamming_topk",
-    "ann_hamming_words_topk",
-    "approx_user_stats",
-    "cube_order_stats",
-    "daily_event_digest",
-    "dedup_exact_first_events",
-    "duplicate_rate_by_source",
-    "embedding_int8_quantization",
-    "event_segment_asof",
-    "event_transition_matrix",
-    "events_in_campaign_windows",
-    "grouping_sets_order_stats",
-    "important_parts_value",
-    "interarrival_histogram",
-    "interpolated_price_quantiles",
-    "inverted_index",
-    "large_volume_orders",
-    "media_features",
-    "price_quantiles_cont_by_flag",
-    "purchase_attribution",
-    "qty_price_correlation",
-    "rank_functions",
-    "revenue_pareto",
-    "revenue_share_per_nation",
-    "rfm_segments",
-    "scd2_user_segments",
-    "session_window_bars",
-    "shipping_delay_histogram",
-    "small_quantity_revenue",
-    "term_counts_udtf",
-    "tick_anomalies",
-    "topk_orders_per_customer",
-    "weekly_revenue_growth",
-    "above_avg_parts",
-    "adjusted_closes",
-    "ann_lsh_topk",
-    "approx_user_stats_bound",
-    "argmax_per_nation",
-    "asof_last_purchase",
-    "asof_price_lookup",
-    "atr_indicator",
-    "beta_vs_market",
-    "bollinger_bands",
-    "category_universe",
-    # ---- gate-window boundary (position 50) ----
-    # r10 rotation head: zero-evidence, added after the r9 window froze
     "fuzzy_dedup_keep_longest",
     "substring_dup_spans",
     "substring_dedup_clean",
@@ -8287,13 +8466,104 @@ _GATE_ORDER = [
     "length_bucketed_batches",
     "near_dup_pair_report",
     "ccnet_tertile_prune",
+    "jsonl_ingest_report",
+    "csv_ingest_report",
+    "url_domain_report",
+    "url_canonical_dedup",
+    "cohort_retention",
+    "conditional_agg",
+    "cosine_topk",
+    "daily_returns",
+    "daily_rollup",
+    "date_arithmetic",
+    "dedup_exact_documents",
+    "document_fingerprints",
+    "embedding_near_pairs",
+    "event_type_journey",
+    "event_value_deltas",
+    "events_head_tail",
+    "ewma_closes",
+    "filter_project_compute",
+    "intersect_nations",
+    "jaccard_near_dup_pairs",
+    "json_extract_agg",
+    "language_id",
+    "last_event_per_user",
+    "macd_closes",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_payload_meta",
+    "monthly_returns",
+    "moving_avg_3",
+    "null_handling",
+    "pca_projection",
+    "return_correlations",
+    # ---- gate-window boundary (position 50) ----
+    # demoted, freshest-last: 6 r6 leftovers, then r7/r8/r9 pools
+    "rsi_indicator",
+    "sharpe_ratio",
+    "stochastic_oscillator",
+    "twap_daily",
+    "value_dispersion_stats",
+    "weekly_ohlc_bars",
+    "ann_ivf_topk",
+    "anti_join_inactive_customers",
+    "disjunctive_revenue",
+    "dominant_share_suppliers",
+    "donchian_channels",
+    "embargoed_time_split",
+    "embedding_near_pairs_lsh",
+    "except_nations",
+    "keltner_channels",
+    "leakage_free_user_split",
+    "min_cost_supplier_per_part",
+    "minhash_lsh_pairs",
+    "minute_floor_counts",
+    "nation_market_share",
+    "nation_trade_pagerank",
+    "nation_trade_volume",
+    "normalize_case_rename",
+    "ntile_price_bands",
+    "null_pad_schema",
+    "obv_indicator",
+    "order_priority_stats",
+    "pack_training_shards",
+    "parse_error_message",
+    "pivot_linestatus",
+    "product_profit_by_nation",
+    "promo_revenue_share",
+    "region_revenue",
+    "region_revenue_concentration",
+    "rollup_returns",
+    "semantic_dedup_embeddings",
+    "semi_join_building_buyers",
+    "simhash_fingerprints",
+    "source_diff",
+    "stratified_event_sample",
+    "string_functions",
+    "supplier_count_by_part",
+    "suppliers_kept_waiting",
+    "text_quality_stats",
+    "tfidf_top_terms",
+    "top_building_orders",
+    "top_orders",
+    "top_supplier_revenue",
+    "translate_brand",
+    "union_distinct_nations",
+    "upsert_keep_latest_per_day",
+    "user_growth_curve",
+    "user_sessions",
+    "weighted_avg_price",
+    "zscore_per_segment",
     "ann_ivfadc_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk",
+    "asof_tolerance_lookup",
     "benchmark_contamination",
     "bigram_logppl",
     "bm25_search",
     "chunk_dedup_corpus",
+    "containment_pairs",
     "corpus_mix",
     "curated_corpus",
     "customer_order_distribution",
@@ -8307,9 +8577,12 @@ _GATE_ORDER = [
     "fuzzy_dedup_documents",
     "gap_fill_daily",
     "global_shuffle_order",
+    "gopher_quality_flags",
     "hybrid_retrieval",
     "idle_rich_customers",
     "max_drawdown",
+    "media_ppm_resize_meta",
+    "media_real_decode_meta",
     "median_value_per_type",
     "mmr_rerank",
     "ohlc_bars",
@@ -8328,97 +8601,58 @@ _GATE_ORDER = [
     "train_val_test_split",
     "unigram_logppl",
     "weighted_doc_sample",
-    "zorder_locality",
-    "media_real_decode_meta",
-    "asof_tolerance_lookup",
-    "winnowing_pairs",
-    "containment_pairs",
-    "media_ppm_resize_meta",
     "winnowing_fingerprints",
-    "gopher_quality_flags",
-    "minhash_lsh_pairs",
-    "minute_floor_counts",
-    "normalize_case_rename",
-    "ntile_price_bands",
-    "null_pad_schema",
-    "order_priority_stats",
-    "pack_training_shards",
-    "parse_error_message",
-    "pivot_linestatus",
-    "region_revenue",
-    "rollup_returns",
-    "semi_join_building_buyers",
-    "simhash_fingerprints",
-    "source_diff",
-    "stratified_event_sample",
-    "string_functions",
-    "text_quality_stats",
-    "tfidf_top_terms",
-    "top_building_orders",
-    "top_orders",
-    "translate_brand",
-    "union_distinct_nations",
-    "upsert_keep_latest_per_day",
-    "user_sessions",
-    "weighted_avg_price",
-    "zscore_per_segment",
-    "anti_join_inactive_customers",
-    "except_nations",
-    "nation_trade_volume",
-    "nation_market_share",
-    "product_profit_by_nation",
-    "top_supplier_revenue",
-    "region_revenue_concentration",
-    "nation_trade_pagerank",
-    "suppliers_kept_waiting",
-    "disjunctive_revenue",
-    "supplier_count_by_part",
-    "promo_revenue_share",
-    "dominant_share_suppliers",
-    "min_cost_supplier_per_part",
-    "ann_ivf_topk",
-    "donchian_channels",
-    "obv_indicator",
-    "leakage_free_user_split",
-    "embargoed_time_split",
-    "user_growth_curve",
-    "keltner_channels",
-    "embedding_near_pairs_lsh",
-    "semantic_dedup_embeddings",
-    "daily_returns",
-    "ewma_closes",
-    "sharpe_ratio",
-    "return_correlations",
-    "stochastic_oscillator",
-    "pca_projection",
-    "weekly_ohlc_bars",
-    "monthly_returns",
-    "cohort_retention",
-    "twap_daily",
-    "rsi_indicator",
-    "conditional_agg",
-    "date_arithmetic",
-    "event_type_journey",
-    "intersect_nations",
-    "moving_avg_3",
-    "null_handling",
-    "value_dispersion_stats",
-    "embedding_near_pairs",
-    "cosine_topk",
-    "daily_rollup",
-    "dedup_exact_documents",
-    "document_fingerprints",
-    "event_value_deltas",
-    "events_head_tail",
-    "filter_project_compute",
-    "jaccard_near_dup_pairs",
-    "json_extract_agg",
-    "language_id",
-    "last_event_per_user",
-    "media_decode_meta",
-    "media_frame_sample",
-    "media_payload_meta",
-    "macd_closes",
+    "winnowing_pairs",
+    "zorder_locality",
+    "above_avg_parts",
+    "adjusted_closes",
+    "ann_hamming_rerank",
+    "ann_hamming_topk",
+    "ann_hamming_words_topk",
+    "ann_lsh_topk",
+    "approx_user_stats",
+    "approx_user_stats_bound",
+    "argmax_per_nation",
+    "asof_last_purchase",
+    "asof_price_lookup",
+    "atr_indicator",
+    "beta_vs_market",
+    "bollinger_bands",
+    "category_universe",
+    "cube_order_stats",
+    "daily_event_digest",
+    "dedup_exact_first_events",
+    "duplicate_rate_by_source",
+    "embedding_int8_quantization",
+    "event_segment_asof",
+    "event_transition_matrix",
+    "events_in_campaign_windows",
+    "grouping_sets_order_stats",
+    "important_parts_value",
+    "interarrival_histogram",
+    "interpolated_price_quantiles",
+    "inverted_index",
+    "large_volume_orders",
+    "lsh_ensemble_containment",
+    "media_features",
+    "phrase_search",
+    "pmi_cooccurrence",
+    "price_quantiles_cont_by_flag",
+    "proximity_search",
+    "purchase_attribution",
+    "qty_price_correlation",
+    "rank_functions",
+    "revenue_pareto",
+    "revenue_share_per_nation",
+    "rfm_segments",
+    "scd2_user_segments",
+    "session_window_bars",
+    "shipping_delay_histogram",
+    "small_quantity_revenue",
+    "term_counts_udtf",
+    "tick_anomalies",
+    "topk_orders_per_customer",
+    "weekly_revenue_growth",
 ]
 
 

@@ -208,6 +208,10 @@ HEADLINE = [
     "embargoed_time_split",
     "user_growth_curve",
     "keltner_channels",
+    "jsonl_ingest_report",
+    "csv_ingest_report",
+    "url_domain_report",
+    "url_canonical_dedup",
 ]
 
 

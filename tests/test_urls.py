@@ -1,0 +1,99 @@
+"""URL canonicalization / registered-domain / crawl-dedup operators
+(operators/urls.py) — edge-case pins beyond the gated oracle queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.operators import urls
+
+
+def _canon(spark, raw: str) -> str:
+    return (
+        spark.createDataFrame([Row(u=raw)])
+        .select(urls.canonical_url(F.col("u")).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme/host case, www, default port, trailing slash
+        ("HTTPS://WWW.Example.COM:443/A/b/", "https://example.com/A/b"),
+        ("http://www.example.com:80/x", "http://example.com/x"),
+        # NON-default port survives
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        # fragment dropped
+        ("https://example.com/a#section-2", "https://example.com/a"),
+        # tracking params dropped, rest sorted, ? dropped when empty
+        (
+            "https://example.com/a?utm_source=x&b=2&a=1&fbclid=zzz",
+            "https://example.com/a?a=1&b=2",
+        ),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        # param ORDER never splits a page into two keys
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        # bare host: no trailing slash either way
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        # path case preserved (paths ARE case-sensitive)
+        ("https://example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+        # non-URL garbage: stable lowercase passthrough, never NULL
+        ("Not A Url", "not a url"),
+    ],
+)
+def test_canonical_url_cases(spark, raw, expected):
+    assert _canon(spark, raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("https://news.bbc.co.uk/story", "bbc.co.uk"),
+        ("https://www.example.com/x", "example.com"),
+        ("http://sub.shop.com.au:8080/", "shop.com.au"),
+        ("https://x.co/y", "x.co"),
+        ("https://deep.a.b.example.org", "example.org"),
+    ],
+)
+def test_registered_domain(spark, raw, expected):
+    got = (
+        spark.createDataFrame([Row(u=raw)])
+        .select(urls.registered_domain(F.col("u")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == expected
+
+
+def test_url_dedup_keeps_min_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=5, url="https://WWW.Example.com/a/?utm_source=x"),
+            Row(doc_id=3, url="https://example.com/a"),
+            Row(doc_id=9, url="http://example.com/a"),  # http ≠ https
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in urls.url_dedup(df, "url", "doc_id").collect()}
+    assert kept == {3, 9}
+
+
+def test_domain_report_rates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(url="https://www.example.com/a/"),
+            Row(url="https://example.com/a"),   # same canonical as above
+            Row(url="https://example.com/b"),
+            Row(url="https://x.co/only"),
+        ],
+        "url string",
+    )
+    rows = {
+        r["domain"]: (r["n_urls"], r["n_canonical"], r["dup_rate"])
+        for r in urls.domain_report(df, "url").collect()
+    }
+    assert rows == {"example.com": (3, 2, 0.333333), "x.co": (1, 1, 0.0)}

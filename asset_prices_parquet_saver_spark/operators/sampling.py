@@ -318,3 +318,52 @@ def contrastive_negatives(
         .filter(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_rank", "neg_id")
     )
+
+
+def k_anonymous(df: DataFrame, cols: list[str], k: int) -> DataFrame:
+    """Rows whose quasi-identifier combination is shared by at least
+    ``k`` rows — k-anonymity suppression (Sweeney 2002), the release
+    screen a training-data pipeline runs on metadata columns before
+    publication: any combination rare enough to re-identify its
+    members is dropped entirely.
+
+    Scale shape: one map-side-combinable count on the combo key and a
+    semi-join back — no window over the corpus, no skew hazard (hot
+    combos are by definition the SAFE ones)."""
+    if k < 1:
+        raise ValueError(f"k_anonymous: k must be >= 1, got {k}")
+    safe = (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= k)
+        .drop("_n")
+    )
+    return df.join(safe, cols, "left_semi")
+
+
+def temperature_mix_weights(
+    df: DataFrame, group_col: str, alpha: float
+) -> DataFrame:
+    """Temperature-scaled sampling weights per slice: w_s ∝ p_s^alpha
+    with p_s the slice's share of the corpus — the multilingual-LM
+    rebalancing rule (alpha < 1 upweights small slices; alpha = 1 is
+    natural sampling, alpha = 0 uniform). Returns (group, n_rows,
+    weight), weight rounded to 6 decimals and summing to ~1.
+
+    Scale shape: one combinable count per slice; the normalization
+    constant is a 1-row broadcast — nothing else touches the corpus."""
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    powed = counts.withColumn(
+        "_pw", F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    )
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "grp",
+            "n_rows",
+            F.round(F.col("_pw") / F.col("_z"), 6).alias("weight"),
+        )
+    )

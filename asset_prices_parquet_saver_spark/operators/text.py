@@ -1742,3 +1742,43 @@ def length_bucketed_batches(
         F.floor(F.col("rn") / batch_size).cast("long").alias("batch_id"),
         F.pmod(F.col("rn"), F.lit(batch_size)).cast("long").alias("slot"),
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, top_n: int = 200
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution: OLS
+    of ln(freq) on ln(rank) for the ``top_n`` most frequent terms —
+    the corpus-health diagnostic (natural text sits near slope −1;
+    boilerplate-heavy or template-generated corpora bend away from
+    it). Returns one row (n_terms, zipf_slope, zipf_intercept,
+    zipf_r2), coefficients rounded to 6 decimals; ranking tie-broken
+    by term so the fit is deterministic across engines.
+
+    Scale shape: term counts are ONE map-side-combinable shuffle; the
+    top-``top_n`` cut is a TakeOrdered (never a global sort); the
+    rank window and regression run over a constant-size (top_n-row)
+    relation, corpus-size-independent."""
+    from pyspark.sql import Window as _W
+
+    from asset_prices_parquet_saver_spark.operators.dedup import words
+
+    freq = (
+        df.select(F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+    w = _W.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_intercept(F.log("freq"), F.log("rank")), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 6).alias("zipf_r2"),
+    )

@@ -212,6 +212,9 @@ HEADLINE = [
     "csv_ingest_report",
     "url_domain_report",
     "url_canonical_dedup",
+    "zipf_term_fit",
+    "k_anonymous_docs",
+    "temperature_mix_weights",
 ]
 
 

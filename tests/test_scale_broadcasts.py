@@ -156,6 +156,9 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
      'scaled = comp.join(F.broadcast(stats), "i").select('): 1,
     ("asset_prices_parquet_saver_spark/operators/similarity.py",
      'sims.join(F.broadcast(sel_ids), "j")'): 1,
+    # 1-row normalization constant (temperature_mix_weights)
+    ("asset_prices_parquet_saver_spark/operators/sampling.py",
+     'powed.crossJoin(F.broadcast(z))'): 1,
     # 1-row corpus totals / bounded vocab (capped with fail-fast)
     ("asset_prices_parquet_saver_spark/operators/text.py",
      '.crossJoin(F.broadcast(ndocs))'): 1,

@@ -82,6 +82,31 @@ def test_url_dedup_keeps_min_tiebreak(spark):
     assert kept == {3, 9}
 
 
+def test_url_ops_stay_jvm_side(spark):
+    """Scale guard: the whole URL family must compile to JVM
+    expressions — no Python eval nodes (row-at-a-time or Arrow) in
+    any plan, and the report's aggregate must be partial (map-side
+    combinable: two HashAggregate levels)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, url="https://www.example.com/a/?utm_source=x&b=2")],
+        "doc_id long, url string",
+    )
+    for frame in (
+        df.select(urls.canonical_url(F.col("url"))),
+        df.select(urls.registered_domain(F.col("url"))),
+        urls.url_dedup(df, "url", "doc_id"),
+        urls.domain_report(df, "url"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
+    agg_plan = (
+        urls.domain_report(df, "url")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "partial_count" in agg_plan  # map-side combine before the exchange
+
+
 def test_domain_report_rates(spark):
     df = spark.createDataFrame(
         [

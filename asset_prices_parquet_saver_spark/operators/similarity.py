@@ -1185,7 +1185,9 @@ def ann_pq_topk_from_index(
     from asset_prices_parquet_saver_spark.sources import manifest
 
     books = np.asarray(codebooks, dtype="float64")
-    codes = manifest.read_versioned(spark, table)
+    codes = _without_tombstones(
+        spark, table, manifest.read_versioned(spark, table)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("v")
     )
@@ -1398,7 +1400,9 @@ def ann_ivf_topk_from_index(
     from asset_prices_parquet_saver_spark.sources import manifest
 
     Cn = np.asarray(centroids, dtype="float64")
-    corpus = manifest.read_versioned(spark, table)
+    corpus = _without_tombstones(
+        spark, table, manifest.read_versioned(spark, table)
+    )
     probes = _ivf_cells(
         queries.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
         Cn,
@@ -1645,3 +1649,71 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / float(k), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------- deletes
+
+def delete_from_index(
+    spark,
+    ids: DataFrame,
+    table: str,
+    epoch: int | None = None,
+    id_col: str = "vec_id",
+) -> int:
+    """Right-to-be-forgotten deletes for the persisted vector indexes
+    (PQ / IVF): append the ids as a TOMBSTONE segment to a sibling
+    manifest table — O(delete batch) however large the index, the
+    same append-log + epoch-idempotence protocol as the ingestion
+    side. Readers anti-join the tombstone set (skipped entirely while
+    no tombstone exists); :func:`purge_tombstones` physically removes
+    the rows at compaction time. Returns the tombstone-table version."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    rows = ids.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct()
+    txn = ("index-tombstones", epoch) if epoch is not None else None
+    return manifest.commit_append(rows, _tombstone_table(table), txn=txn)
+
+
+def _tombstone_table(table: str) -> str:
+    return f"{table}__tombstones"
+
+
+def _without_tombstones(spark, table: str, rows: DataFrame) -> DataFrame:
+    """Filter an index scan through the live tombstone set — a no-op
+    (no join in the plan at all) while nothing has been deleted."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    tomb = _tombstone_table(table)
+    if manifest.current_version(tomb) is None:
+        return rows
+    t = manifest.read_versioned(spark, tomb, schema="vec_id long")
+    # no forced broadcast: AQE promotes the anti-join to broadcast
+    # while the tombstone set is small, and an unboundedly-deleted
+    # index must not OOM the driver
+    return rows.join(t, "vec_id", "left_anti")
+
+
+def purge_tombstones(
+    spark, table: str, stats_cols: list[str] | None = None
+) -> int:
+    """Compaction for deletes: rewrite the index minus the tombstoned
+    rows as ONE new atomic snapshot (commit_versioned with
+    ``expect_version`` — a concurrent append raises instead of being
+    silently folded away) and reset the tombstone table. Returns the
+    number of physically removed rows. ``stats_cols`` re-records the
+    zone map (pass ``["cell"]`` for IVF layouts)."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    ver = manifest.current_version(table)
+    rows = manifest.read_versioned(spark, table).localCheckpoint()
+    live = _without_tombstones(spark, table, rows).localCheckpoint()
+    removed = rows.count() - live.count()
+    manifest.commit_versioned(
+        live, table, stats_cols=stats_cols, expect_version=ver
+    )
+    manifest.commit_versioned(
+        spark.createDataFrame([], "vec_id long"), _tombstone_table(table)
+    )
+    return removed

@@ -502,3 +502,112 @@ def test_ann_recall_keeps_zero_hit_queries(spark):
     approx = spark.createDataFrame([(7, 80), (7, 81)], ["query_id", "vec_id"])
     out = sim.ann_recall(exact, approx, k=2).collect()
     assert [(r.query_id, r.n_hits, r.recall) for r in out] == [(7, 0, 0.0)]
+
+
+def test_delete_from_index_tombstones_then_purge(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten: tombstoned vectors must vanish from
+    query results immediately (logical delete), equal the rebuilt-
+    without-them index exactly, and purge_tombstones must physically
+    remove them and reset the tombstone set — all without touching
+    the surviving rows' segments until the purge."""
+    from pyspark.sql import Row
+
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    table = str(tmp_path / "pq_del")
+    sim.build_pq_index(e, PINNED_PQ_CODEBOOKS, table)
+
+    gone = [5, 7, 11]
+    sim.delete_from_index(
+        spark,
+        spark.createDataFrame([Row(vec_id=i) for i in gone], "vec_id long"),
+        table,
+        epoch=0,
+    )
+    # replayed delete epoch is a no-op append (same txn key)
+    sim.delete_from_index(
+        spark,
+        spark.createDataFrame([Row(vec_id=i) for i in gone], "vec_id long"),
+        table,
+        epoch=0,
+    )
+    got = sim.ann_pq_topk_from_index(
+        spark, table, q, PINNED_PQ_CODEBOOKS, k=5
+    )
+    assert not {r.vec_id for r in got.collect()} & set(gone)
+    # logical delete == physical rebuild without the ids
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    sim.build_pq_index(
+        e.filter(~F.col("vec_id").isin(gone)), PINNED_PQ_CODEBOOKS, rebuilt
+    )
+    want = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk_from_index(
+            spark, rebuilt, q, PINNED_PQ_CODEBOOKS, k=5
+        ).collect()
+    }
+    assert {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in got.collect()
+    } == want
+
+    removed = sim.purge_tombstones(spark, table)
+    assert removed == 3 * len(PINNED_PQ_CODEBOOKS)  # one row per subspace
+    # tombstone set reset; answers unchanged after the physical purge
+    tomb = manifest.read_versioned(
+        spark, sim._tombstone_table(table), schema="vec_id long"
+    )
+    assert tomb.count() == 0
+    after = {
+        (r.query_id, r.vec_id, r.adc_dist, r.rank)
+        for r in sim.ann_pq_topk_from_index(
+            spark, table, q, PINNED_PQ_CODEBOOKS, k=5
+        ).collect()
+    }
+    assert after == want
+
+
+def test_delete_from_ivf_index(spark, sf_dir, tmp_path):
+    from pyspark.sql import Row
+
+    from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
+        PINNED_IVF_CENTROIDS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 2)
+    table = str(tmp_path / "ivf_del")
+    sim.build_ivf_index(e, PINNED_IVF_CENTROIDS, table)
+    sim.delete_from_index(
+        spark,
+        spark.createDataFrame([Row(vec_id=3)], "vec_id long"),
+        table,
+    )
+    got = sim.ann_ivf_topk_from_index(
+        spark, table, q, PINNED_IVF_CENTROIDS, k=5
+    )
+    assert 3 not in {r.vec_id for r in got.collect()}
+    want = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in sim.ann_ivf_topk_from_index(
+            spark,
+            table,
+            q,
+            PINNED_IVF_CENTROIDS,
+            k=5,
+        ).collect()
+    }
+    removed = sim.purge_tombstones(spark, table, stats_cols=["cell"])
+    assert removed == 1
+    after = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in sim.ann_ivf_topk_from_index(
+            spark, table, q, PINNED_IVF_CENTROIDS, k=5
+        ).collect()
+    }
+    assert after == want

@@ -1248,7 +1248,7 @@ def chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scripts/gen_pq_codebooks.py) are inlined into the oracle, which
 # replays encoding (argmin over the SAME x·x − 2·x·c + c·c double
 # formulation, ties → lower code) and the table-lookup distance sum.
-def _pq_oracle_sql(k: int) -> str:
+def _pq_oracle_sql(k: int, corpus_pred: str = "TRUE") -> str:
     from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
         PINNED_PQ_CODEBOOKS,
         PINNED_PQ_DSUB,
@@ -1278,7 +1278,7 @@ def _pq_oracle_sql(k: int) -> str:
         SELECT vec_id, j, code, ROW_NUMBER() OVER (
           PARTITION BY vec_id, j ORDER BY d, code) AS rn
         FROM dist) t
-      WHERE rn = 1
+      WHERE rn = 1 AND ({corpus_pred})
     ), qd AS (
       SELECT vec_id AS query_id, j, code, d FROM dist WHERE vec_id < 8
     ), adc AS (
@@ -1315,7 +1315,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ADC ranks. The oracle replays BOTH quantizers from inlined constants
 # (cell assignment by argmax dot over unit centroids; encode + ADC as
 # in ann_pq_topk) restricted to the probed cells.
-def _ivfpq_oracle_sql(nprobe: int, k: int) -> str:
+def _ivfpq_oracle_sql(nprobe: int, k: int, corpus_pred: str = "TRUE") -> str:
     from asset_prices_parquet_saver_spark.operators.ivf_centroids import (
         PINNED_IVF_CENTROIDS,
     )
@@ -1374,7 +1374,7 @@ def _ivfpq_oracle_sql(nprobe: int, k: int) -> str:
         SELECT vec_id, j, code, ROW_NUMBER() OVER (
           PARTITION BY vec_id, j ORDER BY d, code) AS rn
         FROM dist) t
-      WHERE rn = 1
+      WHERE rn = 1 AND ({corpus_pred})
     ), qd AS (
       SELECT vec_id AS query_id, j, code, d FROM dist WHERE vec_id < 8
     ), adc AS (
@@ -8509,6 +8509,41 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling_ops.temperature_mix_weights(d, "source", alpha=0.3)
 
 
+# --- X3 vector-index deletes, gated END-TO-END: the query builds the
+# persisted PQ index in a throwaway temp table, tombstones a
+# deterministic id set (vec_id % 17 = 3) through delete_from_index,
+# and answers through the tombstone-filtering reader; the oracle is
+# the plain ADC derivation with the same ids excluded from the CORPUS
+# side only (queries keep running, like a production deletion).
+@q(
+    "ann_pq_topk_deleted",
+    _pq_oracle_sql(k=5, corpus_pred="vec_id % 17 != 3"),
+)
+def ann_pq_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: right-to-be-forgotten over the persisted PQ index —
+    build → tombstone (similarity.delete_from_index) → query through
+    the anti-join reader; must equal ADC with the deleted vectors
+    never indexed."""
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.operators.pq_codebooks import (
+        PINNED_PQ_CODEBOOKS,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    table = _tempfile.mkdtemp(prefix="spark_graft_pqdel_") + "/idx"
+    sim_ops.build_pq_index(e, PINNED_PQ_CODEBOOKS, table)
+    sim_ops.delete_from_index(
+        spark,
+        e.filter(F.col("vec_id") % 17 == 3).select("vec_id"),
+        table,
+    )
+    q_side = e.filter(F.col("vec_id") < 8)
+    return sim_ops.ann_pq_topk_from_index(
+        spark, table, q_side, PINNED_PQ_CODEBOOKS, k=5
+    )
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -8559,6 +8594,7 @@ _GATE_ORDER = [
     "zipf_term_fit",
     "k_anonymous_docs",
     "temperature_mix_weights",
+    "ann_pq_topk_deleted",
     "cohort_retention",
     "conditional_agg",
     "cosine_topk",
@@ -8583,9 +8619,9 @@ _GATE_ORDER = [
     "media_frame_sample",
     "media_payload_meta",
     "monthly_returns",
-    "moving_avg_3",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 9 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 10 r6 leftovers, then r7/r8/r9 pools
+    "moving_avg_3",
     "null_handling",
     "pca_projection",
     "return_correlations",

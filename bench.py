@@ -215,6 +215,7 @@ HEADLINE = [
     "zipf_term_fit",
     "k_anonymous_docs",
     "temperature_mix_weights",
+    "ann_pq_topk_deleted",
 ]
 
 

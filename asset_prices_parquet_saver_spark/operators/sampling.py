@@ -338,7 +338,9 @@ def k_anonymous(df: DataFrame, cols: list[str], k: int) -> DataFrame:
         .filter(F.col("_n") >= k)
         .drop("_n")
     )
-    return df.join(safe, cols, "left_semi")
+    # a USING-style semi join moves the key columns first; restore the
+    # input's column order (callers and the oracle see df's schema)
+    return df.join(safe, cols, "left_semi").select(*df.columns)
 
 
 def temperature_mix_weights(

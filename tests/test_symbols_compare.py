@@ -139,3 +139,52 @@ def test_blocked_edit_matches_threshold_cuts_far_pairs():
         df, "k", "nm", {"sz": F.col("sz")}, min_dist=1, max_dist=3
     )
     assert out.count() == 0  # distance 4 > max_dist
+
+
+def test_edit_matches_qgram_equals_block_randomized():
+    """Ed-Join prefix filtering is SOUND and exact: on randomized
+    near-duplicate corpora the qgram strategy must return exactly the
+    block strategy's pairs (which the brute-force-shaped block join
+    defines)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.operators import linkage
+    from asset_prices_parquet_saver_spark.session import get_spark
+
+    spark = get_spark()
+    rng = random.Random(1234)
+    words = ["alpha", "bravo", "china", "delta", "echos", "fox"]
+    rows = []
+    k = 0
+    for _ in range(120):
+        base = " ".join(rng.choice(words) for _ in range(3))
+        rows.append((k, base, rng.randint(0, 2))); k += 1
+        if rng.random() < 0.6:  # perturbed near-duplicate
+            chars = list(base)
+            for _ in range(rng.randint(1, 3)):
+                op = rng.random()
+                pos = rng.randrange(len(chars))
+                if op < 0.4:
+                    chars[pos] = rng.choice("xyz")
+                elif op < 0.7:
+                    chars.insert(pos, rng.choice("xyz"))
+                elif len(chars) > 1:
+                    del chars[pos]
+            rows.append((k, "".join(chars), rows[-1][2])); k += 1
+    df = spark.createDataFrame(rows, ["k", "nm", "sz"])
+    blocks = {"sz": F.col("sz")}
+    got_block = {
+        tuple(r)
+        for r in linkage.blocked_edit_matches(
+            df, "k", "nm", blocks, strategy="block"
+        ).collect()
+    }
+    got_qgram = {
+        tuple(r)
+        for r in linkage.blocked_edit_matches(
+            df, "k", "nm", blocks, strategy="qgram"
+        ).collect()
+    }
+    assert got_qgram == got_block and got_block  # non-trivial + identical

@@ -437,6 +437,10 @@ def main() -> None:
                 "pmi_cooccurrence",
                 "substring_dup_spans",
                 "lsh_ensemble_containment",
+                # r10: the stats-adaptive auto switch (block → Ed-Join
+                # qgram) is exactly what the sf1 decade certifies —
+                # fast at sf0.1, so never in the top-N on its own
+                "part_name_near_matches",
             )
             if n in QUERIES
         ]

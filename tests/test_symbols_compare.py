@@ -188,3 +188,29 @@ def test_edit_matches_qgram_equals_block_randomized():
         ).collect()
     }
     assert got_qgram == got_block and got_block  # non-trivial + identical
+
+
+def test_edit_matches_qgram_unblocked_global_join():
+    """With an empty blocking dict the qgram path is a GLOBAL fuzzy
+    self-join (pure Ed-Join) — no blocking key needed for the
+    candidate generation to stay bounded."""
+    from asset_prices_parquet_saver_spark.operators import linkage
+    from asset_prices_parquet_saver_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [
+            (1, "electric blue paint"),
+            (2, "electric blue pains"),      # dist 1
+            (3, "electric glue pains"),      # dist 1 from 2, 2 from 1
+            (4, "totally different words"),
+        ],
+        ["k", "nm"],
+    )
+    pairs = {
+        (r.key_a, r.key_b, r.edit_dist)
+        for r in linkage.edit_matches_qgram(
+            df, "k", "nm", {}, min_dist=1, max_dist=3
+        ).collect()
+    }
+    assert pairs == {(1, 2, 1), (2, 3, 1), (1, 3, 2)}

@@ -141,3 +141,171 @@ def domain_report(df: DataFrame, url_col: str) -> DataFrame:
             F.round(1 - F.col("n_canonical") / F.col("n_urls"), 6),
         )
     )
+
+
+# ----------------------------------------------------- crawl frontier
+
+#: persisted seen-set row: the canonical URL (join key) and the key of
+#: the row that claimed it (audit trail, not used by the probe)
+URL_INDEX_SCHEMA = "canon string, first_key long"
+
+
+def ensure_url_index(spark, table: str, num_buckets: int = 32) -> None:
+    """Create the physically bucketed canonical-URL seen-set if
+    absent — bucketed by ``canon`` (the probe join key) so per-batch
+    probes read the index in place. Same ``_compacting`` crash-window
+    recovery discipline as the dedup band/window indexes: a staging
+    orphan holds the ONLY copy and must be renamed back, never
+    shadowed by an empty re-create."""
+    if not spark.catalog.tableExists(table):
+        staging = f"{table}_compacting"
+        if spark.catalog.tableExists(staging):
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+            return
+        (
+            spark.createDataFrame([], URL_INDEX_SCHEMA)
+            .write.bucketBy(num_buckets, "canon")
+            .sortBy("canon")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+
+
+def frontier_filter(
+    spark,
+    new_docs: DataFrame,
+    table: str,
+    url_col: str,
+    key_col: str,
+    num_buckets: int = 32,
+    append: bool = True,
+) -> DataFrame:
+    """Crawl-frontier URL dedup: of a batch of candidate URLs, the
+    rows whose CANONICAL URL is both new within the batch (smallest
+    ``key_col`` claims it, full-row tie-broken — :func:`url_dedup`'s
+    survivor rule) and absent from the persisted seen-set. Appends the
+    accepted canonicals (unless ``append=False`` — the streaming
+    wrapper commits the corpus FIRST, then indexes what it committed)
+    and returns the accepted rows with the batch's original columns.
+
+    Scale shape: batch canonicalization is a narrow map; the seen-set
+    probe is an INNER join in which the BATCH builds the hash side
+    (``shuffle_hash`` hint) and the bucketed index streams through IN
+    PLACE — an anti join would hash-build the O(corpus) index per task
+    (Spark rejects build-left for anti), so the anti semantics come
+    from the small hit-set's second join. Per-batch cost is
+    O(batch + colliding index rows), never O(seen URLs). Same
+    metastore-append caveats as the dedup band index (non-atomic
+    appends; replays are harmless for results — a replayed batch's
+    canonicals are already indexed, so it accepts nothing new)."""
+    from asset_prices_parquet_saver_spark.operators.dedup import exact_dedup
+
+    ensure_url_index(spark, table, num_buckets)
+    canon = new_docs.withColumn("_canon", canonical_url(F.col(url_col)))
+    batch_first = exact_dedup(canon, ["_canon"], key_col).localCheckpoint()
+    idx = spark.table(table)
+    hits = (
+        batch_first.select("_canon")
+        .hint("shuffle_hash")
+        .join(idx, F.col("_canon") == F.col("canon"))
+        .select("_canon")
+        .distinct()
+    )
+    accepted = batch_first.join(hits, "_canon", "left_anti").localCheckpoint()
+    if append:
+        append_url_index(spark, accepted, table, key_col, num_buckets)
+    return accepted.drop("_canon")
+
+
+def append_url_index(
+    spark, accepted: DataFrame, table: str, key_col: str,
+    num_buckets: int = 32,
+) -> None:
+    """Append accepted (``_canon``, key) rows to the seen-set under
+    the shared table lock, then refresh THIS session's relation cache
+    (the append may run in a streaming clone session — the r10
+    foreachBatch staleness lesson)."""
+    from asset_prices_parquet_saver_spark.operators.incremental_dedup import (
+        _band_table_lock,
+    )
+
+    rows = accepted.select(
+        F.col("_canon").alias("canon"),
+        F.col(key_col).cast("long").alias("first_key"),
+    )
+    with _band_table_lock(spark, table):
+        (
+            rows.write.bucketBy(num_buckets, "canon")
+            .sortBy("canon")
+            .mode("append")
+            .saveAsTable(table)
+        )
+    spark.catalog.refreshTable(table)
+
+
+def compact_url_index(
+    spark, table: str, num_buckets: int = 32
+) -> tuple[int, int]:
+    """Fold the seen-set's accumulated append files — the shared
+    rewrite→verify→swap CAS body, keyed on ``canon``."""
+    from asset_prices_parquet_saver_spark.operators.incremental_dedup import (
+        _compact_bucketed_index,
+    )
+
+    return _compact_bucketed_index(spark, table, num_buckets, ("canon",))
+
+
+def run_streaming_frontier(
+    spark,
+    docs_stream: DataFrame,
+    table: str,
+    corpus_path: str,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    num_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Streaming crawl ingestion with online frontier dedup: every
+    micro-batch keeps only first-seen canonical URLs (vs everything
+    ever accepted) and appends them to the corpus via an
+    epoch-idempotent manifest commit; the seen-set indexes exactly
+    what was committed. Corpus commit goes FIRST (the streaming-dedup
+    crash discipline): a crash between the two commits replays the
+    batch, accepts the same rows (their canonicals are still absent
+    from the index), skips the corpus append via its txn record, and
+    applies the missing index append — no window loses or duplicates
+    documents."""
+    from asset_prices_parquet_saver_spark.sources import manifest
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        canon = batch.withColumn("_canon", canonical_url(F.col(url_col)))
+        from asset_prices_parquet_saver_spark.operators.dedup import (
+            exact_dedup,
+        )
+
+        batch_first = exact_dedup(canon, ["_canon"], key_col).localCheckpoint()
+        ensure_url_index(spark, table, num_buckets)
+        idx = spark.table(table)
+        hits = (
+            batch_first.select("_canon")
+            .hint("shuffle_hash")
+            .join(idx, F.col("_canon") == F.col("canon"))
+            .select("_canon")
+            .distinct()
+        )
+        accepted = batch_first.join(hits, "_canon", "left_anti").localCheckpoint()
+        manifest.commit_append(
+            accepted.drop("_canon"), corpus_path,
+            txn=("url-frontier-corpus", epoch_id),
+        )
+        append_url_index(spark, accepted, table, key_col, num_buckets)
+
+    writer = docs_stream.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -8544,6 +8544,55 @@ def ann_pq_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X+ crawl frontier, gated END-TO-END: seed the persisted
+# canonical-URL seen-set from the docs with doc_id < 250, probe the
+# rest as an arriving batch through urls.frontier_filter (throwaway
+# temp metastore table), and return the ACCEPTED rows. The oracle
+# replays the construction + canonicalization rule: batch rows whose
+# canonical is absent from the seed set and first (min doc_id) within
+# the batch. By the synthetic URL rule, canon is a function of
+# doc_id mod 350 — so batch ids 350-499 collide with seeds 0-149 and
+# must be rejected while 250-349 are accepted (non-trivial both ways).
+@q(
+    "url_frontier_new",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_CANON_SQL} AS canon FROM documents
+    ),
+    seen AS (SELECT DISTINCT canon FROM u WHERE doc_id < 250),
+    batch AS (
+      SELECT doc_id, canon,
+             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+      FROM u WHERE doc_id >= 250
+    )
+    SELECT b.doc_id, {_URL_RAW_SQL.replace('doc_id', 'b.doc_id')} AS url
+    FROM batch b LEFT JOIN seen s ON b.canon = s.canon
+    WHERE s.canon IS NULL AND b.rn = 1
+    """,
+)
+def url_frontier_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X+: crawl-frontier URL dedup against a persisted bucketed
+    seen-set (urls.frontier_filter): accepted = first-seen canonical
+    URLs only; probe cost O(batch), never O(seen URLs)."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from asset_prices_parquet_saver_spark.operators import urls as url_ops
+
+    u = _synthetic_urls(spark, sf_dir)
+    table = "url_frontier_gate_" + _uuid.uuid4().hex[:12]
+    try:
+        url_ops.frontier_filter(
+            spark, u.filter(F.col("doc_id") < 250), table, "url", "doc_id"
+        )
+        return url_ops.frontier_filter(
+            spark, u.filter(F.col("doc_id") >= 250), table, "url", "doc_id",
+            append=False,
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -8595,6 +8644,7 @@ _GATE_ORDER = [
     "k_anonymous_docs",
     "temperature_mix_weights",
     "ann_pq_topk_deleted",
+    "url_frontier_new",
     "cohort_retention",
     "conditional_agg",
     "cosine_topk",
@@ -8618,9 +8668,9 @@ _GATE_ORDER = [
     "media_decode_meta",
     "media_frame_sample",
     "media_payload_meta",
-    "monthly_returns",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 10 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 11 r6 leftovers, then r7/r8/r9 pools
+    "monthly_returns",
     "moving_avg_3",
     "null_handling",
     "pca_projection",

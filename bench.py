@@ -216,6 +216,7 @@ HEADLINE = [
     "k_anonymous_docs",
     "temperature_mix_weights",
     "ann_pq_topk_deleted",
+    "url_frontier_new",
 ]
 
 

@@ -506,6 +506,36 @@ def commit_staged_files(
         return _publish_under_lock(materialize, table, append, txn)
 
 
+def delete_rows(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    schema=None,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Corpus-side right-to-be-forgotten: rewrite the live snapshot
+    WITHOUT the rows matching ``predicate`` (a Column or SQL string)
+    as one atomic commit — the document-table complement of the
+    vector-index tombstone path. Readers of the old snapshot are
+    undisturbed (immutable files); history vacuuming
+    (:func:`vacuum_history`) is what makes the deletion physical
+    everywhere, and must be run for compliance deletes. Pinned to the
+    version it read: a concurrent append raises
+    :class:`CommitConflict` instead of being silently folded away.
+    Returns (rows_deleted, new_version)."""
+    from pyspark.sql import functions as _F
+
+    cond = _F.expr(predicate) if isinstance(predicate, str) else predicate
+    v = current_version(table)
+    cur = read_versioned(spark, table, version=v, schema=schema).localCheckpoint()
+    keep = cur.filter(~cond).localCheckpoint()
+    removed = cur.count() - keep.count()
+    new_v = commit_versioned(
+        keep, table, stats_cols=stats_cols, expect_version=v
+    )
+    return removed, new_v
+
+
 def compact_versioned(
     spark: SparkSession, table: str, num_files: int = 1, schema=None
 ) -> int:

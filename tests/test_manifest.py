@@ -390,3 +390,39 @@ def test_status_concurrent_writer_retries_not_lost(spark, tmp_path):
     got = {(r["symbol"], r["source"]) for r in st.read_status(spark, path).collect()}
     assert got == {("AAPL", "alpaca"), ("TSLA", "alpaca"), ("MSFT", "yfinance")}
     assert fired  # the race actually happened
+
+
+def test_delete_rows_atomic_rewrite(spark, tmp_path):
+    """Corpus-side compliance delete: the predicate's rows vanish in
+    ONE atomic commit; the prior snapshot remains time-travelable
+    until vacuum_history makes the deletion physical; a concurrent
+    append between read and rewrite raises CommitConflict."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [Row(doc_id=i, src="a" if i % 2 else "b") for i in range(10)],
+        "doc_id long, src string",
+    )
+    manifest.commit_versioned(df, t)
+    removed, v = manifest.delete_rows(spark, t, F.col("src") == "b")
+    assert removed == 5
+    live = manifest.read_versioned(spark, t)
+    assert live.filter(F.col("src") == "b").count() == 0
+    assert live.count() == 5
+    # prior snapshot still time-travelable (deletion not yet physical)
+    old = manifest.read_versioned(spark, t, version=v - 1)
+    assert old.count() == 10
+    # after vacuuming history the old segments are gone
+    manifest.vacuum_history(t, keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        manifest.read_versioned(spark, t, version=v - 1).count()
+    # conflict detection: stale expect_version surfaces, not lost rows
+    manifest.commit_append(
+        spark.createDataFrame([Row(doc_id=99, src="c")],
+                              "doc_id long, src string"), t
+    )
+    assert manifest.read_versioned(spark, t).count() == 6

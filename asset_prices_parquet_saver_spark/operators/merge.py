@@ -94,3 +94,121 @@ def last_price_per_symbol(prices: DataFrame) -> DataFrame:
         [F.col("timestamp").desc(), F.col("source").asc()],
     )
     return latest.select("symbol", F.col("adj_close").alias("price"), "timestamp")
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    *,
+    matched_update: dict | None = None,
+    matched_update_condition=None,
+    matched_delete_condition=None,
+    not_matched_insert: dict | bool | None = True,
+    not_matched_insert_condition=None,
+    not_matched_by_source_delete_condition=None,
+    verify_unique_source: bool = False,
+) -> DataFrame:
+    """Generalized three-clause MERGE INTO (J4 generalization; the
+    Delta-Lake / ANSI SQL:2003 MERGE surface the reference's upsert loop
+    (update_live_price.py:250-274) is a special case of).
+
+    Clause semantics (fixed precedence, matching Delta's
+    delete-before-update evaluation when both conditions hold):
+
+    - matched + ``matched_delete_condition`` true        -> row dropped
+    - matched + ``matched_update_condition`` true (or
+      unconditioned)                                     -> ``matched_update``
+      columns replaced, all others kept from the target
+    - source-only + ``not_matched_insert`` enabled and
+      ``not_matched_insert_condition`` true              -> row inserted
+      (``True`` inserts source columns by name, NULL-padding target
+      columns the source lacks; a dict gives explicit per-column exprs)
+    - target-only + ``not_matched_by_source_delete_condition`` true
+                                                         -> row dropped
+    - anything else                                      -> target row kept
+
+    Expressions in conditions / update / insert dicts reference the two
+    sides through the aliases ``t`` (target) and ``s`` (source), e.g.
+    ``F.col("s.price") > F.col("t.price")``.
+
+    Scale notes: the whole merge is ONE relational program — a single
+    join on the merge keys (null-safe), shuffled once; AQE skew-join
+    covers hot keys. The join type is chosen from the clauses actually
+    used: with inserts disabled the plan degrades to a LEFT join (which
+    Catalyst may broadcast for a small source); a full outer is used
+    only when source-only rows must survive. No per-row driver loop, no
+    collect.
+
+    Determinism contract (same as Delta): each target row must match at
+    most one source row, or the result is ambiguous.
+    ``verify_unique_source=True`` adds a one-aggregate assertion over
+    the source keys (an extra pass — opt-in, off in production jobs
+    that already guarantee key uniqueness upstream).
+    """
+    if verify_unique_source:
+        dup = (
+            source.groupBy(*on)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into: source has duplicate rows on merge keys "
+                f"{on}; each target row must match at most one source row"
+            )
+
+    out_cols = target.columns
+    src_cols = set(source.columns)
+    need_insert = bool(not_matched_insert)
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    how = "full_outer" if need_insert else "left_outer"
+    cond = None
+    for k in on:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, how)
+
+    matched = F.col("t.__t_present").isNotNull() & F.col(
+        "s.__s_present"
+    ).isNotNull()
+    target_only = F.col("t.__t_present").isNotNull() & F.col(
+        "s.__s_present"
+    ).isNull()
+    source_only = F.col("t.__t_present").isNull()
+
+    upd_cond = matched
+    if matched_update_condition is not None:
+        upd_cond = upd_cond & matched_update_condition
+    if matched_update is None:
+        upd_cond = F.lit(False)
+
+    drop = F.lit(False)
+    if matched_delete_condition is not None:
+        drop = drop | (matched & matched_delete_condition)
+    if not_matched_by_source_delete_condition is not None:
+        drop = drop | (target_only & not_matched_by_source_delete_condition)
+    ins_cond = source_only
+    if not need_insert:
+        ins_cond = F.lit(False)
+    elif not_matched_insert_condition is not None:
+        ins_cond = ins_cond & not_matched_insert_condition
+    kept = j.filter(~drop & (~source_only | ins_cond))
+
+    def _insert_expr(c: str):
+        if isinstance(not_matched_insert, dict):
+            return not_matched_insert.get(c, F.lit(None))
+        return F.col(f"s.{c}") if c in src_cols else F.lit(None)
+
+    proj = []
+    for c in out_cols:
+        expr = F.col(f"t.{c}")
+        if matched_update is not None and c in matched_update:
+            expr = F.when(upd_cond, matched_update[c]).otherwise(expr)
+        if need_insert:
+            expr = F.when(source_only, _insert_expr(c)).otherwise(expr)
+        proj.append(expr.cast(target.schema[c].dataType).alias(c))
+    return kept.select(*proj)

@@ -8593,6 +8593,78 @@ def url_frontier_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+# --- J4 generalization: three-clause MERGE INTO (matched-update /
+# matched-delete / not-matched-insert) as ONE full-outer relational
+# program (operators/merge.py merge_into). Source = orders-derived
+# update feed (every 5th key reprices) + synthetic new keys (every
+# 97th key shifted by 1e8); matched 'F'-status keys divisible by 10
+# are deleted. The oracle replays the same clause precedence as a
+# FULL OUTER JOIN + CASE projection.
+@q(
+    "merge_into_orders",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS key, o_totalprice * 1.1 AS new_price
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS key, 0.0 AS new_price
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    m AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             o.o_orderdate, o.o_orderpriority, s.key AS skey, s.new_price
+      FROM orders o FULL OUTER JOIN src s ON o.o_orderkey = s.key
+    )
+    SELECT
+      COALESCE(o_orderkey, skey) AS o_orderkey,
+      CASE WHEN o_orderkey IS NULL THEN -1 ELSE o_custkey END AS o_custkey,
+      CASE WHEN o_orderkey IS NULL THEN 'N' ELSE o_orderstatus END AS o_orderstatus,
+      CASE WHEN o_orderkey IS NULL THEN 0.0
+           WHEN skey IS NOT NULL THEN new_price
+           ELSE o_totalprice END AS o_totalprice,
+      CASE WHEN o_orderkey IS NULL THEN NULL ELSE o_orderdate END AS o_orderdate,
+      CASE WHEN o_orderkey IS NULL THEN '0-NEW'
+           WHEN skey IS NOT NULL THEN '5-MERGED'
+           ELSE o_orderpriority END AS o_orderpriority
+    FROM m
+    WHERE NOT (o_orderkey IS NOT NULL AND skey IS NOT NULL
+               AND o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+    """,
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+: generalized MERGE INTO over orders — update / delete /
+    insert clauses resolved in one null-safe full-outer join
+    (operators/merge.py merge_into)."""
+    o = read_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("new_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        F.lit(0.0).alias("new_price"),
+    )
+    return merge_ops.merge_into(
+        o,
+        updates.unionByName(inserts),
+        ["o_orderkey"],
+        matched_update={
+            "o_totalprice": F.col("s.new_price"),
+            "o_orderpriority": F.lit("5-MERGED"),
+        },
+        matched_delete_condition=(F.col("t.o_orderstatus") == "F")
+        & (F.col("t.o_orderkey") % 10 == 0),
+        not_matched_insert={
+            "o_orderkey": F.col("s.o_orderkey"),
+            "o_custkey": F.lit(-1),
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": F.lit(0.0),
+            "o_orderdate": F.lit(None),
+            "o_orderpriority": F.lit("0-NEW"),
+        },
+    )
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash

@@ -155,3 +155,121 @@ def test_property_upsert_invariants(spark, ticks):
     for r in out:
         key = (r.symbol, r.timestamp.date())
         assert key in expected
+
+
+# ---------------------------------------------------------------------
+# merge_into: generalized three-clause MERGE (J4 generalization)
+# ---------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from asset_prices_parquet_saver_spark.operators import merge  # noqa: E402
+
+
+def _mi_frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id INT, tag STRING, price DOUBLE",
+    )
+    source = spark.createDataFrame(
+        [(2, 25.0, False), (3, 0.0, True), (5, 50.0, False), (6, 60.0, True)],
+        "id INT, price DOUBLE, kill BOOLEAN",
+    )
+    return target, source
+
+
+def test_merge_into_three_clauses(spark):
+    target, source = _mi_frames(spark)
+    out = merge.merge_into(
+        target,
+        source,
+        ["id"],
+        matched_update={"price": F.col("s.price")},
+        matched_delete_condition=F.col("s.kill"),
+        not_matched_insert={
+            "id": F.col("s.id"),
+            "tag": F.lit("new"),
+            "price": F.col("s.price"),
+        },
+        not_matched_insert_condition=~F.col("s.kill"),
+    )
+    rows = {r.id: (r.tag, r.price) for r in out.collect()}
+    # 1,4: target-only kept; 2: updated; 3: matched+kill deleted;
+    # 5: inserted; 6: insert condition false -> dropped
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b", 25.0),
+        4: ("d", 40.0),
+        5: ("new", 50.0),
+    }
+
+
+def test_merge_into_by_source_delete_and_default_insert(spark):
+    target, source = _mi_frames(spark)
+    out = merge.merge_into(
+        target,
+        source.drop("kill"),
+        ["id"],
+        matched_update={"price": F.col("t.price") + F.col("s.price")},
+        matched_update_condition=F.col("s.price") > 0,
+        not_matched_insert=True,
+        not_matched_by_source_delete_condition=F.col("t.id") == 4,
+    )
+    rows = {r.id: (r.tag, r.price) for r in out.collect()}
+    # default insert NULL-pads tag (source lacks it); id=3 matched but
+    # update condition false -> kept verbatim; id=4 deleted by-source
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b", 45.0),
+        3: ("c", 30.0),
+        5: (None, 50.0),
+        6: (None, 60.0),
+    }
+
+
+def test_merge_into_no_insert_left_join(spark):
+    target, source = _mi_frames(spark)
+    out = merge.merge_into(
+        target,
+        source,
+        ["id"],
+        matched_update={"price": F.col("s.price")},
+        not_matched_insert=False,
+    )
+    rows = {r.id: r.price for r in out.collect()}
+    assert rows == {1: 10.0, 2: 25.0, 3: 0.0, 4: 40.0}
+    # with inserts disabled the plan is a LEFT join, not full outer
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "FullOuter" not in plan
+
+
+def test_merge_into_unique_source_check(spark):
+    target, _ = _mi_frames(spark)
+    dup_source = spark.createDataFrame(
+        [(2, 1.0), (2, 2.0)], "id INT, price DOUBLE"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        merge.merge_into(
+            target,
+            dup_source,
+            ["id"],
+            matched_update={"price": F.col("s.price")},
+            verify_unique_source=True,
+        )
+
+
+def test_merge_into_null_safe_keys(spark):
+    target = spark.createDataFrame(
+        [(None, 1.0), (7, 2.0)], "id INT, price DOUBLE"
+    )
+    source = spark.createDataFrame([(None, 9.0)], "id INT, price DOUBLE")
+    out = merge.merge_into(
+        target,
+        source,
+        ["id"],
+        matched_update={"price": F.col("s.price")},
+    )
+    rows = {r.id: r.price for r in out.collect()}
+    assert rows == {None: 9.0, 7: 2.0}

@@ -8665,6 +8665,68 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S7+ incremental materialized view (sources/matview.py), gated
+# END-TO-END: seed a throwaway manifest table with a third of events,
+# create the daily-totals MV, append the remaining two thirds in two
+# batches, refresh incrementally twice (asserted — never a full
+# recompute), and return the view. The oracle aggregates all of events
+# from scratch, so the hash-match IS the incremental==from-scratch
+# proof (exact decimal partials make the float order irrelevant).
+@q(
+    "mv_event_daily_totals",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def mv_event_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: incremental MV maintenance — two append commits, two
+    O(batch) incremental refreshes, result identical to a from-scratch
+    aggregation (sources/matview.py)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = _tempfile.mkdtemp(prefix="mv_gate_")
+    base, view = f"{root}/events", f"{root}/mv"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 3 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type", "day"],
+            [
+                ["n", "count", None],
+                ["total_value", "sum", "value"],
+                ["min_value", "min", "value"],
+                ["max_value", "max", "value"],
+                ["avg_value", "avg", "value"],
+            ],
+            projection=["event_type", "CAST(ts AS DATE) AS day", "value"],
+        )
+        for residue in (1, 2):
+            mf.commit_append(
+                ev.filter(F.col("event_id") % 3 == residue), base
+            )
+            mode = mv_ops.refresh_mv(spark, view)
+            assert mode == "incremental", mode
+        return mv_ops.read_mv(spark, view).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash

@@ -1,0 +1,259 @@
+"""Incrementally-maintained materialized views over manifest tables.
+
+The reference recomputes derived tables from scratch on every run (its
+scripts re-read the full parquet each cycle). At 100 TB a derived
+aggregate must instead be maintained from the COMMIT LOG: the manifest
+layer (sources/manifest.py) already gives every table an append-log
+shape — each append commit adds one immutable segment — so a refresh
+only has to aggregate the segments added since the last refresh and
+merge those partials into the stored view state. That is the classic
+incremental-view-maintenance contract for distributive aggregates
+(count / sum / min / max, avg as sum+count), and the per-refresh cost
+is O(new data), not O(table).
+
+Correctness at scale hinges on two choices made here:
+
+* **Partials are exact.** SUM/AVG partials are stored as
+  DECIMAL(38,6), not DOUBLE — float addition is non-associative, so a
+  view merged incrementally in a different order than a from-scratch
+  aggregation would drift bitwise. Decimal partials make
+  refresh-then-read equal recompute-from-scratch exactly (the gated
+  ``mv_event_daily_totals`` query hash-asserts this against DuckDB).
+* **Rewrites fall back.** MIN/MAX (and any distributive agg) cannot be
+  incrementally maintained under row DELETION. A refresh therefore
+  verifies the base's current segment list still EXTENDS the list the
+  view last saw; any rewrite commit (delete_rows, compact, overwrite)
+  triggers a full recompute instead of a wrong delta-merge. Appends —
+  the hot path — stay O(batch).
+
+View state lives in its own manifest table (atomic snapshot commits,
+time travel, CAS via ``expect_version``), plus a tiny ``_MV_SPEC``
+JSON published with the same atomic single-object idiom.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+MV_SPEC = "_MV_SPEC"
+
+#: exact partial type for sum/avg state (order-independent combine)
+_DEC = "decimal(38,6)"
+
+_KINDS = ("count", "count_col", "sum", "min", "max", "avg")
+
+
+def _spec_path(mv_table: str) -> str:
+    return os.path.join(mv_table, MV_SPEC)
+
+
+def _read_spec(mv_table: str) -> dict:
+    with open(_spec_path(mv_table)) as fh:
+        return json.load(fh)
+
+
+def _state_cols(aggs: list[list]) -> list[tuple[str, str, str | None]]:
+    """Flatten the agg spec into hidden state columns:
+    (state_col, combine_kind, input_col)."""
+    cols: list[tuple[str, str, str | None]] = []
+    for out, kind, col in aggs:
+        if kind == "count":
+            cols.append((f"__{out}_cnt", "add", None))
+        elif kind == "count_col":
+            cols.append((f"__{out}_cnt", "add", col))
+        elif kind == "sum":
+            cols.append((f"__{out}_sum", "addnull", col))
+        elif kind == "min":
+            cols.append((f"__{out}_min", "least", col))
+        elif kind == "max":
+            cols.append((f"__{out}_max", "greatest", col))
+        elif kind == "avg":
+            cols.append((f"__{out}_sum", "addnull", col))
+            cols.append((f"__{out}_cnt", "add", col))
+        else:
+            raise ValueError(f"unknown agg kind {kind!r}; one of {_KINDS}")
+    return cols
+
+
+def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
+    """One map-side-combinable aggregation producing the hidden state
+    columns for a slice of the base table (the whole table on create /
+    full refresh, only the new segments on incremental refresh)."""
+    if spec.get("projection"):
+        df = df.selectExpr(*spec["projection"])
+    exprs = []
+    seen = set()
+    for state, kind, col in _state_cols(spec["aggs"]):
+        if state in seen:  # avg shares its sum with an explicit sum
+            continue
+        seen.add(state)
+        if kind == "add" and col is None:
+            exprs.append(F.count(F.lit(1)).alias(state))
+        elif kind == "add":
+            exprs.append(F.count(F.col(col)).alias(state))
+        elif kind == "addnull":
+            exprs.append(F.sum(F.col(col).cast(_DEC)).alias(state))
+        elif kind == "least":
+            exprs.append(F.min(F.col(col)).alias(state))
+        elif kind == "greatest":
+            exprs.append(F.max(F.col(col)).alias(state))
+    return df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
+
+
+def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
+    """Merge two partial-state relations: one null-safe full-outer join
+    on the group keys, then a combinable expression per state column.
+    This is the only shuffle an incremental refresh performs beyond the
+    delta aggregation itself, and it is keyed on the view's (small)
+    group-key space, not the base table."""
+    keys = spec["group_cols"]
+    o = old.withColumn("__o", F.lit(True)).alias("o")
+    d = delta.withColumn("__d", F.lit(True)).alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(d, cond, "full_outer")
+    both = F.col("o.__o").isNotNull() & F.col("d.__d").isNotNull()
+    proj = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    seen = set()
+    for state, kind, _ in _state_cols(spec["aggs"]):
+        if state in seen:
+            continue
+        seen.add(state)
+        ov, dv = F.col(f"o.{state}"), F.col(f"d.{state}")
+        if kind == "add":
+            merged = F.when(both, ov + dv).otherwise(F.coalesce(ov, dv))
+        elif kind == "addnull":
+            # SUM keeps NULL for all-NULL groups: combine only treats
+            # NULL as zero when the other side has a real partial
+            merged = F.when(
+                both & ov.isNotNull() & dv.isNotNull(), ov + dv
+            ).otherwise(F.coalesce(ov, dv))
+        elif kind == "least":
+            merged = F.least(ov, dv)  # least/greatest skip NULLs
+        else:
+            merged = F.greatest(ov, dv)
+        if kind == "addnull":
+            # decimal add widens precision; pin the state type stable
+            merged = merged.cast(_DEC)
+        proj.append(merged.alias(state))
+    return j.select(*proj)
+
+
+def _finalize(state: DataFrame, spec: dict) -> DataFrame:
+    """Project the user-facing view columns from the hidden state."""
+    proj = [F.col(g) for g in spec["group_cols"]]
+    for out, kind, _col in spec["aggs"]:
+        if kind in ("count", "count_col"):
+            proj.append(F.col(f"__{out}_cnt").alias(out))
+        elif kind == "sum":
+            proj.append(F.col(f"__{out}_sum").cast("double").alias(out))
+        elif kind in ("min", "max"):
+            suffix = "min" if kind == "min" else "max"
+            proj.append(F.col(f"__{out}_{suffix}").alias(out))
+        else:  # avg = exact-decimal sum / non-null count
+            proj.append(
+                (
+                    F.col(f"__{out}_sum").cast("double")
+                    / F.col(f"__{out}_cnt")
+                ).alias(out)
+            )
+    return state.select(*proj)
+
+
+def _base_segments(base_table: str) -> tuple[int, list[str]]:
+    m = mf._read_manifest(base_table)
+    if m is None:
+        raise FileNotFoundError(f"base table {base_table} has no manifest")
+    return int(m["version"]), list(m["segments"])
+
+
+def create_mv(
+    spark: SparkSession,
+    mv_table: str,
+    base_table: str,
+    group_cols: list[str],
+    aggs: list[list],
+    projection: list[str] | None = None,
+) -> int:
+    """Materialize the view from the base table's CURRENT snapshot and
+    record which snapshot (version + exact segment list) it reflects.
+
+    ``aggs`` is a JSON-able list of ``[out_col, kind, in_col]`` with
+    ``kind`` in count / count_col / sum / min / max / avg (``in_col``
+    None for bare count). ``projection`` is an optional list of SQL
+    select-exprs applied before grouping (e.g. derive a day column) —
+    kept as strings so the spec survives in ``_MV_SPEC``."""
+    spec = {
+        "base_table": base_table,
+        "group_cols": list(group_cols),
+        "aggs": [list(a) for a in aggs],
+        "projection": list(projection) if projection else None,
+    }
+    for _, kind, _c in spec["aggs"]:
+        if kind not in _KINDS:
+            raise ValueError(f"unknown agg kind {kind!r}")
+    base_v, base_segs = _base_segments(base_table)
+    state = _partial_agg(mf.read_versioned(spark, base_table), spec)
+    v = mf.commit_versioned(state, mv_table)
+    spec["base_version"], spec["base_segments"] = base_v, base_segs
+    mf._write_json_atomic(_spec_path(mv_table), spec)
+    return v
+
+
+def refresh_mv(spark: SparkSession, mv_table: str) -> str:
+    """Bring the view up to date with its base table. Returns the
+    refresh mode actually taken:
+
+    * ``"noop"`` — base unchanged since the last refresh.
+    * ``"incremental"`` — base segment list extends the recorded one
+      (append commits only): aggregate ONLY the new segments and merge
+      the partials into the stored state. O(new data).
+    * ``"full"`` — base was rewritten (delete / compact / overwrite):
+      distributive state cannot absorb deletions, so recompute.
+
+    The view commit pins ``expect_version`` to the state it read, so a
+    concurrent refresher raises :class:`manifest.CommitConflict`
+    instead of silently losing one refresh's delta."""
+    spec = _read_spec(mv_table)
+    base_v, base_segs = _base_segments(spec["base_table"])
+    old_segs = spec["base_segments"]
+    if base_v == spec["base_version"] and base_segs == old_segs:
+        return "noop"
+    mv_v = mf.current_version(mv_table)
+    if base_segs[: len(old_segs)] == old_segs:
+        new_paths = [
+            os.path.join(spec["base_table"], s)
+            for s in base_segs[len(old_segs):]
+        ]
+        delta = _partial_agg(spark.read.parquet(*new_paths), spec)
+        old = mf.read_versioned(spark, mv_table)
+        state = _combine(old, delta, spec)
+        mode = "incremental"
+    else:
+        state = _partial_agg(
+            mf.read_versioned(spark, spec["base_table"]), spec
+        )
+        mode = "full"
+    mf.commit_versioned(state, mv_table, expect_version=mv_v)
+    spec["base_version"], spec["base_segments"] = base_v, base_segs
+    mf._write_json_atomic(_spec_path(mv_table), spec)
+    return mode
+
+
+def read_mv(spark: SparkSession, mv_table: str) -> DataFrame:
+    """Read the view as its user-facing columns (state stays hidden).
+    This is a manifest snapshot read — immutable, never torn by a
+    concurrent refresh."""
+    return _finalize(
+        mf.read_versioned(spark, mv_table), _read_spec(mv_table)
+    )

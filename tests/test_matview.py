@@ -1,0 +1,156 @@
+"""Incremental materialized-view maintenance (sources/matview.py).
+
+Invariant under test: refresh-then-read is EXACTLY recompute-from-
+scratch — after any append sequence (incremental path) and after any
+rewrite (full-recompute fallback) — including NULL group keys, all-NULL
+sum groups, and float-order-sensitive AVG (exact decimal partials).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asset_prices_parquet_saver_spark.sources import manifest as mf
+from asset_prices_parquet_saver_spark.sources import matview as mv
+from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+AGGS = [
+    ["n", "count", None],
+    ["n_vals", "count_col", "value"],
+    ["total", "sum", "value"],
+    ["lo", "min", "value"],
+    ["hi", "max", "value"],
+    ["mean", "avg", "value"],
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k STRING, value DOUBLE")
+
+
+def _expected(spark, base_table):
+    df = mf.read_versioned(spark, base_table)
+    return {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("mean"),
+        )
+        .collect()
+    }
+
+
+def _read(spark, mv_table):
+    return {tuple(r) for r in mv.read_mv(spark, mv_table).collect()}
+
+
+def test_mv_create_matches_direct(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(
+        _mk(spark, [("a", 1.0), ("a", 2.0), ("b", None), (None, 5.0)]), base
+    )
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    assert _read(spark, view) == _expected(spark, base)
+    # all-NULL group keeps NULL sum/min/max/avg, n=1, n_vals=0
+    rows = {r.k: r for r in mv.read_mv(spark, view).collect()}
+    assert rows["b"].total is None and rows["b"].n == 1
+    assert rows["b"].n_vals == 0 and rows["b"].mean is None
+    assert None in rows  # NULL group key survives
+
+
+def test_mv_incremental_appends(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(_mk(spark, [("a", 1.0), ("b", 2.0)]), base)
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    assert mv.refresh_mv(spark, view) == "noop"
+    # append touching an existing group, an all-NULL group, a new group
+    mf.commit_append(
+        _mk(spark, [("a", -3.5), ("b", None), ("c", 7.25), (None, 1.0)]), base
+    )
+    assert mv.refresh_mv(spark, view) == "incremental"
+    assert _read(spark, view) == _expected(spark, base)
+    # second append: multi-segment incremental chain stays exact
+    mf.commit_append(_mk(spark, [("c", -100.0), ("a", 0.0)]), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    assert _read(spark, view) == _expected(spark, base)
+
+
+def test_mv_rewrite_falls_back_to_full(spark, tmp_path):
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(
+        _mk(spark, [("a", 1.0), ("a", 9.0), ("b", 2.0)]), base
+    )
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    # deletion rewrites the snapshot: min/max can't be delta-maintained
+    mf.delete_rows(spark, base, F.col("value") == 9.0)
+    assert mv.refresh_mv(spark, view) == "full"
+    assert _read(spark, view) == _expected(spark, base)
+    rows = {r.k: r for r in mv.read_mv(spark, view).collect()}
+    assert rows["a"].hi == 1.0  # the deleted max is really gone
+
+
+def test_mv_projection_and_events_volume(spark, sf_dir, tmp_path):
+    base, view = str(tmp_path / "events"), str(tmp_path / "mv")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    seed = ev.filter(F.col("event_id") % 3 == 0)
+    mf.commit_versioned(seed, base)
+    mv.create_mv(
+        spark,
+        view,
+        base,
+        ["event_type", "day"],
+        [["n", "count", None], ["total", "sum", "value"],
+         ["mean", "avg", "value"]],
+        projection=[
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "value",
+        ],
+    )
+    mf.commit_append(ev.filter(F.col("event_id") % 3 != 0), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    got = {
+        (r.event_type, r.day, r.n, r.total, r.mean)
+        for r in mv.read_mv(spark, view).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("value")
+            ).alias("mean"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_mv_bad_kind_rejected(spark, tmp_path):
+    base = str(tmp_path / "base")
+    mf.commit_versioned(_mk(spark, [("a", 1.0)]), base)
+    with pytest.raises(ValueError, match="unknown agg kind"):
+        mv.create_mv(
+            spark, str(tmp_path / "mv"), base, ["k"],
+            [["x", "median", "value"]],
+        )

@@ -174,3 +174,61 @@ def triangle_counts(
         .groupBy("vertex")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def khop_min_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: per start node, the minimum hop count (≤ k)
+    to every node it can reach. Returns (start, node, hops), the start
+    itself included at hops 0.
+
+    Frontier-style iteration, the textbook distributed BFS: iteration i
+    joins the CURRENT frontier (only the nodes first reached at i-1 —
+    never the whole visited set) against the edge relation on the
+    source endpoint, anti-joins the visited set to keep first arrivals,
+    and unions them in. First arrival == minimum hops, so no min-
+    aggregate is needed afterwards. Work per iteration is
+    O(|frontier ⋈ edges|), and the loop exits early once the frontier
+    empties (one scalar isEmpty per iteration — same budget as
+    pagerank_until's convergence probe). ``localCheckpoint`` truncates
+    the growing lineage exactly as in :func:`pagerank`; the result is a
+    deterministic function of the input, so a SQL oracle can mirror it
+    with a depth-bounded recursive CTE.
+    """
+    if k < 0:
+        raise ValueError("khop_min_hops: k must be >= 0")
+    visited = sources.select(
+        F.col(node_col).alias("start"),
+        F.col(node_col).alias("node"),
+        F.lit(0).alias("hops"),
+    ).distinct()
+    if checkpoint:
+        visited = visited.localCheckpoint()
+    frontier = visited
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src_col])
+            .select(
+                F.col("start"),
+                F.col(dst_col).alias("node"),
+                F.lit(i).alias("hops"),
+            )
+            .distinct()
+            .join(visited.select("start", "node"), ["start", "node"], "left_anti")
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        if checkpoint:
+            visited = visited.localCheckpoint()
+        frontier = nxt
+    return visited

@@ -8727,6 +8727,94 @@ def mv_event_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- J+ graph: multi-source bounded BFS (operators/graph.py
+# khop_min_hops) over the nation trade graph, SPARSIFIED to each
+# nation's top-2 trade destinations (row_number over trade volume, name
+# tie-break) so the hop structure is non-trivial. Starts = the ASIA
+# nations; k = 3. The oracle mirrors the BFS with a depth-bounded
+# recursive CTE + MIN(hops) — first-arrival in the frontier loop equals
+# the min over all depth-≤3 paths.
+@q(
+    "nation_trade_khop",
+    """
+    WITH RECURSIVE trade AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2
+    ),
+    top2 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                 AS rn
+        FROM trade) t
+      WHERE rn <= 2
+    ),
+    starts AS (
+      SELECT n_name AS node FROM nation
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+    ),
+    reach(start, node, hops) AS (
+      SELECT node, node, 0 FROM starts
+      UNION ALL
+      SELECT r.start, e.dst, r.hops + 1
+      FROM reach r JOIN top2 e ON r.node = e.src
+      WHERE r.hops < 3
+    )
+    SELECT start, node, MIN(hops) AS hops FROM reach GROUP BY 1, 2
+    """,
+)
+def nation_trade_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J+: frontier BFS with first-arrival min-hops over the top-2
+    sparsified nation trade graph (operators/graph.py khop_min_hops)."""
+    from asset_prices_parquet_saver_spark.operators import graph as graph_ops
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    su = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = read_table(spark, sf_dir, "nation")
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    re = read_table(spark, sf_dir, "region")
+    trade = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("sk"),
+                                  F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na.select(F.col("n_nationkey").alias("ck"),
+                                  F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    top2 = (
+        trade.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("src", "dst")
+    )
+    starts = (
+        na.join(
+            F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+            na.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_name").alias("node"))
+    )
+    return graph_ops.khop_min_hops(top2, starts, 3)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash

@@ -132,3 +132,82 @@ def test_triangle_counts_k4_has_three_per_vertex(spark):
     )
     out = {r.vertex: r.n_triangles for r in graph.triangle_counts(edges).collect()}
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+# ---------------------------------------------------------------------
+# khop_min_hops: multi-source bounded BFS
+# ---------------------------------------------------------------------
+
+from asset_prices_parquet_saver_spark.operators import graph  # noqa: E402
+
+
+def _bfs_frames(spark):
+    # chain a->b->c->d plus shortcut a->c, cycle d->a, isolated e<-f
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"),
+         ("f", "e")],
+        ["src", "dst"],
+    )
+    starts = spark.createDataFrame([("a",), ("f",)], ["node"])
+    return edges, starts
+
+
+def test_khop_min_hops_shortest_and_bound(spark):
+    edges, starts = _bfs_frames(spark)
+    out = {
+        (r.start, r.node): r.hops
+        for r in graph.khop_min_hops(edges, starts, 2).collect()
+    }
+    # shortcut wins: c at 1 hop, d at 2; b at 1; cycle back to a
+    # is suppressed (a already visited at 0)
+    assert out == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 2,
+        ("f", "f"): 0, ("f", "e"): 1,
+    }
+
+
+def test_khop_zero_and_early_exit(spark):
+    edges, starts = _bfs_frames(spark)
+    zero = graph.khop_min_hops(edges, starts, 0).collect()
+    assert {(r.start, r.node, r.hops) for r in zero} == {
+        ("a", "a", 0), ("f", "f", 0)
+    }
+    # k far beyond the diameter: early exit, still the closure
+    big = graph.khop_min_hops(edges, starts, 50).collect()
+    assert max(r.hops for r in big) == 2
+
+
+def test_khop_brute_force_random(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    e = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)})
+    adj = {}
+    for s, d in e:
+        adj.setdefault(s, []).append(d)
+    k = 3
+
+    def bfs(start):
+        dist = {start: 0}
+        frontier = [start]
+        for i in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = i
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    want = {
+        (s, n): h for s in nodes[:4] for n, h in bfs(s).items()
+    }
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    starts = spark.createDataFrame([(n,) for n in nodes[:4]], ["node"])
+    got = {
+        (r.start, r.node): r.hops
+        for r in graph.khop_min_hops(edges, starts, k).collect()
+    }
+    assert got == want

@@ -8815,6 +8815,58 @@ def nation_trade_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.khop_min_hops(top2, starts, 3)
 
 
+# --- S+ ORC interchange, gated END-TO-END: export orders to ORC in a
+# throwaway dir, re-read it pinned to the original schema, and
+# aggregate a per-status fingerprint across every type lane (int64 /
+# double / string / timestamp). The oracle aggregates the ORIGINAL
+# parquet — a hash-match certifies write+read fidelity, not just "no
+# exception".
+@q(
+    "orc_roundtrip_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           SUM(o_orderkey) AS key_sum,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date,
+           MIN(o_orderpriority) AS min_priority
+    FROM orders GROUP BY 1
+    """,
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S+: ORC export → re-read → fingerprint
+    (sources/interchange.py roundtrip_orc)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import (
+        interchange as ix_ops,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    root = _tempfile.mkdtemp(prefix="orc_gate_")
+    try:
+        back = ix_ops.roundtrip_orc(spark, o, f"{root}/orders_orc")
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.min("o_orderdate").alias("first_date"),
+                F.max("o_orderdate").alias("last_date"),
+                F.min("o_orderpriority").alias("min_priority"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash

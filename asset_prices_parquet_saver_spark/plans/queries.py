@@ -8781,8 +8781,11 @@ def nation_trade_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     re = read_table(spark, sf_dir, "region")
+    # supplier/customer/orders all scale with SF — no manual broadcast
+    # (Catalyst/AQE picks one when a side fits); nation/region are
+    # bounded by construction (25 / 5 rows), broadcast explicitly
     trade = (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(
             F.broadcast(na.select(F.col("n_nationkey").alias("sk"),
                                   F.col("n_name").alias("src"))),
@@ -8938,12 +8941,20 @@ _GATE_ORDER = [
     "json_extract_agg",
     "language_id",
     "last_event_per_user",
+    # session-2 additions, zero driver evidence — displacing the four
+    # stalest r6 rotations (macd_closes + the media trio, which head
+    # the r11 queue below) so every line of new source gets driver
+    # evidence immediately, same policy as the session-1 displacement
+    "merge_into_orders",
+    "mv_event_daily_totals",
+    "nation_trade_khop",
+    "orc_roundtrip_orders",
+    # ---- gate-window boundary (position 50) ----
+    # demoted, freshest-last: 15 r6 leftovers, then r7/r8/r9 pools
     "macd_closes",
     "media_decode_meta",
     "media_frame_sample",
     "media_payload_meta",
-    # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 11 r6 leftovers, then r7/r8/r9 pools
     "monthly_returns",
     "moving_avg_3",
     "null_handling",

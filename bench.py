@@ -217,6 +217,10 @@ HEADLINE = [
     "temperature_mix_weights",
     "ann_pq_topk_deleted",
     "url_frontier_new",
+    "merge_into_orders",
+    "mv_event_daily_totals",
+    "nation_trade_khop",
+    "orc_roundtrip_orders",
 ]
 
 

@@ -118,6 +118,13 @@ def test_results_invariant_to_join_strategy(spark, sf_dir, name):
 # ---------------------------------------------------------------------------
 
 _BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
+    # nation (25 rows) / region (5 rows): bounded by construction
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'F.broadcast(na.select(F.col("n_nationkey").alias("sk"),'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'F.broadcast(na.select(F.col("n_nationkey").alias("ck"),'): 1,
+    ("asset_prices_parquet_saver_spark/plans/queries.py",
+     'F.broadcast(re.filter(F.col("r_name") == "ASIA")),'): 1,
     # symbol blacklist (operational status table, thousands of rows max)
     ("asset_prices_parquet_saver_spark/cli.py",
      'universe = universe.join(F.broadcast(allowed), "symbol", "left_semi")'): 1,

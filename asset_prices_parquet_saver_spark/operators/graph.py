@@ -232,3 +232,60 @@ def khop_min_hops(
             visited = visited.localCheckpoint()
         frontier = nxt
     return visited
+
+
+def min_label_propagation(
+    edges: DataFrame,
+    iterations: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous min-label propagation over the UNDIRECTED closure of
+    ``edges``: every node starts labeled with itself; each round a node
+    takes the minimum of its own label and its neighbors' labels.
+    Returns (node, label) after exactly ``iterations`` rounds — i.e.
+    label(v) = min node id within ``iterations`` hops of v. Run to the
+    graph diameter this is connected components (the dedup family's CC
+    uses the same contraction with data-dependent stopping —
+    operators/dedup.py); the FIXED round count here keeps the result a
+    static function of the input so a SQL oracle can replay it with
+    unrolled CTEs, exactly the :func:`pagerank` trade-off.
+
+    Per round: one src-keyed join + one dst-keyed min aggregate — the
+    same shuffle budget as a PageRank step; lineage truncated per round.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint()
+    return labels

@@ -8870,6 +8870,69 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- J+ graph: fixed-round min-label propagation on the brand
+# co-purchase graph (same edge relation as brand_graph_triangles).
+# Three synchronous rounds => label(v) = min brand id within 3 hops —
+# connected components when the diameter fits, replayable by the
+# oracle as unrolled CTE rounds (the pagerank trade-off: fixed
+# iteration count keeps the result a static function of the input).
+_LP_ROUND = """
+    , l{i} AS (
+      SELECT p.node,
+             CASE WHEN m.ml IS NULL OR p.label <= m.ml THEN p.label
+                  ELSE m.ml END AS label
+      FROM l{j} p LEFT JOIN (
+        SELECT u.b AS node, MIN(p2.label) AS ml
+        FROM und u JOIN l{j} p2 ON p2.node = u.a GROUP BY u.b
+      ) m ON m.node = p.node
+    )"""
+_LP_ITERS = "".join(_LP_ROUND.format(i=i, j=i - 1) for i in (1, 2, 3))
+
+
+@q(
+    "brand_graph_components",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), tot AS (
+      SELECT COUNT(DISTINCT o) AS n_baskets FROM items
+    ), e AS (
+      SELECT ia AS lo, ib AS hi FROM (
+        SELECT a.it AS ia, b.it AS ib, COUNT(*) AS co
+        FROM items a JOIN items b ON a.o = b.o AND a.it < b.it
+        GROUP BY 1, 2
+      ) x, tot
+      WHERE round(CAST(co AS DOUBLE) / tot.n_baskets, 6) >= 0.022
+    ), und AS (
+      SELECT lo AS a, hi AS b FROM e UNION ALL SELECT hi, lo FROM e
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM und
+    ){_LP_ITERS}
+    SELECT node, label FROM l3
+    """,
+)
+def brand_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J+: 3-round min-label propagation
+    (operators/graph.min_label_propagation) over the brand
+    co-purchase edge relation."""
+    from asset_prices_parquet_saver_spark.operators import analytics as an_ops
+    from asset_prices_parquet_saver_spark.operators import graph as graph_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = scaled_dim(read_table(spark, sf_dir, "part"))
+    baskets = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    rules = an_ops.basket_rules(
+        baskets, "l_orderkey", "p_brand", min_support=0.022
+    )
+    edges = rules.filter(F.col("antecedent") < F.col("consequent")).select(
+        F.col("antecedent").alias("src"), F.col("consequent").alias("dst")
+    )
+    return graph_ops.min_label_propagation(edges, 3)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -8940,17 +9003,19 @@ _GATE_ORDER = [
     "jaccard_near_dup_pairs",
     "json_extract_agg",
     "language_id",
-    "last_event_per_user",
-    # session-2 additions, zero driver evidence — displacing the four
-    # stalest r6 rotations (macd_closes + the media trio, which head
-    # the r11 queue below) so every line of new source gets driver
-    # evidence immediately, same policy as the session-1 displacement
+    # session-2 additions, zero driver evidence — displacing the five
+    # stalest r6 rotations (last_event_per_user, macd_closes + the
+    # media trio, which head the r11 queue below) so every line of new
+    # source gets driver evidence immediately, same policy as the
+    # session-1 displacement
+    "brand_graph_components",
     "merge_into_orders",
     "mv_event_daily_totals",
     "nation_trade_khop",
     "orc_roundtrip_orders",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 15 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 16 r6 leftovers, then r7/r8/r9 pools
+    "last_event_per_user",
     "macd_closes",
     "media_decode_meta",
     "media_frame_sample",

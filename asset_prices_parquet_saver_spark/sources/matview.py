@@ -26,6 +26,13 @@ Correctness at scale hinges on two choices made here:
   triggers a full recompute instead of a wrong delta-merge. Appends —
   the hot path — stay O(batch).
 
+``approx_distinct`` state is a Datasketches HLL sketch column
+(hll_sketch_agg partials, hll_union combine, estimate on read) —
+the standard answer to COUNT DISTINCT not being distributive; the
+estimate is sketch-deterministic, so incremental == from-scratch
+still holds exactly (asserted in tests), while accuracy is the
+usual HLL ±2%% band.
+
 View state lives in its own manifest table (atomic snapshot commits,
 time travel, CAS via ``expect_version``), plus a tiny ``_MV_SPEC``
 JSON published with the same atomic single-object idiom.
@@ -46,7 +53,8 @@ MV_SPEC = "_MV_SPEC"
 #: exact partial type for sum/avg state (order-independent combine)
 _DEC = "decimal(38,6)"
 
-_KINDS = ("count", "count_col", "sum", "min", "max", "avg")
+_KINDS = ("count", "count_col", "sum", "min", "max", "avg",
+          "approx_distinct")
 
 
 def _spec_path(mv_table: str) -> str:
@@ -76,6 +84,8 @@ def _state_cols(aggs: list[list]) -> list[tuple[str, str, str | None]]:
         elif kind == "avg":
             cols.append((f"__{out}_sum", "addnull", col))
             cols.append((f"__{out}_cnt", "add", col))
+        elif kind == "approx_distinct":
+            cols.append((f"__{out}_hll", "hll", col))
         else:
             raise ValueError(f"unknown agg kind {kind!r}; one of {_KINDS}")
     return cols
@@ -103,6 +113,16 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
             exprs.append(F.min(F.col(col)).alias(state))
         elif kind == "greatest":
             exprs.append(F.max(F.col(col)).alias(state))
+        elif kind == "hll":
+            # Datasketches HLL: the canonical MERGEABLE distinct-count
+            # partial — a view can absorb appends without ever seeing
+            # the history (exact COUNT DISTINCT is not distributive).
+            # The sketch accepts int/long/string/binary only, so hash
+            # the value's string form (deterministic per engine; NULLs
+            # are ignored, matching COUNT(DISTINCT col))
+            exprs.append(
+                F.hll_sketch_agg(F.col(col).cast("string")).alias(state)
+            )
     return df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
 
 
@@ -140,6 +160,10 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
             ).otherwise(F.coalesce(ov, dv))
         elif kind == "least":
             merged = F.least(ov, dv)  # least/greatest skip NULLs
+        elif kind == "hll":
+            merged = F.when(both, F.hll_union(ov, dv)).otherwise(
+                F.coalesce(ov, dv)
+            )
         else:
             merged = F.greatest(ov, dv)
         if kind == "addnull":
@@ -160,6 +184,10 @@ def _finalize(state: DataFrame, spec: dict) -> DataFrame:
         elif kind in ("min", "max"):
             suffix = "min" if kind == "min" else "max"
             proj.append(F.col(f"__{out}_{suffix}").alias(out))
+        elif kind == "approx_distinct":
+            proj.append(
+                F.hll_sketch_estimate(F.col(f"__{out}_hll")).alias(out)
+            )
         else:  # avg = exact-decimal sum / non-null count
             proj.append(
                 (
@@ -257,3 +285,34 @@ def read_mv(spark: SparkSession, mv_table: str) -> DataFrame:
     return _finalize(
         mf.read_versioned(spark, mv_table), _read_spec(mv_table)
     )
+
+
+def run_streaming_mv_refresh(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    base_table: str,
+    mv_table: str,
+    checkpoint_dir: str | None = None,
+):
+    """Keep a materialized view current from a stream: each micro-batch
+    appends to the base manifest table (txn-idempotent — a replayed
+    epoch is skipped by the commit layer) and then runs one incremental
+    refresh. The refresh after a replayed/skipped epoch sees an
+    unchanged base and no-ops, so the view never double-counts; a crash
+    between the base commit and the refresh self-heals on the next
+    batch (refresh folds in ALL unseen segments, not just the latest).
+
+    Per-epoch cost: O(batch) for the append + O(batch ∪ group keys)
+    for the refresh — the view never rescans the base table.
+    """
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        mf.commit_append(batch, base_table, txn=("mv-base", epoch_id))
+        refresh_mv(spark, mv_table)
+
+    writer = stream_df.writeStream.outputMode("append").foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -217,6 +217,7 @@ HEADLINE = [
     "temperature_mix_weights",
     "ann_pq_topk_deleted",
     "url_frontier_new",
+    "brand_graph_components",
     "merge_into_orders",
     "mv_event_daily_totals",
     "nation_trade_khop",
@@ -249,12 +250,50 @@ def _clear_memos() -> None:
         text,
     )
 
-    dedup._LSH_MEMO.clear()
-    # substring-dedup family memoizes its checkpointed window relation
-    dedup._WINDOW_MEMO.clear()
-    similarity._PAIR_MEMO.clear()
-    # phrase/proximity memoize their term-filtered postings checkpoint
-    text._POSTINGS_MEMO.clear()
+    # POP + UNPERSIST, not .clear(): dropping only the Python
+    # references leaves every memoized localCheckpoint's blocks in the
+    # block manager until a JVM GC happens to run — across a ~600-
+    # sample bench that accumulation is what OOM'd the sf1 decade
+    # (java heap, near_dup_pair_report) and is the long-run elevation
+    # mechanism NOTES recorded for pii_redaction in the r9 driver run.
+    for memo in (
+        dedup._LSH_MEMO,
+        # substring-dedup family memoizes its checkpointed window
+        # relation
+        dedup._WINDOW_MEMO,
+        similarity._PAIR_MEMO,
+        # phrase/proximity memoize their term-filtered postings
+        # checkpoint
+        text._POSTINGS_MEMO,
+    ):
+        while memo:
+            _, df = memo.popitem()
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # a dead session's blocks are already gone
+
+
+def _reclaim(spark) -> None:
+    """Deterministically release orphaned checkpoint blocks.
+
+    Queries that localCheckpoint internally WITHOUT memoizing (BFS /
+    pagerank lineage truncation, jaccard candidate barriers, gated
+    write-path queries) leave RDD blocks whose cleanup normally waits
+    on (1) Python GC dropping the py4j proxy, (2) a JVM GC collecting
+    the Java RDD, (3) the async ContextCleaner unpersisting the blocks.
+    None of those are prompt under steady allocation, so a long bench
+    accumulates heap until the biggest sf1 query tips over. One
+    explicit collect on each side between timed sections converts that
+    lazy chain into a bounded footprint; it runs OUTSIDE the timed
+    samples."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _time_queries(
@@ -271,7 +310,9 @@ def _time_queries(
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     mins: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi % 15 == 0:
+            _reclaim(spark)  # bound checkpoint-block accumulation
         fn = QUERIES[name]
         samples = []
         for _ in range(runs):
@@ -308,6 +349,13 @@ def main() -> None:
         raise SystemExit(f"bench.py: unknown headline queries: {unknown}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
+    # 8g was sized for the ~50-query bench of the early rounds; with
+    # ~190 headline queries × 3 cold samples plus two decade sweeps in
+    # ONE JVM the block-manager high-water mark is materially higher
+    # even with _reclaim. 12g on the 128 GiB / 32-thread host keeps
+    # the sf1 decade out of GC-thrash territory without masking real
+    # per-query regressions (an explicit env setting still wins).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
     spark = get_spark(app_name="bench")
 
     # Warmup: JVM + codegen + parquet footer caches, then a mapInPandas
@@ -474,6 +522,7 @@ def main() -> None:
             best = float("inf")
             for rep in range(2):
                 _clear_memos()
+                _reclaim(spark)  # sf1 runs are the heap high-water mark
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf3_dir).write.mode("overwrite").format(
                     "noop"

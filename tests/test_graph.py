@@ -211,3 +211,60 @@ def test_khop_brute_force_random(spark):
         for r in graph.khop_min_hops(edges, starts, k).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# min_label_propagation: fixed-round synchronous min-label
+# ---------------------------------------------------------------------
+
+
+def test_label_propagation_components_within_rounds(spark):
+    # two components: chain a-b-c-d (diameter 3) and pair x-y
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    out = {
+        r.node: r.label
+        for r in graph.min_label_propagation(edges, 3).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_label_propagation_round_bound_semantics(spark):
+    # one round only: d is 3 hops from a, so it sees only c's initial
+    # label; labels are min-of-neighborhood, not components yet
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = {
+        r.node: r.label
+        for r in graph.min_label_propagation(edges, 1).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "b", "d": "c"}
+
+
+def test_label_propagation_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    e = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(16)})
+    e = [(a, b) for a, b in e if a != b]
+    k = 3
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(k):
+        labels = {
+            n: min([labels[n]] + [labels[m] for m in adj[n]])
+            for n in adj
+        }
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    got = {
+        r.node: r.label
+        for r in graph.min_label_propagation(edges, k).collect()
+    }
+    assert got == labels

@@ -154,3 +154,69 @@ def test_mv_bad_kind_rejected(spark, tmp_path):
             spark, str(tmp_path / "mv"), base, ["k"],
             [["x", "median", "value"]],
         )
+
+
+def test_mv_streaming_refresh_two_batches(spark, tmp_path):
+    """End-to-end: file-drop stream → base appends → incremental view
+    refresh per epoch; after two micro-batches the view equals a
+    from-scratch aggregate of everything ingested."""
+    src = tmp_path / "in"
+    src.mkdir()
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    schema = "k STRING, value DOUBLE"
+
+    seed = _mk(spark, [("a", 1.0), ("b", 2.0)])
+    mf.commit_versioned(seed, base)
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+
+    _mk(spark, [("a", 5.0), ("c", -1.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = mv.run_streaming_mv_refresh(
+        spark, stream, base, view, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+        _mk(spark, [("c", 4.0), ("b", None)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _read(spark, view) == _expected(spark, base)
+    # base got exactly two appended segments beyond the seed snapshot
+    assert mf.segment_count(base) == 3
+
+
+def test_mv_approx_distinct_incremental_equals_scratch(spark, tmp_path):
+    """HLL sketches are mergeable: the incrementally-unioned sketch
+    must estimate IDENTICALLY to one built from scratch over the full
+    base (sketch determinism), and land within the HLL error band of
+    the exact count."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    rows1 = [("g", float(i % 40)) for i in range(200)]
+    rows2 = [("g", float((i % 70) + 25)) for i in range(200)]
+    mf.commit_versioned(_mk(spark, rows1), base)
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["n", "count", None], ["nd", "approx_distinct", "value"]],
+    )
+    mf.commit_append(_mk(spark, rows2), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    got = {r.k: (r.n, r.nd) for r in mv.read_mv(spark, view).collect()}
+
+    scratch_view = str(tmp_path / "mv2")
+    mv.create_mv(
+        spark, scratch_view, base, ["k"],
+        [["n", "count", None], ["nd", "approx_distinct", "value"]],
+    )
+    scratch = {
+        r.k: (r.n, r.nd)
+        for r in mv.read_mv(spark, scratch_view).collect()
+    }
+    assert got == scratch  # merged sketch == from-scratch sketch
+    exact = mf.read_versioned(spark, base).select("value").distinct().count()
+    n, nd = got["g"]
+    assert n == 400
+    assert abs(nd - exact) / exact < 0.05

@@ -67,3 +67,57 @@ def data_diff(
     if mismatch is not None:
         cond = cond | mismatch
     return out.filter(cond)
+
+
+def fk_report(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relationship: str,
+) -> DataFrame:
+    """Referential-integrity profile of one child→parent relationship
+    (J6 extension — the cross-table half of the data-quality report;
+    the reference only ever validates one file at a time,
+    compare_parquet.py:52-99).
+
+    One row: child_rows, distinct child keys, orphan child rows (key
+    has no parent — NULL keys count as orphans: they reference
+    nothing), unreferenced parent keys (parent never used).
+
+    Scale: the child is reduced to (key, count) FIRST, so both
+    integrity anti-joins run on the distinct-key relations — the
+    shuffle is keyed on the FK on both sides and the join inputs are
+    |keys|, not |rows|; AQE broadcasts whichever key set is small.
+    """
+    ck = (
+        child.select(F.col(child_key).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    pk = parent.select(F.col(parent_key).alias("k")).distinct().localCheckpoint()
+    orphan = (
+        ck.join(pk, "k", "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+        .select(F.col("v").alias("orphan_child_rows"))
+    )
+    unref = (
+        pk.join(ck, "k", "left_anti")
+        .agg(F.count(F.lit(1)).alias("unreferenced_parents"))
+    )
+    totals = ck.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("child_rows"),
+        F.count(F.lit(1)).alias("child_keys"),
+    )
+    return (
+        totals.crossJoin(orphan)
+        .crossJoin(unref)
+        .select(
+            F.lit(relationship).alias("relationship"),
+            F.col("child_rows").cast("long"),
+            F.col("child_keys").cast("long"),
+            F.col("orphan_child_rows").cast("long"),
+            F.col("unreferenced_parents").cast("long"),
+        )
+    )

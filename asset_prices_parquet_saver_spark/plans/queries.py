@@ -8933,6 +8933,151 @@ def brand_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.min_label_propagation(edges, 3)
 
 
+# --- J6 extension: cross-table referential-integrity profile
+# (operators/compare.fk_report) across four relationships of the star
+# schema, incl. the deliberately-unenforced events.user_id →
+# customer.c_custkey edge. Both anti-joins run on DISTINCT-key
+# relations (|keys|, not |rows|); oracle uses NOT EXISTS so NULL keys
+# count as orphans identically in both engines.
+_FK_ORACLE_ONE = """
+    SELECT '{rel}' AS relationship,
+           CAST(COALESCE((SELECT SUM(n) FROM ck), 0) AS BIGINT)
+             AS child_rows,
+           (SELECT COUNT(*) FROM ck) AS child_keys,
+           CAST(COALESCE((SELECT SUM(n) FROM ck c WHERE NOT EXISTS (
+              SELECT 1 FROM pk p WHERE p.k = c.k)), 0) AS BIGINT)
+             AS orphan_child_rows,
+           (SELECT COUNT(*) FROM pk p WHERE NOT EXISTS (
+              SELECT 1 FROM ck c WHERE c.k = p.k))
+             AS unreferenced_parents
+"""
+
+
+def _fk_oracle(rel, child_sql, parent_sql):
+    return (
+        f"SELECT * FROM (WITH ck AS (SELECT {child_sql} GROUP BY 1), "
+        f"pk AS (SELECT DISTINCT {parent_sql}) "
+        + _FK_ORACLE_ONE.format(rel=rel)
+        + ")"
+    )
+
+
+@q(
+    "fk_integrity_report",
+    " UNION ALL ".join(
+        [
+            _fk_oracle(
+                "lineitem.l_orderkey->orders.o_orderkey",
+                "l_orderkey AS k, COUNT(*) AS n FROM lineitem",
+                "o_orderkey AS k FROM orders",
+            ),
+            _fk_oracle(
+                "orders.o_custkey->customer.c_custkey",
+                "o_custkey AS k, COUNT(*) AS n FROM orders",
+                "c_custkey AS k FROM customer",
+            ),
+            _fk_oracle(
+                "customer.c_nationkey->nation.n_nationkey",
+                "c_nationkey AS k, COUNT(*) AS n FROM customer",
+                "n_nationkey AS k FROM nation",
+            ),
+            _fk_oracle(
+                "events.user_id->customer.c_custkey",
+                "user_id AS k, COUNT(*) AS n FROM events",
+                "c_custkey AS k FROM customer",
+            ),
+        ]
+    ),
+)
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+: referential-integrity profile of the star schema
+    (operators/compare.fk_report)."""
+    from asset_prices_parquet_saver_spark.operators import compare as cmp_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    od = read_table(spark, sf_dir, "orders")
+    cu = read_table(spark, sf_dir, "customer")
+    na = read_table(spark, sf_dir, "nation")
+    ev = read_table(spark, sf_dir, "events")
+    parts = [
+        cmp_ops.fk_report(
+            li, "l_orderkey", od, "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey",
+        ),
+        cmp_ops.fk_report(
+            od, "o_custkey", cu, "c_custkey",
+            "orders.o_custkey->customer.c_custkey",
+        ),
+        cmp_ops.fk_report(
+            cu, "c_nationkey", na, "n_nationkey",
+            "customer.c_nationkey->nation.n_nationkey",
+        ),
+        cmp_ops.fk_report(
+            ev, "user_id", cu, "c_custkey",
+            "events.user_id->customer.c_custkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- §2.4 robust statistics: winsorized mean/sd per event type — the
+# outlier-insensitive moments a curation pipeline reports next to the
+# raw ones (value_dispersion_stats). Interpolated p05/p95 clamp, then
+# plain moments; same round(·,6) float-parity discipline as the rest
+# of the §2.4 family.
+@q(
+    "winsorized_value_stats",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), qs AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           COUNT(*) AS n,
+           round(AVG(LEAST(GREATEST(v.value, qs.lo), qs.hi)), 6)
+             AS wins_mean,
+           round(stddev_samp(LEAST(GREATEST(v.value, qs.lo), qs.hi)), 6)
+             AS wins_sd,
+           round(MIN(qs.lo), 6) AS p05,
+           round(MAX(qs.hi), 6) AS p95
+    FROM v JOIN qs ON v.event_type = qs.event_type
+    GROUP BY v.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4+: winsorized moments — interpolated-percentile clamp
+    (AQE broadcasts the per-type quantile relation), then one grouped
+    aggregate."""
+    v = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    qs = v.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(qs, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clipped), 6).alias("wins_mean"),
+            F.round(F.stddev_samp(clipped), 6).alias("wins_sd"),
+            F.round(F.min("lo"), 6).alias("p05"),
+            F.round(F.max("hi"), 6).alias("p95"),
+        )
+    )
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9001,20 +9146,22 @@ _GATE_ORDER = [
     "filter_project_compute",
     "intersect_nations",
     "jaccard_near_dup_pairs",
-    "json_extract_agg",
-    "language_id",
-    # session-2 additions, zero driver evidence — displacing the five
-    # stalest r6 rotations (last_event_per_user, macd_closes + the
-    # media trio, which head the r11 queue below) so every line of new
-    # source gets driver evidence immediately, same policy as the
-    # session-1 displacement
+    # session-2 additions, zero driver evidence — displacing the seven
+    # stalest r6 rotations (json_extract_agg, language_id,
+    # last_event_per_user, macd_closes + the media trio, which head
+    # the r11 queue below) so every line of new source gets driver
+    # evidence immediately, same policy as the session-1 displacement
     "brand_graph_components",
+    "fk_integrity_report",
     "merge_into_orders",
     "mv_event_daily_totals",
     "nation_trade_khop",
     "orc_roundtrip_orders",
+    "winsorized_value_stats",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 16 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 18 r6 leftovers, then r7/r8/r9 pools
+    "json_extract_agg",
+    "language_id",
     "last_event_per_user",
     "macd_closes",
     "media_decode_meta",

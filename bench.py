@@ -218,6 +218,8 @@ HEADLINE = [
     "ann_pq_topk_deleted",
     "url_frontier_new",
     "brand_graph_components",
+    "fk_integrity_report",
+    "winsorized_value_stats",
     "merge_into_orders",
     "mv_event_daily_totals",
     "nation_trade_khop",

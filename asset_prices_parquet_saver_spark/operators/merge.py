@@ -212,3 +212,33 @@ def merge_into(
             expr = F.when(source_only, _insert_expr(c)).otherwise(expr)
         proj.append(expr.cast(target.schema[c].dataType).alias(c))
     return kept.select(*proj)
+
+
+def merge_into_table(
+    spark,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    schema=None,
+    **merge_kwargs,
+) -> int:
+    """Transactional MERGE INTO a manifest table: read the live
+    snapshot, apply :func:`merge_into`, and commit the result as the
+    next atomic snapshot PINNED to the version that was read
+    (``expect_version``) — a concurrent writer raises
+    ``manifest.CommitConflict`` instead of having its commit silently
+    folded away, the same optimistic-concurrency discipline as
+    compaction and ``delete_rows``. Returns the new version.
+
+    Readers of the old snapshot are undisturbed (immutable segments);
+    this is the Delta ``MERGE INTO <table>`` shape on the engine's own
+    commit protocol.
+    """
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    v = mf.current_version(table)
+    target = mf.read_versioned(spark, table, schema=schema, version=v)
+    merged = merge_into(target, source, on, **merge_kwargs)
+    return mf.commit_versioned(
+        merged.localCheckpoint(), table, expect_version=v
+    )

@@ -9078,6 +9078,51 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S7+ time travel, gated END-TO-END: commit snapshot v1 (even
+# event_ids), OVERWRITE it with v2 (odd event_ids), then read BACK
+# version v1 and aggregate. The oracle recomputes v1's content from
+# the predicate — a hash-match certifies that a superseded snapshot
+# reads back exactly, not merely that the API returns rows.
+@q(
+    "time_travel_daily_totals",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY 1
+    """,
+)
+def time_travel_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: read a superseded manifest snapshot by version
+    (sources/manifest.read_versioned(version=...))."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = _tempfile.mkdtemp(prefix="tt_gate_")
+    table = f"{root}/events"
+    try:
+        v1 = mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), table)
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 1), table)
+        old = mf.read_versioned(spark, table, version=v1)
+        return (
+            old.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9145,21 +9190,22 @@ _GATE_ORDER = [
     "ewma_closes",
     "filter_project_compute",
     "intersect_nations",
-    "jaccard_near_dup_pairs",
-    # session-2 additions, zero driver evidence — displacing the seven
-    # stalest r6 rotations (json_extract_agg, language_id,
-    # last_event_per_user, macd_closes + the media trio, which head
-    # the r11 queue below) so every line of new source gets driver
-    # evidence immediately, same policy as the session-1 displacement
+    # session-2 additions, zero driver evidence — displacing the eight
+    # stalest r6 rotations (jaccard_near_dup_pairs, json_extract_agg,
+    # language_id, last_event_per_user, macd_closes + the media trio,
+    # which head the r11 queue below) so every line of new source gets
+    # driver evidence immediately, same policy as session 1
     "brand_graph_components",
     "fk_integrity_report",
     "merge_into_orders",
     "mv_event_daily_totals",
     "nation_trade_khop",
     "orc_roundtrip_orders",
+    "time_travel_daily_totals",
     "winsorized_value_stats",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 18 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 19 r6 leftovers, then r7/r8/r9 pools
+    "jaccard_near_dup_pairs",
     "json_extract_agg",
     "language_id",
     "last_event_per_user",

@@ -224,6 +224,7 @@ HEADLINE = [
     "mv_event_daily_totals",
     "nation_trade_khop",
     "orc_roundtrip_orders",
+    "time_travel_daily_totals",
 ]
 
 

@@ -273,3 +273,81 @@ def test_merge_into_null_safe_keys(spark):
     )
     rows = {r.id: r.price for r in out.collect()}
     assert rows == {None: 9.0, 7: 2.0}
+
+
+def test_merge_into_table_transactional(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    table = str(tmp_path / "t")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id INT, price DOUBLE"
+        ),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(2, 25.0), (4, 40.0)], "id INT, price DOUBLE"
+    )
+    v = merge.merge_into_table(
+        spark,
+        table,
+        src,
+        ["id"],
+        matched_update={"price": F.col("s.price")},
+        matched_delete_condition=F.col("t.id") == 3,
+    )
+    # src has no id=3, so the matched-delete clause never fires for it
+    # (delete requires a match): it must survive; the update and the
+    # insert land in the same atomic commit
+    rows = {
+        r.id: r.price for r in mf.read_versioned(spark, table).collect()
+    }
+    assert rows == {1: 10.0, 2: 25.0, 3: 30.0, 4: 40.0}
+    assert mf.current_version(table) == v
+    # old snapshot still time-travelable
+    old = {
+        r.id: r.price
+        for r in mf.read_versioned(spark, table, version=v - 1).collect()
+    }
+    assert old == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_merge_into_table_conflict(spark, tmp_path):
+    """A commit that lands between the read and the publish must raise,
+    not silently vanish."""
+    import pytest as _pytest
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    table = str(tmp_path / "t")
+    mf.commit_versioned(
+        spark.createDataFrame([(1, 1.0)], "id INT, price DOUBLE"), table
+    )
+    src = spark.createDataFrame([(1, 2.0)], "id INT, price DOUBLE")
+
+    real_read = mf.read_versioned
+
+    def race_then_read(*a, **k):
+        out = real_read(*a, **k)
+        # interleave a concurrent append AFTER the merge's read
+        mf.commit_append(
+            a[0].createDataFrame([(9, 9.0)], "id INT, price DOUBLE"),
+            table,
+        )
+        return out
+
+    from unittest import mock
+
+    with mock.patch.object(
+        mf, "read_versioned", side_effect=race_then_read
+    ):
+        with _pytest.raises(mf.CommitConflict):
+            merge.merge_into_table(
+                spark, table, src, ["id"],
+                matched_update={"price": F.col("s.price")},
+            )
+    # the concurrent append survived untouched
+    rows = {
+        r.id: r.price for r in mf.read_versioned(spark, table).collect()
+    }
+    assert rows == {1: 1.0, 9: 9.0}

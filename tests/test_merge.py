@@ -351,3 +351,54 @@ def test_merge_into_table_conflict(spark, tmp_path):
         r.id: r.price for r in mf.read_versioned(spark, table).collect()
     }
     assert rows == {1: 1.0, 9: 9.0}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    tgt=st.dictionaries(
+        st.integers(0, 9), st.floats(-100, 100, allow_nan=False),
+        max_size=8,
+    ),
+    src=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False), st.booleans()
+        ),
+        max_size=8,
+    ),
+)
+def test_property_merge_into_matches_reference(spark, tgt, src):
+    """merge_into == a dict-based reference for arbitrary key overlap:
+    matched+kill -> delete, matched -> update, source-only -> insert,
+    target-only -> keep."""
+    expected = {}
+    for k, v in tgt.items():
+        if k in src:
+            price, kill = src[k]
+            if not kill:
+                expected[k] = price
+        else:
+            expected[k] = v
+    for k, (price, kill) in src.items():
+        if k not in tgt:
+            expected[k] = price
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)],
+        "id INT, price DOUBLE",
+    ).filter(F.col("id").isNotNull())
+    source = spark.createDataFrame(
+        [(k, p, kl) for k, (p, kl) in src.items()] or [(None, None, None)],
+        "id INT, price DOUBLE, kill BOOLEAN",
+    ).filter(F.col("id").isNotNull())
+    out = merge.merge_into(
+        target,
+        source,
+        ["id"],
+        matched_update={"price": F.col("s.price")},
+        matched_delete_condition=F.col("s.kill"),
+        not_matched_insert={
+            "id": F.col("s.id"), "price": F.col("s.price"),
+        },
+    )
+    assert {r.id: r.price for r in out.collect()} == expected

@@ -41,6 +41,12 @@ PROBES = [
     "return_correlations",    # deterministic top-k + per-day pair expansion
     "stochastic_oscillator",  # window extrema + staged %K feeding %D sums
     "adjusted_closes",        # collect_list arrival order (sort_array) + fold
+    # round-10 session-2 surfaces
+    "merge_into_orders",      # full-outer clause resolution across splits
+    "mv_event_daily_totals",  # decimal partial combine order across segments
+    "nation_trade_khop",      # frontier-join iteration + first-arrival dedup
+    "brand_graph_components", # synchronous min-label rounds
+    "fk_integrity_report",    # distinct-key anti-joins + 1-row crossJoins
 ]
 
 

@@ -9123,6 +9123,45 @@ def time_travel_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- §2.4 reshaping: UNPIVOT (melt) — the inverse of
+# pivot_linestatus, completing the reshape pair. Wide per-flag
+# measures melt to (flag, measure, value) long form via Spark's native
+# unpivot; DuckDB replays it with standard UNPIVOT.
+@q(
+    "unpivot_returnflag_measures",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS sum_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, measure, value
+    FROM agg UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4+: native unpivot/melt of a wide aggregate to long form."""
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(8,4)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9189,9 +9228,8 @@ _GATE_ORDER = [
     "events_head_tail",
     "ewma_closes",
     "filter_project_compute",
-    "intersect_nations",
-    # session-2 additions, zero driver evidence — displacing the eight
-    # stalest r6 rotations (jaccard_near_dup_pairs, json_extract_agg,
+    # session-2 additions, zero driver evidence — displacing the nine
+    # stalest r6 rotations (intersect_nations, jaccard_near_dup_pairs, json_extract_agg,
     # language_id, last_event_per_user, macd_closes + the media trio,
     # which head the r11 queue below) so every line of new source gets
     # driver evidence immediately, same policy as session 1
@@ -9202,9 +9240,11 @@ _GATE_ORDER = [
     "nation_trade_khop",
     "orc_roundtrip_orders",
     "time_travel_daily_totals",
+    "unpivot_returnflag_measures",
     "winsorized_value_stats",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 19 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 20 r6 leftovers, then r7/r8/r9 pools
+    "intersect_nations",
     "jaccard_near_dup_pairs",
     "json_extract_agg",
     "language_id",

@@ -550,6 +550,31 @@ def compact_versioned(
     return commit_versioned(cur.coalesce(num_files), table, expect_version=v)
 
 
+def maybe_compact(
+    spark: SparkSession,
+    table: str,
+    max_segments: int = 16,
+    num_files: int = 1,
+    schema=None,
+) -> int | None:
+    """Auto-compaction policy for append-log tables: fold the segment
+    list back into one snapshot once it exceeds ``max_segments`` — the
+    OPTIMIZE-on-threshold idiom a streaming sink calls after each
+    epoch so small files never accumulate unboundedly, while the
+    common case (under threshold) costs one manifest read and no Spark
+    job. A concurrent append racing the fold is NOT an error here: the
+    :class:`CommitConflict` is swallowed and compaction simply re-arms
+    on the next call (the appended segment is intact either way).
+    Returns the new version, or None when nothing was done."""
+    m = _read_manifest(table)
+    if m is None or len(m.get("segments", [])) <= max_segments:
+        return None
+    try:
+        return compact_versioned(spark, table, num_files, schema)
+    except CommitConflict:
+        return None
+
+
 def _manifest_at(table: str, version: int | None) -> dict | None:
     if version is None:
         return _read_manifest(table)

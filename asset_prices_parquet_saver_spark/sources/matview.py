@@ -316,3 +316,47 @@ def run_streaming_mv_refresh(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def rollup_mv(
+    spark: SparkSession, mv_table: str, group_cols: list[str]
+) -> DataFrame:
+    """Answer a COARSER-grained aggregate from the view's state without
+    touching the base table — the aggregate-rollup half of classic
+    MV query routing. ``group_cols`` must be a subset of the view's
+    group columns; every agg kind re-aggregates exactly from its
+    partials: counts/sums add, min/max fold, AVG recombines from the
+    exact-decimal sum + count pair (NOT an average of averages), and
+    ``approx_distinct`` unions the per-group HLL sketches. So a
+    (event_type, day) view answers per-event_type questions with a
+    |view|-sized scan — at 100 TB the difference between the query and
+    the base table is the whole point of maintaining the view.
+    """
+    spec = _read_spec(mv_table)
+    missing = [g for g in group_cols if g not in spec["group_cols"]]
+    if missing:
+        raise ValueError(
+            f"rollup_mv: {missing} not in the view's group columns "
+            f"{spec['group_cols']}"
+        )
+    state = mf.read_versioned(spark, mv_table)
+    exprs = []
+    seen = set()
+    for st_col, kind, _ in _state_cols(spec["aggs"]):
+        if st_col in seen:
+            continue
+        seen.add(st_col)
+        c = F.col(st_col)
+        if kind == "add":
+            exprs.append(F.sum(c).alias(st_col))
+        elif kind == "addnull":
+            exprs.append(F.sum(c).cast(_DEC).alias(st_col))
+        elif kind == "least":
+            exprs.append(F.min(c).alias(st_col))
+        elif kind == "greatest":
+            exprs.append(F.max(c).alias(st_col))
+        elif kind == "hll":
+            exprs.append(F.hll_union_agg(c).alias(st_col))
+    rolled = state.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
+    narrowed = dict(spec, group_cols=list(group_cols))
+    return _finalize(rolled, narrowed)

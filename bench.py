@@ -225,6 +225,7 @@ HEADLINE = [
     "nation_trade_khop",
     "orc_roundtrip_orders",
     "time_travel_daily_totals",
+    "unpivot_returnflag_measures",
 ]
 
 

@@ -426,3 +426,39 @@ def test_delete_rows_atomic_rewrite(spark, tmp_path):
                               "doc_id long, src string"), t
     )
     assert manifest.read_versioned(spark, t).count() == 6
+
+
+def test_maybe_compact_threshold_and_race(spark, tmp_path):
+    """Under threshold: no-op (None, segments untouched). Over: folds
+    to one segment. A racing append between the read and the publish
+    is swallowed (None) and survives."""
+    from unittest import mock
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id INT")
+    mf.commit_versioned(df, table)
+    for _ in range(3):
+        mf.commit_append(df, table)
+    assert mf.segment_count(table) == 4
+    assert mf.maybe_compact(spark, table, max_segments=4) is None
+    assert mf.segment_count(table) == 4
+    v = mf.maybe_compact(spark, table, max_segments=3)
+    assert v is not None and mf.segment_count(table) == 1
+    assert mf.read_versioned(spark, table).count() == 4
+
+    # race: interleave an append after the policy's read
+    for _ in range(3):
+        mf.commit_append(df, table)
+    real_read = mf.read_versioned
+
+    def race(*a, **k):
+        out = real_read(*a, **k)
+        mf.commit_append(df, table)
+        return out
+
+    with mock.patch.object(mf, "read_versioned", side_effect=race):
+        assert mf.maybe_compact(spark, table, max_segments=3) is None
+    # the racer's append survived; table readable and complete
+    assert mf.read_versioned(spark, table).count() == 8

@@ -220,3 +220,54 @@ def test_mv_approx_distinct_incremental_equals_scratch(spark, tmp_path):
     n, nd = got["g"]
     assert n == 400
     assert abs(nd - exact) / exact < 0.05
+
+
+def test_mv_rollup_to_coarser_grain(spark, sf_dir, tmp_path):
+    """rollup_mv answers a coarser aggregate EXACTLY from view state:
+    per-event_type results from a (event_type, day) view equal a
+    direct aggregate of the base — including AVG recombined from the
+    sum/count pair (not an average of daily averages) and HLL distinct
+    unioned across days."""
+    base, view = str(tmp_path / "events"), str(tmp_path / "mv")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    mf.commit_versioned(ev, base)
+    mv.create_mv(
+        spark,
+        view,
+        base,
+        ["event_type", "day"],
+        [["n", "count", None], ["total", "sum", "value"],
+         ["mean", "avg", "value"], ["users", "approx_distinct", "user_id"]],
+        projection=[
+            "event_type", "CAST(ts AS DATE) AS day", "value", "user_id",
+        ],
+    )
+    got = {
+        r.event_type: (r.n, r.total, r.mean, r.users)
+        for r in mv.rollup_mv(spark, view, ["event_type"]).collect()
+    }
+    scratch_view = str(tmp_path / "mv_coarse")
+    mv.create_mv(
+        spark,
+        scratch_view,
+        base,
+        ["event_type"],
+        [["n", "count", None], ["total", "sum", "value"],
+         ["mean", "avg", "value"], ["users", "approx_distinct", "user_id"]],
+        projection=["event_type", "value", "user_id"],
+    )
+    want = {
+        r.event_type: (r.n, r.total, r.mean, r.users)
+        for r in mv.read_mv(spark, scratch_view).collect()
+    }
+    assert got == want  # incl. identical HLL estimates (sketch union)
+
+
+def test_mv_rollup_rejects_non_subset(spark, sf_dir, tmp_path):
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    mf.commit_versioned(_mk(spark, [("a", 1.0)]), base)
+    mv.create_mv(spark, view, base, ["k"], [["n", "count", None]])
+    with pytest.raises(ValueError, match="not in the view's group"):
+        mv.rollup_mv(spark, view, ["nope"])

@@ -9162,6 +9162,58 @@ def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S7+ MV query routing, gated END-TO-END: build the
+# (event_type, day) view incrementally (one append + refresh), then
+# answer the PER-EVENT-TYPE question from view state alone
+# (rollup_mv) — never rescanning the base. The oracle aggregates the
+# raw events at the coarse grain directly, so the hash certifies that
+# rollup-from-partials == from-scratch: AVG recombined from the exact
+# sum+count pair, not an average of daily averages.
+@q(
+    "mv_rollup_event_types",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def mv_rollup_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: coarser-grain answer from MV state alone
+    (sources/matview.rollup_mv)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = _tempfile.mkdtemp(prefix="mvr_gate_")
+    base, view = f"{root}/events", f"{root}/mv"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type", "day"],
+            [
+                ["n", "count", None],
+                ["total_value", "sum", "value"],
+                ["avg_value", "avg", "value"],
+            ],
+            projection=["event_type", "CAST(ts AS DATE) AS day", "value"],
+        )
+        mf.commit_append(ev.filter(F.col("event_id") % 2 == 1), base)
+        assert mv_ops.refresh_mv(spark, view) == "incremental"
+        return mv_ops.rollup_mv(spark, view, ["event_type"]).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9227,23 +9279,25 @@ _GATE_ORDER = [
     "event_value_deltas",
     "events_head_tail",
     "ewma_closes",
-    "filter_project_compute",
-    # session-2 additions, zero driver evidence — displacing the nine
-    # stalest r6 rotations (intersect_nations, jaccard_near_dup_pairs, json_extract_agg,
-    # language_id, last_event_per_user, macd_closes + the media trio,
-    # which head the r11 queue below) so every line of new source gets
-    # driver evidence immediately, same policy as session 1
+    # session-2 additions, zero driver evidence — displacing the ten
+    # stalest r6 rotations (filter_project_compute, intersect_nations,
+    # jaccard_near_dup_pairs, json_extract_agg, language_id,
+    # last_event_per_user, macd_closes + the media trio, which head
+    # the r11 queue below) so every line of new source gets driver
+    # evidence immediately, same policy as session 1
     "brand_graph_components",
     "fk_integrity_report",
     "merge_into_orders",
     "mv_event_daily_totals",
+    "mv_rollup_event_types",
     "nation_trade_khop",
     "orc_roundtrip_orders",
     "time_travel_daily_totals",
     "unpivot_returnflag_measures",
     "winsorized_value_stats",
     # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 20 r6 leftovers, then r7/r8/r9 pools
+    # demoted, freshest-last: 21 r6 leftovers, then r7/r8/r9 pools
+    "filter_project_compute",
     "intersect_nations",
     "jaccard_near_dup_pairs",
     "json_extract_agg",

@@ -226,6 +226,7 @@ HEADLINE = [
     "orc_roundtrip_orders",
     "time_travel_daily_totals",
     "unpivot_returnflag_measures",
+    "mv_rollup_event_types",
 ]
 
 
@@ -498,6 +499,13 @@ def main() -> None:
                 # qgram) is exactly what the sf1 decade certifies —
                 # fast at sf0.1, so never in the top-N on its own
                 "part_name_near_matches",
+                # r10 s2: write-path and integrity surfaces — cheap at
+                # sf0.1, but their scale posture (one-shuffle merge,
+                # distinct-key anti-joins, snapshot commits) is what
+                # the second decade certifies
+                "merge_into_orders",
+                "fk_integrity_report",
+                "time_travel_daily_totals",
             )
             if n in QUERIES
         ]

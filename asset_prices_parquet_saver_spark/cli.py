@@ -344,6 +344,47 @@ def _cmd_scd2(args) -> int:
     return 0
 
 
+def _cmd_mv(args) -> int:
+    """Materialized-view lifecycle: create from a base manifest table,
+    refresh (incremental on appends, full on rewrites — the mode is
+    printed so operators can see which path ran), read, or roll up to
+    a coarser grain. The agg spec is the matview JSON list, e.g.
+    '[["n","count",null],["total","sum","value"]]'."""
+    import json as _json
+
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    spark = get_spark(app_name="mv")
+    if args.action == "create":
+        if not args.base or not args.group_cols or not args.aggs:
+            print("mv create requires --base --group-cols --aggs",
+                  file=sys.stderr)
+            return 2
+    if args.action == "create":
+        v = mv_ops.create_mv(
+            spark,
+            args.view,
+            args.base,
+            args.group_cols.split(","),
+            _json.loads(args.aggs),
+            projection=args.projection.split(";") if args.projection else None,
+        )
+        print(f"created {args.view} at version {v}")
+    elif args.action == "refresh":
+        mode = mv_ops.refresh_mv(spark, args.view)
+        print(f"refreshed {args.view}: {mode}")
+    elif args.action == "read":
+        mv_ops.read_mv(spark, args.view).show(args.limit, truncate=False)
+    else:  # rollup
+        if not args.group_cols:
+            print("mv rollup requires --group-cols", file=sys.stderr)
+            return 2
+        mv_ops.rollup_mv(
+            spark, args.view, args.group_cols.split(",")
+        ).show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -422,6 +463,19 @@ def main(argv: list[str] | None = None) -> int:
         help="window size (tokens) for --substring-scrub",
     )
     cu.set_defaults(fn=_cmd_curate)
+
+    mvp = sub.add_parser("mv", help="materialized-view lifecycle")
+    mvp.add_argument("action", choices=["create", "refresh", "read", "rollup"])
+    mvp.add_argument("view", help="view manifest-table path")
+    mvp.add_argument("--base", help="base manifest-table path (create)")
+    mvp.add_argument("--group-cols", help="comma-separated group columns")
+    mvp.add_argument("--aggs", help='JSON agg spec (create)')
+    mvp.add_argument(
+        "--projection",
+        help="semicolon-separated SQL select-exprs applied before grouping",
+    )
+    mvp.add_argument("--limit", type=int, default=20)
+    mvp.set_defaults(fn=_cmd_mv)
 
     rp = sub.add_parser("report", help="column profile + histogram + DQ checks")
     rp.add_argument("path")

@@ -275,3 +275,45 @@ def test_cli_curate_substring_scrub(spark, tmp_path, capsys):
         assert "alpha beta gamma delta epsilon zeta eta" not in t
     assert rows[1].startswith("the quick brown fox")
     assert rows[2].endswith("distant lands")
+
+
+def test_cli_mv_lifecycle(spark, tmp_path, capsys):
+    from asset_prices_parquet_saver_spark.cli import main
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+            "k STRING, sub STRING, value DOUBLE",
+        ),
+        base,
+    )
+    rc = main(
+        [
+            "mv", "create", view,
+            "--base", base,
+            "--group-cols", "k,sub",
+            "--aggs", '[["n","count",null],["total","sum","value"]]',
+        ]
+    )
+    assert rc == 0 and "version" in capsys.readouterr().out
+    # noop refresh, then an append makes it incremental
+    rc = main(["mv", "refresh", view])
+    assert rc == 0 and "noop" in capsys.readouterr().out
+    mf.commit_append(
+        spark.createDataFrame([("b", "y", 5.0)], "k STRING, sub STRING, value DOUBLE"),
+        base,
+    )
+    rc = main(["mv", "refresh", view])
+    assert rc == 0 and "incremental" in capsys.readouterr().out
+    rc = main(["mv", "read", view])
+    assert rc == 0
+    assert "total" in capsys.readouterr().out
+    rc = main(["mv", "rollup", view, "--group-cols", "k"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "a" in out and "b" in out
+    # arg validation
+    assert main(["mv", "create", view]) == 2
+    assert main(["mv", "rollup", view]) == 2

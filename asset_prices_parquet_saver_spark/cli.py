@@ -385,6 +385,27 @@ def _cmd_mv(args) -> int:
     return 0
 
 
+def _cmd_explain(args) -> int:
+    """Print the optimized/physical plan of a registry query — the
+    audit loop SCALE.md is built on (PushedFilters / ReadSchema /
+    WholeStageCodegen spans / join strategies), exposed as a command
+    so a plan can be checked without writing a script."""
+    from asset_prices_parquet_saver_spark.plans import QUERIES
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; see QUERIES.md",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="explain")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    print(df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            args.mode
+        )
+    ))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="asset-prices-parquet-saver-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -463,6 +484,15 @@ def main(argv: list[str] | None = None) -> int:
         help="window size (tokens) for --substring-scrub",
     )
     cu.set_defaults(fn=_cmd_curate)
+
+    ex = sub.add_parser("explain", help="print a registry query's plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    ex.set_defaults(fn=_cmd_explain)
 
     mvp = sub.add_parser("mv", help="materialized-view lifecycle")
     mvp.add_argument("action", choices=["create", "refresh", "read", "rollup"])

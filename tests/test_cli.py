@@ -317,3 +317,13 @@ def test_cli_mv_lifecycle(spark, tmp_path, capsys):
     # arg validation
     assert main(["mv", "create", view]) == 2
     assert main(["mv", "rollup", view]) == 2
+
+
+def test_cli_explain_prints_plan(sf_dir, capsys):
+    from asset_prices_parquet_saver_spark.cli import main
+
+    rc = main(["explain", "region_revenue", "--sf-dir", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "PushedFilters" in out
+    assert main(["explain", "nope_not_a_query"]) == 2

@@ -271,3 +271,16 @@ def test_mv_rollup_rejects_non_subset(spark, sf_dir, tmp_path):
     mv.create_mv(spark, view, base, ["k"], [["n", "count", None]])
     with pytest.raises(ValueError, match="not in the view's group"):
         mv.rollup_mv(spark, view, ["nope"])
+
+
+def test_mv_single_refresh_folds_multiple_appends(spark, tmp_path):
+    """The self-heal claim: a refresh after TWO un-refreshed appends
+    (e.g. a crash between append and refresh) folds both new segments
+    in one incremental pass."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(_mk(spark, [("a", 1.0)]), base)
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    mf.commit_append(_mk(spark, [("a", 2.0), ("b", 3.0)]), base)
+    mf.commit_append(_mk(spark, [("b", -1.0), ("c", 9.0)]), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    assert _read(spark, view) == _expected(spark, base)

@@ -551,3 +551,70 @@ def test_round9_session2_additions_plan_shapes(spark, sf_dir):
         for ln in plan.splitlines():
             if "BroadcastNestedLoopJoin" in ln:
                 assert "Cross" in ln, (name, ln)
+
+
+# ----------------------------- round-10 session-2 plan shapes
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.sources import interchange as ix
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    ix.write_orc(o, str(tmp_path / "orc"))
+    scan = ix.read_orc(spark, str(tmp_path / "orc")).filter(
+        F.col("o_orderkey") < 100
+    ).select("o_orderkey", "o_totalprice")
+    plan = _plan(scan)
+    # predicate reaches the ORC scan (stripe skipping at scale) and the
+    # projection prunes to the two requested columns
+    assert "PushedFilters: [" in plan
+    assert "o_orderkey" in plan.split("PushedFilters:")[1].split("]")[0]
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_merge_into_small_source_broadcasts_without_inserts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from asset_prices_parquet_saver_spark.operators import merge
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    small = o.limit(5).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("np")
+    )
+    out = merge.merge_into(
+        o, small, ["o_orderkey"],
+        matched_update={"o_totalprice": F.col("s.np")},
+        not_matched_insert=False,
+    )
+    plan = _plan(out)
+    # inserts disabled ⇒ LEFT join ⇒ the small source broadcasts: the
+    # huge-target/small-feed merge costs one probe pass, no full shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "FullOuter" not in plan
+
+
+def test_mv_rollup_touches_only_view_state(spark, tmp_path):
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [("a", "x", 1.0)], "k STRING, sub STRING, value DOUBLE"
+        ),
+        base,
+    )
+    mv.create_mv(
+        spark, view, base, ["k", "sub"],
+        [["n", "count", None], ["total", "sum", "value"]],
+    )
+    plan = _plan(mv.rollup_mv(spark, view, ["k"]))
+    # one aggregate over the VIEW scan: no join, and the base table's
+    # files never appear in the plan
+    assert "Join" not in plan
+    assert "/b]" not in plan and "/b/" not in plan
+    assert plan.count("Scan parquet") == 1

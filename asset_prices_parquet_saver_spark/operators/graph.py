@@ -204,6 +204,12 @@ def khop_min_hops(
     """
     if k < 0:
         raise ValueError("khop_min_hops: k must be >= 0")
+    if checkpoint and k > 0:
+        # materialize the edge relation ONCE: without this every
+        # iteration re-evaluates the caller's edge pipeline (for the
+        # gated trade-graph query, a 5-way fact join) — same
+        # discipline as pagerank's `frac` checkpoint
+        edges = edges.localCheckpoint()
     visited = sources.select(
         F.col(node_col).alias("start"),
         F.col(node_col).alias("node"),

@@ -146,6 +146,26 @@ def merge_into(
     the source keys (an extra pass — opt-in, off in production jobs
     that already guarantee key uniqueness upstream).
     """
+    if not on:
+        raise ValueError(
+            "merge_into: empty merge-key list would cross-join"
+        )
+    if matched_update:
+        unknown = [c for c in matched_update if c not in target.columns]
+        if unknown:
+            raise ValueError(
+                f"merge_into: matched_update keys {unknown} are not "
+                "target columns"
+            )
+    if isinstance(not_matched_insert, dict):
+        unknown = [
+            c for c in not_matched_insert if c not in target.columns
+        ]
+        if unknown:
+            raise ValueError(
+                f"merge_into: not_matched_insert keys {unknown} are not "
+                "target columns"
+            )
     if verify_unique_source:
         dup = (
             source.groupBy(*on)

@@ -227,6 +227,14 @@ def create_mv(
         "aggs": [list(a) for a in aggs],
         "projection": list(projection) if projection else None,
     }
+    outs = [a[0] for a in spec["aggs"]]
+    dups = sorted({o for o in outs if outs.count(o) > 1})
+    clash = sorted(set(outs) & set(group_cols))
+    if dups or clash:
+        raise ValueError(
+            f"create_mv: output names must be unique and distinct from "
+            f"group columns (duplicates={dups}, clashes={clash})"
+        )
     for _, kind, _c in spec["aggs"]:
         if kind not in _KINDS:
             raise ValueError(f"unknown agg kind {kind!r}")

@@ -284,3 +284,14 @@ def test_mv_single_refresh_folds_multiple_appends(spark, tmp_path):
     mf.commit_append(_mk(spark, [("b", -1.0), ("c", 9.0)]), base)
     assert mv.refresh_mv(spark, view) == "incremental"
     assert _read(spark, view) == _expected(spark, base)
+
+
+def test_mv_rejects_duplicate_or_clashing_output_names(spark, tmp_path):
+    base = str(tmp_path / "base")
+    mf.commit_versioned(_mk(spark, [("a", 1.0)]), base)
+    with pytest.raises(ValueError, match="unique"):
+        mv.create_mv(spark, str(tmp_path / "v1"), base, ["k"],
+                     [["n", "count", None], ["n", "sum", "value"]])
+    with pytest.raises(ValueError, match="unique"):
+        mv.create_mv(spark, str(tmp_path / "v2"), base, ["k"],
+                     [["k", "count", None]])

@@ -402,3 +402,18 @@ def test_property_merge_into_matches_reference(spark, tgt, src):
         },
     )
     assert {r.id: r.price for r in out.collect()} == expected
+
+
+def test_merge_into_validates_keys_and_update_columns(spark):
+    import pytest as _pytest
+
+    target, source = _mi_frames(spark)
+    with _pytest.raises(ValueError, match="empty merge-key"):
+        merge.merge_into(target, source, [],
+                         matched_update={"price": F.col("s.price")})
+    with _pytest.raises(ValueError, match="not .*target columns"):
+        merge.merge_into(target, source, ["id"],
+                         matched_update={"nope": F.lit(1)})
+    with _pytest.raises(ValueError, match="not .*target columns"):
+        merge.merge_into(target, source, ["id"],
+                         not_matched_insert={"nope": F.lit(1)})

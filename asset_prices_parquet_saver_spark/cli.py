@@ -360,13 +360,19 @@ def _cmd_mv(args) -> int:
             print("mv create requires --base --group-cols --aggs",
                   file=sys.stderr)
             return 2
-    if args.action == "create":
+        try:
+            aggs = _json.loads(args.aggs)
+        except ValueError as e:
+            print(f"mv create: --aggs is not valid JSON ({e}); expected "
+                  'e.g. \'[["n","count",null],["total","sum","value"]]\'',
+                  file=sys.stderr)
+            return 2
         v = mv_ops.create_mv(
             spark,
             args.view,
             args.base,
             args.group_cols.split(","),
-            _json.loads(args.aggs),
+            aggs,
             projection=args.projection.split(";") if args.projection else None,
         )
         print(f"created {args.view} at version {v}")

@@ -206,11 +206,23 @@ def merge_into(
     if matched_update is None:
         upd_cond = F.lit(False)
 
+    # SQL/Delta MERGE treats an unsatisfied (NULL) clause condition as
+    # "not satisfied" — the row is KEPT. The update/insert paths get
+    # that for free (F.when(NULL) falls through to otherwise; a NULL
+    # insert condition fails the keep-filter, meaning no insert), but
+    # a deletion predicate must be coalesced to false BEFORE negation:
+    # without it `~NULL` is NULL and filter() silently deleted rows
+    # whose condition evaluated NULL (e.g. compared a NULL column).
     drop = F.lit(False)
     if matched_delete_condition is not None:
-        drop = drop | (matched & matched_delete_condition)
+        drop = drop | F.coalesce(
+            matched & matched_delete_condition, F.lit(False)
+        )
     if not_matched_by_source_delete_condition is not None:
-        drop = drop | (target_only & not_matched_by_source_delete_condition)
+        drop = drop | F.coalesce(
+            target_only & not_matched_by_source_delete_condition,
+            F.lit(False),
+        )
     ins_cond = source_only
     if not need_insert:
         ins_cond = F.lit(False)

@@ -130,6 +130,23 @@ def current_version(table: str) -> int | None:
     return None if m is None else int(m["version"])
 
 
+def table_meta(table: str, version: int | None = None) -> dict | None:
+    """Application metadata published atomically with a commit (the
+    ``meta=`` argument of :func:`commit_versioned`). ``version`` reads
+    the history copy, so time-travel readers see the metadata that
+    described THAT snapshot's state."""
+    if version is not None:
+        try:
+            with open(_manifest_path(table) + f".v{version:08d}") as fh:
+                return json.load(fh).get("meta")
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no manifest history for version {version} of {table}"
+            ) from None
+    m = _read_manifest(table)
+    return None if m is None else m.get("meta")
+
+
 def segment_count(table: str) -> int:
     """Live segments in the current snapshot (0 for a missing table) —
     the public input to append-log compaction policies."""
@@ -305,6 +322,7 @@ def _commit(
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
     expect_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Shared commit path: write the next immutable segment directory,
     atomically publish a manifest whose segment list either replaces
@@ -332,7 +350,9 @@ def _commit(
     """
     os.makedirs(table, exist_ok=True)
     with _commit_lock(table):
-        return _commit_under_lock(df, table, append, txn, stats_cols, expect_version)
+        return _commit_under_lock(
+            df, table, append, txn, stats_cols, expect_version, meta
+        )
 
 
 def _commit_under_lock(
@@ -342,10 +362,11 @@ def _commit_under_lock(
     txn: tuple[str, int] | None,
     stats_cols: list[str] | None = None,
     expect_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     return _publish_under_lock(
         lambda seg_path: df.write.mode("overwrite").parquet(seg_path),
-        table, append, txn, stats_cols, expect_version,
+        table, append, txn, stats_cols, expect_version, meta,
     )
 
 
@@ -356,6 +377,7 @@ def _publish_under_lock(
     txn: tuple[str, int] | None,
     stats_cols: list[str] | None = None,
     expect_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """The commit sequence with segment materialization abstracted:
     ``materialize(seg_path)`` must populate the new segment directory —
@@ -390,6 +412,16 @@ def _publish_under_lock(
     materialize(os.path.join(table, new_seg))
     segments = [*prev_segments, new_seg] if append else [new_seg]
     doc = {"version": new_v, "segments": segments}
+    # application metadata rides IN the manifest document, so it is
+    # published in the same atomic os.replace as the segment list — a
+    # crash can never separate state from the metadata describing it
+    # (the MV spec rode in a sibling file before; the legacy sweep
+    # below deleted it every commit, and a crash between commit and
+    # spec-rewrite bricked the view). None = carry the previous doc's
+    # metadata forward (appends, compaction); a dict replaces it.
+    eff_meta = meta if meta is not None else (prev or {}).get("meta")
+    if eff_meta is not None:
+        doc["meta"] = eff_meta
     # segment-level zone map: carried forward on append (old segments
     # are immutable), rebuilt from scratch on rewrite
     stats = dict((prev or {}).get("stats") or {}) if append else {}
@@ -446,6 +478,7 @@ def commit_versioned(
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
     expect_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the next full snapshot (replacing all previous
     segments) and atomically publish it. Returns the version number.
@@ -457,7 +490,7 @@ def commit_versioned(
     away."""
     return _commit(
         df, table, append=False, txn=txn, stats_cols=stats_cols,
-        expect_version=expect_version,
+        expect_version=expect_version, meta=meta,
     )
 
 

@@ -34,8 +34,10 @@ still holds exactly (asserted in tests), while accuracy is the
 usual HLL ±2%% band.
 
 View state lives in its own manifest table (atomic snapshot commits,
-time travel, CAS via ``expect_version``), plus a tiny ``_MV_SPEC``
-JSON published with the same atomic single-object idiom.
+time travel, CAS via ``expect_version``); the view spec rides INSIDE
+each state commit's manifest document (``meta["mv_spec"]``), so spec
+and state publish in one atomic ``os.replace`` — no window where one
+exists without the other.
 """
 
 from __future__ import annotations
@@ -62,8 +64,25 @@ def _spec_path(mv_table: str) -> str:
 
 
 def _read_spec(mv_table: str) -> dict:
-    with open(_spec_path(mv_table)) as fh:
-        return json.load(fh)
+    """The view's spec, published ATOMICALLY with its state: it rides
+    in the state commit's manifest document (``meta["mv_spec"]``), so
+    a reader can never observe state whose spec is missing or stale —
+    the sibling ``_MV_SPEC`` file this replaced was deleted by the
+    manifest's post-publish legacy sweep on every commit after the
+    first, and a crash between the state commit and the spec rewrite
+    bricked the view. The file path survives only as a read fallback
+    for views created before the migration (their next refresh
+    publishes the spec into the manifest)."""
+    meta = mf.table_meta(mv_table)
+    if meta is not None and "mv_spec" in meta:
+        return meta["mv_spec"]
+    try:
+        with open(_spec_path(mv_table)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"{mv_table} has no MV spec (not a materialized view?)"
+        ) from None
 
 
 def _state_cols(aggs: list[list]) -> list[tuple[str, str, str | None]]:
@@ -161,9 +180,13 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
         elif kind == "least":
             merged = F.least(ov, dv)  # least/greatest skip NULLs
         elif kind == "hll":
-            merged = F.when(both, F.hll_union(ov, dv)).otherwise(
-                F.coalesce(ov, dv)
-            )
+            # hll_sketch_agg over an all-NULL batch yields a NULL
+            # partial; union only when BOTH sides hold a real sketch,
+            # else keep whichever exists (mirrors the addnull guard —
+            # without it the NULL side silently erased the real one)
+            merged = F.when(
+                both & ov.isNotNull() & dv.isNotNull(), F.hll_union(ov, dv)
+            ).otherwise(F.coalesce(ov, dv))
         else:
             merged = F.greatest(ov, dv)
         if kind == "addnull":
@@ -240,10 +263,8 @@ def create_mv(
             raise ValueError(f"unknown agg kind {kind!r}")
     base_v, base_segs = _base_segments(base_table)
     state = _partial_agg(mf.read_versioned(spark, base_table), spec)
-    v = mf.commit_versioned(state, mv_table)
     spec["base_version"], spec["base_segments"] = base_v, base_segs
-    mf._write_json_atomic(_spec_path(mv_table), spec)
-    return v
+    return mf.commit_versioned(state, mv_table, meta={"mv_spec": spec})
 
 
 def refresh_mv(spark: SparkSession, mv_table: str) -> str:
@@ -280,9 +301,10 @@ def refresh_mv(spark: SparkSession, mv_table: str) -> str:
             mf.read_versioned(spark, spec["base_table"]), spec
         )
         mode = "full"
-    mf.commit_versioned(state, mv_table, expect_version=mv_v)
     spec["base_version"], spec["base_segments"] = base_v, base_segs
-    mf._write_json_atomic(_spec_path(mv_table), spec)
+    mf.commit_versioned(
+        state, mv_table, expect_version=mv_v, meta={"mv_spec": spec}
+    )
     return mode
 
 

@@ -295,3 +295,84 @@ def test_mv_rejects_duplicate_or_clashing_output_names(spark, tmp_path):
     with pytest.raises(ValueError, match="unique"):
         mv.create_mv(spark, str(tmp_path / "v2"), base, ["k"],
                      [["k", "count", None]])
+
+
+def test_mv_spec_rides_in_manifest_atomically(spark, tmp_path):
+    """The spec publishes INSIDE the state commit's manifest document:
+    no sibling _MV_SPEC file exists to be swept or torn, every commit's
+    meta records exactly the base snapshot its state reflects, and the
+    time-travel history copies carry the spec that described THAT
+    state."""
+    import os
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(_mk(spark, [("a", 1.0), ("b", 2.0)]), base)
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    assert not os.path.exists(os.path.join(view, mv.MV_SPEC))
+    spec1 = mf.table_meta(view)["mv_spec"]
+    assert spec1["base_version"] == mf.current_version(base)
+
+    mf.commit_append(_mk(spark, [("a", 3.0)]), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    # the old failure mode: the post-publish sweep deleted the spec
+    # file on every commit after the first — view unreadable on crash
+    assert not os.path.exists(os.path.join(view, mv.MV_SPEC))
+    spec2 = mf.table_meta(view)["mv_spec"]
+    assert spec2["base_segments"] == mf._read_manifest(base)["segments"]
+    assert _read(spark, view) == _expected(spark, base)
+    # history copy of the FIRST commit still carries the first spec
+    v1_meta = mf.table_meta(view, version=1)
+    assert v1_meta["mv_spec"]["base_segments"] == spec1["base_segments"]
+
+
+def test_mv_legacy_spec_file_still_readable_and_migrates(spark, tmp_path):
+    """A view created before the migration (spec in a sibling file,
+    no manifest meta) stays readable, and its first refresh publishes
+    the spec into the manifest."""
+    import json
+    import os
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(_mk(spark, [("a", 1.0), ("b", 2.0)]), base)
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    # devolve to the legacy layout: spec file present, meta absent
+    spec = mf.table_meta(view)["mv_spec"]
+    with open(os.path.join(view, mv.MV_SPEC), "w") as fh:
+        json.dump(spec, fh)
+    doc = mf._read_manifest(view)
+    del doc["meta"]
+    mf._write_json_atomic(mf._manifest_path(view), doc)
+
+    assert _read(spark, view) == _expected(spark, base)  # file fallback
+    mf.commit_append(_mk(spark, [("c", 9.0)]), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    assert mf.table_meta(view)["mv_spec"]["base_segments"] == (
+        mf._read_manifest(base)["segments"]
+    )
+    assert _read(spark, view) == _expected(spark, base)
+
+
+def test_mv_hll_combine_survives_all_null_delta(spark, tmp_path):
+    """hll_sketch_agg over an all-NULL batch yields a NULL partial;
+    combining it must KEEP the other side's real sketch (the unguarded
+    hll_union(real, NULL) returned NULL and erased the group's
+    distinct state). Covers both directions: existing group + all-NULL
+    delta, and a group BORN all-NULL later gaining real values."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    aggs = [["n", "count", None], ["nd", "approx_distinct", "value"]]
+    mf.commit_versioned(
+        _mk(spark, [("a", 1.0), ("a", 2.0), ("b", None)]), base
+    )
+    mv.create_mv(spark, view, base, ["k"], aggs)
+    mf.commit_append(
+        _mk(spark, [("a", None), ("a", None), ("b", 7.0)]), base
+    )
+    assert mv.refresh_mv(spark, view) == "incremental"
+    got = {r.k: (r.n, r.nd) for r in mv.read_mv(spark, view).collect()}
+
+    scratch = str(tmp_path / "mv2")
+    mv.create_mv(spark, scratch, base, ["k"], aggs)
+    want = {r.k: (r.n, r.nd) for r in mv.read_mv(spark, scratch).collect()}
+    assert got == want
+    assert got["a"] == (4, 2)  # real sketch survived the NULL delta
+    assert got["b"] == (2, 1)  # NULL-born group absorbed the real value

@@ -417,3 +417,49 @@ def test_merge_into_validates_keys_and_update_columns(spark):
     with _pytest.raises(ValueError, match="not .*target columns"):
         merge.merge_into(target, source, ["id"],
                          not_matched_insert={"nope": F.lit(1)})
+
+
+def test_merge_into_null_delete_condition_keeps_row(spark):
+    """SQL/Delta MERGE: a delete clause whose condition evaluates NULL
+    is NOT satisfied — the row is kept. The unguarded `~drop` filter
+    silently deleted rows whose condition compared a NULL column, for
+    BOTH delete clauses."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "id INT, tag STRING, price DOUBLE",
+    )
+    source = spark.createDataFrame(
+        [(1, None), (2, None), (4, 5.0)], "id INT, price DOUBLE"
+    )
+    out = merge.merge_into(
+        target,
+        source,
+        ["id"],
+        not_matched_insert=None,
+        # NULL source price -> condition NULL for ids 1 and 2
+        matched_delete_condition=F.col("s.price") > 100.0,
+        # NULL target price -> condition NULL for id 2 (but id 2 is
+        # matched); id 3 is target-only with a real false condition
+        not_matched_by_source_delete_condition=F.col("t.price") < 0.0,
+    )
+    rows = {r.id: (r.tag, r.price) for r in out.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b", None), 3: ("c", 30.0)}
+
+
+def test_merge_into_null_by_source_delete_keeps_null_price_row(spark):
+    """Target-only row whose by-source delete condition is NULL (NULL
+    column in the comparison) must survive."""
+    target = spark.createDataFrame(
+        [(1, "a", None), (2, "b", -1.0)], "id INT, tag STRING, price DOUBLE"
+    )
+    source = spark.createDataFrame([(9, 1.0)], "id INT, price DOUBLE")
+    out = merge.merge_into(
+        target,
+        source,
+        ["id"],
+        not_matched_insert=None,
+        not_matched_by_source_delete_condition=F.col("t.price") < 0.0,
+    )
+    rows = {r.id: (r.tag, r.price) for r in out.collect()}
+    # id=1: condition NULL -> kept; id=2: condition true -> deleted
+    assert rows == {1: ("a", None)}

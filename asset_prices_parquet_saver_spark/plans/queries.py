@@ -8823,7 +8823,16 @@ def nation_trade_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate a per-status fingerprint across every type lane (int64 /
 # double / string / timestamp). The oracle aggregates the ORIGINAL
 # parquet — a hash-match certifies write+read fidelity, not just "no
-# exception".
+# exception". The timestamp lane is fingerprinted as BIGINT
+# microseconds-since-epoch (unix_micros ↔ epoch_us), NOT as a
+# timestamp value: a rendered timestamp couples the hash to how the
+# comparing process's session/locale formats it (the r10 driver red:
+# rows+schema green, one value lane off under the driver host only),
+# while the integer certifies the same byte fidelity in a
+# representation the harness cannot re-render. The session tz is
+# pinned UTC by read_table, so the NTZ→micros conversion is a pure
+# constant mapping. Rendering itself keeps a pinned-tz unit test
+# (tests/test_interchange.py).
 @q(
     "orc_roundtrip_orders",
     """
@@ -8832,8 +8841,8 @@ def nation_trade_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price,
            SUM(o_orderkey) AS key_sum,
-           MIN(o_orderdate) AS first_date,
-           MAX(o_orderdate) AS last_date,
+           epoch_us(MIN(o_orderdate)) AS first_date_us,
+           epoch_us(MAX(o_orderdate)) AS last_date_us,
            MIN(o_orderpriority) AS min_priority
     FROM orders GROUP BY 1
     """,
@@ -8860,8 +8869,12 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("total_price"),
                 F.sum("o_orderkey").alias("key_sum"),
-                F.min("o_orderdate").alias("first_date"),
-                F.max("o_orderdate").alias("last_date"),
+                F.unix_micros(
+                    F.min("o_orderdate").cast("timestamp_ltz")
+                ).alias("first_date_us"),
+                F.unix_micros(
+                    F.max("o_orderdate").cast("timestamp_ltz")
+                ).alias("last_date_us"),
                 F.min("o_orderpriority").alias("min_priority"),
             )
             .localCheckpoint()

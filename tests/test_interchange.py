@@ -59,3 +59,69 @@ def test_orc_partitioned_write_prunes(spark, tmp_path):
 def test_avro_gated_with_clear_error(spark):
     with pytest.raises(ImportError, match="spark-avro"):
         ix.write_avro(None, "/tmp/nope")
+
+
+def test_orc_micros_fingerprint_survives_hostile_jvm_tz(tmp_path):
+    """The orc_roundtrip_orders gate lane, executed in a SUBPROCESS
+    whose process TZ, JVM user.timezone, and Spark session tz are all
+    forced to a DST-bearing non-UTC zone: the BIGINT unix_micros
+    fingerprint must equal the UTC-host value — i.e. the gate survives
+    any harness environment (the r10 driver red was
+    environment-coupled through the rendered-timestamp lane)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import json, sys
+from pyspark.sql import SparkSession, functions as F
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.driver.extraJavaOptions",
+            "-Duser.timezone=America/New_York")
+    .config("spark.executor.extraJavaOptions",
+            "-Duser.timezone=America/New_York")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from asset_prices_parquet_saver_spark.sources import interchange as ix
+from asset_prices_parquet_saver_spark.sources.tables import read_table
+o = read_table(spark, "/root/testdata/sf0.001", "orders")
+back = ix.roundtrip_orc(spark, o, sys.argv[1])
+rows = (
+    back.groupBy("o_orderstatus")
+    .agg(
+        F.count(F.lit(1)).alias("n"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp_ltz"))
+        .alias("lo"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp_ltz"))
+        .alias("hi"),
+    )
+    .collect()
+)
+print("FP=" + json.dumps(sorted([r.o_orderstatus, r.n, r.lo, r.hi]
+                                for r in rows)))
+"""
+    env = dict(os.environ, TZ="America/New_York")
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path / "orc_tz")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("FP=")][0]
+    got = json.loads(line[3:])
+
+    import duckdb
+
+    want = duckdb.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               epoch_us(MIN(o_orderdate)) AS lo,
+               epoch_us(MAX(o_orderdate)) AS hi
+        FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert got == sorted([list(r) for r in want])

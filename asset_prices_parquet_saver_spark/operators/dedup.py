@@ -1993,3 +1993,113 @@ def near_dup_report(
             ).alias("size_ratio"),
         )
     )
+
+
+def cdc_chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """(id, chunk_start, chunk_end, chunk_tokens, h) — one row per
+    CONTENT-DEFINED chunk: a boundary falls AFTER token ``i`` (1-based)
+    iff the portable md5-60 hash of the ``w``-token window ending at
+    ``i`` is ≡ 0 (mod ``divisor``) (and always after the last token),
+    giving chunks of expected length ``divisor`` tokens. Because the
+    cut decision depends only on the w tokens before it, an insertion
+    or deletion re-cuts at most one chunk and every boundary inside an
+    untouched run re-synchronizes — the property fixed-stride windows
+    lack and the reason FastCDC-style chunking is the modern dedup
+    literature's step past Lee et al. 2022's fixed k-token windows.
+    ``h`` is the portable md5-60 of the chunk's space-joined tokens
+    (chunk identity), so an external engine can replay every cut and
+    every identity bit-for-bit.
+
+    Scale shape: one Arrow-batched kernel pass, chunking each document
+    independently (no cross-document state, no shuffle); the emitted
+    relation is O(chunks) ≈ O(tokens/divisor) narrow integer rows.
+    Reference analogue: none (X2 family, SURVEY §2.11)."""
+    import re as _re
+
+    import pandas as pd
+
+    from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
+    from asset_prices_parquet_saver_spark.functions.portable_hash import (
+        py_md5_int60,
+    )
+
+    def cdc_rows(batches):
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids: list = []
+            ss: list = []
+            es: list = []
+            hs: list = []
+            for doc_id, txt in zip(pdf["id"], pdf["text"]):
+                if txt is None:
+                    continue
+                toks = [t for t in ws.split(txt) if t]
+                if not toks:
+                    continue
+                start = 1
+                for i in range(1, len(toks) + 1):
+                    cut = i == len(toks) or (
+                        i >= w
+                        and py_md5_int60(" ".join(toks[i - w : i])) % divisor
+                        == 0
+                    )
+                    if cut:
+                        ids.append(doc_id)
+                        ss.append(start)
+                        es.append(i)
+                        hs.append(
+                            py_md5_int60(" ".join(toks[start - 1 : i]))
+                        )
+                        start = i + 1
+            yield from chunked(
+                pd.DataFrame(
+                    {"id": ids, "chunk_start": ss, "chunk_end": es, "h": hs}
+                )
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartition(par)
+        .mapInPandas(
+            cdc_rows, "id long, chunk_start int, chunk_end int, h long"
+        )
+        .withColumn(
+            "chunk_tokens",
+            (F.col("chunk_end") - F.col("chunk_start") + 1).cast("long"),
+        )
+    )
+
+
+def cdc_dup_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate report over content-defined chunks:
+    every chunk identity occurring in ≥ 2 DISTINCT documents, as
+    (h, chunk_tokens, n_docs, n_occ) — fully integer, engine-portable
+    (the md5-60 identity makes the oracle's exact-text grouping and
+    this hash grouping the same partition up to md5 collision).
+
+    Scale shape: the kernel pass above plus ONE map-side-combinable
+    aggregate keyed on the chunk hash — O(chunks) shuffle rows of four
+    integers, nothing all-pairs, no strings leave the kernel."""
+    chunks = cdc_chunk_rows(df, id_col, text_col, w, divisor)
+    return (
+        chunks.groupBy("h")
+        .agg(
+            F.max("chunk_tokens").alias("chunk_tokens"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

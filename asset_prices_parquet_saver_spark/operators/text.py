@@ -1490,6 +1490,135 @@ def dsir_log_weights(
     )
 
 
+def _bm25_scored_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, tuple[str, ...]],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared first stage of the retrieval-eval family
+    (:func:`retrieval_ndcg` / :func:`retrieval_mrr`): the scored match
+    set (qid, id, score, rel) — BM25 score rounded to 6 decimals, rel
+    = #distinct query terms the document contains. One corpus scan for
+    the whole query batch; the relation is O(matching docs × queries)
+    and checkpointed once because every consumer ranks it at least
+    twice."""
+    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+    from asset_prices_parquet_saver_spark.operators.dedup import words
+
+    spark = df.sparkSession
+    qterms = bounded_broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, terms in queries.items() for t in terms],
+            ["qid", "term"],
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.join(qterms, "term")
+        .groupBy("qid", "id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("qid", "term").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(bounded_broadcast(dfreq), ["qid", "term"])
+        .join(doclen, "id")
+        .crossJoin(bounded_broadcast(stats))
+        .groupBy("qid", "id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").alias("rel"),
+        )
+        # materialize ONCE: the scored match set feeds every ranking
+        # branch — without the barrier the tokenize/tf/score pipeline
+        # re-executes per branch (plan-verified 2×); the relation is
+        # O(matching docs × queries), cheap to pin
+        .localCheckpoint()
+    )
+
+
+def retrieval_mrr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, tuple[str, ...]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Retrieval quality evaluation #2: MRR@k (mean-reciprocal-rank
+    style, reported per query) of the BM25 ranking, with the binary
+    relevance label "document contains EVERY distinct query term" —
+    the strict companion to :func:`retrieval_ndcg`'s graded proxy, and
+    the metric a cross-encoder rerank eval reports. Per query:
+    ``first_rank`` = rank (1-based, BM25 score desc / id asc ties —
+    the cosine-query discipline) of the first relevant document within
+    the top ``k``; ``rr{k}`` = 1/first_rank, 0.0 when no relevant
+    document ranks ≤ k; ``hits{k}`` = #relevant docs in the top k.
+    Queries with NO relevant document anywhere still emit a row
+    (first_rank NULL, rr 0.0) — an eval that silently drops failed
+    queries overstates the mean.
+
+    Scale shape: identical to retrieval_ndcg — one shared corpus scan
+    (:func:`_bm25_scored_matches`), then row_number windows over the
+    query-bounded match set; the per-qid term counts are a ≤|queries|-
+    row broadcast. Reference analogue: none (X4 retrieval-eval
+    family, SURVEY §2.11)."""
+    from pyspark.sql.window import Window
+
+    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+
+    spark = df.sparkSession
+    scored = _bm25_scored_matches(df, id_col, text_col, queries, k1, b)
+    qmeta = bounded_broadcast(
+        spark.createDataFrame(
+            [(qid, len(set(terms))) for qid, terms in queries.items()],
+            ["qid", "n_terms"],
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id"))
+        ),
+    )
+    hits = (
+        ranked.join(qmeta, "qid")
+        .filter((F.col("rnk") <= k) & (F.col("rel") == F.col("n_terms")))
+        .groupBy("qid")
+        .agg(
+            F.min("rnk").cast("long").alias("first_rank"),
+            F.count("*").cast("long").alias(f"hits{k}"),
+        )
+    )
+    return (
+        # preserve ALL queries (failed ones emit rr=0); broadcast the
+        # ≤|queries|-row HITS side — Spark can't build-left for a left
+        # outer join, so hinting qmeta here would be a no-op warning
+        qmeta.select("qid")
+        .join(bounded_broadcast(hits), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "first_rank",
+            F.round(
+                F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)), 6
+            ).alias(f"rr{k}"),
+            F.coalesce(F.col(f"hits{k}"), F.lit(0)).cast("long")
+            .alias(f"hits{k}"),
+        )
+    )
+
+
 def retrieval_ndcg(
     df: DataFrame,
     id_col: str,
@@ -1519,46 +1648,7 @@ def retrieval_ndcg(
     analogue: none (X4 retrieval-eval family, SURVEY §2.11)."""
     from pyspark.sql.window import Window
 
-    from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
-    from asset_prices_parquet_saver_spark.operators.dedup import words
-
-    spark = df.sparkSession
-    qterms = bounded_broadcast(
-        spark.createDataFrame(
-            [(qid, t) for qid, terms in queries.items() for t in terms],
-            ["qid", "term"],
-        )
-    )
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
-    )
-    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
-    stats = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        toks.join(qterms, "term")
-        .groupBy("qid", "id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("qid", "term").agg(F.count("*").alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(bounded_broadcast(dfreq), ["qid", "term"])
-        .join(doclen, "id")
-        .crossJoin(bounded_broadcast(stats))
-        .groupBy("qid", "id")
-        .agg(
-            F.round(F.sum(contrib), 6).alias("score"),
-            F.count("*").alias("rel"),
-        )
-        # materialize ONCE: the scored match set feeds BOTH rankings
-        # (DCG and IDCG) — without the barrier the tokenize/tf/score
-        # pipeline re-executes per branch (plan-verified 2×); the
-        # relation is O(matching docs × queries), cheap to pin
-        .localCheckpoint()
-    )
+    scored = _bm25_scored_matches(df, id_col, text_col, queries, k1, b)
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)
     ranked = scored.withColumn(
         "rnk",

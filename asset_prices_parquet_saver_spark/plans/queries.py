@@ -8666,12 +8666,16 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- S7+ incremental materialized view (sources/matview.py), gated
-# END-TO-END: seed a throwaway manifest table with a third of events,
-# create the daily-totals MV, append the remaining two thirds in two
-# batches, refresh incrementally twice (asserted — never a full
-# recompute), and return the view. The oracle aggregates all of events
-# from scratch, so the hash-match IS the incremental==from-scratch
-# proof (exact decimal partials make the float order irrelevant).
+# END-TO-END: seed a throwaway manifest table with half of events,
+# create the daily-totals MV, append the other half, refresh
+# incrementally (asserted — never a full recompute), and return the
+# view. The oracle aggregates all of events from scratch, so the
+# hash-match IS the incremental==from-scratch proof (exact decimal
+# partials make the float order irrelevant). ONE append/refresh cycle:
+# it certifies the same property two cycles did (r10's 2-cycle variant
+# was the bench's 2nd most expensive entry on commit/FS overhead
+# alone); the multi-append chain keeps coverage in
+# tests/test_matview.py.
 @q(
     "mv_event_daily_totals",
     """
@@ -8686,8 +8690,8 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mv_event_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7+: incremental MV maintenance — two append commits, two
-    O(batch) incremental refreshes, result identical to a from-scratch
+    """S7+: incremental MV maintenance — append commit + O(batch)
+    incremental refresh, result identical to a from-scratch
     aggregation (sources/matview.py)."""
     import shutil as _shutil
     import tempfile as _tempfile
@@ -8701,7 +8705,7 @@ def mv_event_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tempfile.mkdtemp(prefix="mv_gate_")
     base, view = f"{root}/events", f"{root}/mv"
     try:
-        mf.commit_versioned(ev.filter(F.col("event_id") % 3 == 0), base)
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), base)
         mv_ops.create_mv(
             spark,
             view,
@@ -8716,12 +8720,9 @@ def mv_event_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             projection=["event_type", "CAST(ts AS DATE) AS day", "value"],
         )
-        for residue in (1, 2):
-            mf.commit_append(
-                ev.filter(F.col("event_id") % 3 == residue), base
-            )
-            mode = mv_ops.refresh_mv(spark, view)
-            assert mode == "incremental", mode
+        mf.commit_append(ev.filter(F.col("event_id") % 2 == 1), base)
+        mode = mv_ops.refresh_mv(spark, view)
+        assert mode == "incremental", mode
         return mv_ops.read_mv(spark, view).localCheckpoint()
     finally:
         _shutil.rmtree(root, ignore_errors=True)
@@ -9227,6 +9228,199 @@ def mv_rollup_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- X4 retrieval evaluation #2: MRR@10 of the BM25 ranking with the
+# STRICT binary label "contains every distinct query term" — the
+# cross-encoder-rerank-style companion to retrieval_ndcg's graded
+# proxy. Same single-corpus-scan shape; failed queries still emit a
+# row (first_rank NULL, rr 0) so the mean is honest.
+@q(
+    "retrieval_mrr",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), qterms(qid, term) AS (
+      VALUES {{NDCG_QUERIES}}
+    ), nterms AS (
+      SELECT qid, COUNT(DISTINCT term) AS n_terms FROM qterms GROUP BY qid
+    ), tf AS (
+      SELECT q.qid, t.id, t.term, COUNT(*) AS tf
+      FROM toks t JOIN qterms q ON t.term = q.term
+      GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT qid, term, COUNT(*) AS df FROM tf GROUP BY 1, 2
+    ), scored AS (
+      SELECT tf.qid, tf.id,
+             round(SUM(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 6)
+               AS score,
+             COUNT(*) AS rel
+      FROM tf JOIN dfreq ON tf.qid = dfreq.qid AND tf.term = dfreq.term
+              JOIN dl ON tf.id = dl.id, stats
+      GROUP BY tf.qid, tf.id
+    ), ranked AS (
+      SELECT qid, id, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+      FROM scored
+    ), hit AS (
+      SELECT r.qid, MIN(r.rnk) AS first_rank, COUNT(*) AS hits10
+      FROM ranked r JOIN nterms n ON r.qid = n.qid
+      WHERE r.rnk <= 10 AND r.rel = n.n_terms
+      GROUP BY r.qid
+    )
+    SELECT n.qid AS query_id,
+           h.first_rank,
+           round(COALESCE(1.0 / h.first_rank, 0.0), 6) AS rr10,
+           CAST(COALESCE(h.hits10, 0) AS BIGINT) AS hits10
+    FROM nterms n LEFT JOIN hit h ON n.qid = h.qid
+    """.replace("{NDCG_QUERIES}", _NDCG_QUERIES_SQL),
+)
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: MRR@10 / hit-rate of the BM25 ranking under strict all-terms
+    relevance (operators/text.py retrieval_mrr)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text_ops.retrieval_mrr(d, "doc_id", "text", _NDCG_QUERIES, k=10)
+
+
+# --- X2 content-defined chunk dedup (FastCDC-style boundaries at
+# token granularity — the modern dedup literature's step past
+# Lee et al. 2022's fixed k-token windows): a cut falls after token i
+# iff md5-60(window of 3 tokens ending at i) ≡ 0 (mod 8), plus the
+# document end; duplicate report = chunk identities (md5-60 of chunk
+# text) spanning ≥ 2 distinct documents. Engine side chunks in an
+# Arrow kernel and aggregates integer rows; the oracle replays the
+# SAME portable hash for the cut decision and groups chunk identity —
+# every boundary and every identity reproduced bit-for-bit.
+@q(
+    "cdc_dup_chunks",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CASE WHEN i >= 3 THEN
+               substr(md5(list_aggregate(w[i-2:i], 'string_agg', ' ')), 1, 15)
+             ELSE NULL END AS g15,
+             len(w) AS n
+      FROM toks, UNNEST(range(1, len(w) + 1)) t(i)
+    ), cuts AS (
+      SELECT doc_id, i,
+             (i = n OR (g15 IS NOT NULL AND ({ph.sql_hex15_int('g15')}) % 8 = 0)) AS cut
+      FROM pos
+    ), grp AS (
+      SELECT doc_id, i,
+             1 + COALESCE(SUM(CASE WHEN cut THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      FROM cuts
+    ), ch AS (
+      SELECT g.doc_id, g.cid, MIN(g.i) AS s, MAX(g.i) AS e,
+             substr(md5(list_aggregate(t.w[MIN(g.i):MAX(g.i)], 'string_agg', ' ')), 1, 15)
+               AS c15
+      FROM grp g JOIN toks t ON g.doc_id = t.doc_id
+      GROUP BY g.doc_id, g.cid, t.w
+    )
+    SELECT {ph.sql_hex15_int('c15')} AS h,
+           CAST(MAX(e - s + 1) AS BIGINT) AS chunk_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM ch
+    GROUP BY c15
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: cross-document duplicate chunks under content-defined
+    chunking (operators/dedup.py cdc_dup_chunks)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.cdc_dup_chunks(d, "doc_id", "text", w=3, divisor=8)
+
+
+# --- T7+/S7+ streaming MV refresh, gated END-TO-END in batch-replay
+# form: seed a throwaway base table with half of events, create the
+# daily-totals view, then stream the other half through a REAL
+# Structured Streaming query (file-drop source, two files,
+# maxFilesPerTrigger=1 → two foreachBatch epochs, each appending to
+# the base and incrementally refreshing the view). The oracle
+# aggregates all of events from scratch, so the hash-match certifies
+# the exactly-once claim: two micro-batches of txn-idempotent appends
+# + incremental refreshes land BITWISE on the from-scratch aggregate
+# (exact decimal partials; epoch splits can't perturb them).
+@q(
+    "mv_streaming_parity",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def mv_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+: streaming MV refresh replayed over two real micro-batches
+    equals the from-scratch aggregate (sources/matview.py
+    run_streaming_mv_refresh)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = _tempfile.mkdtemp(prefix="mvs_gate_")
+    base, view, drop = f"{root}/events", f"{root}/mv", f"{root}/in"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type", "day"],
+            [
+                ["n", "count", None],
+                ["total_value", "sum", "value"],
+                ["avg_value", "avg", "value"],
+            ],
+            projection=["event_type", "CAST(ts AS DATE) AS day", "value"],
+        )
+        rest = ev.filter(F.col("event_id") % 2 == 1)
+        rest.filter(F.col("event_id") % 4 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        rest.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        stream = (
+            spark.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        sq = mv_ops.run_streaming_mv_refresh(
+            spark, stream, base, view, checkpoint_dir=f"{root}/ck"
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        # two epochs really flowed: seed + one appended segment per
+        # micro-batch (an accidental single batch would still
+        # hash-match — this pins the stronger per-epoch claim)
+        assert mf.segment_count(base) == 3, mf.segment_count(base)
+        return mv_ops.read_mv(spark, view).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9236,80 +9430,26 @@ def mv_rollup_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-10 window: flagship first (entry() smoke-checks it);
-    # then the 17 zero-driver-evidence round-9-session-2 additions
-    # (the queued r10 rotation head, each pre-verified at sf0.001 and
-    # sf0.01 by both builder and judge in r9); then the alphabetical
-    # head-32 of the 34 entries whose latest driver evidence is round
-    # 6 — minus the alphabetical tail (null_handling, pca_projection,
-    # return_correlations, rsi_indicator, sharpe_ratio,
-    # stochastic_oscillator, twap_daily), displaced by the seven NEW
-    # r10 queries (jsonl/csv ingest reports, url domain report /
-    # canonical dedup, zipf fit, k-anonymity screen, temperature mix
-    # weights) so every line of new source gets driver evidence
-    # immediately; the 9 remaining r6-evidence entries head the r11
-    # window. Demotions below the
-    # position-50 marker all have r6-r9 driver-green evidence and stay
-    # registered, tested, and hash-checked by the local gate clone
-    # (scripts/oracle_check.py).
+    # ---- round-11 window: flagship first (entry() smoke-checks it);
+    # then the three NEW r11 queries (retrieval_mrr, cdc_dup_chunks,
+    # mv_streaming_parity — zero driver evidence, every line of new
+    # source gets a driver row immediately); then orc_roundtrip_orders
+    # (the r10 window's only red row — the timestamp-lane fix landed
+    # in ece4456 and MUST be re-gated) and mv_event_daily_totals
+    # (gate-query body slimmed to one append/refresh cycle this round,
+    # so it re-earns evidence on the new body); then ALL 21 entries
+    # whose latest driver evidence is round 6 (clearing the r6 pool
+    # entirely, per the r10 verdict's item 3); the remaining 23 slots
+    # rotate the alphabetical head of the 49 r7-evidence entries.
+    # Demotions below the position-50 marker all have r7-r10
+    # driver-green evidence and stay registered, tested, and
+    # hash-checked by the local gate clone (scripts/oracle_check.py).
     "flagship_pricing_summary",
-    "fuzzy_dedup_keep_longest",
-    "substring_dup_spans",
-    "substring_dedup_clean",
-    "dsir_importance_weights",
-    "retrieval_ndcg",
-    "part_name_near_matches",
-    "brand_basket_rules",
-    "bpe_merge_candidates",
-    "ann_ivf_recall",
-    "contrastive_negatives",
-    "brand_graph_triangles",
-    "token_fertility_by_lang",
-    "substring_dup_rate",
-    "blocklist_term_hits",
-    "length_bucketed_batches",
-    "near_dup_pair_report",
-    "ccnet_tertile_prune",
-    "jsonl_ingest_report",
-    "csv_ingest_report",
-    "url_domain_report",
-    "url_canonical_dedup",
-    "zipf_term_fit",
-    "k_anonymous_docs",
-    "temperature_mix_weights",
-    "ann_pq_topk_deleted",
-    "url_frontier_new",
-    "cohort_retention",
-    "conditional_agg",
-    "cosine_topk",
-    "daily_returns",
-    "daily_rollup",
-    "date_arithmetic",
-    "dedup_exact_documents",
-    "document_fingerprints",
-    "embedding_near_pairs",
-    "event_type_journey",
-    "event_value_deltas",
-    "events_head_tail",
-    "ewma_closes",
-    # session-2 additions, zero driver evidence — displacing the ten
-    # stalest r6 rotations (filter_project_compute, intersect_nations,
-    # jaccard_near_dup_pairs, json_extract_agg, language_id,
-    # last_event_per_user, macd_closes + the media trio, which head
-    # the r11 queue below) so every line of new source gets driver
-    # evidence immediately, same policy as session 1
-    "brand_graph_components",
-    "fk_integrity_report",
-    "merge_into_orders",
-    "mv_event_daily_totals",
-    "mv_rollup_event_types",
-    "nation_trade_khop",
+    "retrieval_mrr",
+    "cdc_dup_chunks",
+    "mv_streaming_parity",
     "orc_roundtrip_orders",
-    "time_travel_daily_totals",
-    "unpivot_returnflag_measures",
-    "winsorized_value_stats",
-    # ---- gate-window boundary (position 50) ----
-    # demoted, freshest-last: 21 r6 leftovers, then r7/r8/r9 pools
+    "mv_event_daily_totals",
     "filter_project_compute",
     "intersect_nations",
     "jaccard_near_dup_pairs",
@@ -9354,6 +9494,9 @@ _GATE_ORDER = [
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
+    # ---- gate-window boundary (position 50) ----
+    # demoted, stalest-first (r7 tail, then r8/r9/r10 pools;
+    # approx_user_stats last: rows-only by design)
     "pivot_linestatus",
     "product_profit_by_nation",
     "promo_revenue_share",
@@ -9435,7 +9578,6 @@ _GATE_ORDER = [
     "ann_hamming_topk",
     "ann_hamming_words_topk",
     "ann_lsh_topk",
-    "approx_user_stats",
     "approx_user_stats_bound",
     "argmax_per_nation",
     "asof_last_purchase",
@@ -9478,6 +9620,54 @@ _GATE_ORDER = [
     "tick_anomalies",
     "topk_orders_per_customer",
     "weekly_revenue_growth",
+    "ann_ivf_recall",
+    "ann_pq_topk_deleted",
+    "blocklist_term_hits",
+    "bpe_merge_candidates",
+    "brand_basket_rules",
+    "brand_graph_components",
+    "brand_graph_triangles",
+    "ccnet_tertile_prune",
+    "cohort_retention",
+    "conditional_agg",
+    "contrastive_negatives",
+    "cosine_topk",
+    "csv_ingest_report",
+    "daily_returns",
+    "daily_rollup",
+    "date_arithmetic",
+    "dedup_exact_documents",
+    "document_fingerprints",
+    "dsir_importance_weights",
+    "embedding_near_pairs",
+    "event_type_journey",
+    "event_value_deltas",
+    "events_head_tail",
+    "ewma_closes",
+    "fk_integrity_report",
+    "fuzzy_dedup_keep_longest",
+    "jsonl_ingest_report",
+    "k_anonymous_docs",
+    "length_bucketed_batches",
+    "merge_into_orders",
+    "mv_rollup_event_types",
+    "nation_trade_khop",
+    "near_dup_pair_report",
+    "part_name_near_matches",
+    "retrieval_ndcg",
+    "substring_dedup_clean",
+    "substring_dup_rate",
+    "substring_dup_spans",
+    "temperature_mix_weights",
+    "time_travel_daily_totals",
+    "token_fertility_by_lang",
+    "unpivot_returnflag_measures",
+    "url_canonical_dedup",
+    "url_domain_report",
+    "url_frontier_new",
+    "winsorized_value_stats",
+    "zipf_term_fit",
+    "approx_user_stats",
 ]
 
 

@@ -18,7 +18,12 @@ windows (VM migration churn), so each query is timed as the MEDIAN of
 exact baseline ``embedding_near_pairs`` is deliberately NOT a headline
 entry: it exists as the oracle anchor for the LSH scale path
 (``embedding_near_pairs_lsh``), which is what a user should run and
-what this bench grades.
+what this bench grades. Same policy for exact ``containment_pairs``
+(r11): the pigeonhole prefix-filter is exact-by-construction and 6x
+the next most expensive entry at sf0.1 — its size-stratified twin
+``lsh_ensemble_containment`` (sf1 exponent 0.6) is the benched
+containment surface, the honest answer at 100 TB; the exact form stays
+registered, oracle-checked, and brute-force-tested.
 """
 
 from __future__ import annotations
@@ -51,7 +56,6 @@ HEADLINE = [
     "fuzzy_dedup_keep_longest",
     "curated_corpus",
     "jaccard_near_dup_pairs",
-    "containment_pairs",
     "lsh_ensemble_containment",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
@@ -227,6 +231,9 @@ HEADLINE = [
     "time_travel_daily_totals",
     "unpivot_returnflag_measures",
     "mv_rollup_event_types",
+    "retrieval_mrr",
+    "cdc_dup_chunks",
+    "mv_streaming_parity",
 ]
 
 
@@ -316,7 +323,7 @@ def _time_queries(
     spreads: dict[str, float] = {}
     mins: dict[str, float] = {}
     for qi, name in enumerate(HEADLINE):
-        if qi % 15 == 0:
+        if qi % 8 == 0:
             _reclaim(spark)  # bound checkpoint-block accumulation
         fn = QUERIES[name]
         samples = []
@@ -332,8 +339,13 @@ def _time_queries(
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
             # one long run is a property of the query, not the host
-            # weather — don't pay 3x for the tail entries
-            if samples[-1] > 30.0:
+            # weather — don't pay 3x for the tail entries. But a
+            # SINGLE long sample must never set the headline number:
+            # always take at least one confirming sample (the r10
+            # driver run recorded a lone 52.7 s VM-stall for a query
+            # that measures 11 s, and the min discipline never got a
+            # second sample to reject it with).
+            if samples[-1] > 30.0 and len(samples) >= 2:
                 break
         # median of the full sample set; if the time-box cut sampling
         # short, the MIN — the upper-median of [fast, stalled] would

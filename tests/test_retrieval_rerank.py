@@ -95,3 +95,53 @@ def test_bigram_logppl_drops_single_word_docs(spark):
     df = spark.createDataFrame([(1, "only"), (2, "two words")], "doc_id long, text string")
     got = {r["id"] for r in text_ops.bigram_logppl(df, "doc_id", "text").collect()}
     assert got == {2}
+
+
+def _mrr(spark, docs, queries, k=10):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["query_id"]: (r["first_rank"], r[f"rr{k}"], r[f"hits{k}"])
+        for r in text_ops.retrieval_mrr(df, "doc_id", "text", queries, k=k).collect()
+    }
+
+
+def test_retrieval_mrr_strict_label_and_failed_query(spark):
+    # d1 holds BOTH q1 terms (tf 2/1), d2 and d3 one each → only d1 is
+    # relevant under the strict all-terms label and BM25 ranks it
+    # first (more matching terms, higher tf, same length ballpark).
+    docs = [
+        (1, "apple banana apple"),
+        (2, "apple cherry fig"),
+        (3, "banana kiwi lime"),
+    ]
+    out = _mrr(
+        spark,
+        docs,
+        {"q1": ("apple", "banana"), "q2": ("durian",), "q3": ("apple",)},
+    )
+    assert out["q1"] == (1, 1.0, 1)
+    # no document contains durian: the row still exists, rr = 0
+    assert out["q2"] == (None, 0.0, 0)
+    # q3: d1 and d2 both contain apple → 2 hits, best at rank 1
+    assert out["q3"][0] == 1 and out["q3"][2] == 2
+
+
+def test_retrieval_mrr_k_cutoff(spark):
+    # 3 docs all relevant to q; k=1 keeps only the top-ranked hit
+    docs = [(i, "apple pad" + " pad" * i) for i in range(1, 4)]
+    out = _mrr(spark, docs, {"q": ("apple",)}, k=1)
+    assert out["q"] == (1, 1.0, 1)
+
+
+def test_retrieval_mrr_reciprocal_rank_of_later_hit(spark):
+    # d1 and d3 each match only ONE of q's two terms but are 1-2 token
+    # docs, so BM25's length normalization ranks both above the long
+    # d2 (the only doc matching BOTH terms) — first_rank must be d2's
+    # rank 3, rr = 1/3, because d1/d3 fail the strict all-terms label.
+    docs = [
+        (1, "banana"),
+        (2, "apple banana " + " ".join(f"pad{i}" for i in range(18))),
+        (3, "apple kiwi"),
+    ]
+    out = _mrr(spark, docs, {"q": ("apple", "banana")})
+    assert out["q"] == (3, 0.333333, 1)

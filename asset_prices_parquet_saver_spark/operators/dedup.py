@@ -2103,3 +2103,122 @@ def cdc_dup_chunks(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def cdc_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    divisor: int = 8,
+    threshold: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Document-level near-dup pairs by CDC-chunk Jaccard: every pair
+    of documents whose DISTINCT content-defined chunk-identity sets
+    overlap with Jaccard ≥ ``threshold`` (rounded to 6 decimals before
+    the compare — the cosine-query discipline), as
+    (id_a, id_b, shared_chunks, jaccard). Chunk identities are robust
+    to insertions/deletions (boundaries re-synchronize, see
+    :func:`cdc_chunk_rows`), so this catches edited near-copies that
+    fixed-stride shingles shift out of alignment — the document-level
+    consumer of the chunk relation, and the CDC analogue of
+    MinHash-verify near-dup.
+
+    Scale shape: candidate generation is an equi-join on the chunk
+    hash over identities PRUNED to 2 ≤ df ≤ ``max_df`` distinct docs
+    (a hub chunk shared by thousands of boilerplate pages would
+    otherwise quadratically explode the pair relation — the classic
+    stop-word prefix-filter discipline, replayed exactly by the
+    oracle); per-doc chunk counts are one combinable aggregate joined
+    back by id. Everything shuffles on chunk hash or doc id — nothing
+    all-pairs. Reference analogue: none (X2 family, SURVEY §2.11)."""
+    chunks = (
+        cdc_chunk_rows(df, id_col, text_col, w, divisor)
+        .select("id", "h")
+        .distinct()
+    )
+    sizes = chunks.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_chunks")
+    )
+    keep = (
+        chunks.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("h")
+    )
+    pruned = chunks.join(keep, "h")
+    shared = (
+        pruned.alias("a")
+        .join(
+            pruned.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("shared_chunks"))
+    )
+    jac = F.round(
+        F.col("shared_chunks")
+        / (F.col("na") + F.col("nb") - F.col("shared_chunks")),
+        6,
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_chunks").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_chunks").alias("nb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "shared_chunks", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicate_aware_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    memo: bool = False,
+) -> DataFrame:
+    """Duplicate-aware sampling weights — the "downweight, don't drop"
+    curation policy (SemDeDup / D4-style): every document gets weight
+    1 / cluster_size where the cluster is its near-duplicate component
+    under the same MinHash-LSH → exact-Jaccard-verify → CC pipeline as
+    :func:`fuzzy_dedup` (singletons weight 1.0). A corpus trained with
+    these weights sees each duplicated PAGE once in expectation while
+    keeping every VARIANT reachable — what hard dedup can't express.
+    Returns (id, cluster_size, weight), weight rounded to 6 decimals.
+
+    Scale shape: identical to :func:`dedup_cluster_report` up to the
+    component labels (memo-shared); then one combinable size aggregate
+    over id-width rows and an id-keyed join back. Reference analogue:
+    none (X2/X4 family, SURVEY §2.11)."""
+    comp = _components_memo(
+        df, id_col, text_col, n, num_hashes, bands, threshold,
+        hash_family, memo,
+    )
+    labeled = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+    )

@@ -9296,11 +9296,10 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text) spanning ≥ 2 distinct documents. Engine side chunks in an
 # Arrow kernel and aggregates integer rows; the oracle replays the
 # SAME portable hash for the cut decision and groups chunk identity —
-# every boundary and every identity reproduced bit-for-bit.
-@q(
-    "cdc_dup_chunks",
-    rf"""
-    WITH toks AS (
+# every boundary and every identity reproduced bit-for-bit. The CTE
+# chain up to `ch` (one row per content-defined chunk) is shared with
+# the document-level pair query below.
+_CDC_CHUNKS_CTES = rf"""toks AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
       FROM documents
     ), pos AS (
@@ -9326,7 +9325,13 @@ def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS c15
       FROM grp g JOIN toks t ON g.doc_id = t.doc_id
       GROUP BY g.doc_id, g.cid, t.w
-    )
+    )"""
+
+
+@q(
+    "cdc_dup_chunks",
+    f"""
+    WITH {_CDC_CHUNKS_CTES}
     SELECT {ph.sql_hex15_int('c15')} AS h,
            CAST(MAX(e - s + 1) AS BIGINT) AS chunk_tokens,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -9341,6 +9346,92 @@ def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking (operators/dedup.py cdc_dup_chunks)."""
     d = read_table(spark, sf_dir, "documents")
     return dedup_ops.cdc_dup_chunks(d, "doc_id", "text", w=3, divisor=8)
+
+
+# --- X2 document-level near-dup pairs by CDC-chunk Jaccard: the
+# document consumer of the chunk relation above — pairs whose DISTINCT
+# chunk-identity sets overlap with Jaccard ≥ 0.1, candidates generated
+# ONLY through chunk identities shared by 2..64 docs (the hub-chunk
+# prefix-filter; the oracle replays the same df-band, so pruning is
+# part of the certified semantics). Jaccard rounded before the
+# threshold compare on both engines.
+@q(
+    "cdc_near_dup_pairs",
+    f"""
+    WITH {_CDC_CHUNKS_CTES},
+    chd AS (
+      SELECT DISTINCT doc_id, c15 FROM ch
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM chd GROUP BY doc_id
+    ), keep AS (
+      SELECT c15 FROM chd GROUP BY c15 HAVING COUNT(*) BETWEEN 2 AND 64
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM chd a JOIN keep k ON a.c15 = k.c15
+                 JOIN chd b ON a.c15 = b.c15 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.shared_chunks,
+           round(CAST(s.shared_chunks AS DOUBLE)
+                 / (sa.n + sb.n - s.shared_chunks), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE round(CAST(s.shared_chunks AS DOUBLE)
+                / (sa.n + sb.n - s.shared_chunks), 6) >= 0.1
+    """,
+)
+def cdc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: doc-level near-dup pairs by CDC-chunk Jaccard
+    (operators/dedup.py cdc_near_dup_pairs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.cdc_near_dup_pairs(
+        d, "doc_id", "text", w=3, divisor=8, threshold=0.1, max_df=64
+    )
+
+
+# --- X2/X4 duplicate-aware sampling weights (SemDeDup / D4-style
+# "downweight, don't drop"): every document weighted 1/cluster_size
+# under the SAME md5-portable MinHash-LSH → verify → CC component
+# relation as fuzzy_dedup_documents (memo-shared) — the oracle replays
+# the full pipeline including the transitive closure, so the driver
+# hash certifies the weights end-to-end.
+@q(
+    "dup_aware_weights",
+    f"""
+    WITH RECURSIVE {{MINHASH}},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM mh_pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), minlbl AS (
+      SELECT a AS id, MIN(b) AS mn FROM reach GROUP BY a
+    ), comp AS (
+      SELECT d.doc_id AS id,
+             CASE WHEN m.mn IS NULL OR m.mn > d.doc_id
+                  THEN d.doc_id ELSE m.mn END AS component
+      FROM documents d LEFT JOIN minlbl m ON d.doc_id = m.id
+    ), csizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT c.id AS doc_id, s.cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight
+    FROM comp c JOIN csizes s ON c.component = s.component
+    """.replace("{MINHASH}", _MINHASH_PAIRS_CTES),
+)
+def dup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4: duplicate-aware sampling weights, 1/cluster_size per doc
+    (operators/dedup.py duplicate_aware_weights)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_aware_weights(
+        d, "doc_id", "text", threshold=0.5, hash_family="md5", memo=True
+    )
 
 
 # --- T7+/S7+ streaming MV refresh, gated END-TO-END in batch-replay
@@ -9439,8 +9530,10 @@ _GATE_ORDER = [
     # (gate-query body slimmed to one append/refresh cycle this round,
     # so it re-earns evidence on the new body); then ALL 21 entries
     # whose latest driver evidence is round 6 (clearing the r6 pool
-    # entirely, per the r10 verdict's item 3); the remaining 23 slots
-    # rotate the alphabetical head of the 49 r7-evidence entries.
+    # entirely, per the r10 verdict's item 3); the two r11 session-2
+    # additions (cdc_near_dup_pairs, dup_aware_weights) and the
+    # remaining 21 slots rotate the alphabetical head of the 49
+    # r7-evidence entries.
     # Demotions below the position-50 marker all have r7-r10
     # driver-green evidence and stay registered, tested, and
     # hash-checked by the local gate clone (scripts/oracle_check.py).
@@ -9448,6 +9541,8 @@ _GATE_ORDER = [
     "retrieval_mrr",
     "cdc_dup_chunks",
     "mv_streaming_parity",
+    "cdc_near_dup_pairs",
+    "dup_aware_weights",
     "orc_roundtrip_orders",
     "mv_event_daily_totals",
     "filter_project_compute",
@@ -9492,11 +9587,11 @@ _GATE_ORDER = [
     "null_pad_schema",
     "obv_indicator",
     "order_priority_stats",
-    "pack_training_shards",
-    "parse_error_message",
     # ---- gate-window boundary (position 50) ----
     # demoted, stalest-first (r7 tail, then r8/r9/r10 pools;
     # approx_user_stats last: rows-only by design)
+    "pack_training_shards",
+    "parse_error_message",
     "pivot_linestatus",
     "product_profit_by_nation",
     "promo_revenue_share",

@@ -234,6 +234,8 @@ HEADLINE = [
     "retrieval_mrr",
     "cdc_dup_chunks",
     "mv_streaming_parity",
+    "cdc_near_dup_pairs",
+    "dup_aware_weights",
 ]
 
 

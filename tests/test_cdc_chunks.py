@@ -113,3 +113,114 @@ def test_cdc_dup_chunks_cross_document(spark):
     # chunks unique to one document never appear in the report
     uniq = (ref_a | ref_b | ref_c) - expect_shared - (ref_a & ref_c) - (ref_b & ref_c)
     assert not (uniq & set(dup))
+
+
+def _ref_pair_jaccard(docs: dict, max_df: int = 64):
+    """Brute-force reference for cdc_near_dup_pairs: distinct chunk
+    identity sets per doc, hub-chunk df-band prune, pairwise Jaccard."""
+    sets = {i: {h for (_, _, _, h) in _ref_chunks(t)} for i, t in docs.items()}
+    from collections import Counter
+
+    df_count = Counter(h for s in sets.values() for h in s)
+    kept = {h for h, c in df_count.items() if 2 <= c <= max_df}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(sets[a] & sets[b] & kept)
+            if shared:
+                j = round(shared / (len(sets[a]) + len(sets[b]) - shared), 6)
+                out[(a, b)] = (shared, j)
+    return out
+
+
+def test_cdc_near_dup_pairs_match_brute_force(spark):
+    rng = random.Random(31)
+    base = _mk_doc(rng, 90)
+    docs = {
+        1: base,
+        2: base[:5] + ["EDIT"] + base[5:],          # near-copy, one insert
+        3: base[30:70] + _mk_doc(rng, 40),           # partial overlap
+        4: _mk_doc(rng, 80),                         # unrelated
+        5: list(base),                               # exact copy
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared_chunks"], r["jaccard"])
+        for r in dedup.cdc_near_dup_pairs(
+            df, "doc_id", "text", threshold=0.0, max_df=64
+        ).collect()
+    }
+    want = _ref_pair_jaccard(docs)
+    assert got == want
+    # the exact copy must be a full-overlap pair; the edited near-copy
+    # must score high (re-synced boundaries) — the property the
+    # operator exists for
+    assert want[(1, 5)][1] == 1.0
+    assert want[(1, 2)][1] >= 0.7, want[(1, 2)]
+
+
+def test_cdc_near_dup_pairs_threshold_and_hub_prune(spark):
+    rng = random.Random(47)
+    base = _mk_doc(rng, 90)
+    docs = {1: base, 2: list(base), 3: base[:40] + _mk_doc(rng, 80)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    ref = _ref_pair_jaccard(docs)
+    thr = 0.5
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cdc_near_dup_pairs(
+            df, "doc_id", "text", threshold=thr
+        ).collect()
+    }
+    assert got == {p for p, (_, j) in ref.items() if j >= thr}
+    # max_df=1 prunes EVERY shared chunk (each appears in >=2 docs):
+    # no candidate can survive the hub filter
+    assert (
+        dedup.cdc_near_dup_pairs(df, "doc_id", "text", threshold=0.0, max_df=1)
+        .count()
+        == 0
+    )
+
+
+def test_duplicate_aware_weights(spark):
+    """Weights are 1/cluster_size under the SAME component relation as
+    fuzzy_dedup; singletons weigh 1.0; total weight == #clusters."""
+    from asset_prices_parquet_saver_spark.operators.dedup import (
+        connected_components,
+        duplicate_aware_weights,
+        minhash_dedup,
+    )
+    from asset_prices_parquet_saver_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = {
+        r["doc_id"]: (r["cluster_size"], r["weight"])
+        for r in duplicate_aware_weights(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    comp = {
+        r.id: r.component
+        for r in connected_components(
+            minhash_dedup(docs, "doc_id", "text", threshold=0.3)
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(out) == all_ids
+    from collections import Counter
+
+    sizes = Counter(comp.get(i, i) for i in all_ids)
+    n_clusters = len(sizes)
+    for i in all_ids:
+        size, w = out[i]
+        assert size == sizes[comp.get(i, i)]
+        assert w == round(1.0 / size, 6)
+    assert any(s > 1 for s in sizes.values()), "fixture should have dups"
+    total = sum(w for (_, w) in out.values())
+    assert abs(total - n_clusters) < 1e-3

@@ -2137,6 +2137,12 @@ def cdc_near_dup_pairs(
         cdc_chunk_rows(df, id_col, text_col, w, divisor)
         .select("id", "h")
         .distinct()
+        # materialize ONCE: the chunk relation feeds three subtrees
+        # (per-doc sizes, the df-band prune, and both join sides) —
+        # without the barrier the Arrow chunking kernel re-executes
+        # per subtree; the relation is O(chunks) narrow integer rows,
+        # cheap to pin (at corpus scale you'd persist it instead)
+        .localCheckpoint()
     )
     sizes = chunks.groupBy("id").agg(
         F.count("*").cast("long").alias("n_chunks")

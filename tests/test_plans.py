@@ -618,3 +618,35 @@ def test_mv_rollup_touches_only_view_state(spark, tmp_path):
     assert "Join" not in plan
     assert "/b]" not in plan and "/b/" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_cdc_pair_join_is_hash_keyed_not_cartesian(spark, sf_dir):
+    """cdc_near_dup_pairs candidates come from an equi-join on the
+    chunk hash over df-banded identities — the plan must contain no
+    cartesian/loop join anywhere, and the final jaccard joins key on
+    the doc id."""
+    df = QUERIES["cdc_near_dup_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retrieval_mrr_broadcasts_bounded_relations(spark, sf_dir):
+    """Both tiny relations of the MRR eval — the (qid, n_terms) meta
+    and the per-qid hit aggregate — must broadcast; the corpus-sized
+    side must never be the build side of a nested loop."""
+    df = QUERIES["retrieval_mrr"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_aware_weights_aggregates_are_partial(spark, sf_dir):
+    """The cluster-size aggregate must run map-side (partial) before
+    the exchange — the weights stage adds no corpus-wide shuffle
+    beyond the component relation it derives from."""
+    df = QUERIES["dup_aware_weights"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

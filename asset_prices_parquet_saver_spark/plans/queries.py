@@ -9512,6 +9512,97 @@ def mv_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- S7+ mergeable-quantile MV kind (`hist`), gated END-TO-END: seed
+# a throwaway manifest table with half of events, create a view with
+# a count and a fixed-bin histogram state (lo=0, hi=512, 32 bins —
+# the overflow bin is genuinely populated, value max ≈ 560), append
+# the other half, refresh incrementally (asserted), and read p50/p95.
+# Quantiles are not distributive; the histogram partials are — the
+# oracle recomputes bucket counts / integer cumsum / ceil(q*N) pick /
+# bin-edge arithmetic from ALL of events with the SAME double
+# formulas, so the hash certifies incremental == from-scratch for the
+# quantile surface bitwise.
+@q(
+    "mv_value_quantiles",
+    """
+    WITH totals AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 512.0 THEN 33
+                  ELSE CAST(floor((value - 0.0) * 32 / (512.0 - 0.0)) AS INT) + 1
+             END AS bucket
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT event_type, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bucket,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS nv
+      FROM counts
+    ), pick AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= ceil(0.5 * nv) THEN bucket END) AS i50,
+             MIN(CASE WHEN cum >= ceil(0.95 * nv) THEN bucket END) AS i95
+      FROM cum GROUP BY event_type
+    )
+    SELECT t.event_type, t.n,
+           round(CASE WHEN i50 <= 0 THEN 0.0 WHEN i50 >= 33 THEN 512.0
+                      ELSE 0.0 + (i50 * (512.0 - 0.0)) / 32.0 END, 6)
+             AS value_p50,
+           round(CASE WHEN i95 <= 0 THEN 0.0 WHEN i95 >= 33 THEN 512.0
+                      ELSE 0.0 + (i95 * (512.0 - 0.0)) / 32.0 END, 6)
+             AS value_p95
+    FROM totals t LEFT JOIN pick p ON t.event_type = p.event_type
+    """,
+)
+def mv_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: mergeable-quantile MV kind — fixed-bin histogram state,
+    incremental refresh, step-quantiles on read (sources/matview.py
+    `hist`)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = _tempfile.mkdtemp(prefix="mvq_gate_")
+    base, view = f"{root}/events", f"{root}/mv"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type"],
+            [
+                ["n", "count", None],
+                [
+                    "value",
+                    "hist",
+                    "value",
+                    {
+                        "lo": 0.0,
+                        "hi": 512.0,
+                        "bins": 32,
+                        "quantiles": {"p50": 0.5, "p95": 0.95},
+                    },
+                ],
+            ],
+        )
+        mf.commit_append(ev.filter(F.col("event_id") % 2 == 1), base)
+        mode = mv_ops.refresh_mv(spark, view)
+        assert mode == "incremental", mode
+        return mv_ops.read_mv(spark, view).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9543,6 +9634,7 @@ _GATE_ORDER = [
     "mv_streaming_parity",
     "cdc_near_dup_pairs",
     "dup_aware_weights",
+    "mv_value_quantiles",
     "orc_roundtrip_orders",
     "mv_event_daily_totals",
     "filter_project_compute",
@@ -9586,10 +9678,10 @@ _GATE_ORDER = [
     "ntile_price_bands",
     "null_pad_schema",
     "obv_indicator",
-    "order_priority_stats",
     # ---- gate-window boundary (position 50) ----
     # demoted, stalest-first (r7 tail, then r8/r9/r10 pools;
     # approx_user_stats last: rows-only by design)
+    "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
     "pivot_linestatus",

@@ -33,6 +33,16 @@ estimate is sketch-deterministic, so incremental == from-scratch
 still holds exactly (asserted in tests), while accuracy is the
 usual HLL ±2%% band.
 
+``hist`` state is a fixed-bin histogram (array of bins+2 long counts
+over a PINNED [lo, hi) range, underflow/overflow bins at the ends) —
+the mergeable answer to quantiles not being distributive: partials
+add element-wise in any order, and read projects step-quantiles (the
+upper edge of the first bucket whose cumulative count reaches
+ceil(q*N)). Every piece — the bucket formula, the integer cumsum,
+the bin-edge arithmetic — is replayed verbatim by the DuckDB oracle,
+so incremental == from-scratch is hash-certified bitwise, while
+accuracy is the bin width (pick bins for the dashboard's tolerance).
+
 View state lives in its own manifest table (atomic snapshot commits,
 time travel, CAS via ``expect_version``); the view spec rides INSIDE
 each state commit's manifest document (``meta["mv_spec"]``), so spec
@@ -56,7 +66,7 @@ MV_SPEC = "_MV_SPEC"
 _DEC = "decimal(38,6)"
 
 _KINDS = ("count", "count_col", "sum", "min", "max", "avg",
-          "approx_distinct")
+          "approx_distinct", "hist")
 
 
 def _spec_path(mv_table: str) -> str:
@@ -85,26 +95,33 @@ def _read_spec(mv_table: str) -> dict:
         ) from None
 
 
-def _state_cols(aggs: list[list]) -> list[tuple[str, str, str | None]]:
+def _state_cols(aggs: list[list]) -> list[tuple]:
     """Flatten the agg spec into hidden state columns:
-    (state_col, combine_kind, input_col)."""
-    cols: list[tuple[str, str, str | None]] = []
-    for out, kind, col in aggs:
+    (state_col, combine_kind, input_col, params). ``params`` is the
+    optional 4th spec element (only ``hist`` uses it: pinned lo / hi /
+    bins / quantiles — pinned so every partial buckets identically and
+    the spec survives JSON round-trips)."""
+    cols: list[tuple] = []
+    for entry in aggs:
+        out, kind, col = entry[0], entry[1], entry[2]
+        params = entry[3] if len(entry) > 3 else None
         if kind == "count":
-            cols.append((f"__{out}_cnt", "add", None))
+            cols.append((f"__{out}_cnt", "add", None, None))
         elif kind == "count_col":
-            cols.append((f"__{out}_cnt", "add", col))
+            cols.append((f"__{out}_cnt", "add", col, None))
         elif kind == "sum":
-            cols.append((f"__{out}_sum", "addnull", col))
+            cols.append((f"__{out}_sum", "addnull", col, None))
         elif kind == "min":
-            cols.append((f"__{out}_min", "least", col))
+            cols.append((f"__{out}_min", "least", col, None))
         elif kind == "max":
-            cols.append((f"__{out}_max", "greatest", col))
+            cols.append((f"__{out}_max", "greatest", col, None))
         elif kind == "avg":
-            cols.append((f"__{out}_sum", "addnull", col))
-            cols.append((f"__{out}_cnt", "add", col))
+            cols.append((f"__{out}_sum", "addnull", col, None))
+            cols.append((f"__{out}_cnt", "add", col, None))
         elif kind == "approx_distinct":
-            cols.append((f"__{out}_hll", "hll", col))
+            cols.append((f"__{out}_hll", "hll", col, None))
+        elif kind == "hist":
+            cols.append((f"__{out}_hist", "histadd", col, params))
         else:
             raise ValueError(f"unknown agg kind {kind!r}; one of {_KINDS}")
     return cols
@@ -118,7 +135,7 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
         df = df.selectExpr(*spec["projection"])
     exprs = []
     seen = set()
-    for state, kind, col in _state_cols(spec["aggs"]):
+    for state, kind, col, params in _state_cols(spec["aggs"]):
         if state in seen:  # avg shares its sum with an explicit sum
             continue
         seen.add(state)
@@ -142,6 +159,28 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
             exprs.append(
                 F.hll_sketch_agg(F.col(col).cast("string")).alias(state)
             )
+        elif kind == "histadd":
+            # fixed-bin histogram: the mergeable quantile state.
+            # bins+2 conditional counts (underflow, B in-range bins,
+            # overflow) — every bucket expression is the SAME double
+            # arithmetic the oracle replays, so incremental ==
+            # from-scratch holds bitwise on the counts; NULLs fall
+            # through every WHEN and are never counted.
+            lo, hi = float(params["lo"]), float(params["hi"])
+            bins = int(params["bins"])
+            v = F.col(col).cast("double")
+            b = (
+                F.when(v < lo, 0)
+                .when(v >= hi, bins + 1)
+                .otherwise(
+                    (F.floor((v - lo) * bins / (hi - lo)) + 1).cast("int")
+                )
+            )
+            exprs.append(
+                F.array(
+                    *[F.count(F.when(b == i, 1)) for i in range(bins + 2)]
+                ).alias(state)
+            )
     return df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
 
 
@@ -164,7 +203,7 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
         F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
     ]
     seen = set()
-    for state, kind, _ in _state_cols(spec["aggs"]):
+    for state, kind, _c, _p in _state_cols(spec["aggs"]):
         if state in seen:
             continue
         seen.add(state)
@@ -187,6 +226,13 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
             merged = F.when(
                 both & ov.isNotNull() & dv.isNotNull(), F.hll_union(ov, dv)
             ).otherwise(F.coalesce(ov, dv))
+        elif kind == "histadd":
+            # element-wise add; a group present on one side only keeps
+            # its array (same guard shape as the other kinds)
+            merged = F.when(
+                both & ov.isNotNull() & dv.isNotNull(),
+                F.zip_with(ov, dv, lambda a, b: a + b),
+            ).otherwise(F.coalesce(ov, dv))
         else:
             merged = F.greatest(ov, dv)
         if kind == "addnull":
@@ -196,10 +242,58 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
     return j.select(*proj)
 
 
+def _hist_quantile_cols(out: str, params: dict) -> list:
+    """Step-quantile projections from a histogram state array: for each
+    requested quantile q, the UPPER EDGE of the first bucket whose
+    cumulative count reaches ceil(q * N) — integer logic plus one
+    double bin-edge formula, both replayed verbatim by the oracle (no
+    within-bin interpolation, so there is nothing float-ordering-
+    dependent to drift). Underflow clamps to lo, overflow to hi;
+    all-NULL groups (N = 0) yield NULL."""
+    arr = F.col(f"__{out}_hist")
+    lo, hi = float(params["lo"]), float(params["hi"])
+    bins = int(params["bins"])
+    zero = F.lit(0).cast("long")
+    n = F.aggregate(arr, zero, lambda a, x: a + x)
+    cols = []
+    for name, q in params["quantiles"].items():
+        target = F.ceil(F.lit(float(q)) * n)
+        # one pass: carry (cumulative, first-index-reaching-target,
+        # position); outer refs (target) are legal in HOF lambdas
+        idx = F.aggregate(
+            arr,
+            F.struct(
+                zero.alias("cum"),
+                F.lit(-1).alias("idx"),
+                F.lit(0).alias("pos"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x).alias("cum"),
+                F.when(acc["idx"] >= 0, acc["idx"])
+                .when(acc["cum"] + x >= target, acc["pos"])
+                .otherwise(F.lit(-1))
+                .alias("idx"),
+                (acc["pos"] + 1).alias("pos"),
+            ),
+            lambda acc: acc["idx"],
+        )
+        qcol = (
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(idx <= 0, F.lit(lo))
+            .when(idx >= bins + 1, F.lit(hi))
+            .otherwise(
+                F.lit(lo) + (idx * (F.lit(hi) - F.lit(lo))) / F.lit(float(bins))
+            )
+        )
+        cols.append(F.round(qcol, 6).alias(f"{out}_{name}"))
+    return cols
+
+
 def _finalize(state: DataFrame, spec: dict) -> DataFrame:
     """Project the user-facing view columns from the hidden state."""
     proj = [F.col(g) for g in spec["group_cols"]]
-    for out, kind, _col in spec["aggs"]:
+    for entry in spec["aggs"]:
+        out, kind = entry[0], entry[1]
         if kind in ("count", "count_col"):
             proj.append(F.col(f"__{out}_cnt").alias(out))
         elif kind == "sum":
@@ -211,6 +305,8 @@ def _finalize(state: DataFrame, spec: dict) -> DataFrame:
             proj.append(
                 F.hll_sketch_estimate(F.col(f"__{out}_hll")).alias(out)
             )
+        elif kind == "hist":
+            proj.extend(_hist_quantile_cols(out, entry[3]))
         else:  # avg = exact-decimal sum / non-null count
             proj.append(
                 (
@@ -240,10 +336,15 @@ def create_mv(
     record which snapshot (version + exact segment list) it reflects.
 
     ``aggs`` is a JSON-able list of ``[out_col, kind, in_col]`` with
-    ``kind`` in count / count_col / sum / min / max / avg (``in_col``
-    None for bare count). ``projection`` is an optional list of SQL
-    select-exprs applied before grouping (e.g. derive a day column) —
-    kept as strings so the spec survives in ``_MV_SPEC``."""
+    ``kind`` in count / count_col / sum / min / max / avg /
+    approx_distinct / hist (``in_col`` None for bare count). ``hist``
+    takes a 4th element ``{"lo", "hi", "bins", "quantiles"}`` —
+    ``quantiles`` maps suffix → q (e.g. ``{"p50": 0.5, "p95": 0.95}``,
+    read as ``{out}_{suffix}`` columns); lo/hi/bins are PINNED in the
+    spec so every partial buckets identically forever. ``projection``
+    is an optional list of SQL select-exprs applied before grouping
+    (e.g. derive a day column) — kept as strings so the spec survives
+    in ``_MV_SPEC``."""
     spec = {
         "base_table": base_table,
         "group_cols": list(group_cols),
@@ -258,9 +359,25 @@ def create_mv(
             f"create_mv: output names must be unique and distinct from "
             f"group columns (duplicates={dups}, clashes={clash})"
         )
-    for _, kind, _c in spec["aggs"]:
+    for entry in spec["aggs"]:
+        kind = entry[1]
         if kind not in _KINDS:
             raise ValueError(f"unknown agg kind {kind!r}")
+        if kind == "hist":
+            p = entry[3] if len(entry) > 3 else None
+            ok = (
+                isinstance(p, dict)
+                and float(p.get("lo", 0)) < float(p.get("hi", 0))
+                and int(p.get("bins", 0)) >= 1
+                and isinstance(p.get("quantiles"), dict)
+                and p["quantiles"]
+                and all(0 < float(q) <= 1 for q in p["quantiles"].values())
+            )
+            if not ok:
+                raise ValueError(
+                    "hist needs params {lo < hi, bins >= 1, quantiles: "
+                    f"{{suffix: 0<q<=1}}}}; got {p!r}"
+                )
     base_v, base_segs = _base_segments(base_table)
     state = _partial_agg(mf.read_versioned(spark, base_table), spec)
     spec["base_version"], spec["base_segments"] = base_v, base_segs
@@ -372,7 +489,7 @@ def rollup_mv(
     state = mf.read_versioned(spark, mv_table)
     exprs = []
     seen = set()
-    for st_col, kind, _ in _state_cols(spec["aggs"]):
+    for st_col, kind, _c, params in _state_cols(spec["aggs"]):
         if st_col in seen:
             continue
         seen.add(st_col)
@@ -387,6 +504,15 @@ def rollup_mv(
             exprs.append(F.max(c).alias(st_col))
         elif kind == "hll":
             exprs.append(F.hll_union_agg(c).alias(st_col))
+        elif kind == "histadd":
+            # element-wise sum of the bucket arrays across the rolled
+            # groups — histogram partials add exactly like counts
+            bins = int(params["bins"])
+            exprs.append(
+                F.array(
+                    *[F.sum(F.element_at(c, i + 1)) for i in range(bins + 2)]
+                ).alias(st_col)
+            )
     rolled = state.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
     narrowed = dict(spec, group_cols=list(group_cols))
     return _finalize(rolled, narrowed)

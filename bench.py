@@ -236,6 +236,7 @@ HEADLINE = [
     "mv_streaming_parity",
     "cdc_near_dup_pairs",
     "dup_aware_weights",
+    "mv_value_quantiles",
 ]
 
 

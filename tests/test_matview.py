@@ -376,3 +376,144 @@ def test_mv_hll_combine_survives_all_null_delta(spark, tmp_path):
     assert got == want
     assert got["a"] == (4, 2)  # real sketch survived the NULL delta
     assert got["b"] == (2, 1)  # NULL-born group absorbed the real value
+
+
+HIST = {
+    "lo": 0.0,
+    "hi": 8.0,
+    "bins": 4,
+    "quantiles": {"p50": 0.5, "p95": 0.95},
+}
+
+
+def _hist_ref(values, q, lo=0.0, hi=8.0, bins=4):
+    """Step-quantile reference: upper edge of the first bucket whose
+    cumulative count reaches ceil(q*N)."""
+    import math
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    counts = [0] * (bins + 2)
+    for v in vals:
+        if v < lo:
+            b = 0
+        elif v >= hi:
+            b = bins + 1
+        else:
+            b = int(math.floor((v - lo) * bins / (hi - lo))) + 1
+        counts[b] += 1
+    target = math.ceil(q * len(vals))
+    cum = 0
+    for i, c in enumerate(counts):
+        cum += c
+        if cum >= target:
+            if i <= 0:
+                return lo
+            if i >= bins + 1:
+                return hi
+            return round(lo + (i * (hi - lo)) / bins, 6)
+    raise AssertionError("unreachable")
+
+
+def test_mv_hist_incremental_equals_scratch_and_reference(spark, tmp_path):
+    """Histogram state absorbs appends exactly: refresh-then-read ==
+    from-scratch == the pure-Python step-quantile reference, including
+    underflow (-3.0) and overflow (9.5, 100.0) values."""
+    base, view = str(tmp_path / "hb"), str(tmp_path / "hmv")
+    batches = [
+        [("a", 1.0), ("a", 3.0), ("b", 9.5)],
+        [("a", -3.0), ("b", 2.0), ("a", 7.9)],
+        [("b", 100.0), ("a", 0.0), ("b", 4.0)],
+    ]
+    data = {}
+    mf.commit_versioned(_mk(spark, batches[0]), base)
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["n", "count", None], ["value", "hist", "value", HIST]],
+    )
+    for k, v in batches[0]:
+        data.setdefault(k, []).append(v)
+    for batch in batches[1:]:
+        mf.commit_append(_mk(spark, batch), base)
+        assert mv.refresh_mv(spark, view) == "incremental"
+        for k, v in batch:
+            data.setdefault(k, []).append(v)
+        got = {
+            r["k"]: (r["n"], r["value_p50"], r["value_p95"])
+            for r in mv.read_mv(spark, view).collect()
+        }
+        want = {
+            k: (
+                len(vs),
+                _hist_ref(vs, 0.5),
+                _hist_ref(vs, 0.95),
+            )
+            for k, vs in data.items()
+        }
+        assert got == want
+    # from-scratch view over the final base must read identically
+    view2 = str(tmp_path / "hmv2")
+    mv.create_mv(
+        spark, view2, base, ["k"],
+        [["n", "count", None], ["value", "hist", "value", HIST]],
+    )
+    assert _read(spark, view) == _read(spark, view2)
+
+
+def test_mv_hist_all_null_group_yields_null_quantiles(spark, tmp_path):
+    base, view = str(tmp_path / "nb"), str(tmp_path / "nmv")
+    mf.commit_versioned(
+        _mk(spark, [("a", 1.0), ("z", None)]), base
+    )
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["n", "count", None], ["value", "hist", "value", HIST]],
+    )
+    # an all-NULL delta for an existing group must not corrupt state
+    mf.commit_append(_mk(spark, [("a", None), ("z", None)]), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    got = {
+        r["k"]: (r["n"], r["value_p50"], r["value_p95"])
+        for r in mv.read_mv(spark, view).collect()
+    }
+    assert got == {"a": (2, 2.0, 2.0), "z": (2, None, None)}
+
+
+def test_mv_hist_rollup_re_aggregates_bucket_arrays(spark, tmp_path):
+    """Rolling a (k, k2) histogram view up to (k) must equal a view
+    built at (k) directly — bucket arrays add element-wise."""
+    rows = [
+        ("a", "x", 1.0), ("a", "x", 6.0), ("a", "y", 3.0),
+        ("b", "x", 9.0), ("b", "y", -1.0), ("b", "y", 5.0),
+    ]
+    base = str(tmp_path / "rb")
+    mf.commit_versioned(
+        spark.createDataFrame(rows, "k STRING, k2 STRING, value DOUBLE"),
+        base,
+    )
+    fine, coarse = str(tmp_path / "fine"), str(tmp_path / "coarse")
+    aggs = [["n", "count", None], ["value", "hist", "value", HIST]]
+    mv.create_mv(spark, fine, base, ["k", "k2"], aggs)
+    mv.create_mv(spark, coarse, base, ["k"], aggs)
+    rolled = {
+        tuple(r) for r in mv.rollup_mv(spark, fine, ["k"]).collect()
+    }
+    direct = {tuple(r) for r in mv.read_mv(spark, coarse).collect()}
+    assert rolled == direct
+
+
+def test_mv_hist_rejects_bad_params(spark, tmp_path):
+    base = str(tmp_path / "vb")
+    mf.commit_versioned(_mk(spark, [("a", 1.0)]), base)
+    bad = [
+        None,
+        {"lo": 1.0, "hi": 1.0, "bins": 4, "quantiles": {"p50": 0.5}},
+        {"lo": 0.0, "hi": 8.0, "bins": 0, "quantiles": {"p50": 0.5}},
+        {"lo": 0.0, "hi": 8.0, "bins": 4, "quantiles": {}},
+        {"lo": 0.0, "hi": 8.0, "bins": 4, "quantiles": {"p0": 0.0}},
+    ]
+    for p in bad:
+        entry = ["v", "hist", "value"] + ([p] if p is not None else [])
+        with pytest.raises(ValueError):
+            mv.create_mv(spark, str(tmp_path / "vmv"), base, ["k"], [entry])

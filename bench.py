@@ -376,7 +376,19 @@ def main() -> None:
     # the sf1 decade out of GC-thrash territory without masking real
     # per-query regressions (an explicit env setting still wins).
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
-    spark = get_spark(app_name="bench")
+    # The driver parses this process's STDOUT as one JSON line; the
+    # local-mode JVM inherits that stdout and its unified logging
+    # writes warnings there by default (observed: a GCLocker retry
+    # warning during the sf1 decade landed AHEAD of the JSON line).
+    # Route JVM log output to stderr, keeping the default
+    # warning-level verbosity and decorators.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                "-Xlog:all=warning:stderr:uptime,level,tags"
+        },
+    )
 
     # Warmup: JVM + codegen + parquet footer caches, then a mapInPandas
     # pass so the python worker pool (one interpreter per core, each

@@ -327,3 +327,48 @@ def test_cli_explain_prints_plan(sf_dir, capsys):
     assert rc == 0
     assert "Physical Plan" in out and "PushedFilters" in out
     assert main(["explain", "nope_not_a_query"]) == 2
+
+
+def test_cli_mv_hist_agg_spec(spark, tmp_path, capsys):
+    """The hist kind's 4-element agg entry flows through the CLI's
+    JSON --aggs unchanged: create, incremental refresh, read shows the
+    quantile columns."""
+    from asset_prices_parquet_saver_spark.cli import main
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    base, view = str(tmp_path / "hb"), str(tmp_path / "hmv")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 6.5), ("b", 3.0)], "k STRING, value DOUBLE"
+        ),
+        base,
+    )
+    aggs = (
+        '[["n","count",null],'
+        '["value","hist","value",'
+        '{"lo":0.0,"hi":8.0,"bins":4,"quantiles":{"p50":0.5}}]]'
+    )
+    rc = main(
+        ["mv", "create", view, "--base", base, "--group-cols", "k",
+         "--aggs", aggs]
+    )
+    assert rc == 0 and "version" in capsys.readouterr().out
+    mf.commit_append(
+        spark.createDataFrame([("b", 7.9)], "k STRING, value DOUBLE"), base
+    )
+    rc = main(["mv", "refresh", view])
+    assert rc == 0 and "incremental" in capsys.readouterr().out
+    rc = main(["mv", "read", view])
+    out = capsys.readouterr().out
+    assert rc == 0 and "value_p50" in out
+    # bad hist params surface as the create-time ValueError, not a
+    # traceback-free silent success
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        main(
+            ["mv", "create", str(tmp_path / "bad"), "--base", base,
+             "--group-cols", "k",
+             "--aggs", '[["v","hist","value",{"lo":1.0,"hi":1.0,"bins":4,'
+                       '"quantiles":{"p50":0.5}}]]']
+        )

@@ -367,6 +367,19 @@ def _cmd_mv(args) -> int:
                   'e.g. \'[["n","count",null],["total","sum","value"]]\'',
                   file=sys.stderr)
             return 2
+        # valid JSON is not enough: a dict or scalar (or a list of
+        # scalars) would surface as an opaque TypeError deep inside
+        # create_mv — keep the friendly rc=2 contract for shape too
+        if not (
+            isinstance(aggs, list)
+            and aggs
+            and all(isinstance(a, list) and len(a) >= 3 for a in aggs)
+        ):
+            print('mv create: --aggs must be a JSON list of '
+                  '[out_col, kind, in_col(, params)] entries; expected '
+                  'e.g. \'[["n","count",null],["total","sum","value"]]\'',
+                  file=sys.stderr)
+            return 2
         v = mv_ops.create_mv(
             spark,
             args.view,

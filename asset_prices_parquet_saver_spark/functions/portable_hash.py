@@ -51,12 +51,18 @@ def sql_hex15_int(expr: str) -> str:
     ``expr`` is evaluated once per produced hex digit — feed it a
     column holding a precomputed ``substr(md5(..), 1, 15)`` rather than
     the md5 call itself, or the md5 runs 15×.
+
+    The whole fragment is wrapped in ``CAST(.. AS BIGINT)``: DuckDB
+    types ``list_sum(BIGINT[])`` as HUGEINT, and a HUGEINT output lane
+    degrades to float64 under a pandas-fetching comparator (60-bit
+    values exceed the 53-bit mantissa), silently corrupting the value.
+    The sum of 15 4-bit limbs is < 2^60, so the cast is always exact.
     """
     return (
-        "list_sum(list_transform(range(15), j -> "
+        "CAST(list_sum(list_transform(range(15), j -> "
         "CAST(strpos('0123456789abcdef', "
         f"substr({expr}, CAST(j+1 AS INT), 1)) - 1 AS BIGINT) "
-        "<< CAST(4*(14-j) AS INT)))"
+        "<< CAST(4*(14-j) AS INT))) AS BIGINT)"
     )
 
 

@@ -8841,7 +8841,7 @@ def nation_trade_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price,
-           SUM(o_orderkey) AS key_sum,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
            epoch_us(MIN(o_orderdate)) AS first_date_us,
            epoch_us(MAX(o_orderdate)) AS last_date_us,
            MIN(o_orderpriority) AS min_priority
@@ -9603,6 +9603,152 @@ def mv_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- J4+ NULL-evaluating delete condition, gated: SQL/Delta MERGE
+# treats a NULL clause condition as "not satisfied" — the row is KEPT.
+# The source carries a cap column that is NULL for every third key, so
+# the delete predicate t.o_totalprice > s.cap evaluates NULL on those
+# matched rows; deleting them (the pre-r11 `~NULL` filter bug,
+# operators/merge.py:211-226) would change the row count AND the hash.
+# Inserts are disabled, so this also pins the LEFT-join degradation of
+# the merge plan. The oracle replays the precedence with an explicit
+# COALESCE(cond, FALSE) keep-filter.
+@q(
+    "merge_null_delete_keeps_rows",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE 150000.0 END AS cap
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    m AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             o.o_orderdate, o.o_orderpriority, s.key AS skey, s.cap
+      FROM orders o LEFT JOIN src s ON o.o_orderkey = s.key
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate,
+           CASE WHEN skey IS NOT NULL THEN '9-CAPPED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM m
+    WHERE NOT (skey IS NOT NULL
+               AND COALESCE(o_totalprice > cap, FALSE))
+    """,
+)
+def merge_null_delete_keeps_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+: MERGE delete clause whose condition evaluates NULL — the
+    matched row survives (and takes the update), matching SQL/Delta
+    clause semantics (operators/merge.py merge_into)."""
+    o = read_table(spark, sf_dir, "orders")
+    src = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(150000.0))
+        .alias("cap"),
+    )
+    return merge_ops.merge_into(
+        o,
+        src,
+        ["o_orderkey"],
+        matched_update={"o_orderpriority": F.lit("9-CAPPED")},
+        matched_delete_condition=F.col("t.o_totalprice") > F.col("s.cap"),
+        not_matched_insert=None,
+    )
+
+
+# --- S7+ rollup over the `hist` MV kind, gated END-TO-END: maintain a
+# histogram-state view at (event_type, day) grain (projection derives
+# day), append + incremental refresh, then answer the COARSER
+# event_type grain via rollup_mv — the bucket-array re-add path
+# (matview.py histadd) composed with incremental maintenance, which
+# was previously test-only. The oracle recomputes buckets / cumsum /
+# ceil(q*N) pick / edge arithmetic from ALL of events at the rolled
+# grain with the same double formulas, so the hash certifies
+# rollup(incremental state) == from-scratch coarse aggregation
+# bitwise. bins=16 over [0,512) keeps the overflow bin genuinely
+# populated (events.value max ≈ 560).
+@q(
+    "mv_hist_rollup_quantiles",
+    """
+    WITH totals AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 512.0 THEN 17
+                  ELSE CAST(floor((value - 0.0) * 16 / (512.0 - 0.0)) AS INT) + 1
+             END AS bucket
+      FROM events WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT event_type, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bucket,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS nv
+      FROM counts
+    ), pick AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= ceil(0.25 * nv) THEN bucket END) AS i25,
+             MIN(CASE WHEN cum >= ceil(0.9 * nv) THEN bucket END) AS i90
+      FROM cum GROUP BY event_type
+    )
+    SELECT t.event_type, t.n,
+           round(CASE WHEN i25 <= 0 THEN 0.0 WHEN i25 >= 17 THEN 512.0
+                      ELSE 0.0 + (i25 * (512.0 - 0.0)) / 16.0 END, 6)
+             AS value_p25,
+           round(CASE WHEN i90 <= 0 THEN 0.0 WHEN i90 >= 17 THEN 512.0
+                      ELSE 0.0 + (i90 * (512.0 - 0.0)) / 16.0 END, 6)
+             AS value_p90
+    FROM totals t LEFT JOIN pick p ON t.event_type = p.event_type
+    """,
+)
+def mv_hist_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: aggregate-rollup over histogram MV state — histadd
+    re-aggregation answering a coarser grain from the view alone
+    (sources/matview.py rollup_mv)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = _tempfile.mkdtemp(prefix="mvhr_gate_")
+    base, view = f"{root}/events", f"{root}/mv"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type", "day"],
+            [
+                ["n", "count", None],
+                [
+                    "value",
+                    "hist",
+                    "value",
+                    {
+                        "lo": 0.0,
+                        "hi": 512.0,
+                        "bins": 16,
+                        "quantiles": {"p25": 0.25, "p90": 0.9},
+                    },
+                ],
+            ],
+            projection=["event_type", "CAST(ts AS DATE) AS day", "value"],
+        )
+        mf.commit_append(ev.filter(F.col("event_id") % 2 == 1), base)
+        mode = mv_ops.refresh_mv(spark, view)
+        assert mode == "incremental", mode
+        return mv_ops.rollup_mv(spark, view, ["event_type"]).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9612,75 +9758,25 @@ def mv_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the local gate clone (scripts/oracle_check.py). Select candidates
 # by grepping hash_match over CORRECTNESS_r0*.json.
 _GATE_ORDER = [
-    # ---- round-11 window: flagship first (entry() smoke-checks it);
-    # then the three NEW r11 queries (retrieval_mrr, cdc_dup_chunks,
-    # mv_streaming_parity — zero driver evidence, every line of new
-    # source gets a driver row immediately); then orc_roundtrip_orders
-    # (the r10 window's only red row — the timestamp-lane fix landed
-    # in ece4456 and MUST be re-gated) and mv_event_daily_totals
-    # (gate-query body slimmed to one append/refresh cycle this round,
-    # so it re-earns evidence on the new body); then ALL 21 entries
-    # whose latest driver evidence is round 6 (clearing the r6 pool
-    # entirely, per the r10 verdict's item 3); the two r11 session-2
-    # additions (cdc_near_dup_pairs, dup_aware_weights) and the
-    # remaining 21 slots rotate the alphabetical head of the 49
-    # r7-evidence entries.
-    # Demotions below the position-50 marker all have r7-r10
+    # ---- round-12 window: flagship first (entry() smoke-checks it);
+    # then the two r11 RED rows (cdc_dup_chunks, orc_roundtrip_orders
+    # — both root-caused to uncast HUGEINT oracle lanes, fixed this
+    # round, and MUST re-earn driver-green evidence); then the two NEW
+    # r12 queries (merge_null_delete_keeps_rows — the r11 NULL-delete
+    # fix exercised against the driver hash; mv_hist_rollup_quantiles
+    # — the histadd rollup path, previously test-only); then ALL 29
+    # entries whose latest driver evidence is round 7 (clearing the r7
+    # pool entirely, per the r11 verdict's item 2); the remaining 16
+    # slots rotate the alphabetical head of the 49 r8-evidence
+    # entries.
+    # Demotions below the position-50 marker all have r8-r11
     # driver-green evidence and stay registered, tested, and
     # hash-checked by the local gate clone (scripts/oracle_check.py).
     "flagship_pricing_summary",
-    "retrieval_mrr",
     "cdc_dup_chunks",
-    "mv_streaming_parity",
-    "cdc_near_dup_pairs",
-    "dup_aware_weights",
-    "mv_value_quantiles",
     "orc_roundtrip_orders",
-    "mv_event_daily_totals",
-    "filter_project_compute",
-    "intersect_nations",
-    "jaccard_near_dup_pairs",
-    "json_extract_agg",
-    "language_id",
-    "last_event_per_user",
-    "macd_closes",
-    "media_decode_meta",
-    "media_frame_sample",
-    "media_payload_meta",
-    "monthly_returns",
-    "moving_avg_3",
-    "null_handling",
-    "pca_projection",
-    "return_correlations",
-    "rsi_indicator",
-    "sharpe_ratio",
-    "stochastic_oscillator",
-    "twap_daily",
-    "value_dispersion_stats",
-    "weekly_ohlc_bars",
-    "ann_ivf_topk",
-    "anti_join_inactive_customers",
-    "disjunctive_revenue",
-    "dominant_share_suppliers",
-    "donchian_channels",
-    "embargoed_time_split",
-    "embedding_near_pairs_lsh",
-    "except_nations",
-    "keltner_channels",
-    "leakage_free_user_split",
-    "min_cost_supplier_per_part",
-    "minhash_lsh_pairs",
-    "minute_floor_counts",
-    "nation_market_share",
-    "nation_trade_pagerank",
-    "nation_trade_volume",
-    "normalize_case_rename",
-    "ntile_price_bands",
-    "null_pad_schema",
-    "obv_indicator",
-    # ---- gate-window boundary (position 50) ----
-    # demoted, stalest-first (r7 tail, then r8/r9/r10 pools;
-    # approx_user_stats last: rows-only by design)
+    "merge_null_delete_keeps_rows",
+    "mv_hist_rollup_quantiles",
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
@@ -9726,6 +9822,55 @@ _GATE_ORDER = [
     "document_chunks",
     "document_chunks_overlap",
     "dq_report",
+    # ---- position-50 marker: entries below are OUTSIDE the
+    # driver window this round (demoted with r8+ evidence)
+    "retrieval_mrr",
+    "mv_streaming_parity",
+    "cdc_near_dup_pairs",
+    "dup_aware_weights",
+    "mv_value_quantiles",
+    "mv_event_daily_totals",
+    "filter_project_compute",
+    "intersect_nations",
+    "jaccard_near_dup_pairs",
+    "json_extract_agg",
+    "language_id",
+    "last_event_per_user",
+    "macd_closes",
+    "media_decode_meta",
+    "media_frame_sample",
+    "media_payload_meta",
+    "monthly_returns",
+    "moving_avg_3",
+    "null_handling",
+    "pca_projection",
+    "return_correlations",
+    "rsi_indicator",
+    "sharpe_ratio",
+    "stochastic_oscillator",
+    "twap_daily",
+    "value_dispersion_stats",
+    "weekly_ohlc_bars",
+    "ann_ivf_topk",
+    "anti_join_inactive_customers",
+    "disjunctive_revenue",
+    "dominant_share_suppliers",
+    "donchian_channels",
+    "embargoed_time_split",
+    "embedding_near_pairs_lsh",
+    "except_nations",
+    "keltner_channels",
+    "leakage_free_user_split",
+    "min_cost_supplier_per_part",
+    "minhash_lsh_pairs",
+    "minute_floor_counts",
+    "nation_market_share",
+    "nation_trade_pagerank",
+    "nation_trade_volume",
+    "normalize_case_rename",
+    "ntile_price_bands",
+    "null_pad_schema",
+    "obv_indicator",
     "exact_k_event_sample",
     "exact_price_quantiles",
     "funnel_conversion",

@@ -608,6 +608,19 @@ def maybe_compact(
         return None
 
 
+def manifest_doc(table: str) -> dict | None:
+    """One atomic read of the current manifest document — version,
+    segment list, and commit ``meta`` all from the SAME snapshot (or
+    None for a missing/legacy table). Callers that pair
+    :func:`read_versioned` with :func:`table_meta` /
+    :func:`current_version` as separate reads can be torn by a commit
+    landing between them; derive everything from this one document and
+    pin the data read with ``read_versioned(version=doc["version"])``
+    instead."""
+    m = _read_manifest(table)
+    return None if m is None else dict(m)
+
+
 def _manifest_at(table: str, version: int | None) -> dict | None:
     if version is None:
         return _read_manifest(table)

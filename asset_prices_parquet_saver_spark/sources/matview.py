@@ -73,26 +73,40 @@ def _spec_path(mv_table: str) -> str:
     return os.path.join(mv_table, MV_SPEC)
 
 
-def _read_spec(mv_table: str) -> dict:
-    """The view's spec, published ATOMICALLY with its state: it rides
-    in the state commit's manifest document (``meta["mv_spec"]``), so
-    a reader can never observe state whose spec is missing or stale —
-    the sibling ``_MV_SPEC`` file this replaced was deleted by the
-    manifest's post-publish legacy sweep on every commit after the
-    first, and a crash between the state commit and the spec rewrite
-    bricked the view. The file path survives only as a read fallback
-    for views created before the migration (their next refresh
-    publishes the spec into the manifest)."""
-    meta = mf.table_meta(mv_table)
-    if meta is not None and "mv_spec" in meta:
-        return meta["mv_spec"]
+def _spec_snapshot(mv_table: str) -> tuple[int | None, dict]:
+    """``(view version, spec)`` from ONE manifest-document read. The
+    spec is published ATOMICALLY with its state: it rides in the state
+    commit's manifest document (``meta["mv_spec"]``), so a reader can
+    never observe state whose spec is missing or stale — the sibling
+    ``_MV_SPEC`` file this replaced was deleted by the manifest's
+    post-publish legacy sweep on every commit after the first, and a
+    crash between the state commit and the spec rewrite bricked the
+    view. The file path survives only as a read fallback for views
+    created before the migration (their next refresh publishes the
+    spec into the manifest).
+
+    Returning the version from the SAME document matters: readers that
+    fetched the spec and the state as two separate manifest reads
+    could pair version-N spec with version-N+1 state when a concurrent
+    refresh landed between them. Pin the data read with
+    ``read_versioned(version=...)`` (history copies are immutable) and
+    refresh commits with ``expect_version=`` the returned version."""
+    doc = mf.manifest_doc(mv_table)
+    version = None if doc is None else int(doc["version"])
+    meta = (doc or {}).get("meta") or {}
+    if "mv_spec" in meta:
+        return version, meta["mv_spec"]
     try:
         with open(_spec_path(mv_table)) as fh:
-            return json.load(fh)
+            return version, json.load(fh)
     except FileNotFoundError:
         raise FileNotFoundError(
             f"{mv_table} has no MV spec (not a materialized view?)"
         ) from None
+
+
+def _read_spec(mv_table: str) -> dict:
+    return _spec_snapshot(mv_table)[1]
 
 
 def _state_cols(aggs: list[list]) -> list[tuple]:
@@ -398,19 +412,22 @@ def refresh_mv(spark: SparkSession, mv_table: str) -> str:
     The view commit pins ``expect_version`` to the state it read, so a
     concurrent refresher raises :class:`manifest.CommitConflict`
     instead of silently losing one refresh's delta."""
-    spec = _read_spec(mv_table)
+    # version + spec from ONE manifest read: reading them separately
+    # let a refresh that landed in between pair a stale spec (whose
+    # base_segments were already folded in) with a fresh expect_version
+    # — the CAS would pass and the delta would double-count.
+    mv_v, spec = _spec_snapshot(mv_table)
     base_v, base_segs = _base_segments(spec["base_table"])
     old_segs = spec["base_segments"]
     if base_v == spec["base_version"] and base_segs == old_segs:
         return "noop"
-    mv_v = mf.current_version(mv_table)
     if base_segs[: len(old_segs)] == old_segs:
         new_paths = [
             os.path.join(spec["base_table"], s)
             for s in base_segs[len(old_segs):]
         ]
         delta = _partial_agg(spark.read.parquet(*new_paths), spec)
-        old = mf.read_versioned(spark, mv_table)
+        old = mf.read_versioned(spark, mv_table, version=mv_v)
         state = _combine(old, delta, spec)
         mode = "incremental"
     else:
@@ -427,10 +444,13 @@ def refresh_mv(spark: SparkSession, mv_table: str) -> str:
 
 def read_mv(spark: SparkSession, mv_table: str) -> DataFrame:
     """Read the view as its user-facing columns (state stays hidden).
-    This is a manifest snapshot read — immutable, never torn by a
-    concurrent refresh."""
+    Spec and state come from ONE manifest snapshot (the data read is
+    pinned to the version the spec shipped with, and history copies
+    are immutable), so a concurrent refresh landing mid-read can never
+    pair version-N spec with version-N+1 state."""
+    mv_v, spec = _spec_snapshot(mv_table)
     return _finalize(
-        mf.read_versioned(spark, mv_table), _read_spec(mv_table)
+        mf.read_versioned(spark, mv_table, version=mv_v), spec
     )
 
 
@@ -479,14 +499,14 @@ def rollup_mv(
     |view|-sized scan — at 100 TB the difference between the query and
     the base table is the whole point of maintaining the view.
     """
-    spec = _read_spec(mv_table)
+    mv_v, spec = _spec_snapshot(mv_table)
     missing = [g for g in group_cols if g not in spec["group_cols"]]
     if missing:
         raise ValueError(
             f"rollup_mv: {missing} not in the view's group columns "
             f"{spec['group_cols']}"
         )
-    state = mf.read_versioned(spark, mv_table)
+    state = mf.read_versioned(spark, mv_table, version=mv_v)
     exprs = []
     seen = set()
     for st_col, kind, _c, params in _state_cols(spec["aggs"]):

@@ -225,6 +225,7 @@ HEADLINE = [
     "fk_integrity_report",
     "winsorized_value_stats",
     "merge_into_orders",
+    "merge_null_delete_keeps_rows",
     "mv_event_daily_totals",
     "nation_trade_khop",
     "orc_roundtrip_orders",
@@ -237,6 +238,7 @@ HEADLINE = [
     "cdc_near_dup_pairs",
     "dup_aware_weights",
     "mv_value_quantiles",
+    "mv_hist_rollup_quantiles",
 ]
 
 
@@ -361,6 +363,47 @@ def _time_queries(
         spreads[name] = round(max(samples) - min(samples), 3)
         mins[name] = round(min(samples), 3)
     return timings, spreads, mins
+
+
+def _fresh_jvm_probe(
+    names: list[str],
+    sf_dirs: list[str],
+    runs: int,
+    stat: str,
+    out: dict,
+) -> dict[str, dict[str, float]]:
+    """Re-time `names` in a FRESH JVM via scripts/bench_fresh_probe.py
+    (subprocess: new Python, new Spark session, cold caches). Returns
+    {sf_dir: {name: sec}}; failures are recorded on `out` rather than
+    raised — a broken probe must never take down the bench line."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts",
+                    "bench_fresh_probe.py",
+                ),
+                json.dumps(
+                    {
+                        "names": names,
+                        "sf_dirs": sf_dirs,
+                        "runs": runs,
+                        "stat": stat,
+                    }
+                ),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:
+        out["fresh_probe_error"] = f"{type(exc).__name__}: {exc}"
+        return {}
 
 
 def main() -> None:
@@ -531,6 +574,7 @@ def main() -> None:
                 # distinct-key anti-joins, snapshot commits) is what
                 # the second decade certifies
                 "merge_into_orders",
+                "merge_null_delete_keeps_rows",
                 "fk_integrity_report",
                 "time_travel_daily_totals",
             )
@@ -606,7 +650,32 @@ def main() -> None:
                 )
                 exps3[name] = min(exps3[name], exp2)
                 if exp2 > 1.15 and fresh["t3"] > 5.0:
-                    super3.append(name)
+                    # Final adjudication in a FRESH JVM (r11 item 3):
+                    # the in-session both-ends confirm still measured
+                    # 46.7-59.6 s sf1 stalls for a query whose cold-JVM
+                    # quiet number is 29-33 s — this JVM's accumulated
+                    # state and the window stall travel together. A
+                    # min-of-2 at both scale factors in a new process
+                    # is the reproducible pair; its numbers land in
+                    # the JSON so no prose defense is needed.
+                    pf = _fresh_jvm_probe(
+                        [name], [sf_dir, sf3_dir], runs=2, stat="min",
+                        out=out,
+                    )
+                    f1 = pf.get(sf_dir, {}).get(name)
+                    f3 = pf.get(sf3_dir, {}).get(name)
+                    if f1 and f3:
+                        exp_f = round(
+                            math.log(f3 / f1) / math.log(ratio3), 2
+                        )
+                        exps3[name] = min(exps3[name], exp_f)
+                        out.setdefault("sf1_fresh_probe", {})[name] = {
+                            "t1": f1, "t3": f3, "exponent": exp_f,
+                        }
+                        if exp_f > 1.15 and f3 > 5.0:
+                            super3.append(name)
+                    else:
+                        super3.append(name)
         out["sf3"] = sf3
         out["queries_sf3"] = timings3
         out["scaling_sf1"] = {
@@ -712,6 +781,25 @@ def main() -> None:
             entry["confirm"] = t_confirm
             if t_confirm - entry["prev_scaled"] <= entry["noise"]:
                 del regressions[name]
+        # Fresh-JVM adjudication (r11 item 7): flags that survive the
+        # in-session confirm can still be THIS JVM's accumulated state
+        # (block-manager high water, GC phase) — until r11 the
+        # median-of-3-in-a-new-JVM re-probe was a manual procedure
+        # whose numbers lived in NOTES prose. Run it here, record the
+        # number alongside the flag, and drop flags the cold JVM
+        # recovers; what remains is either real or same-window host
+        # weather, and the JSON now carries the evidence either way.
+        if regressions:
+            fresh = _fresh_jvm_probe(
+                sorted(regressions), [sf_dir], runs=3, stat="median", out=out
+            ).get(sf_dir, {})
+            for name, t_fresh in fresh.items():
+                entry = regressions.get(name)
+                if entry is None:
+                    continue
+                entry["confirm_fresh_jvm"] = t_fresh
+                if t_fresh - entry["prev_scaled"] <= entry["noise"]:
+                    del regressions[name]
         out["session_scale"] = round(scale, 3)
         out["regressions"] = regressions
         out["wins"] = wins

@@ -44,6 +44,47 @@ def canon(val) -> str:
     return str(val)
 
 
+def _pd_canon(v, duck_type: str):
+    """Map a pandas-fetched cell back to the Python type ``fetchall``
+    would produce WHERE THE CONVERSION IS LOSSLESS (timestamps keep ns,
+    int64 stays exact), and keep the lossy conversions AS pandas made
+    them (HUGEINT / NULL-bearing int lanes arrive as float64 and stay
+    float) — so hashing these rows reproduces the driver's
+    pandas-canon view of the oracle, mismatching exactly where a
+    pandas-fetching driver would."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v)):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.date() if duck_type.upper() == "DATE" else v.to_pydatetime()
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.ndarray):
+        return [_pd_canon(x, "") for x in v.tolist()]
+    return v
+
+
+def _pandasize_rows(rows: list[dict], cols: list[str]) -> list[dict]:
+    """Round-trip the Spark rows through a pandas DataFrame, applying
+    the same dtype promotions the driver's frame build applies (a
+    NULL-bearing int lane promotes to float64 and stays float)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+        columns=cols
+    )
+    return [
+        {c: _pd_canon(v, "") for c, v in zip(cols, row)}
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+
+
 def value_hash(rows: list[dict], cols: list[str]) -> str:
     cols = sorted(cols)
     lines = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
@@ -111,6 +152,26 @@ def main() -> None:
             rel = con.execute(osql[name])
             ocols = [d[0] for d in rel.description]
             orows = [dict(zip(ocols, row)) for row in rel.fetchall()]
+            # Pandas-parity fetch: the driver pulls BOTH sides through
+            # pandas. On the DuckDB side that converts HUGEINT to
+            # float64 outright; on EITHER side a NULL-bearing int lane
+            # becomes float64. The two degradations must be simulated
+            # symmetrically: Spark's nullable bigint lanes degrade
+            # identically on the driver (so they still match — e.g.
+            # asof_tolerance_lookup's NULLable asof_ts_us, driver-green
+            # in r8), while HUGEINT degrades only the oracle side (the
+            # r10/r11 "green locally, red under the driver" rows).
+            # Hash both pandas views in addition to the exact path.
+            rel2 = con.execute(osql[name])
+            otypes = {d[0]: str(d[1]) for d in rel2.description}
+            pdf = rel2.df()
+            prows = [
+                {
+                    c: _pd_canon(v, otypes.get(c, ""))
+                    for c, v in zip(ocols, row)
+                }
+                for row in pdf.itertuples(index=False, name=None)
+            ]
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
@@ -124,6 +185,14 @@ def main() -> None:
             sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
             if sh != oh:
                 problems.append(f"valuehash spark={sh} duck={oh}")
+            sprows = _pandasize_rows(srows, scols)
+            sph, oph = value_hash(sprows, scols), value_hash(prows, ocols)
+            if sph != oph:
+                problems.append(
+                    f"pandas-canon valuehash spark={sph} duck={oph} "
+                    "(a lane degrades asymmetrically under the "
+                    "driver's pandas fetch)"
+                )
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")

@@ -317,6 +317,14 @@ def test_cli_mv_lifecycle(spark, tmp_path, capsys):
     # arg validation
     assert main(["mv", "create", view]) == 2
     assert main(["mv", "rollup", view]) == 2
+    # --aggs that parses as JSON but is the wrong SHAPE (dict, scalar,
+    # or list of non-lists) must take the friendly rc=2 path, not an
+    # opaque TypeError deep inside create_mv
+    for bad in ('{"n": "count"}', '42', '["n","count",null]'):
+        assert main(
+            ["mv", "create", str(tmp_path / "bad2"), "--base", base,
+             "--group-cols", "k", "--aggs", bad]
+        ) == 2, bad
 
 
 def test_cli_explain_prints_plan(sf_dir, capsys):

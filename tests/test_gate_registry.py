@@ -40,3 +40,43 @@ def test_bench_headline_names_resolve():
 
     unknown = [n for n in bench.HEADLINE if n not in QUERIES]
     assert unknown == []
+
+
+def test_no_oracle_emits_hugeint_lanes():
+    """DuckDB types SUM(BIGINT) / list_sum(BIGINT[]) as HUGEINT. A
+    pandas-fetching comparator (the driver) converts HUGEINT to
+    float64, which re-renders exact ints in %.6g scientific notation
+    and corrupts values past 2^53 — rows+schema stay green while the
+    value hash goes red, and a fetchall()-based local gate cannot see
+    it (the r10/r11 `orc_roundtrip_orders` / `cdc_dup_chunks` reds).
+    DESCRIBE every oracle (no execution) and fail on any HUGEINT,
+    UHUGEINT, or >18-digit DECIMAL output lane."""
+    import re
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad: list[str] = []
+    for name, sql in ORACLE.items():
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in cols:
+            t_up = typ.upper()
+            wide_dec = re.match(r"DECIMAL\((\d+)", t_up)
+            if (
+                "HUGEINT" in t_up
+                or (wide_dec and int(wide_dec.group(1)) > 18)
+            ):
+                bad.append(f"{name}.{col}: {typ}")
+    assert bad == [], (
+        "oracle output lanes wider than the driver canon survives "
+        f"(cast to BIGINT/DOUBLE in the SQL): {bad}"
+    )

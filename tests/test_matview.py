@@ -517,3 +517,87 @@ def test_mv_hist_rejects_bad_params(spark, tmp_path):
         entry = ["v", "hist", "value"] + ([p] if p is not None else [])
         with pytest.raises(ValueError):
             mv.create_mv(spark, str(tmp_path / "vmv"), base, ["k"], [entry])
+
+
+@pytest.mark.parametrize("crash_point", ["before_refresh", "after_refresh"])
+def test_mv_streaming_crash_restart_exactly_once(
+    spark, tmp_path, monkeypatch, crash_point
+):
+    """Crash the streaming MV pipeline BETWEEN the base-table commit
+    and the checkpoint advance, restart from the checkpoint, and
+    assert exactly-once: the replayed epoch's txn=("mv-base", batchId)
+    commit dedupes (sources/manifest.py commit_append), so the base
+    gets each micro-batch once and the view never double-counts.
+
+    Both sides of the claimed crash window are exercised:
+    - ``before_refresh``: base committed, refresh never ran — the
+      restart's replay must skip the commit and fold the orphaned
+      segment (self-heal).
+    - ``after_refresh``: base committed AND view refreshed, crash just
+      before the checkpoint advances — the replay must skip the commit
+      and the refresh must see an unchanged base and no-op.
+
+    The abort is an exception raised inside foreachBatch, which kills
+    the query before Structured Streaming writes the epoch's commit
+    marker — from the checkpoint's perspective the same failure point
+    as kill -9 between state commit and checkpoint advance. (Reference
+    analogue: update_live_price.py's tmp+rename crash story; here the
+    guarantee is transactional replay, not atomic rename.)
+    """
+    src = tmp_path / "in"
+    src.mkdir()
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    schema = "k STRING, value DOUBLE"
+    mf.commit_versioned(_mk(spark, [("a", 1.0), ("b", 2.0)]), base)
+    mv.create_mv(spark, view, base, ["k"], AGGS)
+    _mk(spark, [("a", 5.0), ("c", -1.0)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    _mk(spark, [("c", 4.0), ("b", None)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    real_refresh = mv.refresh_mv
+    crashed = {}
+
+    def crashing_refresh(s, table):
+        if not crashed:
+            crashed["tripped"] = True
+            if crash_point == "after_refresh":
+                real_refresh(s, table)
+            raise RuntimeError("injected crash before checkpoint advance")
+        return real_refresh(s, table)
+
+    monkeypatch.setattr(mv, "refresh_mv", crashing_refresh)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = mv.run_streaming_mv_refresh(
+        spark, stream, base, view, checkpoint_dir=str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+    assert crashed, "the injected crash never fired"
+
+    monkeypatch.setattr(mv, "refresh_mv", real_refresh)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = mv.run_streaming_mv_refresh(
+        spark, stream2, base, view, checkpoint_dir=str(tmp_path / "ck")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # exactly-once on the base: seed + ONE segment per micro-batch —
+    # a re-committed replay would add a 4th segment and 2 extra rows
+    assert mf.segment_count(base) == 3
+    assert mf.read_versioned(spark, base).count() == 6
+    assert _read(spark, view) == _expected(spark, base)

@@ -9749,6 +9749,87 @@ def mv_hist_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- S7+ mergeable heavy-hitters MV kind (`topk`), gated END-TO-END:
+# seed half of events, create a view tracking each event_type's top
+# DAYS (Misra-Gries map state; projection derives the day string),
+# append the other half, refresh incrementally (asserted), read top-3.
+# capacity=64 ≥ the ~30 distinct days per group, so the state is in
+# the EXACT regime (no truncation, merge-order-independent) and a
+# plain SQL oracle replays it: per-(type, day) counts → row_number by
+# (count DESC, day ASC) → pivot ranks 1..3. The lossy regime's
+# N/(capacity+1) error bound is property-tested against a pure-Python
+# Misra-Gries reference in tests/test_matview.py.
+@q(
+    "mv_top_event_days",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, day, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, day ASC) AS rk
+      FROM c
+    ), t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT t.event_type, t.n,
+           MAX(CASE WHEN rk = 1 THEN day END) AS top_day_1,
+           CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_day_1_n,
+           MAX(CASE WHEN rk = 2 THEN day END) AS top_day_2,
+           CAST(MAX(CASE WHEN rk = 2 THEN cnt END) AS BIGINT) AS top_day_2_n,
+           MAX(CASE WHEN rk = 3 THEN day END) AS top_day_3,
+           CAST(MAX(CASE WHEN rk = 3 THEN cnt END) AS BIGINT) AS top_day_3_n
+    FROM t JOIN r ON t.event_type = r.event_type
+    GROUP BY t.event_type, t.n
+    """,
+)
+def mv_top_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: mergeable heavy-hitters MV kind — Misra-Gries map state,
+    incremental refresh, top-k read (sources/matview.py `topk`)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    root = _tempfile.mkdtemp(prefix="mvtk_gate_")
+    base, view = f"{root}/events", f"{root}/mv"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 2 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type"],
+            [
+                ["n", "count", None],
+                [
+                    "top_day",
+                    "topk",
+                    "day",
+                    {"capacity": 64, "k": 3},
+                ],
+            ],
+            projection=[
+                "event_type",
+                "CAST(CAST(ts AS DATE) AS STRING) AS day",
+            ],
+        )
+        mf.commit_append(ev.filter(F.col("event_id") % 2 == 1), base)
+        mode = mv_ops.refresh_mv(spark, view)
+        assert mode == "incremental", mode
+        return mv_ops.read_mv(spark, view).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9777,6 +9858,7 @@ _GATE_ORDER = [
     "orc_roundtrip_orders",
     "merge_null_delete_keeps_rows",
     "mv_hist_rollup_quantiles",
+    "mv_top_event_days",
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
@@ -9821,9 +9903,9 @@ _GATE_ORDER = [
     "dedup_cluster_sizes",
     "document_chunks",
     "document_chunks_overlap",
-    "dq_report",
     # ---- position-50 marker: entries below are OUTSIDE the
     # driver window this round (demoted with r8+ evidence)
+    "dq_report",
     "retrieval_mrr",
     "mv_streaming_parity",
     "cdc_near_dup_pairs",

@@ -43,6 +43,22 @@ the bin-edge arithmetic — is replayed verbatim by the DuckDB oracle,
 so incremental == from-scratch is hash-certified bitwise, while
 accuracy is the bin width (pick bins for the dashboard's tolerance).
 
+``topk`` state is a Misra-Gries heavy-hitters summary (map of
+value-string → count, at most ``capacity`` entries) — the mergeable
+answer to per-group top-k not being distributive. Partials are built
+from exact slice counts via the canonical offset construction
+(Agarwal et al., "Mergeable Summaries": keep the top ``capacity``
+counts, subtract the (capacity+1)-th, drop non-positive); combine is
+pointwise map addition followed by the same truncation. Any value
+whose true frequency exceeds N/(capacity+1) is guaranteed present,
+and every surviving count underestimates by at most N/(capacity+1).
+Read projects the top ``k`` (value, count) pairs as flat columns,
+ties broken by value ascending. With ``capacity`` at least the
+per-group distinct count nothing is ever truncated and the state is
+EXACT and merge-order-independent (the gated query runs in this
+regime so a plain SQL oracle replays it); the lossy regime's error
+bound is property-tested.
+
 View state lives in its own manifest table (atomic snapshot commits,
 time travel, CAS via ``expect_version``); the view spec rides INSIDE
 each state commit's manifest document (``meta["mv_spec"]``), so spec
@@ -66,7 +82,7 @@ MV_SPEC = "_MV_SPEC"
 _DEC = "decimal(38,6)"
 
 _KINDS = ("count", "count_col", "sum", "min", "max", "avg",
-          "approx_distinct", "hist")
+          "approx_distinct", "hist", "topk")
 
 
 def _spec_path(mv_table: str) -> str:
@@ -136,9 +152,108 @@ def _state_cols(aggs: list[list]) -> list[tuple]:
             cols.append((f"__{out}_hll", "hll", col, None))
         elif kind == "hist":
             cols.append((f"__{out}_hist", "histadd", col, params))
+        elif kind == "topk":
+            cols.append((f"__{out}_topk", "mgmerge", col, params))
         else:
             raise ValueError(f"unknown agg kind {kind!r}; one of {_KINDS}")
     return cols
+
+
+def _mg_entries(map_col):
+    """Map state → entries sorted by (count DESC, value ASC): encoded
+    as struct(-count, value) sorted ascending so one sort_array gives
+    the deterministic heavy-hitter order (struct comparison is
+    lexicographic)."""
+    return F.sort_array(
+        F.transform(
+            F.map_entries(map_col),
+            lambda e: F.struct(
+                (-e["value"]).alias("nc"), e["key"].alias("k")
+            ),
+        )
+    )
+
+
+def _mg_truncate(entries, capacity: int):
+    """Misra-Gries offset truncation over (count DESC, value ASC)
+    sorted entries: subtract the (capacity+1)-th count from the top
+    ``capacity``, drop non-positive, rebuild the map. All higher-order
+    functions over a ≤ 2*capacity-element array — constant-size per
+    group, never per-row."""
+    pivot = F.when(
+        F.size(entries) > capacity,
+        -F.try_element_at(entries, F.lit(capacity + 1))["nc"],
+    ).otherwise(F.lit(0).cast("long"))
+    kept = F.filter(
+        F.transform(
+            F.slice(entries, 1, capacity),
+            lambda e: F.struct(
+                e["k"].alias("key"),
+                (-e["nc"] - pivot).cast("long").alias("value"),
+            ),
+        ),
+        lambda e: e["value"] > 0,
+    )
+    return F.map_from_entries(kept)
+
+
+def _topk_partial(df: DataFrame, keys: list[str], col: str, params: dict):
+    """Misra-Gries partial state for one topk agg over a slice of the
+    base: exact (group, value) counts (one map-side-combinable
+    aggregation), per-group rank by (count DESC, value ASC), keep the
+    top capacity+1, collect (a BOUNDED list — at most capacity+1
+    structs per group), then the offset truncation. NULL values are
+    not counted, matching COUNT(col)."""
+    from pyspark.sql.window import Window
+
+    capacity = int(params["capacity"])
+    pre = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            *[F.col(k) for k in keys],
+            F.col(col).cast("string").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("__c"), F.asc("__v"))
+    ranked = (
+        pre.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= capacity + 1)
+    )
+    return ranked.groupBy(*[F.col(k) for k in keys]).agg(
+        _mg_truncate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"), F.col("__v").alias("k")
+                    )
+                )
+            ),
+            capacity,
+        ).alias("__tk")
+    )
+
+
+def _join_state(main: DataFrame, extra: DataFrame, keys: list[str],
+                state_col: str) -> DataFrame:
+    """Null-safe LEFT join of a secondary state relation (one column
+    ``__tk``) onto the main state on the group keys — group keys can
+    be NULL (groupBy keeps NULL groups), so plain equality would drop
+    them. ``extra`` can never hold a group ``main`` lacks (both
+    aggregate the same rows); a group absent from ``extra`` (all-NULL
+    input values) gets a NULL map, which every consumer guards."""
+    m = main.alias("m")
+    e = extra.alias("e")
+    cond = None
+    for k in keys:
+        c = F.col(f"m.{k}").eqNullSafe(F.col(f"e.{k}"))
+        cond = c if cond is None else (cond & c)
+    if cond is None:  # global view: no group columns, 1-row join
+        cond = F.lit(True)
+    proj = [F.col(f"m.{c}") for c in main.columns] + [
+        F.col("e.__tk").alias(state_col)
+    ]
+    return m.join(e, cond, "left_outer").select(*proj)
 
 
 def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
@@ -148,11 +263,17 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
     if spec.get("projection"):
         df = df.selectExpr(*spec["projection"])
     exprs = []
+    topks: list[tuple[str, str, dict]] = []
     seen = set()
     for state, kind, col, params in _state_cols(spec["aggs"]):
         if state in seen:  # avg shares its sum with an explicit sum
             continue
         seen.add(state)
+        if kind == "mgmerge":
+            # needs its own (group, value) pre-aggregation — joined
+            # onto the single-pass state below
+            topks.append((state, col, params))
+            continue
         if kind == "add" and col is None:
             exprs.append(F.count(F.lit(1)).alias(state))
         elif kind == "add":
@@ -195,7 +316,19 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
                     *[F.count(F.when(b == i, 1)) for i in range(bins + 2)]
                 ).alias(state)
             )
-    return df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
+    if not exprs:
+        # every agg is a topk: keep a row per group anyway (dropped by
+        # _finalize, combined as a plain count)
+        exprs.append(F.count(F.lit(1)).alias("__rows"))
+    out = df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
+    for state, col, params in topks:
+        out = _join_state(
+            out,
+            _topk_partial(df, spec["group_cols"], col, params),
+            spec["group_cols"],
+            state,
+        )
+    return out
 
 
 def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
@@ -247,12 +380,34 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
                 both & ov.isNotNull() & dv.isNotNull(),
                 F.zip_with(ov, dv, lambda a, b: a + b),
             ).otherwise(F.coalesce(ov, dv))
+        elif kind == "mgmerge":
+            # Misra-Gries merge: pointwise map addition (map_zip_with
+            # unions the key sets; a key missing on one side reads
+            # NULL, coalesced to 0), then the same offset truncation
+            # the partials used — the mergeable-summaries combine.
+            capacity = int(_p["capacity"])
+            summed = F.map_zip_with(
+                ov,
+                dv,
+                lambda _k, a, b: F.coalesce(a, F.lit(0).cast("long"))
+                + F.coalesce(b, F.lit(0).cast("long")),
+            )
+            merged = F.when(
+                both & ov.isNotNull() & dv.isNotNull(),
+                _mg_truncate(_mg_entries(summed), capacity),
+            ).otherwise(F.coalesce(ov, dv))
         else:
             merged = F.greatest(ov, dv)
         if kind == "addnull":
             # decimal add widens precision; pin the state type stable
             merged = merged.cast(_DEC)
         proj.append(merged.alias(state))
+    if "__rows" in old.columns and "__rows" in delta.columns:
+        # topk-only views carry a row-count placeholder state
+        ov, dv = F.col("o.__rows"), F.col("d.__rows")
+        proj.append(
+            F.when(both, ov + dv).otherwise(F.coalesce(ov, dv)).alias("__rows")
+        )
     return j.select(*proj)
 
 
@@ -321,6 +476,19 @@ def _finalize(state: DataFrame, spec: dict) -> DataFrame:
             )
         elif kind == "hist":
             proj.extend(_hist_quantile_cols(out, entry[3]))
+        elif kind == "topk":
+            # flat (value, count) column pairs in heavy-hitter order —
+            # element_at past the entry count (or a NULL map for an
+            # all-NULL group) yields NULL/NULL
+            ent = _mg_entries(F.col(f"__{out}_topk"))
+            for i in range(1, int(entry[3]["k"]) + 1):
+                # try_element_at: ANSI element_at raises past the end;
+                # fewer than k entries must read as NULL/NULL columns
+                e = F.try_element_at(ent, F.lit(i))
+                proj.append(e["k"].alias(f"{out}_{i}"))
+                proj.append(
+                    (-e["nc"]).cast("long").alias(f"{out}_{i}_n")
+                )
         else:  # avg = exact-decimal sum / non-null count
             proj.append(
                 (
@@ -351,14 +519,19 @@ def create_mv(
 
     ``aggs`` is a JSON-able list of ``[out_col, kind, in_col]`` with
     ``kind`` in count / count_col / sum / min / max / avg /
-    approx_distinct / hist (``in_col`` None for bare count). ``hist``
-    takes a 4th element ``{"lo", "hi", "bins", "quantiles"}`` —
-    ``quantiles`` maps suffix → q (e.g. ``{"p50": 0.5, "p95": 0.95}``,
-    read as ``{out}_{suffix}`` columns); lo/hi/bins are PINNED in the
-    spec so every partial buckets identically forever. ``projection``
-    is an optional list of SQL select-exprs applied before grouping
-    (e.g. derive a day column) — kept as strings so the spec survives
-    in ``_MV_SPEC``."""
+    approx_distinct / hist / topk (``in_col`` None for bare count).
+    ``hist`` takes a 4th element ``{"lo", "hi", "bins", "quantiles"}``
+    — ``quantiles`` maps suffix → q (e.g. ``{"p50": 0.5, "p95":
+    0.95}``, read as ``{out}_{suffix}`` columns); lo/hi/bins are
+    PINNED in the spec so every partial buckets identically forever.
+    ``topk`` takes ``{"capacity", "k"}`` (k ≤ capacity): a Misra-Gries
+    heavy-hitters map of at most ``capacity`` entries, read as
+    ``{out}_{i}`` / ``{out}_{i}_n`` column pairs for i in 1..k;
+    counts are exact while per-group distinct ≤ capacity, otherwise
+    underestimates by ≤ N/(capacity+1). ``projection`` is an optional
+    list of SQL select-exprs applied before grouping (e.g. derive a
+    day column) — kept as strings so the spec survives in
+    ``_MV_SPEC``."""
     spec = {
         "base_table": base_table,
         "group_cols": list(group_cols),
@@ -391,6 +564,18 @@ def create_mv(
                 raise ValueError(
                     "hist needs params {lo < hi, bins >= 1, quantiles: "
                     f"{{suffix: 0<q<=1}}}}; got {p!r}"
+                )
+        if kind == "topk":
+            p = entry[3] if len(entry) > 3 else None
+            ok = (
+                isinstance(p, dict)
+                and int(p.get("capacity", 0)) >= 1
+                and 1 <= int(p.get("k", 0)) <= int(p.get("capacity", 0))
+            )
+            if not ok:
+                raise ValueError(
+                    "topk needs params {capacity >= 1, 1 <= k <= "
+                    f"capacity}}; got {p!r}"
                 )
     base_v, base_segs = _base_segments(base_table)
     state = _partial_agg(mf.read_versioned(spark, base_table), spec)
@@ -508,12 +693,16 @@ def rollup_mv(
         )
     state = mf.read_versioned(spark, mv_table, version=mv_v)
     exprs = []
+    topks: list[tuple[str, dict]] = []
     seen = set()
     for st_col, kind, _c, params in _state_cols(spec["aggs"]):
         if st_col in seen:
             continue
         seen.add(st_col)
         c = F.col(st_col)
+        if kind == "mgmerge":
+            topks.append((st_col, params))
+            continue
         if kind == "add":
             exprs.append(F.sum(c).alias(st_col))
         elif kind == "addnull":
@@ -533,6 +722,50 @@ def rollup_mv(
                     *[F.sum(F.element_at(c, i + 1)) for i in range(bins + 2)]
                 ).alias(st_col)
             )
+    if not exprs:
+        exprs.append(F.count(F.lit(1)).alias("__rows"))
     rolled = state.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
+    for st_col, params in topks:
+        # Misra-Gries rollup: explode every fine-grain map into
+        # (rolled keys, value, count) rows, sum counts (summing ALL
+        # sibling maps before ONE truncation is at least as accurate
+        # as pairwise merging), then the same rank/collect/truncate
+        # path the partials use — rows here are |view-state| × ≤
+        # capacity entries, never base-table sized.
+        from pyspark.sql.window import Window
+
+        capacity = int(params["capacity"])
+        pre = (
+            state.select(
+                *[F.col(g) for g in group_cols],
+                F.explode(F.map_entries(F.col(st_col))).alias("__e"),
+            )
+            .groupBy(
+                *[F.col(g) for g in group_cols],
+                F.col("__e.key").alias("__v"),
+            )
+            .agg(F.sum("__e.value").alias("__c"))
+        )
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.desc("__c"), F.asc("__v")
+        )
+        ranked = (
+            pre.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= capacity + 1)
+        )
+        tk = ranked.groupBy(*[F.col(g) for g in group_cols]).agg(
+            _mg_truncate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("__c")).alias("nc"),
+                            F.col("__v").alias("k"),
+                        )
+                    )
+                ),
+                capacity,
+            ).alias("__tk")
+        )
+        rolled = _join_state(rolled, tk, group_cols, st_col)
     narrowed = dict(spec, group_cols=list(group_cols))
     return _finalize(rolled, narrowed)

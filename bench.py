@@ -239,6 +239,7 @@ HEADLINE = [
     "dup_aware_weights",
     "mv_value_quantiles",
     "mv_hist_rollup_quantiles",
+    "mv_top_event_days",
 ]
 
 

@@ -601,3 +601,161 @@ def test_mv_streaming_crash_restart_exactly_once(
     assert mf.segment_count(base) == 3
     assert mf.read_versioned(spark, base).count() == 6
     assert _read(spark, view) == _expected(spark, base)
+
+
+# ---------------------------------------------------------------- topk
+
+
+def _mg_reference(counts: dict, capacity: int) -> dict:
+    """Pure-Python Misra-Gries offset construction over exact counts:
+    keep the top `capacity` by (count DESC, value ASC), subtract the
+    (capacity+1)-th largest count, drop non-positive."""
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pivot = ranked[capacity][1] if len(ranked) > capacity else 0
+    return {
+        v: c - pivot for v, c in ranked[:capacity] if c - pivot > 0
+    }
+
+
+def _mg_merge_reference(a: dict, b: dict, capacity: int) -> dict:
+    summed = dict(a)
+    for v, c in b.items():
+        summed[v] = summed.get(v, 0) + c
+    return _mg_reference(summed, capacity)
+
+
+def _topk_rows(spark, view):
+    return {
+        r.k: tuple(r)[1:] for r in mv.read_mv(spark, view).collect()
+    }
+
+
+def test_mv_topk_exact_regime_incremental_equals_scratch(spark, tmp_path):
+    """capacity ≥ per-group distinct: no truncation anywhere, state is
+    exact and merge-order-independent — incremental == scratch ==
+    plain top-k over the union."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    rows1 = [("a", v) for v in "xxyz"] + [("b", "q"), ("b", None)]
+    rows2 = [("a", "y")] * 3 + [("b", "r"), (None, "n")]
+    mf.commit_versioned(_mk_s(spark, rows1), base)
+    aggs = [["n", "count", None],
+            ["top", "topk", "v", {"capacity": 8, "k": 2}]]
+    mv.create_mv(spark, view, base, ["k"], aggs)
+    mf.commit_append(_mk_s(spark, rows2), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+
+    scratch = str(tmp_path / "mv2")
+    mv.create_mv(spark, scratch, base, ["k"], aggs)
+    assert _topk_rows(spark, view) == _topk_rows(spark, scratch)
+    got = _topk_rows(spark, view)
+    # ties break by value ascending; NULL values are never counted
+    assert got["a"] == (7, "y", 4, "x", 2)
+    assert got["b"] == (3, "q", 1, "r", 1)
+    assert got[None] == (1, "n", 1, None, None)
+
+
+def _mk_s(spark, rows):
+    return spark.createDataFrame(rows, "k STRING, v STRING")
+
+
+def test_mv_topk_lossy_matches_python_reference_and_error_bound(
+    spark, tmp_path
+):
+    """capacity < distinct: the Spark state after create + 2 appends
+    must equal the pure-Python MG reference merged in the same order,
+    and obey the summary guarantees: every value with true count >
+    N/(capacity+1) present; surviving counts underestimate true counts
+    by at most N/(capacity+1)."""
+    import collections
+
+    cap = 4
+    batches = [
+        [("g", f"v{i % 9}") for i in range(120)],
+        [("g", f"v{i % 7}") for i in range(90)],
+        [("g", f"w{i % 5}") for i in range(60)],
+    ]
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    mf.commit_versioned(_mk_s(spark, batches[0]), base)
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["top", "topk", "v", {"capacity": cap, "k": cap}],
+         ["n", "count", None]],
+    )
+    ref = _mg_reference(
+        collections.Counter(v for _, v in batches[0]), cap
+    )
+    for batch in batches[1:]:
+        mf.commit_append(_mk_s(spark, batch), base)
+        assert mv.refresh_mv(spark, view) == "incremental"
+        ref = _mg_merge_reference(
+            ref,
+            _mg_reference(collections.Counter(v for _, v in batch), cap),
+            cap,
+        )
+
+    state = mf.read_versioned(spark, view).collect()[0]
+    assert dict(state["__top_topk"]) == ref
+
+    true = collections.Counter(v for b in batches for _, v in b)
+    n_total = sum(true.values())
+    eps = n_total / (cap + 1)
+    got = dict(state["__top_topk"])
+    for v, c in true.items():
+        if c > eps:
+            assert v in got, f"heavy hitter {v} (count {c}) missing"
+    for v, c in got.items():
+        assert c <= true[v], "MG must never overcount"
+        assert true[v] - c <= eps, "MG undercount beyond N/(c+1)"
+
+
+def test_mv_topk_rollup(spark, tmp_path):
+    """Rollup re-merges the per-(k,sub) maps to per-k: in the exact
+    regime the rolled top-k equals a direct top-k at the coarse
+    grain."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    rows = [
+        ("a", "s1", "x"), ("a", "s1", "x"), ("a", "s2", "x"),
+        ("a", "s2", "y"), ("a", "s2", "y"), ("a", "s1", "z"),
+        ("b", "s1", "p"),
+    ]
+    mf.commit_versioned(
+        spark.createDataFrame(rows, "k STRING, sub STRING, v STRING"),
+        base,
+    )
+    mv.create_mv(
+        spark, view, base, ["k", "sub"],
+        [["n", "count", None],
+         ["top", "topk", "v", {"capacity": 8, "k": 2}]],
+    )
+    got = {
+        r.k: (r.n, r.top_1, r.top_1_n, r.top_2, r.top_2_n)
+        for r in mv.rollup_mv(spark, view, ["k"]).collect()
+    }
+    assert got == {
+        "a": (6, "x", 3, "y", 2),
+        "b": (1, "p", 1, None, None),
+    }
+
+
+def test_mv_topk_only_view_and_param_validation(spark, tmp_path):
+    """A view whose ONLY agg is topk still round-trips (the __rows
+    placeholder state combines), and bad params fail at create."""
+    base = str(tmp_path / "base")
+    mf.commit_versioned(_mk_s(spark, [("a", "x"), ("a", "y")]), base)
+    view = str(tmp_path / "mv")
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["top", "topk", "v", {"capacity": 4, "k": 1}]],
+    )
+    mf.commit_append(_mk_s(spark, [("a", "y"), ("b", "z")]), base)
+    assert mv.refresh_mv(spark, view) == "incremental"
+    got = {r.k: (r.top_1, r.top_1_n)
+           for r in mv.read_mv(spark, view).collect()}
+    assert got == {"a": ("y", 2), "b": ("z", 1)}
+    for bad in (None, {}, {"capacity": 0, "k": 1}, {"capacity": 4},
+                {"capacity": 4, "k": 5}):
+        entry = ["t", "topk", "v"] if bad is None else ["t", "topk", "v", bad]
+        with pytest.raises(ValueError, match="topk needs params"):
+            mv.create_mv(
+                spark, str(tmp_path / "bad"), base, ["k"], [entry]
+            )

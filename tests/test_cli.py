@@ -380,3 +380,46 @@ def test_cli_mv_hist_agg_spec(spark, tmp_path, capsys):
              "--aggs", '[["v","hist","value",{"lo":1.0,"hi":1.0,"bins":4,'
                        '"quantiles":{"p50":0.5}}]]']
         )
+
+
+def test_cli_mv_topk_agg_spec(spark, tmp_path, capsys):
+    """The topk kind's 4-element agg entry flows through the CLI's
+    JSON --aggs unchanged: create, incremental refresh, read shows the
+    top-k column pairs; bad params take the create-time ValueError."""
+    from asset_prices_parquet_saver_spark.cli import main
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    base, view = str(tmp_path / "tb"), str(tmp_path / "tmv")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("a", "y"), ("b", "q")],
+            "k STRING, v STRING",
+        ),
+        base,
+    )
+    aggs = (
+        '[["n","count",null],'
+        '["top","topk","v",{"capacity":8,"k":2}]]'
+    )
+    rc = main(
+        ["mv", "create", view, "--base", base, "--group-cols", "k",
+         "--aggs", aggs]
+    )
+    assert rc == 0 and "version" in capsys.readouterr().out
+    mf.commit_append(
+        spark.createDataFrame([("b", "r"), ("b", "r")], "k STRING, v STRING"),
+        base,
+    )
+    rc = main(["mv", "refresh", view])
+    assert rc == 0 and "incremental" in capsys.readouterr().out
+    rc = main(["mv", "read", view])
+    out = capsys.readouterr().out
+    assert rc == 0 and "top_1" in out and "top_2_n" in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="topk needs params"):
+        main(
+            ["mv", "create", str(tmp_path / "badtk"), "--base", base,
+             "--group-cols", "k",
+             "--aggs", '[["t","topk","v",{"capacity":2,"k":3}]]']
+        )

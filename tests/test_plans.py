@@ -6,6 +6,7 @@ pruning, broadcast joins for dims, and partial (map-side) aggregation.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from asset_prices_parquet_saver_spark.plans import QUERIES
@@ -650,3 +651,89 @@ def test_dup_aware_weights_aggregates_are_partial(spark, sf_dir):
     plan = _plan(df)
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mv_topk_partial_is_preaggregated_and_bounded(spark, tmp_path):
+    """The topk (Misra-Gries) state build must rank DISTINCT
+    (group, value) pairs, not raw rows: the plan under the window
+    shows a partial+final aggregate on (k, v) BEFORE the sort the
+    row_number needs, and the only collect_list runs over the
+    rank-filtered ≤ capacity+1 rows (objectHashAggregate) — no
+    unbounded per-group collection, no cartesian join."""
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x")], "k STRING, v STRING"
+        ),
+        base,
+    )
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["n", "count", None],
+         ["top", "topk", "v", {"capacity": 4, "k": 2}]],
+    )
+    state = mf.read_versioned(spark, view)
+    # the committed plan is gone; re-derive the same partial shape
+    from asset_prices_parquet_saver_spark.sources.matview import (
+        _topk_partial,
+    )
+
+    df = mf.read_versioned(spark, base)
+    plan = _plan(
+        _topk_partial(df, ["k"], "v", {"capacity": 4, "k": 2})
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # pre-aggregation: count over (k, v) appears as partial+final
+    # HashAggregate pairs (map-side combinable) before the window sort
+    assert plan.count("HashAggregate") >= 2
+    # the rank filter bounds the collect: row_number <= capacity+1
+    assert "row_number" in plan
+    assert "5" in plan  # capacity+1 literal in the Filter
+    # the final state still carries both columns
+    assert set(state.columns) == {"k", "__n_cnt", "__top_topk"}
+
+
+def test_mv_refresh_conflict_not_double_count(spark, tmp_path, monkeypatch):
+    """A refresh that raced another refresh must raise CommitConflict,
+    never silently double-fold the delta. The tear this pins: spec and
+    current-version read as SEPARATE manifest reads let a concurrent
+    refresh land in between — the stale spec's base_segments get
+    re-folded while the CAS passes against the fresh version
+    (_spec_snapshot now derives both from ONE document)."""
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv
+
+    base, view = str(tmp_path / "b"), str(tmp_path / "v")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k STRING, value DOUBLE")
+
+    mf.commit_versioned(mk([("a", 1.0)]), base)
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["n", "count", None], ["total", "sum", "value"]],
+    )
+    mf.commit_append(mk([("a", 2.0)]), base)
+
+    # interleave: when THIS refresh aggregates its delta, a concurrent
+    # refresher completes the whole refresh first
+    real_partial = mv._partial_agg
+    tripped = {}
+
+    def racing_partial(df, spec):
+        if not tripped:
+            tripped["x"] = True
+            mv.refresh_mv(spark, view)  # the competitor wins the race
+        return real_partial(df, spec)
+
+    monkeypatch.setattr(mv, "_partial_agg", racing_partial)
+    with pytest.raises(mf.CommitConflict):
+        mv.refresh_mv(spark, view)
+    monkeypatch.setattr(mv, "_partial_agg", real_partial)
+
+    # the competitor's refresh is intact and NOT double-counted
+    got = {r.k: (r.n, r.total) for r in mv.read_mv(spark, view).collect()}
+    assert got == {"a": (2, 3.0)}

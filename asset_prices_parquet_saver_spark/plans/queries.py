@@ -9830,6 +9830,73 @@ def mv_top_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- S7+ zone-map data skipping, gated END-TO-END: build a manifest
+# table whose four segments hold disjoint day-of-month weeks (footer
+# min/max harvested at commit via stats_cols), then answer a one-week
+# range question through read_range — the body ASSERTS the zone map
+# kept exactly ONE of the four segments before Spark listed a file,
+# so the hash certifies the pruned read is semantically identical to
+# filtering everything (manifest.py prune_segments/read_range was
+# previously test-only). At 100 TB this two-level skip (segments via
+# the manifest, row groups via the pushed residual predicate) is the
+# difference between a week-sized scan and a table-sized one.
+@q(
+    "zone_map_pruned_read",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE EXTRACT(day FROM ts) BETWEEN 10 AND 16
+    GROUP BY event_type
+    """,
+)
+def zone_map_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: segment-level data skipping — commit-time zone map prunes
+    3 of 4 week-segments, residual predicate pushes into the surviving
+    scan (sources/manifest.py read_range)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("day_n"),
+        "value",
+    )
+    root = _tempfile.mkdtemp(prefix="zm_gate_")
+    tbl = f"{root}/events_by_week"
+    try:
+        weeks = [(1, 8), (9, 16), (17, 24), (25, 31)]
+        mf.commit_versioned(
+            ev.filter(F.col("day_n").between(*weeks[0])),
+            tbl,
+            stats_cols=["day_n"],
+        )
+        for lo, hi in weeks[1:]:
+            mf.commit_append(
+                ev.filter(F.col("day_n").between(lo, hi)),
+                tbl,
+                stats_cols=["day_n"],
+            )
+        kept, total = mf.prune_segments(tbl, "day_n", 10, 16)
+        assert (len(kept), total) == (1, 4), (kept, total)
+        pruned = mf.read_range(spark, tbl, "day_n", 10, 16)
+        return (
+            pruned.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9859,6 +9926,7 @@ _GATE_ORDER = [
     "merge_null_delete_keeps_rows",
     "mv_hist_rollup_quantiles",
     "mv_top_event_days",
+    "zone_map_pruned_read",
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
@@ -9902,9 +9970,9 @@ _GATE_ORDER = [
     "customer_order_distribution",
     "dedup_cluster_sizes",
     "document_chunks",
-    "document_chunks_overlap",
     # ---- position-50 marker: entries below are OUTSIDE the
     # driver window this round (demoted with r8+ evidence)
+    "document_chunks_overlap",
     "dq_report",
     "retrieval_mrr",
     "mv_streaming_parity",

@@ -240,6 +240,7 @@ HEADLINE = [
     "mv_value_quantiles",
     "mv_hist_rollup_quantiles",
     "mv_top_event_days",
+    "zone_map_pruned_read",
 ]
 
 

@@ -197,24 +197,15 @@ def _mg_truncate(entries, capacity: int):
     return F.map_from_entries(kept)
 
 
-def _topk_partial(df: DataFrame, keys: list[str], col: str, params: dict):
-    """Misra-Gries partial state for one topk agg over a slice of the
-    base: exact (group, value) counts (one map-side-combinable
-    aggregation), per-group rank by (count DESC, value ASC), keep the
-    top capacity+1, collect (a BOUNDED list — at most capacity+1
-    structs per group), then the offset truncation. NULL values are
-    not counted, matching COUNT(col)."""
+def _mg_state_from_counts(pre: DataFrame, keys: list[str], capacity: int):
+    """(keys, __v, __c) counts → per-keys Misra-Gries state ``__tk``:
+    rank by (count DESC, value ASC), keep the top capacity+1 (so the
+    collect_list is BOUNDED at capacity+1 structs per group), then the
+    offset truncation. Shared by the base-slice partial and the rollup
+    re-merge — the tie-break, the bound, and the truncation must never
+    drift between them (the gated hashes certify both)."""
     from pyspark.sql.window import Window
 
-    capacity = int(params["capacity"])
-    pre = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(
-            *[F.col(k) for k in keys],
-            F.col(col).cast("string").alias("__v"),
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
     w = Window.partitionBy(*keys).orderBy(F.desc("__c"), F.asc("__v"))
     ranked = (
         pre.withColumn("__r", F.row_number().over(w))
@@ -232,6 +223,22 @@ def _topk_partial(df: DataFrame, keys: list[str], col: str, params: dict):
             capacity,
         ).alias("__tk")
     )
+
+
+def _topk_partial(df: DataFrame, keys: list[str], col: str, params: dict):
+    """Misra-Gries partial state for one topk agg over a slice of the
+    base: exact (group, value) counts (one map-side-combinable
+    aggregation), then the shared rank/collect/truncate pipeline.
+    NULL values are not counted, matching COUNT(col)."""
+    pre = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            *[F.col(k) for k in keys],
+            F.col(col).cast("string").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return _mg_state_from_counts(pre, keys, int(params["capacity"]))
 
 
 def _join_state(main: DataFrame, extra: DataFrame, keys: list[str],
@@ -578,7 +585,15 @@ def create_mv(
                     f"capacity}}; got {p!r}"
                 )
     base_v, base_segs = _base_segments(base_table)
-    state = _partial_agg(mf.read_versioned(spark, base_table), spec)
+    # version-PINNED base read: an unpinned read re-resolves the
+    # manifest at scan time, so a concurrent base append landing after
+    # _base_segments() would be folded into the state but missing from
+    # spec["base_segments"] — the next incremental refresh would then
+    # re-fold it as a "new" segment and silently double-count (the
+    # base-side twin of the view-side torn read _spec_snapshot fixes)
+    state = _partial_agg(
+        mf.read_versioned(spark, base_table, version=base_v), spec
+    )
     spec["base_version"], spec["base_segments"] = base_v, base_segs
     return mf.commit_versioned(state, mv_table, meta={"mv_spec": spec})
 
@@ -616,8 +631,12 @@ def refresh_mv(spark: SparkSession, mv_table: str) -> str:
         state = _combine(old, delta, spec)
         mode = "incremental"
     else:
+        # pinned to base_v for the same reason as create_mv: a base
+        # append racing this full recompute must not slip rows into
+        # state that spec["base_segments"] doesn't record
         state = _partial_agg(
-            mf.read_versioned(spark, spec["base_table"]), spec
+            mf.read_versioned(spark, spec["base_table"], version=base_v),
+            spec,
         )
         mode = "full"
     spec["base_version"], spec["base_segments"] = base_v, base_segs
@@ -729,12 +748,9 @@ def rollup_mv(
         # Misra-Gries rollup: explode every fine-grain map into
         # (rolled keys, value, count) rows, sum counts (summing ALL
         # sibling maps before ONE truncation is at least as accurate
-        # as pairwise merging), then the same rank/collect/truncate
-        # path the partials use — rows here are |view-state| × ≤
-        # capacity entries, never base-table sized.
-        from pyspark.sql.window import Window
-
-        capacity = int(params["capacity"])
+        # as pairwise merging), then the SHARED rank/collect/truncate
+        # pipeline — rows here are |view-state| × ≤ capacity entries,
+        # never base-table sized.
         pre = (
             state.select(
                 *[F.col(g) for g in group_cols],
@@ -746,25 +762,8 @@ def rollup_mv(
             )
             .agg(F.sum("__e.value").alias("__c"))
         )
-        w = Window.partitionBy(*group_cols).orderBy(
-            F.desc("__c"), F.asc("__v")
-        )
-        ranked = (
-            pre.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= capacity + 1)
-        )
-        tk = ranked.groupBy(*[F.col(g) for g in group_cols]).agg(
-            _mg_truncate(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("__c")).alias("nc"),
-                            F.col("__v").alias("k"),
-                        )
-                    )
-                ),
-                capacity,
-            ).alias("__tk")
+        tk = _mg_state_from_counts(
+            pre, group_cols, int(params["capacity"])
         )
         rolled = _join_state(rolled, tk, group_cols, st_col)
     narrowed = dict(spec, group_cols=list(group_cols))

@@ -691,7 +691,12 @@ def test_mv_topk_partial_is_preaggregated_and_bounded(spark, tmp_path):
     assert plan.count("HashAggregate") >= 2
     # the rank filter bounds the collect: row_number <= capacity+1
     assert "row_number" in plan
-    assert "5" in plan  # capacity+1 literal in the Filter
+    # the rank filter must bound at capacity+1 (= 5), not capacity:
+    # match the actual predicate, not a bare '5' (which appears in
+    # virtually any plan dump)
+    import re as _re
+
+    assert _re.search(r"__r#\d+ <= 5", plan), plan
     # the final state still carries both columns
     assert set(state.columns) == {"k", "__n_cnt", "__top_topk"}
 

@@ -9897,6 +9897,117 @@ def zone_map_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+# --- S7+ mergeable Bloom seen-set MV kind (`bloom`), gated
+# END-TO-END with the ENTIRE filter replayed by the oracle: seed a
+# manifest table with the event_id%4==0 quarter of events, create a
+# view holding a per-event_type Bloom filter of user_ids (m=1920 bits
+# as 32 sixty-bit words, k=4 via Kirsch-Mitzenmacher double hashing
+# over the two md5-int60 halves), append the %4==1 quarter, refresh
+# incrementally (asserted — the bit-OR combine), then PROBE every
+# distinct (event_type, user_id). DuckDB rebuilds the same words
+# (identical md5/mod/shift arithmetic — every intermediate < 2^60, so
+# wrapping-vs-checked 64-bit engines cannot diverge) and replays the
+# membership checks, so the hash certifies the filter's exact bit
+# pattern AND the probe semantics: no false negatives by
+# construction, false positives wherever both engines' bits say so.
+@q(
+    "bloom_seen_users",
+    f"""
+    WITH seed AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE event_id % 4 <= 1 AND user_id IS NOT NULL
+    ), hx AS (
+      SELECT event_type, v, substr(md5(v), 1, 15) AS a,
+             substr(md5(v), 16, 15) AS b
+      FROM seed
+    ), h AS (
+      SELECT event_type, v,
+             {ph.sql_hex15_int('a')} % 1920 AS h1,
+             {ph.sql_hex15_int('b')} % 1920 AS h2m
+      FROM hx
+    ), bits AS (
+      SELECT event_type,
+             (h1 + j * (h2m + (1 - (h2m % 2)))) % 1920 AS bit
+      FROM h, range(4) t(j)
+    ), words AS (
+      SELECT event_type, CAST(bit // 60 AS INT) AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 60 AS INT)) AS wv
+      FROM bits GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE user_id IS NOT NULL
+    ), phx AS (
+      SELECT event_type, v, substr(md5(v), 1, 15) AS a,
+             substr(md5(v), 16, 15) AS b
+      FROM probes
+    ), ph2 AS (
+      SELECT event_type, v,
+             {ph.sql_hex15_int('a')} % 1920 AS h1,
+             {ph.sql_hex15_int('b')} % 1920 AS h2m
+      FROM phx
+    ), pbits AS (
+      SELECT event_type, v,
+             (h1 + j * (h2m + (1 - (h2m % 2)))) % 1920 AS bit
+      FROM ph2, range(4) t(j)
+    ), checked AS (
+      SELECT p.event_type, p.v,
+             CASE WHEN w.wv IS NULL THEN FALSE
+                  ELSE (w.wv &
+                        (CAST(1 AS BIGINT) << CAST(p.bit % 60 AS INT)))
+                       <> 0
+             END AS bit_set
+      FROM pbits p LEFT JOIN words w
+        ON p.event_type = w.event_type
+       AND CAST(p.bit // 60 AS INT) = w.w
+    )
+    SELECT event_type, CAST(v AS BIGINT) AS user_id,
+           CAST(CASE WHEN bool_and(bit_set) THEN 1 ELSE 0 END AS INT)
+             AS might_contain
+    FROM checked GROUP BY 1, 2
+    """,
+)
+def bloom_seen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+: mergeable Bloom seen-set MV kind — bit-OR state, engine-
+    portable double hashing, membership probes with no false negatives
+    (sources/matview.py `bloom`, bloom_probe_mv)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+    from asset_prices_parquet_saver_spark.sources import matview as mv_ops
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = _tempfile.mkdtemp(prefix="bl_gate_")
+    base, view = f"{root}/events", f"{root}/mv"
+    try:
+        mf.commit_versioned(ev.filter(F.col("event_id") % 4 == 0), base)
+        mv_ops.create_mv(
+            spark,
+            view,
+            base,
+            ["event_type"],
+            [
+                ["n", "count", None],
+                ["seen", "bloom", "user_id", {"m": 1920, "hashes": 4}],
+            ],
+        )
+        mf.commit_append(ev.filter(F.col("event_id") % 4 == 1), base)
+        mode = mv_ops.refresh_mv(spark, view)
+        assert mode == "incremental", mode
+        probes = (
+            ev.filter(F.col("user_id").isNotNull())
+            .select("event_type", "user_id")
+            .distinct()
+        )
+        return mv_ops.bloom_probe_mv(
+            spark, view, probes, "seen", "user_id"
+        ).localCheckpoint()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 # Gate-window rotation policy (see COVERAGE.md header): the external
 # gate hash-checks only the FIRST 50 registry entries, so each round
 # the window is rebuilt to prioritize (1) queries with NO driver hash
@@ -9927,6 +10038,7 @@ _GATE_ORDER = [
     "mv_hist_rollup_quantiles",
     "mv_top_event_days",
     "zone_map_pruned_read",
+    "bloom_seen_users",
     "order_priority_stats",
     "pack_training_shards",
     "parse_error_message",
@@ -9969,9 +10081,9 @@ _GATE_ORDER = [
     "curated_corpus",
     "customer_order_distribution",
     "dedup_cluster_sizes",
-    "document_chunks",
     # ---- position-50 marker: entries below are OUTSIDE the
     # driver window this round (demoted with r8+ evidence)
+    "document_chunks",
     "document_chunks_overlap",
     "dq_report",
     "retrieval_mrr",

@@ -59,6 +59,19 @@ EXACT and merge-order-independent (the gated query runs in this
 regime so a plain SQL oracle replays it); the lossy regime's error
 bound is property-tested.
 
+``bloom`` state is a per-group Bloom filter (m bits packed into
+60-bit words — masks stay positive and identical under wrapping and
+checked 64-bit arithmetic) fed by Kirsch-Mitzenmacher double hashing
+over the two md5-int60 halves (functions/portable_hash.py), so every
+engine reproduces the exact bit pattern. Partials OR each row's k
+masks per word (map-side combinable); combine and rollup are
+element-wise ORs — order-independent, so incremental == from-scratch
+holds unconditionally. ``bloom_probe_mv`` answers membership with a
+|view|-sized join: no false negatives ever, false positives at the
+analytic (1-e^{-kn/m})^k rate — at 100 TB, "have we ingested this id"
+without an anti-join against the full base. The gated query replays
+the whole construction (hashing, words, probes) in DuckDB.
+
 View state lives in its own manifest table (atomic snapshot commits,
 time travel, CAS via ``expect_version``); the view spec rides INSIDE
 each state commit's manifest document (``meta["mv_spec"]``), so spec
@@ -82,7 +95,31 @@ MV_SPEC = "_MV_SPEC"
 _DEC = "decimal(38,6)"
 
 _KINDS = ("count", "count_col", "sum", "min", "max", "avg",
-          "approx_distinct", "hist", "topk")
+          "approx_distinct", "hist", "topk", "bloom")
+
+#: bloom state packs bits into 60-bit words: masks stay below 2^60, so
+#: every shift/OR is positive and identical under Spark's wrapping and
+#: DuckDB's checked 64-bit arithmetic (no sign-bit edge cases)
+_BLOOM_WORD = 60
+
+
+def _bloom_bits(value_col, m: int, k: int):
+    """The k bit positions of ``value_col`` in an m-bit filter, by
+    Kirsch-Mitzenmacher double hashing over the two md5-int60 halves:
+
+        bit_j = (h1 % m + j * h2') % m,  h2' = (h2 % m) forced odd
+
+    h1 = first 15 md5 hex chars as int, h2 = chars 16-30 — both
+    non-negative 60-bit ints every engine reproduces (functions/
+    portable_hash.py); reducing mod m BEFORE the j-multiply keeps all
+    intermediates tiny, so wrapping-vs-checked arithmetic can never
+    diverge. h2' odd makes the stride cycle the full table for
+    power-of-two-free m too. Returns a list of k bit Columns."""
+    s = value_col.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % m
+    h2m = F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % m
+    h2o = h2m + (1 - (h2m % 2))
+    return [(h1 + F.lit(j) * h2o) % m for j in range(k)]
 
 
 def _spec_path(mv_table: str) -> str:
@@ -154,6 +191,8 @@ def _state_cols(aggs: list[list]) -> list[tuple]:
             cols.append((f"__{out}_hist", "histadd", col, params))
         elif kind == "topk":
             cols.append((f"__{out}_topk", "mgmerge", col, params))
+        elif kind == "bloom":
+            cols.append((f"__{out}_bloom", "bitor", col, params))
         else:
             raise ValueError(f"unknown agg kind {kind!r}; one of {_KINDS}")
     return cols
@@ -323,6 +362,44 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
                     *[F.count(F.when(b == i, 1)) for i in range(bins + 2)]
                 ).alias(state)
             )
+        elif kind == "bitor":
+            # Bloom seen-set: per row, OR its k bit masks into the
+            # word each bit lands in; aggregate = per-word bit_or —
+            # map-side combinable and ORDER-INDEPENDENT, so the state
+            # is exactly the set of bits ever seen regardless of how
+            # the base was sliced. NULL values set no bits.
+            m, k = int(params["m"]), int(params["hashes"])
+            nwords = m // _BLOOM_WORD
+            bits = _bloom_bits(F.col(col), m, k)
+            words = [
+                F.floor(b / _BLOOM_WORD).cast("int") for b in bits
+            ]
+            masks = [
+                # call_function: the python shiftleft wrapper only
+                # takes a literal shift; the SQL function takes a column
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (b % _BLOOM_WORD).cast("int"),
+                )
+                for b in bits
+            ]
+            zero = F.lit(0).cast("long")
+            row_words = []
+            for w in range(nwords):
+                acc = zero
+                for wj, mj in zip(words, masks):
+                    acc = acc.bitwiseOR(
+                        F.when(
+                            F.col(col).isNotNull() & (wj == w), mj
+                        ).otherwise(zero)
+                    )
+                row_words.append(acc)
+            exprs.append(
+                F.array(
+                    *[F.bit_or(rw) for rw in row_words]
+                ).alias(state)
+            )
     if not exprs:
         # every agg is a topk: keep a row per group anyway (dropped by
         # _finalize, combined as a plain count)
@@ -386,6 +463,12 @@ def _combine(old: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
             merged = F.when(
                 both & ov.isNotNull() & dv.isNotNull(),
                 F.zip_with(ov, dv, lambda a, b: a + b),
+            ).otherwise(F.coalesce(ov, dv))
+        elif kind == "bitor":
+            # Bloom union = element-wise OR of the word arrays
+            merged = F.when(
+                both & ov.isNotNull() & dv.isNotNull(),
+                F.zip_with(ov, dv, lambda a, b: a.bitwiseOR(b)),
             ).otherwise(F.coalesce(ov, dv))
         elif kind == "mgmerge":
             # Misra-Gries merge: pointwise map addition (map_zip_with
@@ -496,6 +579,17 @@ def _finalize(state: DataFrame, spec: dict) -> DataFrame:
                 proj.append(
                     (-e["nc"]).cast("long").alias(f"{out}_{i}_n")
                 )
+        elif kind == "bloom":
+            # read = set-bit population (the filter's load, the number
+            # a capacity planner watches); membership probes go
+            # through bloom_probe_mv
+            proj.append(
+                F.aggregate(
+                    F.col(f"__{out}_bloom"),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + F.bit_count(x),
+                ).alias(f"{out}_bits")
+            )
         else:  # avg = exact-decimal sum / non-null count
             proj.append(
                 (
@@ -583,6 +677,20 @@ def create_mv(
                 raise ValueError(
                     "topk needs params {capacity >= 1, 1 <= k <= "
                     f"capacity}}; got {p!r}"
+                )
+        if kind == "bloom":
+            p = entry[3] if len(entry) > 3 else None
+            ok = (
+                isinstance(p, dict)
+                and int(p.get("m", 0)) >= _BLOOM_WORD
+                and int(p.get("m", 0)) % _BLOOM_WORD == 0
+                and int(p.get("m", 0)) <= 1 << 20
+                and 1 <= int(p.get("hashes", 0)) <= 8
+            )
+            if not ok:
+                raise ValueError(
+                    "bloom needs params {m: multiple of 60 in "
+                    f"[60, 2^20], hashes: 1..8}}; got {p!r}"
                 )
     base_v, base_segs = _base_segments(base_table)
     # version-PINNED base read: an unpinned read re-resolves the
@@ -741,6 +849,17 @@ def rollup_mv(
                     *[F.sum(F.element_at(c, i + 1)) for i in range(bins + 2)]
                 ).alias(st_col)
             )
+        elif kind == "bitor":
+            # bloom union across the rolled groups: per-word bit_or
+            nwords = int(params["m"]) // _BLOOM_WORD
+            exprs.append(
+                F.array(
+                    *[
+                        F.bit_or(F.element_at(c, w + 1))
+                        for w in range(nwords)
+                    ]
+                ).alias(st_col)
+            )
     if not exprs:
         exprs.append(F.count(F.lit(1)).alias("__rows"))
     rolled = state.groupBy(*[F.col(g) for g in group_cols]).agg(*exprs)
@@ -768,3 +887,69 @@ def rollup_mv(
         rolled = _join_state(rolled, tk, group_cols, st_col)
     narrowed = dict(spec, group_cols=list(group_cols))
     return _finalize(rolled, narrowed)
+
+
+def bloom_probe_mv(
+    spark: SparkSession,
+    mv_table: str,
+    probes: DataFrame,
+    agg_out: str,
+    probe_col: str,
+) -> DataFrame:
+    """Membership probe against a ``bloom`` agg's seen-set: for each
+    probe row (carrying the view's group columns + ``probe_col``),
+    answer whether the filter MIGHT contain the value — the classic
+    Bloom contract: no false negatives ever (every value folded into
+    the state answers 1), false positives at the m/k/n-governed rate.
+
+    The probe recomputes the value's k bit positions with the same
+    md5-double-hash the writer used and checks them against the
+    group's word array through one null-safe LEFT join keyed on the
+    (view-sized) group columns — at 100 TB the filter answers
+    "have we ingested this id before" with a |view|-sized join
+    instead of an anti-join against the full base table. A group the
+    view has never seen (NULL state) answers 0 for every probe.
+
+    Returns the probe rows plus an INT ``might_contain`` column
+    (1/0 — INT, not BOOLEAN, so driver canons hash it identically)."""
+    mv_v, spec = _spec_snapshot(mv_table)
+    entry = next(
+        (e for e in spec["aggs"] if e[0] == agg_out and e[1] == "bloom"),
+        None,
+    )
+    if entry is None:
+        raise ValueError(
+            f"{mv_table} has no bloom agg named {agg_out!r}"
+        )
+    params = entry[3]
+    m, k = int(params["m"]), int(params["hashes"])
+    keys = spec["group_cols"]
+    state_col = f"__{agg_out}_bloom"
+    state = mf.read_versioned(spark, mv_table, version=mv_v).select(
+        *keys, state_col
+    )
+    p = probes.alias("p")
+    s = state.alias("s")
+    cond = None
+    for kcol in keys:
+        c = F.col(f"p.{kcol}").eqNullSafe(F.col(f"s.{kcol}"))
+        cond = c if cond is None else (cond & c)
+    j = p.join(s, cond if cond is not None else F.lit(True), "left_outer")
+    arr = F.col(f"s.{state_col}")
+    bits = _bloom_bits(F.col(f"p.{probe_col}"), m, k)
+    hit = F.lit(True)
+    for b in bits:
+        word = F.floor(b / _BLOOM_WORD).cast("int")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (b % _BLOOM_WORD).cast("int")
+        )
+        hit = hit & (
+            F.try_element_at(arr, word + 1).bitwiseAND(mask) != 0
+        )
+    out_cols = [F.col(f"p.{c}") for c in probes.columns]
+    return j.select(
+        *out_cols,
+        F.when(arr.isNull() | F.col(f"p.{probe_col}").isNull(), F.lit(0))
+        .otherwise(hit.cast("int"))
+        .alias("might_contain"),
+    )

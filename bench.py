@@ -241,6 +241,7 @@ HEADLINE = [
     "mv_hist_rollup_quantiles",
     "mv_top_event_days",
     "zone_map_pruned_read",
+    "bloom_seen_users",
 ]
 
 

@@ -759,3 +759,132 @@ def test_mv_topk_only_view_and_param_validation(spark, tmp_path):
             mv.create_mv(
                 spark, str(tmp_path / "bad"), base, ["k"], [entry]
             )
+
+
+# --------------------------------------------------------------- bloom
+
+
+def _bloom_bits_py(v: str, m: int = 1920, k: int = 4) -> list[int]:
+    """Pure-Python twin of matview._bloom_bits (Kirsch-Mitzenmacher
+    over the two md5-int60 halves, stride forced odd)."""
+    import hashlib
+
+    hx = hashlib.md5(v.encode()).hexdigest()
+    h1 = int(hx[:15], 16) % m
+    h2m = int(hx[15:30], 16) % m
+    h2o = h2m + (1 - (h2m % 2))
+    return [(h1 + j * h2o) % m for j in range(k)]
+
+
+def test_mv_bloom_state_matches_python_and_is_order_independent(
+    spark, tmp_path
+):
+    """The committed word array equals the pure-Python construction
+    exactly, and incremental == scratch unconditionally (bit-OR is
+    order-independent — no lossy regime to carve out)."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    vals1 = [f"u{i}" for i in range(30)]
+    vals2 = [f"w{i}" for i in range(20)]
+    mf.commit_versioned(_mk_s(spark, [("g", v) for v in vals1]), base)
+    aggs = [["seen", "bloom", "v", {"m": 1920, "hashes": 4}]]
+    mv.create_mv(spark, view, base, ["k"], aggs)
+    mf.commit_append(
+        _mk_s(spark, [("g", v) for v in vals2] + [("g", None)]), base
+    )
+    assert mv.refresh_mv(spark, view) == "incremental"
+
+    words = [0] * 32
+    for v in vals1 + vals2:
+        for b in _bloom_bits_py(v):
+            words[b // 60] |= 1 << (b % 60)
+    state = mf.read_versioned(spark, view).collect()[0]
+    assert list(state["__seen_bloom"]) == words
+
+    scratch = str(tmp_path / "mv2")
+    mv.create_mv(spark, scratch, base, ["k"], aggs)
+    assert (
+        mf.read_versioned(spark, scratch).collect()[0]["__seen_bloom"]
+        == state["__seen_bloom"]
+    )
+
+
+def test_mv_bloom_probe_no_false_negatives_and_bounded_fpr(
+    spark, tmp_path
+):
+    """Every inserted value probes 1 (the Bloom contract); a disjoint
+    probe set's false-positive rate stays within 3x the analytic
+    (1 - e^{-kn/m})^k bound."""
+    import math
+
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    n, m, k = 120, 1920, 4
+    seen = [f"u{i}" for i in range(n)]
+    mf.commit_versioned(_mk_s(spark, [("g", v) for v in seen]), base)
+    mv.create_mv(
+        spark, view, base, ["k"],
+        [["seen", "bloom", "v", {"m": m, "hashes": k}]],
+    )
+    probes = _mk_s(
+        spark,
+        [("g", v) for v in seen]
+        + [("g", f"miss{i}") for i in range(3000)]
+        + [("other", "u0"), ("g", None)],
+    )
+    got = {
+        (r.k, r.v): r.might_contain
+        for r in mv.bloom_probe_mv(spark, view, probes, "seen", "v").collect()
+    }
+    assert all(got[("g", v)] == 1 for v in seen), "false negative"
+    assert got[("other", "u0")] == 0  # unseen group -> NULL state -> 0
+    assert got[("g", None)] == 0
+    fpr = sum(got[("g", f"miss{i}")] for i in range(3000)) / 3000
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert fpr <= 3 * bound + 0.01, (fpr, bound)
+
+
+def test_mv_bloom_rollup_unions_groups(spark, tmp_path):
+    """Rolling up (k, sub) -> (k) ORs the sub-filters: every value
+    inserted under ANY sub still probes 1 at the coarse grain."""
+    base, view = str(tmp_path / "base"), str(tmp_path / "mv")
+    rows = [("a", "s1", "x"), ("a", "s2", "y"), ("b", "s1", "z")]
+    mf.commit_versioned(
+        spark.createDataFrame(rows, "k STRING, sub STRING, v STRING"),
+        base,
+    )
+    mv.create_mv(
+        spark, view, base, ["k", "sub"],
+        [["seen", "bloom", "v", {"m": 1920, "hashes": 4}],
+         ["n", "count", None]],
+    )
+    rolled = mv.rollup_mv(spark, view, ["k"])
+    got = {r.k: (r.seen_bits, r.n) for r in rolled.collect()}
+    # 2 values x 4 hashes per group-a filter (collisions possible)
+    assert got["a"][1] == 2 and 4 <= got["a"][0] <= 8
+    assert got["b"][1] == 1 and 1 <= got["b"][0] <= 4
+    # cross-check the rolled bit count against python
+    words = [0] * 32
+    for v in ("x", "y"):
+        for b in _bloom_bits_py(v):
+            words[b // 60] |= 1 << (b % 60)
+    assert got["a"][0] == sum(bin(w).count("1") for w in words)
+
+
+def test_mv_bloom_param_validation(spark, tmp_path):
+    base = str(tmp_path / "base")
+    mf.commit_versioned(_mk_s(spark, [("a", "x")]), base)
+    for bad in (None, {}, {"m": 1919, "hashes": 4},
+                {"m": 0, "hashes": 4}, {"m": 1920, "hashes": 0},
+                {"m": 1920, "hashes": 9}, {"m": 1 << 21, "hashes": 4}):
+        entry = (["s", "bloom", "v"] if bad is None
+                 else ["s", "bloom", "v", bad])
+        with pytest.raises(ValueError, match="bloom needs params"):
+            mv.create_mv(spark, str(tmp_path / "bad"), base, ["k"], [entry])
+    with pytest.raises(ValueError, match="no bloom agg named"):
+        view = str(tmp_path / "ok")
+        mv.create_mv(
+            spark, view, base, ["k"],
+            [["s", "bloom", "v", {"m": 1920, "hashes": 4}]],
+        )
+        mv.bloom_probe_mv(
+            spark, view, _mk_s(spark, [("a", "x")]), "nope", "v"
+        )

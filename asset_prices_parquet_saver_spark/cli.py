@@ -394,6 +394,23 @@ def _cmd_mv(args) -> int:
         print(f"refreshed {args.view}: {mode}")
     elif args.action == "read":
         mv_ops.read_mv(spark, args.view).show(args.limit, truncate=False)
+    elif args.action == "probe":
+        if not args.agg or not args.probes or not args.col:
+            print("mv probe requires --agg --probes --col",
+                  file=sys.stderr)
+            return 2
+        try:
+            res = mv_ops.bloom_probe_mv(
+                spark,
+                args.view,
+                spark.read.parquet(args.probes),
+                args.agg,
+                args.col,
+            )
+        except ValueError as e:
+            print(f"mv probe: {e}", file=sys.stderr)
+            return 2
+        res.show(args.limit, truncate=False)
     else:  # rollup
         if not args.group_cols:
             print("mv rollup requires --group-cols", file=sys.stderr)
@@ -514,11 +531,19 @@ def main(argv: list[str] | None = None) -> int:
     ex.set_defaults(fn=_cmd_explain)
 
     mvp = sub.add_parser("mv", help="materialized-view lifecycle")
-    mvp.add_argument("action", choices=["create", "refresh", "read", "rollup"])
+    mvp.add_argument(
+        "action", choices=["create", "refresh", "read", "rollup", "probe"]
+    )
     mvp.add_argument("view", help="view manifest-table path")
     mvp.add_argument("--base", help="base manifest-table path (create)")
     mvp.add_argument("--group-cols", help="comma-separated group columns")
     mvp.add_argument("--aggs", help='JSON agg spec (create)')
+    mvp.add_argument("--agg", help="bloom agg output name (probe)")
+    mvp.add_argument(
+        "--probes",
+        help="parquet of probe rows: group columns + the probe column",
+    )
+    mvp.add_argument("--col", help="probe value column (probe)")
     mvp.add_argument(
         "--projection",
         help="semicolon-separated SQL select-exprs applied before grouping",

@@ -423,3 +423,41 @@ def test_cli_mv_topk_agg_spec(spark, tmp_path, capsys):
              "--group-cols", "k",
              "--aggs", '[["t","topk","v",{"capacity":2,"k":3}]]']
         )
+
+
+def test_cli_mv_bloom_probe(spark, tmp_path, capsys):
+    """mv probe: create a bloom view, probe a parquet of candidates,
+    seen values print 1; arg/name validation takes the rc=2 path."""
+    from asset_prices_parquet_saver_spark.cli import main
+    from asset_prices_parquet_saver_spark.sources import manifest as mf
+
+    base, view = str(tmp_path / "bb"), str(tmp_path / "bmv")
+    mf.commit_versioned(
+        spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "z")], "k STRING, v STRING"
+        ),
+        base,
+    )
+    rc = main(
+        ["mv", "create", view, "--base", base, "--group-cols", "k",
+         "--aggs",
+         '[["seen","bloom","v",{"m":1920,"hashes":4}],["n","count",null]]']
+    )
+    assert rc == 0
+    capsys.readouterr()
+    probes = str(tmp_path / "probes.parquet")
+    spark.createDataFrame(
+        [("a", "x"), ("a", "nope"), ("b", "z")], "k STRING, v STRING"
+    ).write.parquet(probes)
+    rc = main(
+        ["mv", "probe", view, "--agg", "seen", "--probes", probes,
+         "--col", "v"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "might_contain" in out
+    assert main(["mv", "probe", view]) == 2
+    rc = main(
+        ["mv", "probe", view, "--agg", "nope", "--probes", probes,
+         "--col", "v"]
+    )
+    assert rc == 2 and "no bloom agg" in capsys.readouterr().err

@@ -26,6 +26,7 @@ def with_global_row_number(
     order: list[Column],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Append a 1-based global row number under ``order``.
 
@@ -34,6 +35,11 @@ def with_global_row_number(
     before every key in partition *i+1*, so with unique keys the
     concatenation of sorted partitions IS the global sort; equal keys
     straddling a boundary would get an arbitrary relative numbering.
+
+    ``total_col`` additionally attaches the GLOBAL row count to every
+    row — it falls out of the same constant-size offsets frame for
+    free, so callers that need rn + total (ntile banding) avoid a
+    separate count aggregation and broadcast join.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -43,19 +49,33 @@ def with_global_row_number(
         .withColumn("__pid", F.spark_partition_id())
     )
     local = Window.partitionBy("__pid").orderBy(*order)
-    # Materialize ONCE at the branch point: the offsets branch must see
-    # the SAME partition boundaries as the data branch — two separate
+    # Pin ONCE at the branch point: the offsets branch must see the
+    # SAME partition boundaries as the data branch — two separate
     # executions of a range partitioner re-sample them, and without the
-    # barrier the plan also scans+shuffles the input twice.
-    d = d.withColumn("__lrn", F.row_number().over(local).cast("long")).localCheckpoint()
+    # barrier the plan also scans+shuffles the input twice. The
+    # checkpoint is LAZY: the plan cut (both branches read one shared
+    # RDD, so boundaries provably agree) happens at build time, while
+    # materialization folds into the first consuming job instead of a
+    # separate blocking job per call — chained callers (three ntile
+    # passes in rfm_segments) otherwise serialize into a job ladder.
+    d = d.withColumn(
+        "__lrn", F.row_number().over(local).cast("long")
+    ).localCheckpoint(eager=False)
     # partition sizes fall out of the local numbering: max local rn
     counts = d.groupBy("__pid").agg(F.max("__lrn").alias("__cnt"))
     # running sum over ≤ num_partitions rows — constant-size frame, the
     # one place a global window is safe by construction
     prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(prev), F.lit(0)).alias("__off")
-    )
+    proj = [
+        F.col("__pid"),
+        F.coalesce(F.sum("__cnt").over(prev), F.lit(0)).alias("__off"),
+    ]
+    if total_col is not None:
+        whole = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        proj.append(F.sum("__cnt").over(whole).alias(total_col))
+    offsets = counts.select(*proj)
     return (
         d.join(F.broadcast(offsets), "__pid")
         .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
@@ -93,8 +113,12 @@ def with_global_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # same barrier rationale as with_global_row_number: one execution of
-    # the range partitioner, shared by the data and totals branches
-    d = d.withColumn("__lcum", F.sum(value_col).over(local)).localCheckpoint()
+    # the range partitioner, shared by the data and totals branches —
+    # lazy for the same reason (plan cut now, materialization folded
+    # into the first consuming job)
+    d = d.withColumn("__lcum", F.sum(value_col).over(local)).localCheckpoint(
+        eager=False
+    )
     # re-aggregating the checkpointed frame is a read of materialized
     # rows, not a second scan+shuffle of the input (and unlike
     # max(__lcum), stays correct for negative values)
@@ -162,11 +186,12 @@ def global_ntile(
 ) -> DataFrame:
     """NTILE(n) over a global order without a single-partition window:
     global row number (distributed, see above) + the closed-form bucket
-    expression + one broadcast of the total count."""
-    numbered = with_global_row_number(df, order, rn_col="__rn")
-    total = numbered.agg(F.count("*").alias("__total"))
-    return (
-        numbered.crossJoin(F.broadcast(total))
-        .withColumn(band_col, ntile_expr(F.col("__rn"), F.col("__total"), n))
-        .drop("__rn", "__total")
+    expression. The total count rides in the same offsets broadcast
+    the row numbering already pays for (``total_col``), so there is no
+    separate count aggregation or second broadcast join."""
+    numbered = with_global_row_number(
+        df, order, rn_col="__rn", total_col="__total"
     )
+    return numbered.withColumn(
+        band_col, ntile_expr(F.col("__rn"), F.col("__total"), n)
+    ).drop("__rn", "__total")

@@ -138,8 +138,6 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
     # per-partition offset tables: one row per shuffle partition
     ("asset_prices_parquet_saver_spark/operators/globalorder.py",
      'd.join(F.broadcast(offsets), "__pid")'): 2,
-    ("asset_prices_parquet_saver_spark/operators/globalorder.py",
-     'numbered.crossJoin(F.broadcast(total))'): 1,
     # query-vector sets / pinned codebooks / probe lists / top-k cand
     ("asset_prices_parquet_saver_spark/operators/similarity.py",
      '.join(F.broadcast(qtable), ["query_id", "j", "code"])'): 1,

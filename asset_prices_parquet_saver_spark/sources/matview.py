@@ -310,6 +310,11 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
         df = df.selectExpr(*spec["projection"])
     exprs = []
     topks: list[tuple[str, str, dict]] = []
+    # (name, expr) per-row helper projections added below the groupBy,
+    # in order (later entries may reference earlier ones) — the bloom
+    # kind computes its hash/bit work once per row here instead of
+    # once per aggregate branch
+    pre_cols: list[tuple[str, object]] = []
     seen = set()
     for state, kind, col, params in _state_cols(spec["aggs"]):
         if state in seen:  # avg shares its sum with an explicit sum
@@ -367,44 +372,62 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
             # word each bit lands in; aggregate = per-word bit_or —
             # map-side combinable and ORDER-INDEPENDENT, so the state
             # is exactly the set of bits ever seen regardless of how
-            # the base was sliced. NULL values set no bits.
+            # the base was sliced. NULL values set no bits (a NULL
+            # hash makes every filter predicate NULL → dropped → the
+            # per-word fold returns its 0L seed, exactly the 0 mask
+            # the previous per-branch form produced).
+            #
+            # The md5 double-hash happens ONCE per row in a projection
+            # BELOW the aggregate (guide §1.2 per-task work): the k
+            # bit positions land in k plain long columns, and each
+            # per-row word expression is a k-branch WHEN chain over
+            # those cheap columns. The previous form re-embedded
+            # conv(md5(v)) in every (word, mask) branch — nwords×k
+            # copies per aggregate blew the plan to ~430 KB (multi-MiB
+            # task binaries, janino-compile floor) and made this the
+            # most expensive partial in the MV family
+            # (bloom_seen_users 15-24 s solo at sf0.1; ~2 s after).
+            # NOT array HOFs: a transform/aggregate/filter form of the
+            # same fold measured ~50 s at sf0.1 (interpreted HOF
+            # evaluation under the aggregate, codegen on or off) vs
+            # 2.6 s for this branch form — see OPTIMIZATION_r12.md.
             m, k = int(params["m"]), int(params["hashes"])
             nwords = m // _BLOOM_WORD
-            bits = _bloom_bits(F.col(col), m, k)
-            words = [
-                F.floor(b / _BLOOM_WORD).cast("int") for b in bits
-            ]
-            masks = [
-                # call_function: the python shiftleft wrapper only
-                # takes a literal shift; the SQL function takes a column
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    (b % _BLOOM_WORD).cast("int"),
-                )
-                for b in bits
-            ]
+            bit_names = [f"__{state}_bit{j}" for j in range(k)]
+            for name, b in zip(bit_names, _bloom_bits(F.col(col), m, k)):
+                pre_cols.append((name, b))
             zero = F.lit(0).cast("long")
-            row_words = []
+            word_ors = []
             for w in range(nwords):
                 acc = zero
-                for wj, mj in zip(words, masks):
+                for name in bit_names:
+                    bj = F.col(name)
                     acc = acc.bitwiseOR(
                         F.when(
-                            F.col(col).isNotNull() & (wj == w), mj
+                            bj.isNotNull()
+                            & (F.floor(bj / _BLOOM_WORD).cast("int") == w),
+                            # call_function: the python shiftleft
+                            # wrapper only takes a literal shift; the
+                            # SQL function takes a column
+                            F.call_function(
+                                "shiftleft",
+                                F.lit(1).cast("long"),
+                                (bj % _BLOOM_WORD).cast("int"),
+                            ),
                         ).otherwise(zero)
                     )
-                row_words.append(acc)
+                word_ors.append(acc)
             exprs.append(
-                F.array(
-                    *[F.bit_or(rw) for rw in row_words]
-                ).alias(state)
+                F.array(*[F.bit_or(rw) for rw in word_ors]).alias(state)
             )
     if not exprs:
         # every agg is a topk: keep a row per group anyway (dropped by
         # _finalize, combined as a plain count)
         exprs.append(F.count(F.lit(1)).alias("__rows"))
-    out = df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
+    agg_in = df
+    for name, expr in pre_cols:
+        agg_in = agg_in.withColumn(name, expr)
+    out = agg_in.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
     for state, col, params in topks:
         out = _join_state(
             out,

@@ -1389,29 +1389,41 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # Per round: ONE join + ONE min-aggregate, one Spark job. A node's
+    # own label rides as a self-message unioned under the neighbor
+    # messages, so min(messages) == least(own, neighbor-min) and the
+    # old join-back of nbr_min onto labels (a second exchange per
+    # round) disappears. The checkpoint is LAZY because the
+    # convergence aggregate right below scans every partition — it
+    # materializes the blocks in the same job, where the old eager
+    # form paid a separate checkpoint job before its count; both
+    # references to the previous round's `labels` (message join +
+    # self-message union) read fully-materialized blocks, so laziness
+    # cannot duplicate upstream work (the blanket-lazy trap this round
+    # documented in OPTIMIZATION_r12.md).
+    #
+    # Convergence check: labels only ever DECREASE, so the label sum
+    # (exact, DECIMAL(38,0)) strictly decreases iff any node changed —
+    # one 1-row aggregate replaces the changed-flag count and needs no
+    # reference to the previous round's labels.
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
-                    "__changed"
-                ),
-            )
-        ).localCheckpoint()  # truncate lineage: iterative joins otherwise
-        # re-execute the whole history each round
-        changed = new_labels.filter("__changed").count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=False)  # materialized by the sum below
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

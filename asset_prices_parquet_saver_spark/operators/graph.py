@@ -233,9 +233,13 @@ def khop_min_hops(
             nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
+        # NO re-checkpoint of visited: it is a union of ≤ k relations
+        # that are each already checkpointed (sources + every
+        # frontier), so its plan stays k-bounded for free — the old
+        # per-round visited.localCheckpoint() re-wrote the ENTIRE
+        # visited set to block storage every iteration (O(Σ|frontier|)
+        # per round, one extra job each) for no lineage benefit.
         visited = visited.unionByName(nxt)
-        if checkpoint:
-            visited = visited.localCheckpoint()
         frontier = nxt
     return visited
 
@@ -277,20 +281,18 @@ def min_label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    # one join + one min-aggregate per round: the node's own label
+    # rides as a self-message under the neighbor messages, so
+    # min(messages) == least(own, neighbor-min) and the old join-back
+    # of nbr_min onto labels (a second exchange per round) disappears
+    # — same restructure as dedup.connected_components
     for _ in range(iterations):
-        nbr_min = (
-            und.join(labels, und["a"] == labels["node"])
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("label").alias("_nl"))
-        )
         labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
-                ).alias("label"),
-            )
+            und.join(labels, und["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         if checkpoint:
             labels = labels.localCheckpoint()

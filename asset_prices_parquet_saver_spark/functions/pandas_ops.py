@@ -68,6 +68,21 @@ def weighted_mean_per_group(
     )
 
 
+def spread(df: DataFrame, par: int | None = None) -> DataFrame:
+    """Round-robin repartition to full core parallelism — but ONLY when
+    the input is narrower than the core count (a small parquet scan
+    arrives in 1-3 partitions and would serialize an Arrow kernel on as
+    many cores). A corpus-scale input is already wide, and the old
+    unconditional ``repartition(par)`` would shuffle the ENTIRE payload
+    (text/vector bytes, plus the sort-before-repartition pass) to fix
+    parallelism it already had — guide §2.3: don't move heavy bytes for
+    free parallelism. Shared by every mapInPandas kernel entry point."""
+    par = par or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def chunked(frame, max_rows: int = 65536):
     """Yield a kernel's output pandas frame in row slices.
 

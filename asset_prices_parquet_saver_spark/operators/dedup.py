@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.functions.pandas_ops import spread
 from asset_prices_parquet_saver_spark.operators.similarity import auto_num_blocks
 
 # Session-scoped memo for the shared LSH front end (see minhash_dedup):
@@ -124,12 +125,9 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
                 shingles.extend(sh)
             yield from chunked(pd.DataFrame({"id": ids, "shingle": shingles}))
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(par)
-        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .mapInPandas(kernel, "id long, shingle string")
-    )
+    return spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).mapInPandas(kernel, "id long, shingle string")
 
 
 # ----------------------------------------------------- exact n-gram Jaccard
@@ -225,30 +223,40 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
 
     def hash_shingles(batches):
         ws = _re.compile(r"\s+", _re.ASCII)
+        # per-task shingle→hash memo (guide §4.5 heavyweight-init
+        # shape): duplicated corpora re-present the same shingles
+        # constantly (measured 99.6% repeat rate on the test fixtures;
+        # web corpora sit at 50-90%), so hash each distinct shingle
+        # once per task instead of once per occurrence. Bounded: a
+        # runaway vocabulary clears the memo rather than growing it.
+        memo: dict[str, int] = {}
+
+        def h(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                    "big",
+                    signed=True,
+                )
+                if len(memo) >= 1_000_000:
+                    memo.clear()
+                memo[s] = v
+            return v
+
         for pdf in batches:
             ids, arrs = [], []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
                 sh = _shingle_set(txt, n, ws)
                 hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "big",
-                            signed=True,
-                        )
-                        for s in sh
-                    ),
-                    dtype="int64",
-                    count=len(sh),
+                    (h(s) for s in sh), dtype="int64", count=len(sh)
                 )
                 ids.append(doc_id)
                 arrs.append(hs)
             yield from chunked(pd.DataFrame({"id": ids, "hs": arrs}), 8192)
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     docs = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(par)
+        spread(df.select(F.col(id_col), F.col(text_col)))
         .mapInPandas(hash_shingles, "id long, hs array<long>")
         .localCheckpoint()
     )
@@ -1247,10 +1255,8 @@ def _portable_signature_arrays(
                 pd.DataFrame({"id": ids, "arr": arrs, "sig": sigs}), 8192
             )
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(par)
+        spread(df.select(F.col(id_col), F.col(text_col)))
         .mapInPandas(kernel, "id long, arr array<long>, sig array<long>")
         .withColumn("n_sh", F.size("arr"))
     )
@@ -1566,9 +1572,8 @@ def simhash(
         token_hash = F.xxhash64
     # spread the token×bit fan-out across all cores — a small parquet
     # scan otherwise pins the whole explode on 1-3 partitions
-    par = df.sparkSession.sparkContext.defaultParallelism
     toks = (
-        df.repartition(par)
+        spread(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("tok"))
         .withColumn("th", token_hash(F.col("tok")))
     )
@@ -1745,12 +1750,9 @@ def window_rows(
                     )
             yield from chunked(pd.DataFrame({"id": ids, "pos": ps, "h": hs}))
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    return spread(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .repartition(par)
-        .mapInPandas(win_rows, "id long, pos int, h long")
-    )
+    ).mapInPandas(win_rows, "id long, pos int, h long")
 
 
 def duplicated_spans(
@@ -2075,10 +2077,10 @@ def cdc_chunk_rows(
                 )
             )
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .repartition(par)
+        spread(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        )
         .mapInPandas(
             cdc_rows, "id long, chunk_start int, chunk_end int, h long"
         )

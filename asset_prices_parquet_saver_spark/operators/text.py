@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.functions.pandas_ops import (
+    spread as spread_narrow,
+)
+
 from asset_prices_parquet_saver_spark.operators.dedup import words
 
 #: BPE-ish tokenizer: letter runs, digit runs, single other non-space.
@@ -341,11 +345,12 @@ def repetition_stats(
 
     # spread to full parallelism BEFORE the kernel: a small parquet
     # scan arrives in 1-3 partitions, which would serialize the per-doc
-    # gram building on as many cores (the same rule as shingle_arrays)
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # gram building on as many cores (the same rule as shingle_arrays);
+    # already-wide inputs are left alone (no payload shuffle at scale)
     counts = (
-        df.repartition(par)
-        .select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        spread_narrow(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        )
         .mapInPandas(gram_counts, "id long, k int, g string, c long")
     )
     per = counts.groupBy("id", "k").agg(
@@ -411,11 +416,10 @@ def top_ngrams(
             )
 
     # spread first — a small scan's 1-3 partitions would serialize the
-    # kernel on as many cores (see shingle_table)
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # kernel on as many cores (see shingle_table); already-wide inputs
+    # are left alone (no payload shuffle at scale)
     grams = (
-        df.repartition(par)
-        .select(F.col(text_col).alias("text"))
+        spread_narrow(df.select(F.col(text_col).alias("text")))
         .mapInPandas(gram_counts, "ngram string, c long")
     )
     return (
@@ -1450,14 +1454,14 @@ def dsir_log_weights(
                 pd.DataFrame({"id": ids, "tgt": tgs, "b": bs, "c": cs})
             )
 
-    par = df.sparkSession.sparkContext.defaultParallelism
     docb = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("text"),
-            target.cast("int").alias("tgt"),
+        spread_narrow(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("text"),
+                target.cast("int").alias("tgt"),
+            )
         )
-        .repartition(par)
         .mapInPandas(feature_counts, "id long, tgt int, b int, c long")
         .localCheckpoint()
     )

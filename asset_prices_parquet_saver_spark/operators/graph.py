@@ -121,7 +121,15 @@ def _pagerank_impl(
             ).alias("rank"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            # fixed-iteration mode references each round's ranks exactly
+            # once (the next round's contrib join), so the checkpoint
+            # can be LAZY: the plan is still cut per round, but the
+            # blocks materialize inside the caller's single action
+            # instead of one blocking job per round. Convergence mode
+            # (tol set) reads ranks twice per round (contrib join +
+            # delta-vs-prev) — keep the eager barrier there so the
+            # second reference hits blocks, not a racing recompute.
+            ranks = ranks.localCheckpoint(eager=tol is not None)
         if tol is not None:
             delta = (
                 ranks.join(

@@ -931,11 +931,23 @@ def lsh_ensemble_containment(
     )
     # a probe of size q prunes strata whose upper bound can't hold
     # ceil(t*q) shared shingles (containment >= t is impossible there);
-    # the TOP stratum is size-unbounded (all bigger sets cap into it)
+    # the TOP stratum is size-unbounded (all bigger sets cap into it).
+    # Probes also emit keys ONLY for strata the corpus actually
+    # occupies (a bounded ≤ max_stratum+1-row semi-join on the config):
+    # a key in an empty stratum collides with nothing by construction,
+    # so the candidate set is identical — but without the prune every
+    # probe pays explode+hash+shuffle for every configured stratum
+    # (measured at sf0.1: 155k probe keys for 294 probes, 94% of them
+    # in strata with zero corpus docs; 15× fewer keys after)
+    cfg_present = bounded_broadcast(
+        cfg.join(
+            c_sig.select(stratum.alias("p")).distinct(), "p", "left_semi"
+        )
+    )
     tq = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
     u = F.pow(F.lit(2.0), F.col("p") + 1) - 1
     probe_keys = (
-        p_sig.crossJoin(bounded_broadcast(cfg))
+        p_sig.crossJoin(cfg_present)
         .filter((F.col("p") == max_stratum) | (u >= tq))
         .select(
             F.col("id").alias("id_q"),

@@ -1027,6 +1027,10 @@ def build_ensemble_index(
         signature_frame,
     )
 
+    from asset_prices_parquet_saver_spark.sources.warehouse import (
+        heal_table_location,
+    )
+
     spark = corpus.sparkSession
     cfg = spark.createDataFrame(
         ensemble_band_config(threshold, q_min, num_hashes, max_stratum),
@@ -1058,6 +1062,7 @@ def build_ensemble_index(
         )
         .select("p", "band", bucket.alias("bucket"), "id", "arr", "n_sh")
     )
+    heal_table_location(spark, table)  # orphaned dir from a killed run
     (
         rows.write.bucketBy(num_buckets, "p", "band", "bucket")
         .sortBy("p", "band", "bucket")

@@ -42,6 +42,9 @@ from asset_prices_parquet_saver_spark.operators.dedup import (
 )
 from asset_prices_parquet_saver_spark.functions.portable_hash import md5_int60
 from asset_prices_parquet_saver_spark.sources import manifest
+from asset_prices_parquet_saver_spark.sources.warehouse import (
+    heal_table_location,
+)
 
 #: fault-injection seam (tests only): runs between the staging rewrite
 #: and the pre-publish drift check of :func:`compact_band_index`, i.e.
@@ -322,6 +325,7 @@ def ensure_band_index(
     silently forget the whole dedup history and re-accept every
     previously-seen near-duplicate."""
     if not spark.catalog.tableExists(table):
+        heal_table_location(spark, table)  # orphaned dir from a killed run
         staging = f"{table}_compacting"
         if spark.catalog.tableExists(staging):
             spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
@@ -524,11 +528,15 @@ def _compact_bucketed_index(
     # staging table exists, the previous compaction died between DROP
     # and RENAME and staging holds the only copy — renaming it into
     # place must precede the stale-staging drop below, which is safe
-    # only once the main table exists.
+    # only once the main table exists. heal first: the killed run may
+    # also have orphaned the main table's directory, which would block
+    # the rename into place.
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+        heal_table_location(spark, table)
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     with manifest.path_lock(_lock_path(spark, table, "compactor")):
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        heal_table_location(spark, staging)  # orphaned staging dir
         cur = spark.table(table)
         expect = sorted(cur.inputFiles())
         files_before = len(expect)
@@ -810,6 +818,7 @@ def ensure_window_index(
     a ``_compacting`` staging orphan holds the ONLY copy of the index
     and must be renamed back, never shadowed by an empty re-create."""
     if not spark.catalog.tableExists(table):
+        heal_table_location(spark, table)  # orphaned dir from a killed run
         staging = f"{table}_compacting"
         if spark.catalog.tableExists(staging):
             spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

@@ -1219,6 +1219,11 @@ def build_positional_index(
     pass and no corpus-side shuffle or full scan. Sorted within
     buckets by (term, id, pos) for row-group min/max skipping within
     the selected buckets."""
+    from asset_prices_parquet_saver_spark.sources.warehouse import (
+        heal_table_location,
+    )
+
+    heal_table_location(df.sparkSession, table)  # orphaned dir
     (
         positional_index(df, id_col, text_col, spread=True)
         .write.bucketBy(num_buckets, "term")

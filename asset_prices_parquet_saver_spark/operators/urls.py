@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.sources.warehouse import (
+    heal_table_location,
+)
+
 #: query parameters that identify a CLICK, not a resource — dropped
 #: during canonicalization (the standard tracking-param scrub list).
 TRACKING_PARAMS = (
@@ -158,6 +162,7 @@ def ensure_url_index(spark, table: str, num_buckets: int = 32) -> None:
     orphan holds the ONLY copy and must be renamed back, never
     shadowed by an empty re-create."""
     if not spark.catalog.tableExists(table):
+        heal_table_location(spark, table)  # orphaned dir from a killed run
         staging = f"{table}_compacting"
         if spark.catalog.tableExists(staging):
             spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

@@ -103,23 +103,19 @@ _KINDS = ("count", "count_col", "sum", "min", "max", "avg",
 _BLOOM_WORD = 60
 
 
-def _bloom_bits(value_col, m: int, k: int):
-    """The k bit positions of ``value_col`` in an m-bit filter, by
-    Kirsch-Mitzenmacher double hashing over the two md5-int60 halves:
-
-        bit_j = (h1 % m + j * h2') % m,  h2' = (h2 % m) forced odd
-
-    h1 = first 15 md5 hex chars as int, h2 = chars 16-30 — both
-    non-negative 60-bit ints every engine reproduces (functions/
-    portable_hash.py); reducing mod m BEFORE the j-multiply keeps all
-    intermediates tiny, so wrapping-vs-checked arithmetic can never
-    diverge. h2' odd makes the stride cycle the full table for
-    power-of-two-free m too. Returns a list of k bit Columns."""
-    s = value_col.cast("string")
-    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % m
-    h2m = F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % m
-    h2o = h2m + (1 - (h2m % 2))
-    return [(h1 + F.lit(j) * h2o) % m for j in range(k)]
+# Bloom bit positions (writer in _bloom_partial, prober in
+# bloom_probe_mv) use Kirsch-Mitzenmacher double hashing over the two
+# md5-int60 halves:
+#
+#     bit_j = (h1 % m + j * h2') % m,  h2' = (h2 % m) forced odd
+#
+# h1 = first 15 md5 hex chars as int, h2 = chars 16-30 — both
+# non-negative 60-bit ints every engine reproduces (functions/
+# portable_hash.py); reducing mod m BEFORE the j-multiply keeps all
+# intermediates tiny, so wrapping-vs-checked arithmetic can never
+# diverge. h2' odd makes the stride cycle the full table for
+# power-of-two-free m too. Both sites project h1/h2' once per row —
+# keep them textually in sync.
 
 
 def _spec_path(mv_table: str) -> str:
@@ -281,13 +277,16 @@ def _topk_partial(df: DataFrame, keys: list[str], col: str, params: dict):
 
 
 def _join_state(main: DataFrame, extra: DataFrame, keys: list[str],
-                state_col: str) -> DataFrame:
+                state_col: str, default=None) -> DataFrame:
     """Null-safe LEFT join of a secondary state relation (one column
     ``__tk``) onto the main state on the group keys — group keys can
     be NULL (groupBy keeps NULL groups), so plain equality would drop
     them. ``extra`` can never hold a group ``main`` lacks (both
     aggregate the same rows); a group absent from ``extra`` (all-NULL
-    input values) gets a NULL map, which every consumer guards."""
+    input values) gets a NULL map when ``default`` is None — every
+    topk consumer guards — or ``default`` (the bloom kind's all-zero
+    word array, the exact state its old inline form produced for an
+    all-NULL group)."""
     m = main.alias("m")
     e = extra.alias("e")
     cond = None
@@ -296,10 +295,82 @@ def _join_state(main: DataFrame, extra: DataFrame, keys: list[str],
         cond = c if cond is None else (cond & c)
     if cond is None:  # global view: no group columns, 1-row join
         cond = F.lit(True)
+    state = F.col("e.__tk")
+    if default is not None:
+        state = F.coalesce(state, default)
     proj = [F.col(f"m.{c}") for c in main.columns] + [
-        F.col("e.__tk").alias(state_col)
+        state.alias(state_col)
     ]
     return m.join(e, cond, "left_outer").select(*proj)
+
+
+def _bloom_partial(df: DataFrame, keys: list[str], col: str, params: dict):
+    """Bloom seen-set partial state for a slice of the base, shaped
+    linear in k (guide §1.2): project the two md5-int60 halves ONCE
+    per row, explode each row to its k (word, mask) pairs, and
+    aggregate ``bit_or(mask) GROUP BY group, word`` (map-side
+    combinable — the shuffle carries ≤ groups × occupied-words rows
+    per map partition, never base-table rows), then pack the occupied
+    words into the fixed nwords array. Bit-identical to the previous
+    inline form — same double-hash arithmetic, same 60-bit packing —
+    but the per-row cost is k struct builds instead of a
+    nwords × k WHEN chain (128 branches at m=1920, k=4), and the plan
+    shrinks from ~105 KB (multi-second janino compile, the residual
+    cost of bloom_seen_users at 8.2 s driver-measured) to ordinary
+    size. NULL values set no bits, matching the old fold's 0L seed."""
+    m, k = int(params["m"]), int(params["hashes"])
+    nwords = m // _BLOOM_WORD
+    s = F.col(col).cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % m
+    h2m = F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % m
+    bit = (F.col("__h1") + F.col("__j") * F.col("__h2o")) % m
+    per_word = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            *[F.col(kk) for kk in keys],
+            h1.alias("__h1"),
+            (h2m + (1 - (h2m % 2))).alias("__h2o"),
+        )
+        .select(
+            *[F.col(kk) for kk in keys],
+            "__h1",
+            "__h2o",
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("__j"),
+        )
+        .groupBy(
+            *[F.col(kk) for kk in keys],
+            F.floor(bit / _BLOOM_WORD).cast("int").alias("__w"),
+        )
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (bit % _BLOOM_WORD).cast("int"),
+                )
+            ).alias("__m")
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        per_word.groupBy(*[F.col(kk) for kk in keys])
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__w", "__m"))
+            ).alias("__wm")
+        )
+        .select(
+            *[F.col(kk) for kk in keys],
+            F.array(
+                *[
+                    F.coalesce(
+                        F.element_at(F.col("__wm"), F.lit(w)), zero
+                    )
+                    for w in range(nwords)
+                ]
+            ).alias("__tk"),
+        )
+    )
 
 
 def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
@@ -310,11 +381,7 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
         df = df.selectExpr(*spec["projection"])
     exprs = []
     topks: list[tuple[str, str, dict]] = []
-    # (name, expr) per-row helper projections added below the groupBy,
-    # in order (later entries may reference earlier ones) — the bloom
-    # kind computes its hash/bit work once per row here instead of
-    # once per aggregate branch
-    pre_cols: list[tuple[str, object]] = []
+    blooms: list[tuple[str, str, dict]] = []
     seen = set()
     for state, kind, col, params in _state_cols(spec["aggs"]):
         if state in seen:  # avg shares its sum with an explicit sum
@@ -368,72 +435,38 @@ def _partial_agg(df: DataFrame, spec: dict) -> DataFrame:
                 ).alias(state)
             )
         elif kind == "bitor":
-            # Bloom seen-set: per row, OR its k bit masks into the
-            # word each bit lands in; aggregate = per-word bit_or —
-            # map-side combinable and ORDER-INDEPENDENT, so the state
-            # is exactly the set of bits ever seen regardless of how
-            # the base was sliced. NULL values set no bits (a NULL
-            # hash makes every filter predicate NULL → dropped → the
-            # per-word fold returns its 0L seed, exactly the 0 mask
-            # the previous per-branch form produced).
-            #
-            # The md5 double-hash happens ONCE per row in a projection
-            # BELOW the aggregate (guide §1.2 per-task work): the k
-            # bit positions land in k plain long columns, and each
-            # per-row word expression is a k-branch WHEN chain over
-            # those cheap columns. The previous form re-embedded
-            # conv(md5(v)) in every (word, mask) branch — nwords×k
-            # copies per aggregate blew the plan to ~430 KB (multi-MiB
-            # task binaries, janino-compile floor) and made this the
-            # most expensive partial in the MV family
-            # (bloom_seen_users 15-24 s solo at sf0.1; ~2 s after).
-            # NOT array HOFs: a transform/aggregate/filter form of the
-            # same fold measured ~50 s at sf0.1 (interpreted HOF
-            # evaluation under the aggregate, codegen on or off) vs
-            # 2.6 s for this branch form — see OPTIMIZATION_r12.md.
-            m, k = int(params["m"]), int(params["hashes"])
-            nwords = m // _BLOOM_WORD
-            bit_names = [f"__{state}_bit{j}" for j in range(k)]
-            for name, b in zip(bit_names, _bloom_bits(F.col(col), m, k)):
-                pre_cols.append((name, b))
-            zero = F.lit(0).cast("long")
-            word_ors = []
-            for w in range(nwords):
-                acc = zero
-                for name in bit_names:
-                    bj = F.col(name)
-                    acc = acc.bitwiseOR(
-                        F.when(
-                            bj.isNotNull()
-                            & (F.floor(bj / _BLOOM_WORD).cast("int") == w),
-                            # call_function: the python shiftleft
-                            # wrapper only takes a literal shift; the
-                            # SQL function takes a column
-                            F.call_function(
-                                "shiftleft",
-                                F.lit(1).cast("long"),
-                                (bj % _BLOOM_WORD).cast("int"),
-                            ),
-                        ).otherwise(zero)
-                    )
-                word_ors.append(acc)
-            exprs.append(
-                F.array(*[F.bit_or(rw) for rw in word_ors]).alias(state)
-            )
+            # Bloom seen-set: a separate (group, word) bit_or
+            # aggregation joined onto the single-pass state — see
+            # _bloom_partial. Earlier shapes, both measured and
+            # rejected: the nwords×k WHEN chain (plan ~105 KB,
+            # janino-compile floor, bloom_seen_users 8.2 s
+            # driver-measured at sf0.1), and array HOFs
+            # (transform/aggregate/filter: ~50 s — interpreted HOF
+            # evaluation under the aggregate).
+            blooms.append((state, col, params))
+            continue
     if not exprs:
-        # every agg is a topk: keep a row per group anyway (dropped by
-        # _finalize, combined as a plain count)
+        # every agg is a topk/bloom: keep a row per group anyway
+        # (dropped by _finalize, combined as a plain count)
         exprs.append(F.count(F.lit(1)).alias("__rows"))
-    agg_in = df
-    for name, expr in pre_cols:
-        agg_in = agg_in.withColumn(name, expr)
-    out = agg_in.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
+    out = df.groupBy(*[F.col(g) for g in spec["group_cols"]]).agg(*exprs)
     for state, col, params in topks:
         out = _join_state(
             out,
             _topk_partial(df, spec["group_cols"], col, params),
             spec["group_cols"],
             state,
+        )
+    for state, col, params in blooms:
+        nwords = int(params["m"]) // _BLOOM_WORD
+        out = _join_state(
+            out,
+            _bloom_partial(df, spec["group_cols"], col, params),
+            spec["group_cols"],
+            state,
+            default=F.array(
+                *[F.lit(0).cast("long") for _ in range(nwords)]
+            ),
         )
     return out
 
@@ -951,7 +984,15 @@ def bloom_probe_mv(
     state = mf.read_versioned(spark, mv_table, version=mv_v).select(
         *keys, state_col
     )
-    p = probes.alias("p")
+    # md5 double-hash ONCE per probe row, projected below the join
+    # (guide §1.2): the k bit expressions each embedded conv(md5) twice
+    # — ~2k md5 evaluations per row for k=4
+    sval = F.col(probe_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(sval), 1, 15), 16, 10).cast("long") % m
+    h2m = F.conv(F.substring(F.md5(sval), 16, 15), 16, 10).cast("long") % m
+    p = probes.withColumns(
+        {"__bp_h1": h1, "__bp_h2o": h2m + (1 - (h2m % 2))}
+    ).alias("p")
     s = state.alias("s")
     cond = None
     for kcol in keys:
@@ -959,7 +1000,10 @@ def bloom_probe_mv(
         cond = c if cond is None else (cond & c)
     j = p.join(s, cond if cond is not None else F.lit(True), "left_outer")
     arr = F.col(f"s.{state_col}")
-    bits = _bloom_bits(F.col(f"p.{probe_col}"), m, k)
+    bits = [
+        (F.col("p.__bp_h1") + F.lit(jj) * F.col("p.__bp_h2o")) % m
+        for jj in range(k)
+    ]
     hit = F.lit(True)
     for b in bits:
         word = F.floor(b / _BLOOM_WORD).cast("int")

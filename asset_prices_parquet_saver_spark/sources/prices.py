@@ -55,6 +55,11 @@ def write_prices_bucketed(
     tables with matching bucketing join/aggregate on symbol without a
     shuffle — the co-location the reference got implicitly from
     one-file-per-symbol, kept at cluster scale."""
+    from asset_prices_parquet_saver_spark.sources.warehouse import (
+        heal_table_location,
+    )
+
+    heal_table_location(df.sparkSession, table)  # orphaned dir
     (
         df.select([f.name for f in BAR_SCHEMA.fields])
         .write.bucketBy(num_buckets, "symbol")

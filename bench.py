@@ -830,6 +830,18 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
+    # ALSO persist a per-core-count copy: the driver runs the bench
+    # twice (32-core headline + 8-core scaling probe) and the second
+    # run used to overwrite the first's full per-query report, leaving
+    # only the slowest-32 stdout sample as round evidence (r12's
+    # phantom "dropped queries"). A core-count-stamped file means two
+    # consecutive runs at different core counts both leave their full
+    # detail on disk. Additive only — BENCH_DETAIL.json and the stdout
+    # contract are unchanged.
+    cpus_label = os.environ.get("SPARK_GRAFT_CPUS", "default")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"BENCH_DETAIL.{cpus_label}c.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
 
     line_out = dict(out)
     line_out.pop("queries_sf2", None)

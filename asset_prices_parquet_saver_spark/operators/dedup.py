@@ -208,6 +208,12 @@ def _shingle_set(txt, n: int, ws) -> set:
     return set(w) if n == 1 else {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
 
 
+#: per-task shingle→hash memo toggle (hash-identical either way; see
+#: _hashed_shingle_rows). Module-level so an interleaved A/B can flip
+#: it between same-process runs — the kernel captures it at build time.
+_SHINGLE_MEMO = True
+
+
 def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
     """Shared first stage of the shingle pipelines: ``(sh, docs)`` where
     ``docs`` is (id, hs: array<long>) — one hashed-shingle-set row per
@@ -221,6 +227,8 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
 
     from asset_prices_parquet_saver_spark.functions.pandas_ops import chunked
 
+    use_memo = _SHINGLE_MEMO  # captured at kernel-BUILD time (A/B seam)
+
     def hash_shingles(batches):
         ws = _re.compile(r"\s+", _re.ASCII)
         # per-task shingle→hash memo (guide §4.5 heavyweight-init
@@ -231,7 +239,7 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
         # runaway vocabulary clears the memo rather than growing it.
         memo: dict[str, int] = {}
 
-        def h(s: str) -> int:
+        def h_memo(s: str) -> int:
             v = memo.get(s)
             if v is None:
                 v = int.from_bytes(
@@ -244,6 +252,14 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int):
                 memo[s] = v
             return v
 
+        def h_plain(s: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                "big",
+                signed=True,
+            )
+
+        h = h_memo if use_memo else h_plain
         for pdf in batches:
             ids, arrs = [], []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
@@ -418,6 +434,7 @@ def jaccard_pairs(
     strategy: str = "auto",
     dense_vocab_limit: int = 4096,
     suffix_filter: bool = False,
+    _pre: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """X2 baseline: ALL pairs with shingle-set Jaccard ≥ threshold —
     exact, via prefix filtering instead of a full shingle self-join.
@@ -458,7 +475,12 @@ def jaccard_pairs(
         with_global_row_number,
     )
 
-    sh, docs = _hashed_shingle_rows(df, id_col, text_col, n)
+    # _pre: a composing caller (near_dup_report) hands in the
+    # (sh, docs) pair of ONE _hashed_shingle_rows call so the Arrow
+    # kernel + its checkpoint run once, not once per consumer
+    sh, docs = _pre if _pre is not None else _hashed_shingle_rows(
+        df, id_col, text_col, n
+    )
     if strategy == "auto":
         est = sh.agg(F.approx_count_distinct("h", 0.02).alias("c")).collect()[0]["c"]
         strategy = "dense" if est <= dense_vocab_limit * 0.9 else "prefix"
@@ -946,35 +968,36 @@ def lsh_ensemble_containment(
     )
     tq = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
     u = F.pow(F.lit(2.0), F.col("p") + 1) - 1
+    # the probe's shingle array RIDES the band keys (the
+    # containment_probe_indexed shape): probes are small by
+    # construction (the contamination-check asymmetry this operator
+    # exists for), so duplicating arr_q across a probe's bands costs
+    # little, and verification becomes inline on the collision rows —
+    # the old pair-distinct exchange and the q_sets join are gone
+    # (2 exchanges fewer; the end distinct collapses multi-band
+    # collisions AFTER the threshold filter, on strictly fewer rows,
+    # and containment is pair-constant so output rows are identical).
     probe_keys = (
         p_sig.crossJoin(cfg_present)
         .filter((F.col("p") == max_stratum) | (u >= tq))
         .select(
             F.col("id").alias("id_q"),
+            F.col("arr").alias("arr_q"),
+            F.col("n_sh").alias("n_q"),
             "p",
             "r",
             "sig",
             F.explode(F.sequence(F.lit(0), F.col("b") - 1)).alias("band"),
         )
-        .select("id_q", "p", "band", bucket.alias("bucket"))
-    )
-    cand = (
-        probe_keys.join(corpus_keys, ["p", "band", "bucket"])
-        .filter(F.col("id_q") != F.col("id_x"))
-        .select("id_q", "id_x")
-        .distinct()
-    )
-    q_sets = p_sig.select(
-        F.col("id").alias("id_q"),
-        F.col("arr").alias("arr_q"),
-        F.col("n_sh").alias("n_q"),
+        .select("id_q", "p", "band", bucket.alias("bucket"), "arr_q", "n_q")
     )
     x_sets = c_sig.select(
         F.col("id").alias("id_x"), F.col("arr").alias("arr_x")
     )
     inter = F.size(F.array_intersect("arr_q", "arr_x"))
     return (
-        cand.join(q_sets, "id_q")
+        probe_keys.join(corpus_keys, ["p", "band", "bucket"])
+        .filter(F.col("id_q") != F.col("id_x"))
         .join(x_sets, "id_x")
         .select(
             "id_q",
@@ -982,6 +1005,7 @@ def lsh_ensemble_containment(
             F.round(inter / F.col("n_q"), 6).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+        .distinct()  # multi-band collisions; value is pair-constant
     )
 
 
@@ -1116,8 +1140,20 @@ def containment_probe_indexed(
     )
     tq = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
     u = F.pow(F.lit(2.0), F.col("p") + 1) - 1
+    idx = spark.table(table)
+    # probes emit keys ONLY for strata the persisted index actually
+    # occupies (the same present-strata prune as the one-shot
+    # lsh_ensemble_containment): a key in an empty stratum collides
+    # with nothing by construction, so the candidate set is identical —
+    # but without it every probe pays explode+hash+shuffle for all
+    # max_stratum+1 configured strata. The distinct-p scan is one
+    # column of the index with a partial aggregate, ≤ max_stratum+1
+    # rows out, and rides the bounded config broadcast.
+    cfg_present = bounded_broadcast(
+        cfg.join(idx.select("p").distinct(), "p", "left_semi")
+    )
     probe_keys = (
-        p_sig.crossJoin(bounded_broadcast(cfg))
+        p_sig.crossJoin(cfg_present)
         .filter((F.col("p") == max_stratum) | (u >= tq))
         .select(
             F.col("id").alias("id_q"),
@@ -1130,7 +1166,6 @@ def containment_probe_indexed(
         )
         .select("id_q", "p", "band", bucket.alias("bucket"), "arr_q", "n_q")
     )
-    idx = spark.table(table)
     inter = F.size(F.array_intersect("arr_q", "arr"))
     return (
         probe_keys.hint("shuffle_hash")
@@ -1989,12 +2024,18 @@ def near_dup_report(
     Scale shape: the pair SET comes from the filtered
     :func:`jaccard_pairs` pipeline (PPJoin prefix filters — never
     all-pairs); diagnostics add one equi-join per side onto the
-    zero-shuffle :func:`shingle_arrays_unordered` relation and an
-    in-row ``array_intersect`` — O(pairs) on top of pair discovery."""
-    pairs = jaccard_pairs(df, id_col, text_col, n, threshold).select(
-        "id_a", "id_b", "jaccard"
+    hashed-array relation and an in-row ``array_intersect`` —
+    O(pairs) on top of pair discovery. The shingle kernel runs ONCE:
+    its (sh, docs) output feeds both pair discovery (via ``_pre``)
+    and the diagnostics arrays — it used to run twice, once inside
+    jaccard_pairs and once for :func:`shingle_arrays_unordered`."""
+    pre = _hashed_shingle_rows(df, id_col, text_col, n)
+    pairs = jaccard_pairs(
+        df, id_col, text_col, n, threshold, _pre=pre
+    ).select("id_a", "id_b", "jaccard")
+    arrs = pre[1].select(
+        "id", F.col("hs").alias("arr"), F.size("hs").alias("n_sh")
     )
-    arrs = shingle_arrays_unordered(df, id_col, text_col, n)
     a = arrs.select(
         F.col("id").alias("id_a"),
         F.col("arr").alias("arr_a"),

@@ -20,6 +20,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Optional eager barrier on the offsets relation. ADVICE r12 flagged
+#: that the lazily-checkpointed `d` is consumed by both the
+#: broadcast-offsets build (separate driver thread) and the probe-side
+#: stages, which could in principle compute the range shuffle twice
+#: concurrently. MEASURED r13 (interleaved A/B at sf0.1, 32 cores, and
+#: a fresh-JVM stderr audit): the duplicate compute never fires locally
+#: (zero "Block rdd_N already exists" warnings; block-manager
+#: getOrCompute de-dupes) and the eager barrier costs ~8-10%
+#: (jaccard med 5.47 vs 4.15 s, rfm 3.01 vs 2.76 s) — so it stays OFF.
+#: Flip to True if a cluster profile ever shows racing duplicate
+#: stages here.
+_EAGER_OFFSETS = False
+
 
 def with_global_row_number(
     df: DataFrame,
@@ -53,11 +66,16 @@ def with_global_row_number(
     # SAME partition boundaries as the data branch — two separate
     # executions of a range partitioner re-sample them, and without the
     # barrier the plan also scans+shuffles the input twice. The
-    # checkpoint is LAZY: the plan cut (both branches read one shared
-    # RDD, so boundaries provably agree) happens at build time, while
-    # materialization folds into the first consuming job instead of a
-    # separate blocking job per call — chained callers (three ntile
-    # passes in rfm_segments) otherwise serialize into a job ladder.
+    # checkpoint on `d` is LAZY; the EAGER barrier lives on the tiny
+    # offsets relation below, whose blocking job materializes `d`'s
+    # blocks as a side effect. The r12 all-lazy form raced instead:
+    # broadcast exchanges build on a separate driver thread, so the
+    # offsets job and the probe-side stages both found `d`
+    # un-materialized and computed the whole range shuffle + sort
+    # TWICE concurrently (driver-confirmed regressions across the
+    # globalorder family: jaccard rank-encode 2.4→4.6 s, rfm/ntile/
+    # pack). One blocking job per call — one FEWER than the pre-r12
+    # eager-`d` form, which paid separate checkpoint and offsets jobs.
     d = d.withColumn(
         "__lrn", F.row_number().over(local).cast("long")
     ).localCheckpoint(eager=False)
@@ -75,7 +93,13 @@ def with_global_row_number(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         proj.append(F.sum("__cnt").over(whole).alias(total_col))
+    # EAGER: runs the ≤ num_partitions-row offsets job NOW, through
+    # `d`'s lazy checkpoint — after this line every consumer (broadcast
+    # build, probe side) reads materialized blocks; nothing can race a
+    # recompute of the range shuffle.
     offsets = counts.select(*proj)
+    if _EAGER_OFFSETS:
+        offsets = offsets.localCheckpoint()
     return (
         d.join(F.broadcast(offsets), "__pid")
         .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
@@ -113,9 +137,10 @@ def with_global_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # same barrier rationale as with_global_row_number: one execution of
-    # the range partitioner, shared by the data and totals branches —
-    # lazy for the same reason (plan cut now, materialization folded
-    # into the first consuming job)
+    # the range partitioner shared by both branches — lazy checkpoint on
+    # `d`, EAGER on the tiny offsets relation below (whose job
+    # materializes `d`; the all-lazy r12 form let the broadcast thread
+    # and the probe side race a duplicate compute of the range shuffle)
     d = d.withColumn("__lcum", F.sum(value_col).over(local)).localCheckpoint(
         eager=False
     )
@@ -127,6 +152,8 @@ def with_global_cumsum(
     offsets = totals.select(
         "__pid", F.coalesce(F.sum("__tot").over(prev), F.lit(0)).alias("__off")
     )
+    if _EAGER_OFFSETS:
+        offsets = offsets.localCheckpoint()
     return (
         d.join(F.broadcast(offsets), "__pid")
         .withColumn(cum_col, F.col("__lcum") + F.col("__off"))

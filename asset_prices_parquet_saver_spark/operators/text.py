@@ -110,19 +110,31 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def predict_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Pick the language with the highest marker count ('und' if all 0).
-
-    Deterministic tie-break: priority order en > es > de (strictly-
-    greater comparisons in a fixed CASE chain)."""
-    s = lang_scores(F.col(text_col))
-    pred = (
+def predicted_language_col(text: Column) -> Column:
+    """The language-prediction expression itself — usable as a plain
+    projection, so a composing pipeline (curated_corpus) can attach it
+    with ``withColumn`` instead of re-scanning the corpus and joining
+    :func:`predict_language`'s output back on the id (guide §2.4:
+    that join was a full self-join shuffle for a value derivable
+    per-row)."""
+    s = lang_scores(text)
+    return (
         F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
         .when((s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
         .when(s["de"] > 0, F.lit("de"))
         .otherwise(F.lit("und"))
     )
-    return df.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+def predict_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pick the language with the highest marker count ('und' if all 0).
+
+    Deterministic tie-break: priority order en > es > de (strictly-
+    greater comparisons in a fixed CASE chain)."""
+    return df.select(
+        F.col(id_col),
+        predicted_language_col(F.col(text_col)).alias("predicted_lang"),
+    )
 
 
 def fingerprint64(text: Column, mod: int = 1_000_000_007) -> Column:
@@ -1474,9 +1486,13 @@ def dsir_log_weights(
         F.sum("c").alias("rc"),
         F.sum(F.when(F.col("tgt") == 1, F.col("c")).otherwise(0)).alias("tc"),
     )
-    tot = docb.agg(
-        F.sum("c").alias("tr"),
-        F.sum(F.when(F.col("tgt") == 1, F.col("c")).otherwise(0)).alias("tt"),
+    # totals fold the bucket-bounded stats (≤ `buckets` rows), not the
+    # feature relation: Σ_b rc = Σ c exactly (long arithmetic), and the
+    # checkpointed docb is scanned once less per action (guide §2.4);
+    # the duplicated stats subtree shares one exchange (ReusedExchange).
+    tot = stats.agg(
+        F.sum("rc").alias("tr"),
+        F.sum("tc").alias("tt"),
     )
     llr = (
         stats.crossJoin(bounded_broadcast(tot))  # 1-row totals

@@ -3830,8 +3830,14 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    lang = text_ops.predict_language(d, "doc_id", "text")
-    filt = d.join(lang, "doc_id").filter(
+    # language is a per-row expression (predicted_language_col): attach
+    # it as a projection instead of joining predict_language's output
+    # back on doc_id — that was a full self-join (2nd corpus scan + a
+    # doc_id shuffle) for a value derivable in place (guide §2.4).
+    # doc_id is unique in documents, so results are identical.
+    filt = d.withColumn(
+        "predicted_lang", text_ops.predicted_language_col(F.col("text"))
+    ).filter(
         (F.col("predicted_lang") == "en")
         & (text_ops.n_words(F.col("text")) >= 30)
     )

@@ -357,6 +357,13 @@ def cosine_pairs_lsh(
     if num_planes is None:
         num_planes = auto_num_planes(emb.count())
         max_planes = AUTO_PLANES_HI
+    # Pin the bucketed relation ONCE: both sides of the self-join
+    # consume it, and without the barrier the plan evaluates the
+    # hyperplane-projection kernel twice — the broadcast build side is
+    # a different subtree shape from the probe side, so ReuseExchange
+    # never fires (plan-verified: two MapInPandas gen() nodes, zero
+    # ReusedExchange). Same deliberate-barrier pattern as the shared
+    # signature/array checkpoints across the dedup family.
     e = _with_buckets(
         emb.select(F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("v")),
         "vec_id",
@@ -364,7 +371,7 @@ def cosine_pairs_lsh(
         num_planes,
         num_tables,
         max_planes=max_planes,
-    )
+    ).localCheckpoint()
     cand = (
         e.alias("a")
         .join(e.alias("b"), ["table", "bucket"])

@@ -107,6 +107,70 @@ def with_global_row_number(
     )
 
 
+def with_grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    rn_col: str = "rn",
+    cnt_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group 1-based row number under ``order`` WITHOUT a
+    group-keyed window: ``Window.partitionBy(group).orderBy(...)``
+    funnels each group through ONE task, which for a low-cardinality
+    group key (l_returnflag has 3 values) serializes the whole table
+    on as many cores (guide §2.5 — the skew is structural, AQE cannot
+    split a single key's window). Instead: range-partition by
+    (group, order) — each group occupies a RUN of partitions, sorted —
+    then per-group rank = local rank + the number of same-group rows
+    in preceding partitions (a constant-size offsets frame, exactly
+    the :func:`with_global_row_number` construction keyed by group).
+    Ties straddling a partition boundary get an arbitrary relative
+    numbering (same caveat as the global form); the VALUE at any rank
+    is unaffected. ``cnt_col`` attaches the group's total row count —
+    it falls out of the same offsets frame for free."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(g) for g in group_cols]
+    d = (
+        df.repartitionByRange(num_partitions, *gcols, *order)
+        .sortWithinPartitions(*gcols, *order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("__pid", *group_cols).orderBy(*order)
+    d = d.withColumn(
+        "__lrn", F.row_number().over(local).cast("long")
+    ).localCheckpoint(eager=False)  # same branch-point pin as above
+    counts = d.groupBy("__pid", *group_cols).agg(
+        F.max("__lrn").alias("__cnt")
+    )
+    prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    proj = [
+        F.col("__pid"),
+        *gcols,
+        F.coalesce(F.sum("__cnt").over(prev), F.lit(0)).alias("__off"),
+    ]
+    if cnt_col is not None:
+        whole = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        proj.append(F.sum("__cnt").over(whole).alias(cnt_col))
+    offsets = counts.select(*proj)
+    if _EAGER_OFFSETS:
+        offsets = offsets.localCheckpoint()
+    return (
+        d.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(rn_col, F.col("__lrn") + F.col("__off"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     order: list[Column],

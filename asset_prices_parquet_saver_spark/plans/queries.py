@@ -931,6 +931,12 @@ def value_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single rank window + broadcast count join, MEASURED faster than
+    # the distributed grouped rank at this scale (fresh-JVM pairs:
+    # 1.5-1.7 s vs 2.2-2.6 s — one window over 3 flag partitions is
+    # fine; the pathological sibling with TWO stacked windows is
+    # price_quantiles_cont_by_flag, which does route through
+    # globalorder.with_grouped_row_number)
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
@@ -5631,8 +5637,11 @@ def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-position definition as exact_price_quantiles, so the
     result is engine-identical with no interpolation semantics to
     reconcile. The rank window partitions on the group key; at scale
-    a hot group can route through globalorder.with_global_row_number
-    keyed per group (same expression, range-partitioned)."""
+    a hot group routes through globalorder.with_grouped_row_number
+    (same expression, range-partitioned) — MEASURED at this SF the
+    window form wins (fresh-JVM pairs 0.74-0.79 s vs 0.98-1.21 s;
+    events is 100k rows over 5 groups, far from the two-stacked-window
+    blowup price_quantiles_cont_by_flag hit)."""
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").asc(), F.col("event_id").asc()
@@ -7049,15 +7058,25 @@ def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def price_quantiles_cont_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped quantile_cont: per-group rank from a keyed window, the
-    two boundary rows per percentile interpolated in a conditional
-    aggregate — the group key carries the shuffle."""
+    """Grouped quantile_cont via the DISTRIBUTED grouped rank: a
+    ``Window.partitionBy(l_returnflag)`` funnels the whole table into
+    3 tasks (one per flag value — structural skew AQE cannot split;
+    measured 4.8-8.8 s at sf0.1 where the rest of the plan is
+    sub-second). ``with_grouped_row_number`` range-partitions by
+    (flag, price) so every core sorts a slice and per-group ranks come
+    from the constant-size offsets frame; the group count rides the
+    same frame. The two boundary rows per percentile interpolate in a
+    conditional aggregate exactly as before — values at ranks are
+    tie-order-independent, so results are identical."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+    ranked = globalorder_ops.with_grouped_row_number(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").asc()],
+        rn_col="rn",
+        cnt_col="n",
     )
     aggs, outs = [], ["l_returnflag"]
     for pct, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")):
@@ -7266,10 +7285,11 @@ def interpolated_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed global ordering — identical IEEE arithmetic to
     DuckDB's quantile_cont, rounded to 6 decimals both sides."""
     li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    ranked = globalorder_ops.with_global_row_number(
-        li, [F.col("l_extendedprice").asc()], rn_col="rn"
+    # n rides the row-numbering's own offsets broadcast (total_col) —
+    # the old separate count aggregate re-scanned lineitem per action
+    joined = globalorder_ops.with_global_row_number(
+        li, [F.col("l_extendedprice").asc()], rn_col="rn", total_col="n"
     )
-    joined = ranked.join(F.broadcast(li.agg(F.count("*").alias("n"))))
     aggs, outs = [], []
     for pct, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")):
         aggs += [

@@ -132,3 +132,35 @@ def test_global_cumsum_property_random_doubles(spark):
             ).collect()
         }
         assert all(abs(got[k] - want[k]) < 1e-9 for k in want), parts
+
+
+def test_grouped_row_number_matches_window_form(spark):
+    """with_grouped_row_number == Window.partitionBy(group).orderBy(...)
+    under a total order, for every partition count — plus the group
+    count riding cnt_col. The grouped form exists so a low-cardinality
+    group key never serializes the sort into #groups tasks."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice(["A", "B", "C"]), rng.randrange(1000))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    order = [F.col("v").asc(), F.col("id").asc()]  # total order
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["id"]): (r["rn"], r["n"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+        .collect()
+    }
+    for parts in (1, 4, 16):
+        got = {
+            (r["g"], r["id"]): (r["rn"], r["n"])
+            for r in globalorder.with_grouped_row_number(
+                df, ["g"], order, rn_col="rn", cnt_col="n",
+                num_partitions=parts,
+            ).collect()
+        }
+        assert got == want, parts

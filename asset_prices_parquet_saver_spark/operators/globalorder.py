@@ -128,7 +128,13 @@ def with_grouped_row_number(
     Ties straddling a partition boundary get an arbitrary relative
     numbering (same caveat as the global form); the VALUE at any rank
     is unaffected. ``cnt_col`` attaches the group's total row count —
-    it falls out of the same offsets frame for free."""
+    it falls out of the same offsets frame for free.
+
+    Contract: ``group_cols`` must be LOW-cardinality (the structural-
+    skew escape is precisely for hot few-valued keys) — the offsets
+    broadcast is ≤ partitions × distinct groups rows. A
+    high-cardinality group key has no skew problem in the first
+    place; use a plain grouped window there."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     gcols = [F.col(g) for g in group_cols]

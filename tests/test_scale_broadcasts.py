@@ -138,6 +138,11 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
     # per-partition offset tables: one row per shuffle partition
     ("asset_prices_parquet_saver_spark/operators/globalorder.py",
      'd.join(F.broadcast(offsets), "__pid")'): 2,
+    # grouped offsets: ≤ partitions × distinct groups rows; the
+    # helper's contract is LOW-cardinality group keys (the structural-
+    # skew escape for hot-key windows), documented on the function
+    ("asset_prices_parquet_saver_spark/operators/globalorder.py",
+     'd.join(F.broadcast(offsets), ["__pid", *group_cols])'): 1,
     # query-vector sets / pinned codebooks / probe lists / top-k cand
     ("asset_prices_parquet_saver_spark/operators/similarity.py",
      '.join(F.broadcast(qtable), ["query_id", "j", "code"])'): 1,
@@ -191,8 +196,6 @@ _BROADCAST_ALLOWLIST: dict[tuple[str, str], int] = {
      'c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)'): 1,
     ("asset_prices_parquet_saver_spark/plans/queries.py",
      'g = exact.join(F.broadcast(sk), "event_type")'): 1,
-    ("asset_prices_parquet_saver_spark/plans/queries.py",
-     'joined = ranked.join(F.broadcast(li.agg(F.count("*").alias("n"))))'): 1,
     ("asset_prices_parquet_saver_spark/plans/queries.py",
      'joined = ranked.join(F.broadcast(pos), "l_returnflag")'): 1,
     ("asset_prices_parquet_saver_spark/plans/queries.py",

@@ -857,8 +857,15 @@ def main() -> None:
             "n_measured": out["scaling_sf1"]["n_measured"],
         }
     if "regressions" in line_out:  # names only on the line; detail file
-        line_out["regressions"] = sorted(out["regressions"])
-        line_out["wins"] = sorted(out["wins"])
+        # CAP the name lists: a 56-name wins list once ate the
+        # 1800-char budget and squeezed `queries` down to 2 entries
+        # (queries_omitted: 202) — the slowest-queries dict is the
+        # line's primary payload for cross-round comparison, so flag
+        # names beyond a dozen live only in the detail files
+        line_out["regressions"] = sorted(out["regressions"])[:12]
+        line_out["wins"] = sorted(out["wins"])[:12]
+        line_out["n_regressions"] = len(out["regressions"])
+        line_out["n_wins"] = len(out["wins"])
     by_cost = sorted(timings, key=timings.__getitem__, reverse=True)
     keep = len(by_cost)
     while keep > 0:

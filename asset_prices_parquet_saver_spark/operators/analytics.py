@@ -1406,10 +1406,20 @@ def basket_rules(
     broadcast into the rule relation, the total is a 1-row broadcast.
     Reference analogue: none (A-family extension, SURVEY §2.4)."""
     from asset_prices_parquet_saver_spark.functions.hints import bounded_broadcast
+    from asset_prices_parquet_saver_spark.functions.pins import pin
 
-    items = baskets.select(
-        F.col(basket_col).alias("o"), F.col(item_col).alias("it")
-    ).distinct()
+    # pinned: the distinct (basket, item) relation feeds SIX subtrees
+    # (both per-item count broadcasts, the basket total twice, and
+    # both pair self-join sides) — unpinned, the caller's basket
+    # pipeline (for the gated query, a lineitem x part fact join +
+    # distinct) evaluated NINE times (plan-verified). One narrow
+    # (o, it) checkpoint runs it once — the decide-with-small-rows
+    # discipline.
+    items = pin(
+        baskets.select(
+            F.col(basket_col).alias("o"), F.col(item_col).alias("it")
+        ).distinct()
+    )
     cnt = items.groupBy("it").agg(F.count("*").alias("cnt"))
     tot = items.agg(F.countDistinct("o").alias("n_baskets"))
     a = items.select(F.col("o"), F.col("it").alias("ia"))
@@ -1423,6 +1433,9 @@ def basket_rules(
         .filter(F.round(F.col("co") / F.col("n_baskets"), 6) >= min_support)
         .select("ia", "ib", "co")
     )
+    # pinned: the union below references `co` twice — unpinned, the
+    # basket self-join + aggregate ran once per direction
+    co = pin(co)
     directed = co.select(
         F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "co"
     ).unionByName(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from asset_prices_parquet_saver_spark.functions.pins import pin as _pin
 from asset_prices_parquet_saver_spark.functions.pandas_ops import spread
 from asset_prices_parquet_saver_spark.operators.similarity import auto_num_blocks
 
@@ -1583,7 +1584,10 @@ def fuzzy_dedup_keep_best(
         hash_family, memo,
     )
     scored = df.select(F.col(id_col).alias("id"), score.alias("s"))
-    labeled = comp.join(scored, "id")  # comp covers only PAIRED docs
+    # pinned: labeled feeds both the winner election and the loser
+    # probe — unpinned, the score scan ran once per consumer
+    # (plan-verified: 3 corpus scans; 2 after the pin). O(paired docs).
+    labeled = _pin(comp.join(scored, "id"))  # comp covers only PAIRED docs
     winners = (
         labeled.groupBy("component")
         .agg(F.max(F.struct(F.col("s"), (-F.col("id")).alias("negid"))).alias("w"))
@@ -1686,6 +1690,13 @@ def simhash_near_pairs(
         )
     chunk_bits = 64 // num_chunks
     mask = (1 << chunk_bits) - 1
+    # pinned: the fingerprint relation feeds BOTH self-join sides, and
+    # for every caller `fp` is the simhash() pipeline — a token x bit
+    # explode plus two corpus-keyed aggregations. Unpinned, that whole
+    # pipeline evaluated once per side (plan-verified 2x; the
+    # cosine_pairs_lsh mechanism — AQE broadcasting one side guarantees
+    # the duplication). The pin is O(docs) narrow rows.
+    fp = _pin(fp)
     blocked = fp.select(
         "id",
         "simhash",
@@ -2282,7 +2293,10 @@ def duplicate_aware_weights(
         df, id_col, text_col, n, num_hashes, bands, threshold,
         hash_family, memo,
     )
-    labeled = (
+    # pinned: labeled feeds both the size aggregate and the weight
+    # probe — unpinned, the id scan + left join ran once per consumer
+    # (plan-verified 2x). O(docs) narrow rows.
+    labeled = _pin(
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")
         .select(

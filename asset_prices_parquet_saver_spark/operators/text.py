@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from asset_prices_parquet_saver_spark.functions.pandas_ops import (
     spread as spread_narrow,
 )
-
+from asset_prices_parquet_saver_spark.functions.pins import pin
 from asset_prices_parquet_saver_spark.operators.dedup import words
 
 #: BPE-ish tokenizer: letter runs, digit runs, single other non-space.
@@ -577,11 +577,17 @@ def bm25_topk(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
-    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    # doclen and tf each feed TWO consumers (stats + the scorer join;
+    # dfreq + the scorer probe): unpinned, each consumer re-tokenizes
+    # the corpus, so the scan ran 4x per query (plan-verified). Pin
+    # both once — doclen is O(docs) narrow longs, tf is O(matching
+    # docs x query terms) — and the corpus is tokenized exactly twice
+    # (once per aggregation key shape), never per consumer.
+    doclen = pin(toks.groupBy("id").agg(F.count("*").alias("dl")))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
+    tf = pin(
         toks.filter(F.col("term").isin(*query_terms))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
@@ -730,7 +736,11 @@ def unigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
-    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # pinned: counts feeds both the totals fold and the scoring join —
+    # unpinned, each consumer re-tokenized the corpus (3 scans total,
+    # plan-verified); pinned, the token stream is built exactly twice
+    # (the count keyed on term, the probe keyed on id)
+    counts = pin(toks.groupBy("term").agg(F.count("*").alias("c")))
     totals = counts.agg(
         F.sum("c").alias("corpus_tokens"), F.count("*").alias("vocab")
     )
@@ -787,7 +797,10 @@ def bigram_logppl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     uni = df.select(F.explode(words(F.col(text_col))).alias("term"))
-    c1 = uni.groupBy("term").agg(F.count("*").alias("c1"))
+    # pinned: c1 feeds both the vocab fold and the scoring join —
+    # unpinned, each consumer re-tokenized the corpus (4 scans total
+    # with the bigram probe, plan-verified; 3 after the pin)
+    c1 = pin(uni.groupBy("term").agg(F.count("*").alias("c1")))
     vocab = c1.agg(F.count("*").alias("vocab"))
     c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
 
@@ -1055,7 +1068,11 @@ def winnowing_pairs(
     selected minima are far rarer than raw shingles, so posting lists
     stay short; the pair aggregation is one combinable shuffle on
     (id_a, id_b)."""
-    fp = winnowing_fingerprints(df, id_col, text_col, k, window)
+    # pinned: the fingerprint relation feeds BOTH self-join sides —
+    # unpinned, the winnow kernel + distinct ran once per side
+    # (plan-verified 2x; the cosine_pairs_lsh mechanism), and AQE
+    # broadcasting one side guarantees the duplication
+    fp = pin(winnowing_fingerprints(df, id_col, text_col, k, window))
     a = fp.select(F.col("id").alias("id_a"), "fingerprint")
     b = fp.select(F.col("id").alias("id_b"), "fingerprint")
     return (
@@ -1367,10 +1384,18 @@ def pmi_cooccurrence(
         pair_counts_kernel, "a string, b string, c long"
     )
     toks = df.select(F.explode(w).alias("term"))
-    cab = pair_parts.groupBy("a", "b").agg(F.sum("c").alias("c_ab"))
-    ca = toks.groupBy("term").agg(F.count("*").alias("c"))
-    totals = pair_parts.agg(F.sum("c").alias("n_pairs")).crossJoin(
-        toks.agg(F.count("*").alias("n_tok"))
+    # pinned: cab feeds the rule chain AND the n_pairs total, ca feeds
+    # two join sides AND the n_tok total — unpinned, the pair kernel
+    # ran twice and the tokenize three times (plan-verified). The
+    # totals fold the pinned aggregates instead of re-scanning the
+    # corpus: n_pairs = Σ c_ab over all pairs = Σ c (exact longs),
+    # n_tok = Σ ca.c = count of tokens (exact) — the dsir totals-fold.
+    cab = pin(
+        pair_parts.groupBy("a", "b").agg(F.sum("c").alias("c_ab"))
+    )
+    ca = pin(toks.groupBy("term").agg(F.count("*").alias("c")))
+    totals = cab.agg(F.sum("c_ab").alias("n_pairs")).crossJoin(
+        ca.agg(F.sum("c").alias("n_tok"))
     )
     pmi = F.round(
         F.log(
@@ -1543,9 +1568,12 @@ def _bm25_scored_matches(
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term")
     )
-    doclen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    # same two-consumer pins as bm25_topk: without them doclen's and
+    # tf's subtrees are duplicated under stats/dfreq and the corpus is
+    # tokenized 4x per eval batch (plan-verified)
+    doclen = pin(toks.groupBy("id").agg(F.count("*").alias("dl")))
     stats = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
+    tf = pin(
         toks.join(qterms, "term")
         .groupBy("qid", "id", "term")
         .agg(F.count("*").alias("tf"))

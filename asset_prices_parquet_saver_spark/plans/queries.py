@@ -42,6 +42,7 @@ from asset_prices_parquet_saver_spark.functions.hints import (
     bounded_broadcast,
     scaled_dim,
 )
+from asset_prices_parquet_saver_spark.functions.pins import pin
 from asset_prices_parquet_saver_spark.functions.numeric import (
     davg,
     dec,
@@ -5777,6 +5778,10 @@ def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(dec("l_extendedprice") * disc).alias("rev_dec"))
     )
+    # pinned: rev feeds both the grand-total broadcast and the share
+    # projection — unpinned, the 3-join fact pipeline evaluated once
+    # per consumer (plan-verified 2x); the pin is 25 rows
+    rev = pin(rev)
     tot = rev.agg(F.sum("rev_dec").cast("double").alias("total"))
     return (
         rev.crossJoin(F.broadcast(tot))
@@ -7150,6 +7155,10 @@ def region_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.sum(dec("l_extendedprice")).alias("rev_dec"))
     )
+    # pinned: nr feeds both the per-region total broadcast and the HHI
+    # fold — unpinned, the fact join evaluated once per consumer
+    # (plan-verified 2x); the pin is <= |nations| rows
+    nr = pin(nr)
     tot = nr.groupBy("r_name").agg(F.sum("rev_dec").alias("tot_dec"))
     share = F.col("rev_dec").cast("double") / F.col("tot_dec").cast("double")
     return (
